@@ -1,0 +1,70 @@
+"""candump text source (S1) and frame extraction (P1).
+
+Reference behavior (``lib/canparser.py:274-299``): chunked tolerant text
+read, then ``str.extractall`` with an IGNORECASE regex that can yield
+**multiple frames from a single physical line** (the adversarial corpus has
+two concatenated frames on line 1). Non-matching garbage is silently
+dropped.
+
+Spark-first mapping: ``spark.read.text`` (inherently tolerant — no CSV
+parsing to fail), then one ``regexp_extract_all`` pass producing an array of
+whole-frame matches, ``posexplode`` to preserve intra-line order, and cheap
+per-group ``regexp_extract`` on the short frame strings. File order — which
+downstream order-sensitive operators (W2 outlier filter, P4 crop) need,
+since Spark has no implicit row order — is captured as
+``(_line_id, _pos)`` where ``_line_id`` is a ``monotonically_increasing_id``
+assigned before the explode (monotone w.r.t. file offset because text
+splits are scheduled in offset order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Reference pattern (lib/canparser.py:274-283) is compiled with IGNORECASE |
+# ASCII; both hex cases are inlined here. Java's \w is ASCII by default, so
+# the `µan0` corpus line is rejected exactly as re.ASCII does.
+FRAME_REGEX = (
+    r"\((\d{10}\.\d{6})\)\s"
+    r"(\w+)\s"
+    r"([0-9a-fA-F]{3})#"
+    r"((?:[0-9a-fA-F]{2}){2,8})"
+    r"(?!\w)"
+)
+
+ORDER_COLS = ["_line_id", "_pos"]
+
+
+def scan_candump(spark: SparkSession, path: str) -> DataFrame:
+    """Raw line scan: one ``value: string`` column per physical line."""
+    return spark.read.text(path)
+
+
+def extract_frames(lines: DataFrame, source_col: str = "value") -> DataFrame:
+    """Explode every frame match out of every line.
+
+    Output: ``_line_id, _pos, ts_raw, interface, topic_hex, payload_hex``.
+    Blank / garbage / truncated lines simply produce no matches.
+    """
+    pat = FRAME_REGEX
+    # The line id must be assigned BEFORE the generator runs: if the
+    # nondeterministic id expression lands in the same projection as
+    # posexplode it is re-evaluated per generated row. The matches array is
+    # also materialized here so the Generate input is a plain column.
+    with_ids = lines.select(
+        F.monotonically_increasing_id().alias("_line_id"),
+        F.regexp_extract_all(source_col, F.lit(pat), 0).alias("_matches"),
+    )
+    frames = with_ids.select(
+        "_line_id",
+        F.posexplode("_matches").alias("_pos", "_frame"),
+    )
+    return frames.select(
+        "_line_id",
+        "_pos",
+        F.regexp_extract("_frame", pat, 1).alias("ts_raw"),
+        F.regexp_extract("_frame", pat, 2).alias("interface"),
+        F.regexp_extract("_frame", pat, 3).alias("topic_hex"),
+        F.lower(F.regexp_extract("_frame", pat, 4)).alias("payload_hex"),
+    )

@@ -1,0 +1,122 @@
+"""Parse-stage conformance on a fresh adversarial candump corpus.
+
+The corpus (tests/data/sample.candump) covers the same failure modes as the
+reference's test corpus: concatenated frames on one line, bad interfaces,
+odd-length / oversize / non-hex payloads, truncated timestamps, unknown
+modules/topics, wrong payload lengths, and an out-of-range timestamp that
+the P4 crop must remove.
+"""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from solarboat_data_pipeline_spark.catalog import CanCatalog
+from solarboat_data_pipeline_spark.operators.parse import (
+    crop_to_bounds,
+    decode_long,
+    decode_wide,
+    pivot_wide,
+    with_frame_meta,
+    with_timestamp,
+)
+from solarboat_data_pipeline_spark.sources.candump import extract_frames, scan_candump
+
+from tests.conftest import DATA_DIR
+
+CORPUS = os.path.join(DATA_DIR, "sample.candump")
+MINI = os.path.join(DATA_DIR, "mini_can_ids.json")
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    return CanCatalog.load(MINI)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    lines = scan_candump(spark, CORPUS)
+    return with_frame_meta(
+        crop_to_bounds(with_timestamp(extract_frames(lines)))
+    ).cache()
+
+
+def test_frame_extraction_counts(spark):
+    lines = scan_candump(spark, CORPUS)
+    raw = extract_frames(lines)
+    # 13 well-formed frames in the corpus (2 on the first line)
+    assert raw.count() == 13
+    first_line = raw.where(F.col("_line_id") == raw.agg(F.min("_line_id")).first()[0])
+    assert first_line.count() == 2
+
+
+def test_crop_removes_wrapped_timestamp(spark):
+    lines = scan_candump(spark, CORPUS)
+    with_ts = with_timestamp(extract_frames(lines))
+    cropped = crop_to_bounds(with_ts)
+    assert with_ts.count() == 13
+    assert cropped.count() == 12  # the 1600000000.0 row is outside [first, last]
+
+
+def test_decode_long(frames, catalog):
+    long_df = decode_long(frames, catalog)
+    rows = long_df.collect()
+    # 5 ADC frames x 5 signals + 2 STATE x 2 + 1 PUMPS x 3
+    assert len(rows) == 32
+
+    adc = {
+        (r["byte_name"]): r
+        for r in rows
+        if r["topic_name"] == "ADC" and abs(r["value"]) >= 0  # keep all
+        and r["timestamp"].microsecond == 100
+    }
+    assert math.isclose(adc["SIGNATURE"]["value"], 250.0)
+    assert math.isclose(adc["AVG"]["value"], 11.83)  # 0x049f / 100
+    assert adc["AVG"]["unit"] == "V"
+    assert math.isclose(adc["CUR"]["value"], 2.46)  # 0x00f6 / 100
+    # strict-units quirk: D scaled by A/100, not %/255
+    assert math.isclose(adc["D"]["value"], 2.46)
+    assert adc["D"]["unit"] == "A"
+    # FLAGS bit0 of byte 6 (0x01) scaled by the quirk A/100 unit
+    assert math.isclose(adc["FLAGS"]["value"], 0.01)
+
+    pumps = {r["byte_name"]: r for r in rows if r["topic_name"] == "PUMPS"}
+    assert math.isclose(pumps["PUMP_A"]["value"], 1.0)  # 0x03 bit 0
+    assert math.isclose(pumps["PUMP_B"]["value"], 1.0)  # 0x03 bit 1
+
+
+def test_decode_wide_matches_pivot(frames, catalog):
+    wide = decode_wide(frames, catalog, downcast=False)
+    via_pivot = pivot_wide(decode_long(frames, catalog), catalog)
+    assert wide.count() == 7  # distinct matched timestamps
+    assert set(wide.columns) == set(via_pivot.columns)
+
+    a = {r["timestamp"]: r for r in wide.collect()}
+    b = {r["timestamp"]: r for r in via_pivot.collect()}
+    assert a.keys() == b.keys()
+    for ts in a:
+        for c in wide.columns:
+            if c == "timestamp":
+                continue
+            va, vb = a[ts][c], b[ts][c]
+            assert (va is None) == (vb is None), (ts, c)
+            if va is not None:
+                assert math.isclose(va, vb, rel_tol=1e-12), (ts, c)
+
+
+def test_same_microsecond_frames_average(frames, catalog):
+    wide = decode_wide(frames, catalog, downcast=False)
+    row = [r for r in wide.collect() if r["timestamp"].microsecond == 300000][0]
+    # two ADC frames at the same µs: AVG values 11.83 and 11.85 → 11.84
+    assert math.isclose(row["BAT21__ADC__AVG"], 11.84)
+
+
+def test_downcast_to_float(frames, catalog):
+    wide = decode_wide(frames, catalog, downcast=True)
+    assert all(
+        f.dataType.typeName() == "float"
+        for f in wide.schema.fields
+        if f.name != "timestamp"
+    )
