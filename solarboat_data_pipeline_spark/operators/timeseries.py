@@ -1,0 +1,461 @@
+"""Time-series kernels: spine, resample, interpolation, as-of joins.
+
+These are the reusable primitives behind the reference's resample and unify
+stages (``lib/resampler.py``, ``lib/unifier_with_forecast_data.py``,
+``lib/process_gpx_data.py``), re-expressed as window/join compositions that
+Catalyst can plan. Every ordered operator takes ``partition_cols``: with an
+empty tuple you get the reference's single-series semantics (one global sort
+— fine for one boat's telemetry); at 100 TB you pass the series key
+(device/day) so windows partition and nothing funnels through one task.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+MICROS = 1_000_000
+
+
+def _us(col: Column) -> Column:
+    return F.unix_micros(col)
+
+
+def time_spine(
+    spark: SparkSession,
+    start,
+    end,
+    step_seconds: float,
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Dense constant-period timestamp spine, ``[start, end]`` inclusive.
+
+    Built from ``spark.range`` so generation is distributed (a
+    ``sequence()`` + ``explode`` of one row cannot parallelize and overflows
+    on long ranges); at 1 µs precision a century-long 1 s spine is ~3e9
+    rows — range handles that, one literal array does not.
+    """
+    step_us = int(round(step_seconds * MICROS))
+    start_us = F.lit(start).cast("timestamp")
+    n = (
+        spark.range(1)
+        .select(
+            ((_us(F.lit(end).cast("timestamp")) - _us(start_us)) / step_us + 1)
+            .cast("long")
+            .alias("n")
+        )
+        .first()["n"]
+    )
+    return spark.range(int(max(n, 0))).select(
+        F.timestamp_micros(
+            _us(F.lit(start).cast("timestamp")) + F.col("id") * step_us
+        ).alias(ts_col)
+    )
+
+
+def resample_mean(
+    df: DataFrame,
+    period_seconds: float,
+    ts_col: str = "timestamp",
+    value_cols: Sequence[str] | None = None,
+    partition_cols: Sequence[str] = (),
+    dense: bool = True,
+) -> DataFrame:
+    """A3: fixed-period mean downsample (``df.resample(period).mean()``,
+    ``lib/resampler.py:97-99``).
+
+    Bucket = floor(epoch/period) — identical alignment to pandas for the
+    reference's 1 s / 100 ms periods. With ``dense=True`` empty buckets are
+    materialized as all-null rows (pandas emits the dense grid), via a
+    spine join; the spine side is tiny relative to data and broadcasts.
+    """
+    step_us = int(round(period_seconds * MICROS))
+    if value_cols is None:
+        value_cols = [
+            c for c in df.columns if c != ts_col and c not in partition_cols
+        ]
+    bucket = F.timestamp_micros(
+        (F.floor(_us(F.col(ts_col)) / step_us) * step_us).cast("long")
+    )
+    aggs = [F.avg(c).alias(c) for c in value_cols]
+    out = (
+        df.withColumn("__bucket", bucket)
+        .groupBy(*partition_cols, "__bucket")
+        .agg(*aggs)
+        .withColumnRenamed("__bucket", ts_col)
+    )
+    if not dense:
+        return out
+    spark = df.sparkSession
+    bounds = out.groupBy(*partition_cols).agg(
+        F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
+    )
+    if partition_cols:
+        # per-series spine: sequence() per group is fine here because a
+        # single series' bucket count is bounded by its time extent
+        spine = bounds.select(
+            *partition_cols,
+            F.explode(
+                F.sequence(
+                    F.col("__lo"),
+                    F.col("__hi"),
+                    F.expr(f"INTERVAL {step_us} MICROSECOND"),
+                )
+            ).alias(ts_col),
+        )
+    else:
+        row = bounds.first()
+        if row is None or row["__lo"] is None:
+            return out
+        spine = time_spine(spark, row["__lo"], row["__hi"], period_seconds, ts_col)
+    return spine.join(out, [*partition_cols, ts_col], "left")
+
+
+def interpolate_time(
+    df: DataFrame,
+    ts_col: str = "timestamp",
+    value_cols: Sequence[str] | None = None,
+    partition_cols: Sequence[str] = (),
+    limit: int | None = None,
+    limit_area: str | None = "inside",
+) -> DataFrame:
+    """W3/W4: pandas ``interpolate(method="time")`` parity as window exprs.
+
+    * values at non-null rows are untouched;
+    * a null row between two valid neighbors gets the time-weighted linear
+      blend of them;
+    * ``limit_area="inside"`` (reference resampler, ``lib/resampler.py:100``)
+      leaves leading/trailing nulls; ``limit_area=None`` reproduces pandas'
+      default forward behavior: trailing nulls clamp to the last valid
+      value, leading nulls stay null;
+    * ``limit=n`` fills only the first *n* nulls of each gap (pandas limit
+      semantics — ``sample_limit`` at ``lib/resampler.py:63-66``).
+
+    Pure window composition: one sort per partition, no UDFs.
+    """
+    if value_cols is None:
+        value_cols = [
+            c for c in df.columns if c != ts_col and c not in partition_cols
+        ]
+    w_prev = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(ts_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ts_us = _us(F.col(ts_col))
+    rn = F.row_number().over(Window.partitionBy(*partition_cols).orderBy(ts_col))
+    df = df.withColumn("__rn", rn)
+
+    out_cols: dict[str, Column] = {}
+    for c in value_cols:
+        v = F.col(c)
+        prev_v = F.last(v, ignorenulls=True).over(w_prev)
+        next_v = F.first(v, ignorenulls=True).over(w_next)
+        prev_ts = F.last(F.when(v.isNotNull(), ts_us), ignorenulls=True).over(w_prev)
+        next_ts = F.first(F.when(v.isNotNull(), ts_us), ignorenulls=True).over(w_next)
+        last_valid_rn = F.last(
+            F.when(v.isNotNull(), F.col("__rn")), ignorenulls=True
+        ).over(w_prev)
+        gap_pos = F.col("__rn") - last_valid_rn  # 1-based index into the null run
+        frac = (ts_us - prev_ts) / (next_ts - prev_ts)
+        blend = prev_v + (next_v - prev_v) * frac
+        fill_inside = prev_v.isNotNull() & next_v.isNotNull()
+        cond = fill_inside
+        if limit is not None:
+            cond = cond & (gap_pos <= F.lit(int(limit)))
+        filled = F.when(v.isNotNull(), v).when(cond, blend)
+        if limit_area is None:
+            # pandas default (limit_direction="forward"): clamp after the
+            # last valid sample
+            trail = prev_v.isNotNull() & next_v.isNull()
+            tcond = trail
+            if limit is not None:
+                tcond = tcond & (gap_pos <= F.lit(int(limit)))
+            filled = filled.when(tcond, prev_v)
+        elif limit_area != "inside":
+            raise ValueError("limit_area must be 'inside' or None")
+        out_cols[c] = filled
+    return df.withColumns(out_cols).drop("__rn")
+
+
+def asfreq(
+    df: DataFrame,
+    period_seconds: float,
+    ts_col: str = "timestamp",
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """W7: ``asfreq`` — snap to an exact constant-frequency grid
+    (``lib/unifier_with_forecast_data.py:42-46``): rows at missing ticks are
+    all-null; data at off-grid timestamps is dropped (exact-match join)."""
+    spark = df.sparkSession
+    if partition_cols:
+        raise NotImplementedError("per-series asfreq: resample_mean(dense=True)")
+    row = df.agg(F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")).first()
+    if row is None or row["lo"] is None:
+        return df
+    spine = time_spine(spark, row["lo"], row["hi"], period_seconds, ts_col)
+    return spine.join(df, ts_col, "left")
+
+
+def dedup_keep_first(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """W5: ``df[~df.index.duplicated()]`` — keep the first row per key in
+    the given order (``lib/unifier_with_forecast_data.py:41``)."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def unify_chunks(
+    target: DataFrame,
+    reference: DataFrame,
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """J5 (``lib/unify_parsed_candump.py:13-27``): clip ``reference`` to the
+    [min, max] timestamp range of ``target``, union by name, sort."""
+    bounds = target.agg(
+        F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
+    )
+    clipped = (
+        reference.crossJoin(F.broadcast(bounds))
+        .where(F.col(ts_col).between(F.col("__lo"), F.col("__hi")))
+        .drop("__lo", "__hi")
+    )
+    return target.unionByName(clipped, allowMissingColumns=True).orderBy(ts_col)
+
+
+def clean_timestamp_outliers(
+    df: DataFrame,
+    ts_col: str = "timestamp",
+    lag_rows: int = 10_000,
+    threshold_ns: float = 1e11,
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """W2 (``lib/canparser.py:244-260``): drop rows whose timestamp minus
+    the timestamp ``lag_rows`` earlier falls in ±[threshold, 10*threshold)
+    ns. The first ``lag_rows`` rows are exempt (diff treated as 0)."""
+    w = Window.partitionBy(*partition_cols).orderBy(ts_col)
+    diff_ns = (
+        (_us(F.col(ts_col)) - _us(F.lag(ts_col, lag_rows).over(w))) * 1000
+    ).cast("double")
+    diff_ns = F.coalesce(diff_ns, F.lit(0.0))
+    lo, hi = float(threshold_ns), float(10 * threshold_ns)
+    outlier = ((diff_ns < -lo) & (diff_ns > -hi)) | ((diff_ns > lo) & (diff_ns < hi))
+    return (
+        df.withColumn("__outlier", outlier)
+        .where(~F.col("__outlier"))
+        .drop("__outlier")
+    )
+
+
+def iqr_clip(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    percentile: float = 0.01,
+    factor: float = 1.5,
+    exact: bool = False,
+) -> DataFrame:
+    """A5 (``lib/resampler.py:49-56``): IQR-based outlier nulling — values
+    outside [q1 - f*iqr, q3 + f*iqr] become null. (The reference computes
+    this but ships with the call commented out; exposed here behind an
+    explicit call for the same reason.) ``exact=False`` uses
+    ``percentile_approx`` — the scalable choice; exact percentile sorts."""
+    fn = "percentile" if exact else "percentile_approx"
+    aggs = []
+    for c in value_cols:
+        aggs.append(F.expr(f"{fn}({c}, {percentile})").alias(f"__q1_{c}"))
+        aggs.append(F.expr(f"{fn}({c}, {1 - percentile})").alias(f"__q3_{c}"))
+    bounds = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(bounds))
+    updates = {}
+    for c in value_cols:
+        q1, q3 = F.col(f"__q1_{c}"), F.col(f"__q3_{c}")
+        iqr = q3 - q1
+        lo, hi = q1 - factor * iqr, q3 + factor * iqr
+        updates[c] = F.when(F.col(c).between(lo, hi), F.col(c))
+    return out.withColumns(updates).drop(
+        *[f"__q1_{c}" for c in value_cols], *[f"__q3_{c}" for c in value_cols]
+    )
+
+
+def _union_for_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    value_cols: Sequence[str],
+    partition_cols: Sequence[str],
+) -> DataFrame:
+    """Tag-and-union both sides on a common schema for as-of windows.
+
+    The classic scalable as-of plan: instead of a range join (quadratic
+    blow-up) the two sides are unioned and a single ordered window carries
+    right-side values onto left rows. One shuffle + one sort per partition.
+    """
+    l_keep = [c for c in left.columns if c not in value_cols]
+    lhs = left.select(
+        *l_keep,
+        F.lit(1).alias("__src"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+    )
+    rhs = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            if c not in partition_cols and c != on
+            else F.col(c)
+            for c in l_keep
+        ],
+        F.lit(0).alias("__src"),
+        *[F.col(c) for c in value_cols],
+    )
+    return lhs.unionByName(rhs)
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "timestamp",
+    value_cols: Sequence[str] | None = None,
+    partition_cols: Sequence[str] = (),
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """J4: backward (ffill) as-of join — each left row gets the most recent
+    right-side values at-or-before its timestamp
+    (``lib/process_gpx_data.py:158-171``'s ``reindex(method="ffill")``)."""
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c != on and c not in partition_cols
+        ]
+    u = _union_for_asof(left, right, on, value_cols, partition_cols)
+    # right rows sort before left rows at the same timestamp → ties match
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(on), F.col("__src"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    picks = {c: F.last(c, ignorenulls=True).over(w) for c in value_cols}
+    if tolerance_seconds is not None:
+        ref_ts = F.last(
+            F.when(F.col("__src") == 0, _us(F.col(on))), ignorenulls=True
+        ).over(w)
+        ok = (_us(F.col(on)) - ref_ts) <= int(tolerance_seconds * MICROS)
+        picks = {c: F.when(ok, picks[c]) for c in value_cols}
+    return u.withColumns(picks).where(F.col("__src") == 1).drop("__src")
+
+
+def asof_join_linear(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "timestamp",
+    value_cols: Sequence[str] | None = None,
+    partition_cols: Sequence[str] = (),
+    clamp_forward: bool = True,
+) -> DataFrame:
+    """True interpolating as-of join: each left row gets the time-weighted
+    linear blend of the surrounding right-side samples (exact matches pass
+    through; after the last right sample values clamp forward when
+    ``clamp_forward`` — pandas ``interpolate(method="linear")`` default —
+    else null; before the first right sample: null, no extrapolation)."""
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c != on and c not in partition_cols
+        ]
+    u = _union_for_asof(left, right, on, value_cols, partition_cols)
+    w_prev = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(on), F.col("__src"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(on), F.col("__src"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ts_us = _us(F.col(on))
+    picks = {}
+    for c in value_cols:
+        v = F.col(c)
+        prev_v = F.last(v, ignorenulls=True).over(w_prev)
+        next_v = F.first(v, ignorenulls=True).over(w_next)
+        prev_ts = F.last(F.when(v.isNotNull(), ts_us), ignorenulls=True).over(w_prev)
+        next_ts = F.first(F.when(v.isNotNull(), ts_us), ignorenulls=True).over(w_next)
+        blend = F.when(
+            next_ts == prev_ts, prev_v
+        ).otherwise(prev_v + (next_v - prev_v) * (ts_us - prev_ts) / (next_ts - prev_ts))
+        expr = F.when(prev_v.isNotNull() & next_v.isNotNull(), blend)
+        if clamp_forward:
+            expr = expr.when(prev_v.isNotNull() & next_v.isNull(), prev_v)
+        picks[c] = expr
+    return u.withColumns(picks).where(F.col("__src") == 1).drop("__src")
+
+
+def reindex_interpolate(
+    left_grid: DataFrame,
+    right: DataFrame,
+    on: str = "timestamp",
+    value_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """J3 parity (``lib/unifier_with_forecast_data.py:69-73``): pandas
+    ``reindex(index=left, method=None).interpolate(method="linear")``.
+
+    Note the reference semantics: right-side rows whose timestamp is NOT
+    exactly on the left grid are **discarded**; interpolation runs between
+    the surviving exact matches only (positional linear — identical to
+    time-linear on the reference's uniform grid, which is what this
+    implements)."""
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c != on]
+    matched = left_grid.select(on).join(right, on, "left")
+    return interpolate_time(
+        matched, ts_col=on, value_cols=value_cols, limit_area=None
+    )
+
+
+def cumulative_sum(
+    df: DataFrame,
+    col: str,
+    out_col: str,
+    order_cols: Sequence[str],
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """A6: running total skipping nulls (``np.nancumsum``,
+    ``lib/process_gpx_data.py:71``)."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(out_col, F.sum(F.coalesce(F.col(col), F.lit(0.0))).over(w))
+
+
+def trapezoid_integral(
+    df: DataFrame,
+    col: str,
+    out_col: str,
+    ts_col: str = "timestamp",
+    time_constant: float = 3600.0,
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """A7: running trapezoid integral (``scipy.integrate.cumtrapz``,
+    ``lib/process_solcast_historic_data.py:7-17``): Σ (vᵢ+vᵢ₋₁)/2·Δtᵢ with
+    Δt in units of ``time_constant`` seconds (3600 → value·hours)."""
+    w_lag = Window.partitionBy(*partition_cols).orderBy(ts_col)
+    w_sum = w_lag.rowsBetween(Window.unboundedPreceding, 0)
+    v, pv = F.col(col), F.lag(col).over(w_lag)
+    dt = (_us(F.col(ts_col)) - _us(F.lag(ts_col).over(w_lag))) / MICROS / time_constant
+    step = F.coalesce((v + pv) / 2 * dt, F.lit(0.0))
+    return df.withColumn("__step", step).withColumn(
+        out_col, F.sum("__step").over(w_sum)
+    ).drop("__step")
