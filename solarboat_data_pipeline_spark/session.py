@@ -20,6 +20,17 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # Python workers are separate processes and do not inherit driver-side
+    # sys.path mutations; without this, any Pandas UDF / mapInPandas stage
+    # fails to unpickle functions defined in this package when the consumer
+    # runs from outside the repo directory.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pypath if pypath else "")
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
