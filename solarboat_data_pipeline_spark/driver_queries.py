@@ -1,0 +1,1284 @@
+"""Driver-contract query catalog: one entry per SURVEY.md §2 operator.
+
+Each entry pairs a Spark implementation (exercising the package's
+operators) with an equivalent ANSI-SQL oracle that DuckDB runs on the same
+parquet tables. Conventions keeping the two sides hash-identical:
+
+* every computed column is aliased identically on both sides;
+* doubles are ``round(x, 6)`` (or 4 for large-magnitude sums) on both
+  sides — summation order differs between engines in the last ulp;
+* integer aggregates are cast to BIGINT in SQL (DuckDB ``sum`` yields
+  HUGEINT otherwise) and long in Spark;
+* deterministic hashing uses the md5-based ``h32`` (identical textual
+  definition in both dialects);
+* ordered operators order by (ts, id) so ties are deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from solarboat_data_pipeline_spark.functions.formatting import epoch_seconds
+from solarboat_data_pipeline_spark.functions.geo import haversine_km, heading_deg
+from solarboat_data_pipeline_spark.operators import dedup as dd
+from solarboat_data_pipeline_spark.operators import multimodal as mm
+from solarboat_data_pipeline_spark.operators import similarity as sim
+from solarboat_data_pipeline_spark.operators import text as tx
+from solarboat_data_pipeline_spark.operators import timeseries as ts
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect) mirroring operators/text.py
+# ---------------------------------------------------------------------------
+
+SQL_TOKENS = r"list_filter(string_split_regex(lower({t}), '\s+'), x -> x != '')"
+
+
+def sql_h32(expr: str, salt: str = "") -> str:
+    inner = f"'{salt}' || {expr}" if salt else expr
+    return f"(('0x' || substr(md5({inner}), 1, 8))::BIGINT)"
+
+
+def sql_shingles(toks: str) -> str:
+    return (
+        f"case when len({toks}) >= 3 then "
+        f"list_transform(generate_series(1, len({toks}) - 2), "
+        f"i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]) "
+        f"else [] end"
+    )
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet; with nanosAsLong it scans
+        # as long ns → convert to the engine's µs TimestampType (values are
+        # µs-exact in the fixture, matching DuckDB's read)
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters / row transforms + §2.1 scan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                                        AS sum_qty,
+           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)::BIGINT                                                 AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "s2_scan_pushdown",
+    """
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 6) AS price
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00' AND l_quantity > 45
+    """,
+)
+def s2_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # projection + predicate reach the parquet scan (PushedFilters/ReadSchema)
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .where((F.col("l_shipdate") < "1996-01-01") & (F.col("l_quantity") > 45))
+        .select(
+            "l_orderkey", "l_linenumber", F.round("l_extendedprice", 6).alias("price")
+        )
+    )
+
+
+@register(
+    "p1_regex_extract",
+    r"""
+    SELECT event_id,
+           regexp_extract(props, '"k":\s*(\d+)', 1)::BIGINT AS k_val
+    FROM events
+    WHERE regexp_matches(props, '"k":\s*(\d+)')
+    """,
+)
+def p1_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pat = r'"k":\s*(\d+)'
+    return ev.where(F.col("props").rlike(pat)).select(
+        "event_id", F.regexp_extract("props", pat, 1).cast("long").alias("k_val")
+    )
+
+
+@register(
+    "p2_epoch_seconds",
+    """
+    SELECT event_id, round(extract(epoch FROM ts), 6) AS epoch_s
+    FROM events
+    """,
+)
+def p2_epoch_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.round(epoch_seconds(F.col("ts")), 6).alias("epoch_s")
+    )
+
+
+@register(
+    "p3_time_offset",
+    """
+    SELECT event_id, ts + INTERVAL 3 HOUR AS ts_shifted FROM events
+    """,
+)
+def p3_time_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.expr("ts + INTERVAL 3 HOURS").alias("ts_shifted")
+    )
+
+
+@register(
+    "p5_hex_roundtrip",
+    """
+    SELECT p_partkey, printf('%x', p_partkey) AS hex_key,
+           ('0x' || printf('%x', p_partkey))::BIGINT AS back
+    FROM part
+    """,
+)
+def p5_hex_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    hexed = F.lower(F.hex(F.col("p_partkey")))
+    return p.select(
+        "p_partkey",
+        hexed.alias("hex_key"),
+        F.conv(hexed, 16, 10).cast("long").alias("back"),
+    )
+
+
+@register(
+    "p6_unhex_payload",
+    """
+    SELECT p_partkey,
+           octet_length(unhex(md5(p_name)))::BIGINT AS n_bytes,
+           ('0x' || substr(md5(p_name), 1, 2))::BIGINT AS first_byte
+    FROM part
+    """,
+)
+def p6_unhex_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    h = F.md5(F.col("p_name"))
+    return p.select(
+        "p_partkey",
+        F.octet_length(F.unhex(h)).cast("long").alias("n_bytes"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("long").alias("first_byte"),
+    )
+
+
+@register(
+    "p9_conditional_rewrite",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'error' THEN 230 ELSE user_id END::BIGINT AS signature,
+           CASE WHEN event_type = 'error' THEN substr(props, 1, 2) ELSE props END AS payload
+    FROM events
+    """,
+)
+def p9_conditional_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    err = F.col("event_type") == "error"
+    return ev.select(
+        "event_id",
+        F.when(err, F.lit(230)).otherwise(F.col("user_id")).cast("long").alias("signature"),
+        F.when(err, F.substring("props", 1, 2)).otherwise(F.col("props")).alias("payload"),
+    )
+
+
+@register(
+    "p13_p16_project_slice",
+    """
+    SELECT event_id, ts AS timestamp, round(value, 6) AS gps_value
+    FROM events
+    WHERE value IS NOT NULL
+      AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def p13_p16_project_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P13 prefix-rename + P14 drop + P15 dropna + P16 time slice in one pass
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.na.drop(subset=["value"])
+        .where(F.col("ts").between("2024-01-05 00:00:00", "2024-01-20 00:00:00"))
+        .select(
+            "event_id",
+            F.col("ts").alias("timestamp"),
+            F.round("value", 6).alias("gps_value"),
+        )
+    )
+
+
+@register(
+    "p17_float_downcast",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice::REAL::DOUBLE AS price_f32
+    FROM lineitem
+    """,
+)
+def p17_float_downcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("float").cast("double").alias("price_f32"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_left_join_enrich",
+    """
+    SELECT o_orderkey, round(o_totalprice, 6) AS total, c_name, c_mktsegment
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    """,
+)
+def j1_left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("total"),
+        "c_name",
+        "c_mktsegment",
+    )
+
+
+@register(
+    "j2_left_join_summary",
+    """
+    WITH s AS (SELECT user_id, round(avg(value), 6) AS user_avg FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id, round(e.value, 6) AS value, s.user_avg
+    FROM events e LEFT JOIN s USING (user_id)
+    """,
+)
+def j2_left_join_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(F.round(F.avg("value"), 6).alias("user_avg"))
+    return ev.join(F.broadcast(s), "user_id", "left").select(
+        "event_id", "user_id", F.round("value", 6).alias("value"), "user_avg"
+    )
+
+
+@register(
+    "j4_asof_backward",
+    """
+    WITH l AS (SELECT ts, event_id FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT ts, value FROM events WHERE event_type = 'error')
+    SELECT l.event_id, round(r.value, 6) AS last_error_value
+    FROM l ASOF LEFT JOIN r ON l.ts >= r.ts
+    """,
+)
+def j4_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select("ts", "event_id")
+    right = ev.where(F.col("event_type") == "error").select(
+        "ts", F.col("value").alias("last_error_value")
+    )
+    out = ts.asof_join_backward(
+        left, right, on="ts", value_cols=["last_error_value"]
+    )
+    return out.select("event_id", F.round("last_error_value", 6).alias("last_error_value"))
+
+
+@register(
+    "j3_asof_linear",
+    """
+    WITH l AS (SELECT ts, event_id, NULL::DOUBLE AS v, 1 AS src
+               FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT ts, NULL::BIGINT AS event_id, value AS v, 0 AS src
+               FROM events WHERE event_type = 'signup'),
+         u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+         w AS (
+           SELECT *,
+             last_value(v IGNORE NULLS) OVER
+               (ORDER BY ts, src ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             first_value(v IGNORE NULLS) OVER
+               (ORDER BY ts, src ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER
+               (ORDER BY ts, src ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER
+               (ORDER BY ts, src ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+           FROM u)
+    SELECT event_id,
+           round(CASE
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               CASE WHEN nt = pt THEN pv
+                    ELSE pv + (nv - pv) * (epoch_us(ts) - pt) / (nt - pt) END
+             WHEN pv IS NOT NULL THEN pv
+           END, 6) AS interp_value
+    FROM w WHERE src = 1
+    """,
+)
+def j3_asof_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select("ts", "event_id")
+    right = ev.where(F.col("event_type") == "signup").select(
+        "ts", F.col("value").alias("interp_value")
+    )
+    out = ts.asof_join_linear(left, right, on="ts", value_cols=["interp_value"])
+    return out.select("event_id", F.round("interp_value", 6).alias("interp_value"))
+
+
+@register(
+    "j5_unify_chunks",
+    """
+    WITH t AS (SELECT ts, event_id, value FROM events WHERE user_id = 3),
+         b AS (SELECT min(ts) lo, max(ts) hi FROM t),
+         r AS (SELECT ts, event_id, value FROM events, b
+               WHERE user_id = 5 AND ts BETWEEN lo AND hi)
+    SELECT ts, event_id, round(value, 6) AS value FROM t
+    UNION ALL
+    SELECT ts, event_id, round(value, 6) AS value FROM r
+    """,
+)
+def j5_unify_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    target = ev.where(F.col("user_id") == 3).select("ts", "event_id", "value")
+    ref = ev.where(F.col("user_id") == 5).select("ts", "event_id", "value")
+    out = ts.unify_chunks(target, ref, ts_col="ts")
+    return out.select("ts", "event_id", F.round("value", 6).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a2_pivot_wide",
+    """
+    SELECT l_linestatus,
+           round(avg(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 6) AS qty_A,
+           round(avg(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 6) AS qty_N,
+           round(avg(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 6) AS qty_R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def a2_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.avg("l_quantity"), 6))
+    )
+    return out.select(
+        "l_linestatus",
+        F.col("A").alias("qty_A"),
+        F.col("N").alias("qty_N"),
+        F.col("R").alias("qty_R"),
+    )
+
+
+@register(
+    "a3_resample_dense",
+    """
+    WITH b AS (
+      SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS bucket,
+             avg(value) AS avg_value
+      FROM events GROUP BY 1),
+    spine AS (
+      SELECT unnest(generate_series((SELECT min(bucket) FROM b),
+                                    (SELECT max(bucket) FROM b),
+                                    INTERVAL 6 HOUR)) AS bucket)
+    SELECT spine.bucket AS timestamp, round(b.avg_value, 6) AS value
+    FROM spine LEFT JOIN b USING (bucket)
+    """,
+)
+def a3_resample_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").alias("timestamp"), F.col("value")
+    )
+    out = ts.resample_mean(ev, 21600.0, value_cols=["value"])
+    return out.select("timestamp", F.round("value", 6).alias("value"))
+
+
+@register(
+    "a4_minmax_bounds",
+    """
+    SELECT event_type, min(ts) AS first_ts, max(ts) AS last_ts,
+           round(min(value), 6) AS min_value, round(max(value), 6) AS max_value,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def a4_minmax_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "a5_quantile_iqr",
+    """
+    WITH q AS (SELECT quantile_cont(l_extendedprice, 0.01) q1,
+                      quantile_cont(l_extendedprice, 0.99) q3
+               FROM lineitem)
+    SELECT round(q1, 6) AS q1, round(q3, 6) AS q3,
+           (SELECT count(*) FROM lineitem, q
+            WHERE l_extendedprice < q1 - 1.5 * (q3 - q1)
+               OR l_extendedprice > q3 + 1.5 * (q3 - q1))::BIGINT AS n_outliers
+    FROM q
+    """,
+)
+def a5_quantile_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("q1"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("q3"),
+    )
+    joined = li.crossJoin(F.broadcast(q))
+    iqr = F.col("q3") - F.col("q1")
+    out = joined.agg(
+        F.round(F.first("q1"), 6).alias("q1"),
+        F.round(F.first("q3"), 6).alias("q3"),
+        F.sum(
+            F.when(
+                (F.col("l_extendedprice") < F.col("q1") - 1.5 * iqr)
+                | (F.col("l_extendedprice") > F.col("q3") + 1.5 * iqr),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )
+    return out
+
+
+@register(
+    "a6_cumulative_sum",
+    """
+    SELECT event_id,
+           round(sum(coalesce(value, 0)) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_total
+    FROM events
+    """,
+)
+def a6_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = ts.cumulative_sum(
+        ev, "value", "running_total", order_cols=["ts", "event_id"], partition_cols=["user_id"]
+    )
+    return out.select("event_id", F.round("running_total", 6).alias("running_total"))
+
+
+@register(
+    "a7_trapezoid_energy",
+    """
+    WITH w AS (
+      SELECT event_id, ts, value,
+             lag(value) OVER (ORDER BY ts, event_id) AS pv,
+             lag(ts) OVER (ORDER BY ts, event_id) AS pt
+      FROM events WHERE user_id = 1)
+    SELECT event_id,
+           round(sum(coalesce((value + pv) / 2 *
+                 ((epoch_us(ts) - epoch_us(pt)) / 1000000.0 / 3600.0), 0)) OVER
+             (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS energy
+    FROM w
+    """,
+)
+def a7_trapezoid_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") == 1)
+    # note: order ties broken by event_id to match the oracle exactly
+    w_lag = Window.orderBy("ts", "event_id")
+    w_sum = w_lag.rowsBetween(Window.unboundedPreceding, 0)
+    v, pv = F.col("value"), F.lag("value").over(w_lag)
+    dt = (
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_lag)))
+        / 1_000_000.0
+        / 3600.0
+    )
+    step = F.coalesce((v + pv) / 2 * dt, F.lit(0.0))
+    return ev.select(
+        "event_id", F.round(F.sum(step).over(w_sum), 6).alias("energy")
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           round(sum(l_quantity), 4) AS sum_qty, count(*)::BIGINT AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    """
+    SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS n_parts,
+           count(DISTINCT l_suppkey)::BIGINT AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window / ordered operators
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_lag_diff",
+    """
+    SELECT event_id,
+           round(value - lag(value) OVER w, 6) AS dv,
+           ((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0) AS dt_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w1_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("dv"),
+        (
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
+            / 1_000_000.0
+        ).alias("dt_s"),
+    )
+
+
+@register(
+    "w2_lagk_outlier_filter",
+    """
+    WITH d AS (
+      SELECT event_id, ts,
+             coalesce((epoch_us(ts) - epoch_us(lag(ts, 100) OVER
+               (ORDER BY ts, event_id))) * 1000.0, 0.0) AS diff_ns
+      FROM events)
+    SELECT event_id FROM d
+    WHERE NOT (((diff_ns < -600000000000000.0) AND (diff_ns > -6000000000000000.0))
+            OR ((diff_ns > 600000000000000.0) AND (diff_ns < 6000000000000000.0)))
+    """,
+)
+def w2_lagk_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", F.col("ts"))
+    # events span a month at ~1000 rows: lag-100 diffs are ~days; the
+    # reference's ±[1e11, 1e12) ns band is rescaled to ±[6e14, 6e15) ns so
+    # the filter has bite on this corpus. Ties ordered by event_id.
+    w = Window.orderBy("ts", "event_id")
+    diff_ns = (
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 100).over(w))) * 1000.0
+    )
+    diff_ns = F.coalesce(diff_ns, F.lit(0.0))
+    lo, hi = 6e14, 6e15
+    outlier = ((diff_ns < -lo) & (diff_ns > -hi)) | ((diff_ns > lo) & (diff_ns < hi))
+    return ev.withColumn("__o", outlier).where(~F.col("__o")).select("event_id")
+
+
+@register(
+    "w3_interpolate_bounded",
+    """
+    WITH src AS (SELECT ts, value FROM events WHERE user_id = 7),
+    b AS (
+      SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket,
+             avg(value) AS v
+      FROM src GROUP BY 1),
+    spine AS (
+      SELECT unnest(generate_series((SELECT min(bucket) FROM b),
+                                    (SELECT max(bucket) FROM b),
+                                    INTERVAL 1 HOUR)) AS bucket),
+    g AS (
+      SELECT spine.bucket, b.v,
+             row_number() OVER (ORDER BY spine.bucket) AS rn
+      FROM spine LEFT JOIN b USING (bucket)),
+    w AS (
+      SELECT *,
+        last_value(v IGNORE NULLS) OVER wp AS pv,
+        first_value(v IGNORE NULLS) OVER wn AS nv,
+        last_value(CASE WHEN v IS NOT NULL THEN epoch_us(bucket) END IGNORE NULLS) OVER wp AS pt,
+        first_value(CASE WHEN v IS NOT NULL THEN epoch_us(bucket) END IGNORE NULLS) OVER wn AS nt,
+        last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wp AS last_rn
+      FROM g
+      WINDOW wp AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT bucket AS timestamp,
+           round(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL AND (rn - last_rn) <= 6 THEN
+               pv + (nv - pv) * (epoch_us(bucket) - pt) / (nt - pt)
+           END, 6) AS value
+    FROM w
+    """,
+)
+def w3_interpolate_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") == 7)
+        .select(F.col("ts").alias("timestamp"), "value")
+    )
+    res = ts.resample_mean(src, 3600.0, value_cols=["value"])
+    out = ts.interpolate_time(res, value_cols=["value"], limit=6)
+    return out.select("timestamp", F.round("value", 6).alias("value"))
+
+
+@register(
+    "w5_dedup_keep_first",
+    """
+    WITH r AS (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events)
+    SELECT user_id, event_type, event_id FROM r WHERE rn = 1
+    """,
+)
+def w5_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = ts.dedup_keep_first(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return out.select("user_id", "event_type", "event_id")
+
+
+@register(
+    "w7_asfreq_dense",
+    """
+    WITH ranked AS (
+      SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket,
+             value,
+             row_number() OVER (
+               PARTITION BY make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+               ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id = 2),
+    firsts AS (SELECT bucket, value FROM ranked WHERE rn = 1),
+    spine AS (
+      SELECT unnest(generate_series((SELECT min(bucket) FROM firsts),
+                                    (SELECT max(bucket) FROM firsts),
+                                    INTERVAL 1 HOUR)) AS bucket)
+    SELECT spine.bucket AS timestamp, round(firsts.value, 6) AS value
+    FROM spine LEFT JOIN firsts USING (bucket)
+    """,
+)
+def w7_asfreq_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") == 2)
+    hour = F.timestamp_micros(
+        (F.floor(F.unix_micros(F.col("ts")) / 3_600_000_000) * 3_600_000_000).cast(
+            "long"
+        )
+    )
+    firsts = (
+        ev.withColumn("timestamp", hour)
+        .groupBy("timestamp")
+        .agg(F.min_by("value", F.struct("ts", "event_id")).alias("value"))
+    )
+    out = ts.asfreq(firsts, 3600.0)
+    return out.select("timestamp", F.round("value", 6).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# §2.6 scalar functions
+# ---------------------------------------------------------------------------
+
+_SQL_GEO = """
+    WITH pts AS (
+      SELECT event_id, user_id, ts,
+             value / 10.0 - 10.0 AS lat,
+             (user_id * 20.0) - 150.0 + value / 100.0 AS lon
+      FROM events),
+    seq AS (
+      SELECT event_id, lat, lon,
+             lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+"""
+
+
+@register(
+    "f1_haversine",
+    _SQL_GEO
+    + """
+    SELECT event_id,
+           round(6371 * 2 * asin(sqrt(
+             pow(sin((radians(lat) - radians(plat)) / 2), 2) +
+             cos(radians(plat)) * cos(radians(lat)) *
+             pow(sin((radians(lon) - radians(plon)) / 2), 2))), 6) AS dist_km
+    FROM seq WHERE plat IS NOT NULL
+    """,
+)
+def f1_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    lat = F.col("value") / 10.0 - 10.0
+    lon = (F.col("user_id") * 20.0) - 150.0 + F.col("value") / 100.0
+    pts = ev.select("event_id", "user_id", "ts", lat.alias("lat"), lon.alias("lon"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = pts.select(
+        "event_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    )
+    return seq.where(F.col("plat").isNotNull()).select(
+        "event_id",
+        F.round(
+            haversine_km(F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon")), 6
+        ).alias("dist_km"),
+    )
+
+
+@register(
+    "f2_heading",
+    _SQL_GEO
+    + """
+    SELECT event_id,
+           round(degrees(atan2(
+             cos(radians(plat)) * sin(radians(lon) - radians(plon)),
+             sin(radians(plat)) * (cos(radians(plat)) -
+               cos(radians(lat)) * cos(radians(lon) - radians(plon)))
+           )) + 180.0, 6) AS heading
+    FROM seq WHERE plat IS NOT NULL
+    """,
+)
+def f2_heading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    lat = F.col("value") / 10.0 - 10.0
+    lon = (F.col("user_id") * 20.0) - 150.0 + F.col("value") / 100.0
+    pts = ev.select("event_id", "user_id", "ts", lat.alias("lat"), lon.alias("lon"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = pts.select(
+        "event_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    )
+    return seq.where(F.col("plat").isNotNull()).select(
+        "event_id",
+        F.round(
+            heading_deg(F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon")), 6
+        ).alias("heading"),
+    )
+
+
+@register(
+    "f5_candump_format",
+    """
+    SELECT event_id,
+           printf('(%10.6f) can0 %s#%s',
+                  round(extract(epoch FROM ts), 6),
+                  lpad(printf('%x', event_id % 2048), 3, '0'),
+                  substr(md5(props), 1, 14)) AS line
+    FROM events
+    """,
+)
+def f5_candump_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    from solarboat_data_pipeline_spark.functions.formatting import candump_line
+
+    return ev.select(
+        "event_id",
+        candump_line(
+            F.round(epoch_seconds(F.col("ts")), 6),
+            F.col("event_id") % 2048,
+            F.substring(F.md5("props"), 1, 14),
+        ).alias("line"),
+    )
+
+
+@register(
+    "f6_json_extract",
+    """
+    SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
+    FROM events
+    """,
+)
+def f6_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+@register(
+    "p10_binary_decode",
+    """
+    WITH payloads AS (
+      SELECT event_id, substr(md5(props), 1, 14) AS payload_hex FROM events)
+    SELECT event_id,
+           ('0x' || substr(payload_hex, 1, 2))::BIGINT AS signature,
+           round((('0x' || substr(payload_hex, 3, 2))::BIGINT +
+                  ('0x' || substr(payload_hex, 5, 2))::BIGINT * 256) / 100.0,
+                 6) AS avg_u16_scaled,
+           (('0x' || substr(payload_hex, 13, 2))::BIGINT & 1)::BIGINT AS flag_bit
+    FROM payloads
+    """,
+)
+def p10_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # u8 / LE-u16-with-scale / bitfield-LSB decode over a hex payload —
+    # the exact expression shapes generated by catalog codegen
+    ev = _t(spark, sf_dir, "events")
+    payload = F.substring(F.md5("props"), 1, 14)
+    b = lambda pos: F.conv(F.substring(payload, pos, 2), 16, 10).cast("long")  # noqa: E731
+    return ev.select(
+        "event_id",
+        b(1).alias("signature"),
+        F.round((b(3) + b(5) * 256) / 100.0, 6).alias("avg_u16_scaled"),
+        b(13).bitwiseAND(1).cast("long").alias("flag_bit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS = SQL_TOKENS.format(t="text")
+_SQL_SH = sql_shingles("toks")
+
+
+@register(
+    "dd_exact",
+    """
+    SELECT md5(text) AS digest, min(doc_id)::BIGINT AS keep_id,
+           count(*)::BIGINT AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _sql_minhash_mins(base: str = "hs") -> str:
+    mins = []
+    for a, b in dd.PERM_CONSTANTS:
+        mins.append(
+            f"list_min(list_transform({base}, h -> ({a} * h + {b}) % {dd.MINHASH_P}))"
+        )
+    return ", ".join(mins)
+
+
+@register(
+    "dd_minhash_signature",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+         s AS (SELECT doc_id, list_distinct({_SQL_SH}) AS sh FROM t),
+         hb AS (SELECT doc_id, sh,
+                       list_transform(sh, s -> {sql_h32('s')}) AS hs FROM s)
+    SELECT doc_id,
+           CASE WHEN len(sh) > 0 THEN
+             list_aggregate([{_sql_minhash_mins()}], 'string_agg', ',')
+           END AS signature
+    FROM hb
+    """,
+)
+def dd_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sig = dd.minhash_signature(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.element_at(sig, 1).isNotNull(),
+            F.array_join(F.transform(sig, lambda x: x.cast("string")), ","),
+        ).alias("signature"),
+    )
+
+
+def _sql_band_hashes() -> str:
+    bands = []
+    for bnd in range(dd.BANDS):
+        elems = ", ".join(
+            f"mins[{bnd * dd.ROWS_PER_BAND + r + 1}]::VARCHAR"
+            for r in range(dd.ROWS_PER_BAND)
+        )
+        bands.append(f"md5(list_aggregate([{elems}], 'string_agg', ','))")
+    return f"[{', '.join(bands)}]"
+
+
+@register(
+    "dd_lsh_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+         s AS (SELECT doc_id, list_distinct({_SQL_SH}) AS sh FROM t
+               WHERE len(list_distinct({_SQL_SH})) > 0),
+         hb AS (SELECT doc_id,
+                       list_transform(sh, s -> {sql_h32('s')}) AS hs FROM s),
+         m AS (SELECT doc_id, [{_sql_minhash_mins()}] AS mins FROM hb),
+         b AS (SELECT doc_id, unnest({_sql_band_hashes()}) AS band_hash,
+                      unnest(generate_series(0, {dd.BANDS - 1})) AS band
+               FROM m)
+    SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+    FROM b a JOIN b bb
+      ON a.band = bb.band AND a.band_hash = bb.band_hash
+     AND a.doc_id < bb.doc_id
+    """,
+)
+def dd_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _sql_simhash_bits() -> str:
+    terms = []
+    for b in range(dd.SIMHASH_BITS):
+        terms.append(
+            f"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {b}) & 1) = 1)) "
+            f"> len(toks) THEN {1 << b} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "dd_simhash",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+         hb AS (SELECT doc_id, toks,
+                       list_transform(toks, t -> {sql_h32('t')}) AS hs FROM t)
+    SELECT doc_id,
+           CASE WHEN len(toks) > 0 THEN ({_sql_simhash_bits()})::BIGINT END AS simhash
+    FROM hb
+    """,
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", dd.simhash(F.col("text")).alias("simhash")
+    )
+
+
+@register(
+    "dd_ngram_jaccard",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+         sd AS (SELECT DISTINCT doc_id, unnest(list_distinct({_SQL_SH})) AS sh FROM t),
+         sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sd GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS c
+                   FROM sd a JOIN sd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+    FROM inter JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+    WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5
+    """,
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+_SQL_DOT = (
+    "list_sum(list_transform(a.embedding, (x, i) -> "
+    "x::DOUBLE * b.embedding[i]::DOUBLE))"
+)
+_SQL_NORM_A = (
+    "sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+)
+_SQL_NORM_B = (
+    "sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+)
+
+
+@register(
+    "sim_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+         sims AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  round({_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_B}), 6) AS cosine_sim
+           FROM q a JOIN embeddings b ON b.vec_id <> a.vec_id),
+         ranked AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+           FROM sims)
+    SELECT query_id, neighbor_id, cosine_sim, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sim.cosine_topk(_t(spark, sf_dir, "embeddings"), query_ids=range(10), k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _sql_lsh_bucket(alias: str, planes: list[list[int]]) -> str:
+    terms = []
+    for p, plane in enumerate(planes):
+        arr = "[" + ", ".join(str(float(w)) for w in plane) + "]"
+        dot = (
+            f"list_sum(list_transform({alias}.embedding, (x, i) -> "
+            f"x::DOUBLE * ({arr}::DOUBLE[])[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sim_ann_oracle() -> str:
+    planes = sim.hyperplanes(64, sim.NUM_PLANES)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         withb AS (SELECT vec_id, embedding,
+                          {_sql_lsh_bucket('e', planes).replace('e.embedding', 'embedding')} AS bucket
+                   FROM e),
+         q AS (SELECT * FROM withb WHERE vec_id < 10),
+         sims AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  round({_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_B}), 6) AS cosine_sim
+           FROM q a JOIN withb b
+             ON b.bucket = a.bucket AND b.vec_id <> a.vec_id),
+         ranked AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+           FROM sims)
+    SELECT query_id, neighbor_id, cosine_sim, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register("sim_ann_lsh", _sim_ann_oracle())
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sim.lsh_ann_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=range(10), k=5, dim=64
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _sql_langid() -> str:
+    counts = {
+        lang: f"len(list_filter(toks, t -> list_contains({list(ws)!r}, t)))"
+        for lang, ws in sorted(tx.LANG_STOPWORDS.items())
+    }
+    # fold exactly like the Spark side: first language with count>0 seeds,
+    # later languages win only on strictly greater counts
+    langs = sorted(tx.LANG_STOPWORDS)
+    expr_lang = f"CASE WHEN c_{langs[0]} > 0 THEN '{langs[0]}' ELSE '{tx.DEFAULT_LANG}' END"
+    expr_best = f"CASE WHEN c_{langs[0]} > 0 THEN c_{langs[0]} END"
+    for lang in langs[1:]:
+        expr_lang = (
+            f"CASE WHEN c_{lang} > coalesce({expr_best}, 0) THEN '{lang}' "
+            f"ELSE {expr_lang} END"
+        )
+        expr_best = (
+            f"CASE WHEN c_{lang} > coalesce({expr_best}, 0) THEN c_{lang} "
+            f"ELSE {expr_best} END"
+        )
+    selects = ", ".join(f"{c} AS c_{lang}" for lang, c in counts.items())
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+         c AS (SELECT doc_id, lang, {selects} FROM t)
+    SELECT doc_id, lang AS actual_lang, {expr_lang} AS pred_lang FROM c
+    """
+
+
+@register("txt_langid", _sql_langid())
+def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        tx.lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+@register(
+    "txt_quality",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           len(toks)::BIGINT AS n_words,
+           round(CASE WHEN len(toks) > 0 THEN
+             list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks) END,
+             6) AS avg_word_len,
+           round(CASE WHEN length(text) > 0 THEN
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text) END,
+             6) AS punct_ratio,
+           round(CASE WHEN len(toks) > 0 THEN
+             len(list_filter(toks, t -> list_contains({sorted({w for ws in tx.LANG_STOPWORDS.values() for w in ws})!r}, t))) * 1.0 / len(toks) END,
+             6) AS stopword_ratio
+    FROM t
+    """,
+)
+def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    metrics = tx.quality_metrics(F.col("text"))
+    return docs.select(
+        "doc_id", *[metrics[k].alias(k) for k in
+                    ("n_chars", "n_words", "avg_word_len", "punct_ratio", "stopword_ratio")]
+    )
+
+
+@register(
+    "txt_tokens",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           len(list_distinct(toks))::BIGINT AS n_unique,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_ish
+    FROM t
+    """,
+)
+def txt_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        tx.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_ish"),
+    )
+
+
+@register(
+    "txt_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+         s AS (SELECT doc_id, toks, {_SQL_SH} AS sh FROM t)
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+           CASE WHEN len(sh) > 0 THEN
+             list_min(list_transform(sh, s -> {sql_h32('s')}))::BIGINT
+           END AS rolling_min_hash
+    FROM s
+    """,
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.fingerprint(F.col("text")).alias("fingerprint"),
+        tx.rolling_min_hash(F.col("text")).alias("rolling_min_hash"),
+    )
+
+
+@register(
+    "mm_binary_meta",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.documents_as_media(_t(spark, sf_dir, "documents"))
+    return mm.binary_metadata(media)
+
+
+@register(
+    "mm_frame_sample",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE doc_id % 3 = 2)
+    SELECT media_id,
+           unnest(generate_series(0, (n_bytes // 100 + 1) - 1, 10))::BIGINT AS frame_index
+    FROM media
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.documents_as_media(_t(spark, sf_dir, "documents"))
+    out = mm.frame_sample_plan(media, every_n=10)
+    return out.select("media_id", F.col("frame_index").cast("long").alias("frame_index"))
+
+
+# mapInPandas feature extraction: Spark-side plumbing is real, the decode
+# kernel is a stub — no SQL equivalent, so the driver records rows-only.
+@register("mm_features_rows_only", None)
+def mm_features_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.documents_as_media(_t(spark, sf_dir, "documents"))
+    return mm.extract_features(media, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# public accessors
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

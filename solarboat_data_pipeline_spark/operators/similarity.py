@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns.
+
+* :func:`cosine_topk` — exact brute-force top-k: broadcast the (small)
+  query set against the full corpus; per-row dot products stay in codegen
+  via ``zip_with``+``aggregate``. At 100 TB the corpus side stays
+  partitioned and only queries broadcast — no shuffle of the big side.
+* :func:`lsh_ann_topk` — the scale path: random-hyperplane LSH bucketing
+  (deterministic md5-derived ±1 hyperplanes, so the oracle can reproduce
+  them); candidates only join within a bucket, turning O(N·Q) into
+  O(N·Q/2^planes) expected.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+NUM_PLANES = 8
+
+
+def hyperplanes(dim: int, planes: int = NUM_PLANES) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes: component d of plane p is +1 when the
+    low bit of md5("plane{p}:{d}") is set. Shared verbatim with the SQL
+    oracle."""
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane{p}:{d}".encode()).hexdigest()
+            row.append(1 if int(h[:8], 16) & 1 else -1)
+        out.append(row)
+    return out
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_ids,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (self excluded).
+    Ties break by ascending neighbor id on the 6-dp-rounded similarity.
+    Returns (query_id, neighbor_id, cosine_sim, rank)."""
+    queries = df.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sims = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """Random-hyperplane bucket id: bit p = sign of ⟨vec, plane_p⟩."""
+    acc = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(float(w)) for w in plane]))
+        acc = acc + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return acc
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_ids,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = NUM_PLANES,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking restricted to same-bucket
+    candidates. Same output shape as :func:`cosine_topk` (fewer rows when a
+    bucket holds < k candidates — the approximation's recall loss)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    hp = hyperplanes(dim, planes)
+    with_b = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), hp))
+    queries = with_b.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("__bucket").alias("q_bucket"),
+    )
+    corpus = with_b.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("__bucket").alias("c_bucket"),
+    )
+    sims = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("c_bucket") == F.col("q_bucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

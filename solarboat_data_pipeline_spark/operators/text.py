@@ -1,0 +1,120 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is pure native column expressions (no UDFs) built from a
+deterministic md5-based 32-bit hash, so each operator has an exactly
+mirrorable ANSI-SQL oracle (the paired SQL lives in ``driver_queries``).
+Designed for 100 TB document tables: per-row expressions only — no
+shuffles, no window sorts; whole-stage codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# stopword sets for the n-gram/stopword language-ID heuristic; deliberately
+# tiny and deterministic (shared verbatim with the SQL oracle).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "en", "est", "que"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "zu", "den"),
+}
+DEFAULT_LANG = "und"
+
+
+def h32(col: Column, salt: str = "") -> Column:
+    """Deterministic 32-bit hash: first 8 hex chars of md5. Identical in
+    DuckDB as ``('0x' || substr(md5(salt || x), 1, 8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def tokens(text: Column) -> Column:
+    """Lowercase whitespace tokens, empties removed."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """Word k-grams (space-joined); empty array when fewer than k tokens."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(k)]
+    )
+    return F.when(F.size(toks) >= k, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish subword count: word-piece regex matches (runs of letters,
+    digits, or single punctuation — a cheap proxy for tokenizer load)."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality signals."""
+    toks = tokens(text)
+    n = F.size(toks)
+    n_chars = F.length(text)
+    punct = F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]"))
+    all_stops = tuple(sorted({w for ws in LANG_STOPWORDS.values() for w in ws}))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*all_stops)))
+    avg_word_len = F.when(
+        n > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).cast("double")
+        / n,
+    )
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_words": n.cast("long"),
+        "avg_word_len": F.round(avg_word_len, 6),
+        "punct_ratio": F.round(
+            F.when(n_chars > 0, punct.cast("double") / n_chars), 6
+        ),
+        "stopword_ratio": F.round(F.when(n > 0, n_stop.cast("double") / n), 6),
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-count language ID with deterministic tie-break (highest
+    count wins; ties resolve in lexicographic language order)."""
+    toks = tokens(text)
+    counts = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*ws)))
+        for lang, ws in sorted(LANG_STOPWORDS.items())
+    }
+    best = None
+    best_lang = F.lit(DEFAULT_LANG)
+    for lang in sorted(LANG_STOPWORDS):  # later langs must beat strictly
+        c = counts[lang]
+        if best is None:
+            best = F.when(c > 0, c).otherwise(F.lit(None))
+            best_lang = F.when(c > 0, F.lit(lang)).otherwise(F.lit(DEFAULT_LANG))
+        else:
+            better = c > F.coalesce(best, F.lit(0))
+            best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+            best = F.when(better, c).otherwise(best)
+    return best_lang
+
+
+def fingerprint(text: Column) -> Column:
+    """Key-collision fingerprint: md5 of the sorted distinct token set
+    (OpenRefine-style normalization)."""
+    toks = tokens(text)
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+
+
+def rolling_min_hash(text: Column, k: int = 3) -> Column:
+    """Winnowing-style document fingerprint: minimum 32-bit hash over the
+    word k-gram shingle set (= a 1-permutation MinHash)."""
+    sh = word_shingles(tokens(text), k)
+    return F.when(F.size(sh) > 0, F.array_min(F.transform(sh, lambda s: h32(s))))
