@@ -950,12 +950,14 @@ def _sql_minhash_mins(base: str = "hs") -> str:
 )
 def dd_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    sig = dd.minhash_signature(F.col("text"))
-    return docs.select(
+    withm = dd.with_minhash(docs)
+    return withm.select(
         "doc_id",
         F.when(
-            F.element_at(sig, 1).isNotNull(),
-            F.array_join(F.transform(sig, lambda x: x.cast("string")), ","),
+            F.col("minhash").isNotNull(),
+            F.array_join(
+                F.transform(F.col("minhash"), lambda x: x.cast("string")), ","
+            ),
         ).alias("signature"),
     )
 
@@ -1015,8 +1017,8 @@ def _sql_simhash_bits() -> str:
     """,
 )
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", dd.simhash(F.col("text")).alias("simhash")
+    return dd.with_simhash(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "simhash"
     )
 
 
@@ -1222,10 +1224,11 @@ def txt_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    toked = docs.select("doc_id", tx.tokens(F.col("text")).alias("__toks"))
+    return toked.select(
         "doc_id",
-        tx.fingerprint(F.col("text")).alias("fingerprint"),
-        tx.rolling_min_hash(F.col("text")).alias("rolling_min_hash"),
+        tx.fingerprint_tokens(F.col("__toks")).alias("fingerprint"),
+        tx.rolling_min_hash_tokens(F.col("__toks")).alias("rolling_min_hash"),
     )
 
 

@@ -65,40 +65,73 @@ def exact_dedup(
     )
 
 
-def minhash_signature(text: Column, num_hashes: int = NUM_HASHES) -> Column:
-    """MinHash signature as an array<long> of per-permutation minima over
-    the distinct word-3-gram shingle set. Documents with no shingles get
-    nulls (can't be near-dup candidates)."""
-    sh = F.array_distinct(word_shingles(tokens(text)))
-    base = F.transform(sh, lambda s: h32(s))  # one digest per shingle
+def _shingle_hashes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per (doc, distinct shingle) with its 32-bit hash — ONE md5
+    per shingle total. Array-expression formulations instead inline the
+    whole tokenize→shingle→md5 subtree into every consumer (higher-order
+    functions are interpreted, not codegen'd, and Catalyst re-inlines
+    collapsed projections), which measured ~100× slower per row."""
+    # tokens materialize in their own projection: the shingle builder
+    # references the token array O(tokens) times, and CollapseProject would
+    # otherwise re-inline (and re-evaluate) the regex split per reference
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    sh = F.array_distinct(word_shingles(F.col("__toks")))
+    return toked.select(F.col(id_col), F.explode(sh).alias("__sh")).select(
+        id_col, h32(F.col("__sh")).alias("__h")
+    )
 
-    def perm(a: int, b: int):
-        # closure helper: a default-arg lambda would become a 2-arg lambda
-        # and Spark would bind the array index to it
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
 
-    mins = [
-        F.when(F.size(sh) > 0, F.array_min(F.transform(base, perm(a, b))))
-        for a, b in PERM_CONSTANTS[:num_hashes]
+def minhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """MinHash signatures as one row per document with ≥1 shingle, columns
+    ``mh0..mh{n-1}``.
+
+    Plan shape: explode distinct shingles → one md5 per shingle row → hash
+    aggregate of the 16 affine-permutation minima. All integer mixing stays
+    in whole-stage codegen; a document's shingles never leave its input
+    partition (explode preserves locality), so map-side partial aggregation
+    reduces to one row per doc before the single shuffle."""
+    h = _shingle_hashes(df, text_col, id_col)
+    aggs = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+            f"mh{j}"
+        )
+        for j, (a, b) in enumerate(PERM_CONSTANTS[:num_hashes])
     ]
-    return F.array(*mins)
+    return h.groupBy(id_col).agg(*aggs)
 
 
 def with_minhash(
-    df: DataFrame, text_col: str = "text", out_col: str = "minhash"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "minhash",
+    num_hashes: int = NUM_HASHES,
 ) -> DataFrame:
-    return df.withColumn(out_col, minhash_signature(F.col(text_col)))
+    """Attach the signature as ``array<long>`` (null for shingle-less docs)."""
+    m = minhash_table(df, text_col, id_col, num_hashes)
+    sig = F.when(
+        F.col("mh0").isNotNull(),
+        F.array(*[F.col(f"mh{j}") for j in range(num_hashes)]),
+    ).alias(out_col)
+    return df.join(m, id_col, "left").select(*df.columns, sig)
 
 
-def band_hashes(sig: Column, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> Column:
-    """LSH band digests: md5 over each band's slice of the signature."""
+def _band_hash_array(
+    bands: int = BANDS, rows: int = ROWS_PER_BAND
+) -> Column:
+    """LSH band digests over materialized ``mh*`` columns: md5 per band."""
     return F.array(
         *[
             F.md5(
                 F.concat_ws(
                     ",",
                     *[
-                        F.element_at(sig, b * rows + r + 1).cast("string")
+                        F.col(f"mh{b * rows + r}").cast("string")
                         for r in range(rows)
                     ],
                 )
@@ -112,16 +145,11 @@ def lsh_candidate_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs (id_a < id_b): documents
-    sharing at least one band bucket."""
-    sig = df.select(
-        F.col(id_col),
-        band_hashes(minhash_signature(F.col(text_col))).alias("bands"),
-        F.size(F.array_distinct(word_shingles(tokens(F.col(text_col))))).alias(
-            "n_sh"
-        ),
-    ).where(F.col("n_sh") > 0)
+    sharing at least one band bucket. The self-join shuffles on
+    (band, band_hash) — sub-quadratic: only same-bucket docs ever meet."""
+    sig = minhash_table(df, text_col, id_col)
     exploded = sig.select(
-        id_col, F.posexplode("bands").alias("band", "band_hash")
+        id_col, F.posexplode(_band_hash_array()).alias("band", "band_hash")
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -139,23 +167,41 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
-    """SimHash over the (multiset of) tokens: bit b set when more token
-    hashes have bit b set than not."""
-    toks = tokens(text)
-    hashes = F.transform(toks, lambda t: h32(t))  # one digest per token
-    n = F.size(toks)
-
-    def bit_set(b: int):
-        return lambda h: F.shiftright(h, b).bitwiseAND(1) == 1
-
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash per document with ≥1 token: bit b set when more (multiset)
+    token hashes have bit b set than not. Same explode→hash-agg shape as
+    :func:`minhash_table`: per-bit popcounts are conditional sums inside one
+    codegen'd aggregate."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    ).select(id_col, h32(F.col("__t")).alias("__h"))
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.shiftright("__h", b).bitwiseAND(1)).alias(f"__ones{b}")
+        for b in range(bits)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*aggs)
     acc = F.lit(0).cast("long")
     for b in range(bits):
-        pos = F.size(F.filter(hashes, bit_set(b)))
-        acc = acc + F.when(pos * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)).cast(
-            "long"
-        )
-    return F.when(n > 0, acc)
+        acc = acc + F.when(
+            F.col(f"__ones{b}") * 2 > F.col("__n"), F.lit(1 << b)
+        ).otherwise(F.lit(0)).cast("long")
+    return per_doc.select(id_col, acc.alias("simhash"))
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "simhash",
+) -> DataFrame:
+    """Attach the simhash (null for token-less docs)."""
+    s = simhash_table(df, text_col, id_col).withColumnRenamed("simhash", out_col)
+    return df.join(s, id_col, "left")
 
 
 def ngram_jaccard_pairs(
@@ -167,11 +213,12 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity for all pairs ≥ threshold, via a
     shingle-posting self-join: |A∩B| from shared shingles, |A∪B| from set
     sizes. Returns (id_a, id_b, jaccard)."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(word_shingles(tokens(F.col(text_col))))
-        ).alias("sh"),
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    sh = toked.select(
+        "id",
+        F.explode(F.array_distinct(word_shingles(F.col("__toks")))).alias("sh"),
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (

@@ -106,15 +106,25 @@ def lang_id(text: Column) -> Column:
     return best_lang
 
 
-def fingerprint(text: Column) -> Column:
+def fingerprint_tokens(toks: Column) -> Column:
     """Key-collision fingerprint: md5 of the sorted distinct token set
-    (OpenRefine-style normalization)."""
-    toks = tokens(text)
+    (OpenRefine-style normalization). Pass a MATERIALIZED token column
+    (tokens aliased in their own projection) — inlining ``tokens(text)``
+    here would re-evaluate the regex split per array reference."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
 
 
-def rolling_min_hash(text: Column, k: int = 3) -> Column:
+def fingerprint(text: Column) -> Column:
+    return fingerprint_tokens(tokens(text))
+
+
+def rolling_min_hash_tokens(toks: Column, k: int = 3) -> Column:
     """Winnowing-style document fingerprint: minimum 32-bit hash over the
-    word k-gram shingle set (= a 1-permutation MinHash)."""
-    sh = word_shingles(tokens(text), k)
+    word k-gram shingle set (= a 1-permutation MinHash). Same materialized-
+    tokens contract as :func:`fingerprint_tokens`."""
+    sh = word_shingles(toks, k)
     return F.when(F.size(sh) > 0, F.array_min(F.transform(sh, lambda s: h32(s))))
+
+
+def rolling_min_hash(text: Column, k: int = 3) -> Column:
+    return rolling_min_hash_tokens(tokens(text), k)

@@ -144,22 +144,27 @@ def interpolate_time(
         .orderBy(ts_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w_next = (
-        Window.partitionBy(*partition_cols)
-        .orderBy(ts_col)
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
+    # "next valid" via a RUNNING aggregate over the reverse order: a
+    # [current, unboundedFollowing) frame makes Spark recompute the whole
+    # frame per row (UnboundedFollowingWindowFunctionFrame is O(n) per row
+    # → O(n²) per partition); last() over the __rn-descending running frame
+    # is the same value in O(n) with one extra sort.
     ts_us = _us(F.col(ts_col))
     rn = F.row_number().over(Window.partitionBy(*partition_cols).orderBy(ts_col))
     df = df.withColumn("__rn", rn)
+    w_next = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col("__rn").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
 
     out_cols: dict[str, Column] = {}
     for c in value_cols:
         v = F.col(c)
         prev_v = F.last(v, ignorenulls=True).over(w_prev)
-        next_v = F.first(v, ignorenulls=True).over(w_next)
+        next_v = F.last(v, ignorenulls=True).over(w_next)
         prev_ts = F.last(F.when(v.isNotNull(), ts_us), ignorenulls=True).over(w_prev)
-        next_ts = F.first(F.when(v.isNotNull(), ts_us), ignorenulls=True).over(w_next)
+        next_ts = F.last(F.when(v.isNotNull(), ts_us), ignorenulls=True).over(w_next)
         last_valid_rn = F.last(
             F.when(v.isNotNull(), F.col("__rn")), ignorenulls=True
         ).over(w_prev)
@@ -373,24 +378,31 @@ def asof_join_linear(
             c for c in right.columns if c != on and c not in partition_cols
         ]
     u = _union_for_asof(left, right, on, value_cols, partition_cols)
+    # materialize the total order once, then run both directions as RUNNING
+    # frames — a [current, unboundedFollowing) frame would be O(n²) per
+    # partition (see interpolate_time)
+    rn = F.row_number().over(
+        Window.partitionBy(*partition_cols).orderBy(F.col(on), F.col("__src"))
+    )
+    u = u.withColumn("__rn", rn)
     w_prev = (
         Window.partitionBy(*partition_cols)
-        .orderBy(F.col(on), F.col("__src"))
+        .orderBy("__rn")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_next = (
         Window.partitionBy(*partition_cols)
-        .orderBy(F.col(on), F.col("__src"))
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("__rn").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     ts_us = _us(F.col(on))
     picks = {}
     for c in value_cols:
         v = F.col(c)
         prev_v = F.last(v, ignorenulls=True).over(w_prev)
-        next_v = F.first(v, ignorenulls=True).over(w_next)
+        next_v = F.last(v, ignorenulls=True).over(w_next)
         prev_ts = F.last(F.when(v.isNotNull(), ts_us), ignorenulls=True).over(w_prev)
-        next_ts = F.first(F.when(v.isNotNull(), ts_us), ignorenulls=True).over(w_next)
+        next_ts = F.last(F.when(v.isNotNull(), ts_us), ignorenulls=True).over(w_next)
         blend = F.when(
             next_ts == prev_ts, prev_v
         ).otherwise(prev_v + (next_v - prev_v) * (ts_us - prev_ts) / (next_ts - prev_ts))
@@ -398,7 +410,7 @@ def asof_join_linear(
         if clamp_forward:
             expr = expr.when(prev_v.isNotNull() & next_v.isNull(), prev_v)
         picks[c] = expr
-    return u.withColumns(picks).where(F.col("__src") == 1).drop("__src")
+    return u.withColumns(picks).where(F.col("__src") == 1).drop("__src", "__rn")
 
 
 def reindex_interpolate(

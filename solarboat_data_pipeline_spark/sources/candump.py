@@ -41,19 +41,27 @@ def scan_candump(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
-def extract_frames(lines: DataFrame, source_col: str = "value") -> DataFrame:
+def extract_frames(
+    lines: DataFrame, source_col: str = "value", with_order: bool = True
+) -> DataFrame:
     """Explode every frame match out of every line.
 
     Output: ``_line_id, _pos, ts_raw, interface, topic_hex, payload_hex``.
     Blank / garbage / truncated lines simply produce no matches.
+    ``with_order=False`` drops the file-order id (needed by the batch-only
+    W2/P4 operators) — required on streaming DataFrames, where
+    ``monotonically_increasing_id`` is unsupported.
     """
     pat = FRAME_REGEX
     # The line id must be assigned BEFORE the generator runs: if the
     # nondeterministic id expression lands in the same projection as
     # posexplode it is re-evaluated per generated row. The matches array is
     # also materialized here so the Generate input is a plain column.
+    line_id = (
+        F.monotonically_increasing_id() if with_order else F.lit(0).cast("long")
+    )
     with_ids = lines.select(
-        F.monotonically_increasing_id().alias("_line_id"),
+        line_id.alias("_line_id"),
         F.regexp_extract_all(source_col, F.lit(pat), 0).alias("_matches"),
     )
     frames = with_ids.select(

@@ -1,0 +1,117 @@
+"""Streaming analogue of the parse → resample pipeline (SURVEY.md §2.7).
+
+The reference is batch-only but *shaped* like a stream job: chunked source
+(``lib/canparser.py:306``), per-chunk stateless transform, append sink,
+skip-if-exists restart (``lib/canparser.py:315-317``). The Structured
+Streaming mapping:
+
+* chunked tolerant text read        → ``readStream.text`` (S1)
+* per-chunk regex/decode transforms → the SAME stateless batch operators
+  (P1-P12 are row-local, so :mod:`..sources.candump` and
+  :mod:`..operators.parse` apply unchanged to a streaming DataFrame)
+* per-chunk timestamp crop          → event-time watermark (late/corrupt
+  timestamps dropped by the engine instead of the per-chunk min/max crop,
+  ``lib/canparser.py:207-212``)
+* fixed-period resample             → tumbling ``window()`` mean with
+  watermark-bounded state (A3)
+* skip-if-exists restart            → checkpointed exactly-once file sink
+
+Scale notes: the stateless stages have no shuffle at all; the windowed mean
+shuffles on (window) once per micro-batch with map-side partial aggregation,
+and the watermark bounds state size to (watermark span / period) windows per
+key — constant memory regardless of total stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from solarboat_data_pipeline_spark.catalog import CanCatalog
+from solarboat_data_pipeline_spark.operators.parse import (
+    decode_long,
+    with_frame_meta,
+    with_timestamp,
+)
+from solarboat_data_pipeline_spark.sources.candump import extract_frames
+
+
+def stream_candump(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """S1, streaming: tolerant text file stream (one ``value`` column).
+
+    ``maxFilesPerTrigger`` is the micro-batch analogue of the reference's
+    1M-line chunk size — it bounds per-batch memory.
+    """
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.text(path)
+
+
+def stream_decode_long(
+    lines: DataFrame,
+    catalog: CanCatalog,
+    offset_seconds: float = 0.0,
+    mab20_workaround: bool = False,
+) -> DataFrame:
+    """P1-P12 on a stream: identical operator chain as the batch path —
+    every stage is row-local, hence stream-safe with no state."""
+    frames = extract_frames(lines, with_order=False)
+    frames = with_timestamp(frames, offset_seconds=offset_seconds)
+    frames = with_frame_meta(frames, mab20_workaround=mab20_workaround)
+    return decode_long(frames, catalog)
+
+
+def stream_resample_mean(
+    signals: DataFrame,
+    period_seconds: float,
+    watermark: str = "10 seconds",
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+    key_cols: tuple[str, ...] = ("module_name", "topic_name", "byte_name"),
+) -> DataFrame:
+    """A3, streaming: tumbling-window mean per signal with late-data drop.
+
+    Unlike the batch resampler there is no dense spine — a stream has no
+    "end", so empty buckets are a sink-side concern; the watermark replaces
+    the reference's per-chunk timestamp crop (its out-of-order tolerance).
+    """
+    period = f"{period_seconds} seconds"
+    return (
+        signals.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), period).alias("w"), *key_cols)
+        .agg(F.avg(value_col).alias(value_col))
+        .select(
+            F.col("w.start").alias(ts_col),
+            *key_cols,
+            value_col,
+        )
+    )
+
+
+def write_parquet_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """K1+K5, streaming: exactly-once parquet append sink.
+
+    The checkpoint directory supplies the reference's skip-if-exists restart
+    semantics (``lib/canparser.py:315-317``) with actual transactional
+    guarantees: a re-run after failure neither drops nor duplicates batches.
+    ``available_now=True`` processes the current backlog then stops — the
+    batch-parity mode used in tests.
+    """
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
