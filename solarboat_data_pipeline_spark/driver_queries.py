@@ -272,6 +272,86 @@ def p17_float_downcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "p4_crop_bounds",
+    """
+    WITH b AS (SELECT arg_min(ts, event_id) AS lo, arg_max(ts, event_id) AS hi
+               FROM events)
+    SELECT event_id FROM events, b WHERE ts BETWEEN lo AND hi
+    """,
+)
+def p4_crop_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P4 semantics: first/last rows IN ORDER are trusted, intermediates are
+    # cropped to their range (event_id stands in for file order here)
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min_by("ts", "event_id").alias("lo"), F.max_by("ts", "event_id").alias("hi")
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .where(F.col("ts").between(F.col("lo"), F.col("hi")))
+        .select("event_id")
+    )
+
+
+@register(
+    "p8_dict_lookup",
+    """
+    WITH dim(event_type, type_code) AS
+         (VALUES ('click', 1), ('purchase', 2), ('error', 3))
+    SELECT e.event_id, d.type_code
+    FROM events e JOIN dim d USING (event_type)
+    """,
+)
+def p8_dict_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P8: catalog lookup as a broadcast INNER join — unknown keys silently
+    # dropped (lib/canparser.py:135-145 semantics)
+    ev = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1), ("purchase", 2), ("error", 3)], "event_type string, type_code int"
+    )
+    return ev.join(F.broadcast(dim), "event_type").select("event_id", "type_code")
+
+
+@register(
+    "p12_explode_tokens",
+    rf"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS.format(t='text')} AS toks
+               FROM documents WHERE doc_id % 50 = 0)
+    SELECT doc_id,
+           unnest(generate_series(0, len(toks) - 1))::BIGINT AS pos,
+           unnest(toks) AS token
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def p12_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P12: 1 row → N rows via posexplode of a generated array
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
+    toked = docs.select("doc_id", tx.tokens(F.col("text")).alias("__toks"))
+    return toked.select(
+        "doc_id", F.posexplode("__toks").alias("pos", "token")
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+@register(
+    "f4_tz_convert",
+    """
+    SELECT event_id,
+           (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/Sao_Paulo' AS local_ts,
+           (ts AT TIME ZONE 'America/Sao_Paulo') AT TIME ZONE 'UTC' AS back_utc
+    FROM events
+    """,
+)
+def f4_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F4: tz localize/convert (lib/unifier_with_forecast_data.py:44,59-61)
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_utc_timestamp("ts", "America/Sao_Paulo").alias("local_ts"),
+        F.to_utc_timestamp("ts", "America/Sao_Paulo").alias("back_utc"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.3 joins
 # ---------------------------------------------------------------------------
@@ -560,6 +640,26 @@ def a7_trapezoid_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a1_group_mean",
+    """
+    SELECT user_id, event_type,
+           round(avg(value), 6) AS mean_value, count(*)::BIGINT AS n
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def a1_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1: group-by mean (same-key collision dedup, lib/canparser.py:226-230)
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("mean_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
     "agg_rollup",
     """
     SELECT coalesce(l_returnflag, '<all>') AS returnflag,
@@ -753,6 +853,53 @@ def w7_asfreq_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ts.asfreq(firsts, 3600.0)
     return out.select("timestamp", F.round("value", 6).alias("value"))
+
+
+@register(
+    "w6_sort_rank",
+    """
+    SELECT event_id,
+           row_number() OVER (ORDER BY ts, event_id)::BIGINT AS pos
+    FROM events
+    """,
+)
+def w6_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W6: global sort — encoded as a rank so the order-insensitive digest
+    # still verifies the ordering
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.row_number().over(Window.orderBy("ts", "event_id")).cast("long").alias("pos"),
+    )
+
+
+@register(
+    "f3_speed_guard",
+    """
+    WITH d AS (
+      SELECT event_id,
+             value - lag(value) OVER w AS dv,
+             (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0 AS dt_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id,
+           round(CASE WHEN dt_s = 0 THEN NULL ELSE dv / dt_s END, 6) + 0.0 AS speed
+    FROM d
+    """,
+)
+def f3_speed_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F3: rate with divide-by-zero → null (lib/process_gpx_data.py:59-61)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dv = F.col("value") - F.lag("value").over(w)
+    dt = (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))) / 1_000_000.0
+    # + 0.0 folds IEEE -0.0 to 0.0 (mirrored in the oracle)
+    return ev.select(
+        "event_id",
+        (F.round(F.when(dt == 0, None).otherwise(dv / dt), 6) + F.lit(0.0)).alias(
+            "speed"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1043,6 +1190,27 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dd_embedding_cosine",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(a.embedding, (x, i) ->
+                 x::DOUBLE * b.embedding[i]::DOUBLE)) / (a.n * b.n), 6) AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(a.embedding, (x, i) ->
+          x::DOUBLE * b.embedding[i]::DOUBLE)) / (a.n * b.n), 6) >= 0.35
+    """,
+)
+def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.embedding_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
 _SQL_DOT = (
     "list_sum(list_transform(a.embedding, (x, i) -> "
     "x::DOUBLE * b.embedding[i]::DOUBLE))"
@@ -1264,6 +1432,47 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.documents_as_media(_t(spark, sf_dir, "documents"))
     out = mm.frame_sample_plan(media, every_n=10)
     return out.select("media_id", F.col("frame_index").cast("long").alias("frame_index"))
+
+
+# ---------------------------------------------------------------------------
+# §2.7 streaming
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "st_stream_resample",
+    """
+    SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS timestamp,
+           round(avg(value), 6) AS value
+    FROM events GROUP BY 1
+    """,
+)
+def st_stream_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 as a real Structured Streaming run: file stream → watermarked
+    tumbling-window mean → memory sink (availableNow drains the backlog,
+    complete mode emits every window). Result equals the batch bucket
+    mean, minus empty buckets (a stream has no dense spine)."""
+    from pyspark.sql.types import LongType
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "21600 seconds").alias("w"))
+        .agg(F.round(F.avg("value"), 6).alias("value"))
+        .select(F.col("w.start").alias("timestamp"), "value")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("st_stream_resample")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("st_stream_resample")
 
 
 # mapInPandas feature extraction: Spark-side plumbing is real, the decode

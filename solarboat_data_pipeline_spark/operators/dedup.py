@@ -193,6 +193,38 @@ def simhash_table(
     return per_doc.select(id_col, acc.alias("simhash"))
 
 
+def embedding_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold). Brute-force baseline: norms materialize once per row, the
+    self-join compares all pairs. The scale path for 100 TB is the same
+    comparison restricted to LSH buckets (see
+    :func:`..similarity.lsh_ann_topk`'s bucketing) — this exact form is the
+    verification kernel run on candidate pairs."""
+    from solarboat_data_pipeline_spark.operators.similarity import dot, norm
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def with_simhash(
     df: DataFrame,
     text_col: str = "text",
