@@ -1,0 +1,153 @@
+"""End-to-end batch pipeline: the reference's ``main_*.py`` flow.
+
+Composes the stage kernels in the reference's order
+(``main_2022.py:159-163``): parse → resample → unify-forecast → unify-GPS.
+Each stage is also usable alone; this module only wires DataFrames
+together, so Catalyst sees ONE logical plan per stage run and optimizes
+across the composition (e.g. column pruning reaches the candump scan even
+for a downstream projection).
+
+Scale notes: the parse stage is embarrassingly parallel over input splits;
+resample shuffles once on the window bucket; each unify join broadcasts
+the (small) enrichment side. Partition the parquet sinks by date for
+partition pruning on re-reads.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solarboat_data_pipeline_spark.catalog import CanCatalog
+from solarboat_data_pipeline_spark.functions.geo import derive_track
+from solarboat_data_pipeline_spark.operators.parse import (
+    crop_to_bounds,
+    decode_wide,
+    with_frame_meta,
+    with_timestamp,
+)
+from solarboat_data_pipeline_spark.operators.timeseries import (
+    asfreq,
+    asof_join_backward,
+    clean_timestamp_outliers,
+    dedup_keep_first,
+    interpolate_time,
+    reindex_interpolate,
+    resample_mean,
+)
+from solarboat_data_pipeline_spark.sources.candump import extract_frames, scan_candump
+from solarboat_data_pipeline_spark.sources.gpx import scan_gpx
+
+
+def parse_stage(
+    spark: SparkSession,
+    path: str,
+    catalog: CanCatalog,
+    offset_seconds: float = 0.0,
+    mab20_workaround: bool = False,
+    crop: bool = True,
+    clean_outliers: bool = False,
+) -> DataFrame:
+    """E1 (``lib/canparser.py:263-364``): candump text → decoded wide table."""
+    frames = extract_frames(scan_candump(spark, path))
+    frames = with_timestamp(frames, offset_seconds=offset_seconds)
+    if crop:
+        frames = crop_to_bounds(frames)
+    frames = with_frame_meta(frames, mab20_workaround=mab20_workaround)
+    wide = decode_wide(frames, catalog)
+    if clean_outliers:
+        wide = clean_timestamp_outliers(wide)
+    return wide
+
+
+def resample_stage(
+    wide: DataFrame,
+    period_seconds: float,
+    ts_col: str = "timestamp",
+    max_gap_seconds: float = 60.0,
+) -> DataFrame:
+    """E2 (``lib/resampler.py:59-101``): mean-downsample to a fixed period
+    and gap-fill ≤ ``max_gap_seconds`` with bounded time interpolation
+    (``limit = max(1, gap/period)`` samples, ``lib/resampler.py:63-66``)."""
+    limit = max(1, int(max_gap_seconds / period_seconds))
+    res = resample_mean(wide, period_seconds, ts_col=ts_col, dense=True)
+    return interpolate_time(res, ts_col=ts_col, limit=limit, limit_area="inside")
+
+
+def unify_forecast_stage(
+    telemetry: DataFrame,
+    forecast: DataFrame,
+    period_seconds: float,
+    ts_col: str = "timestamp",
+    prefix: str = "solcast_",
+    shift_back_hours: float = 0.0,
+) -> DataFrame:
+    """E3a (``lib/unifier_with_forecast_data.py:11-104``): dedup + dense
+    reindex of telemetry, forecast reprojected onto the telemetry grid with
+    linear interpolation, then left-joined with a column prefix."""
+    telemetry = dedup_keep_first(telemetry, [ts_col], [ts_col])
+    telemetry = asfreq(telemetry, period_seconds, ts_col=ts_col)
+    if shift_back_hours:
+        shift_us = int(shift_back_hours * 3600 * 1_000_000)
+        forecast = forecast.withColumn(
+            ts_col, F.timestamp_micros(F.unix_micros(F.col(ts_col)) - shift_us)
+        )
+    value_cols = [c for c in forecast.columns if c != ts_col]
+    proj = reindex_interpolate(telemetry, forecast, on=ts_col, value_cols=value_cols)
+    proj = proj.select(
+        ts_col, *[F.col(c).alias(f"{prefix}{c}") for c in value_cols]
+    )
+    return telemetry.join(proj, ts_col, "left")
+
+
+def unify_gps_stage(
+    telemetry: DataFrame,
+    gps: DataFrame,
+    ts_col: str = "timestamp",
+    prefix: str = "gps_",
+    value_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """E3b (``lib/process_gpx_data.py:105-200``): GPS reprojected onto the
+    telemetry timestamps with backward fill, left-joined with a prefix."""
+    if value_cols is None:
+        value_cols = [c for c in gps.columns if c != ts_col]
+    gps = dedup_keep_first(gps, [ts_col], [ts_col])
+    joined = asof_join_backward(
+        telemetry.select(ts_col), gps, on=ts_col, value_cols=list(value_cols)
+    )
+    prefixed = joined.select(
+        ts_col, *[F.col(c).alias(f"{prefix}{c}") for c in value_cols]
+    )
+    return telemetry.join(prefixed, ts_col, "left")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    candump_path: str,
+    catalog: CanCatalog,
+    period_seconds: float = 1.0,
+    forecast: DataFrame | None = None,
+    gpx_path: str | None = None,
+    offset_seconds: float = 0.0,
+    mab20_workaround: bool = False,
+) -> DataFrame:
+    """The full reference flow (``main_2022.py:159-163``), one logical plan."""
+    wide = parse_stage(
+        spark,
+        candump_path,
+        catalog,
+        offset_seconds=offset_seconds,
+        mab20_workaround=mab20_workaround,
+    )
+    out = resample_stage(wide, period_seconds)
+    if forecast is not None:
+        out = unify_forecast_stage(out, forecast, period_seconds)
+    if gpx_path is not None:
+        track = derive_track(scan_gpx(spark, gpx_path)).select(
+            "timestamp", "latitude", "longitude", "altitude",
+            "speed", "heading", "distance",
+        )
+        out = unify_gps_stage(out, track)
+    return out

@@ -1,0 +1,107 @@
+"""End-to-end pipeline test: the full reference flow (parse → 1 s resample
+→ forecast unify → GPS unify) over the adversarial candump corpus, a
+synthetic forecast grid, and a real GPX file."""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from solarboat_data_pipeline_spark.catalog import CanCatalog
+from solarboat_data_pipeline_spark.pipeline import (
+    parse_stage,
+    resample_stage,
+    run_pipeline,
+    unify_forecast_stage,
+    unify_gps_stage,
+)
+from solarboat_data_pipeline_spark.sources.gpx import scan_gpx
+
+from tests.conftest import DATA_DIR
+
+CORPUS = os.path.join(DATA_DIR, "sample.candump")
+MINI = os.path.join(DATA_DIR, "mini_can_ids.json")
+GPX = os.path.join(DATA_DIR, "track.gpx")
+
+T0 = 1700000000  # corpus epoch start (2023-11-14T22:13:20Z)
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    return CanCatalog.load(MINI)
+
+
+@pytest.fixture(scope="module")
+def forecast(spark):
+    # on-grid points at :00 and :02; dni ramps 100 → 200
+    return spark.createDataFrame(
+        [(T0, 100.0, 10.0), (T0 + 2, 200.0, 20.0)],
+        "epoch long, dni double, ghi double",
+    ).select(
+        F.timestamp_seconds("epoch").alias("timestamp"), "dni", "ghi"
+    )
+
+
+def test_parse_resample_shape(spark, catalog):
+    wide = parse_stage(spark, CORPUS, catalog)
+    res = resample_stage(wide, 1.0)
+    rows = {r["timestamp"].second % 10: r for r in res.collect()}
+    # dense 1 s grid over the cropped corpus: buckets :00..:03
+    assert sorted(rows) == [0, 1, 2, 3]
+    # bucket :00 averages the two same-µs ADC frames plus the others
+    assert rows[0]["BAT21__STATE__STATE"] == 3.0
+    # STATE valid at :00 (3) and :03 (5) → time-linear fill between
+    assert math.isclose(rows[1]["BAT21__STATE__STATE"], 3 + 2 / 3, rel_tol=1e-6)
+    assert math.isclose(rows[2]["BAT21__STATE__STATE"], 3 + 4 / 3, rel_tol=1e-6)
+    assert rows[3]["BAT21__STATE__STATE"] == 5.0
+
+
+def test_full_pipeline_enrichment(spark, catalog, forecast):
+    out = run_pipeline(
+        spark,
+        CORPUS,
+        catalog,
+        period_seconds=1.0,
+        forecast=forecast,
+        gpx_path=GPX,
+    )
+    rows = {r["timestamp"].second % 10: r for r in out.collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+
+    # forecast reprojected onto the grid: linear between :00 and :02,
+    # clamped forward after the last sample (pandas interpolate default)
+    assert rows[0]["solcast_dni"] == 100.0
+    assert math.isclose(rows[1]["solcast_dni"], 150.0, rel_tol=1e-9)
+    assert rows[2]["solcast_dni"] == 200.0
+    assert rows[3]["solcast_dni"] == 200.0
+    assert math.isclose(rows[1]["solcast_ghi"], 15.0, rel_tol=1e-9)
+
+    # GPS backward as-of: track points at :19.5 and :21.5
+    assert math.isclose(rows[0]["gps_latitude"], -27.5935, rel_tol=1e-9)
+    assert math.isclose(rows[1]["gps_latitude"], -27.5935, rel_tol=1e-9)
+    assert math.isclose(rows[2]["gps_latitude"], -27.5940, rel_tol=1e-9)
+    assert math.isclose(rows[3]["gps_latitude"], -27.5940, rel_tol=1e-9)
+    # second point carries derived speed/heading/cumulative distance
+    assert rows[2]["gps_speed"] is not None and rows[2]["gps_speed"] > 0
+    assert rows[2]["gps_distance"] > 0
+
+
+def test_gpx_scan_parses_track(spark):
+    track = scan_gpx(spark, GPX)
+    pts = track.orderBy("timestamp").collect()
+    assert len(pts) == 2
+    assert pts[0]["latitude"] == -27.5935
+    assert pts[0]["altitude"] == 3.0
+    assert pts[0]["timestamp"].isoformat().startswith("2023-11-14T22:13:19.5")
+
+
+def test_unify_stages_compose_independently(spark, catalog, forecast):
+    wide = parse_stage(spark, CORPUS, catalog)
+    res = resample_stage(wide, 1.0)
+    with_fc = unify_forecast_stage(res, forecast, 1.0)
+    assert "solcast_dni" in with_fc.columns
+    track = scan_gpx(spark, GPX).select("timestamp", "latitude")
+    with_gps = unify_gps_stage(with_fc, track)
+    assert "gps_latitude" in with_gps.columns
+    assert with_gps.count() == 4
