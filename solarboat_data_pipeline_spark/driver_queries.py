@@ -1246,6 +1246,46 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_ivf_topk",
+    f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+                  WHERE vec_id < 16),
+         scored AS (
+           SELECT e.vec_id, e.embedding, c.cid,
+                  list_sum(list_transform(e.embedding, (x, i) ->
+                    x::DOUBLE * c.c_emb[i]::DOUBLE)) /
+                  (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+                   sqrt(list_sum(list_transform(c.c_emb, x -> x::DOUBLE * x::DOUBLE)))) AS ccos
+           FROM embeddings e CROSS JOIN cent c),
+         assigned AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+             FROM scored) WHERE rn = 1),
+         q AS (SELECT vec_id, embedding, cid FROM assigned WHERE vec_id < 10),
+         sims AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  round({_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_B}), 6) AS cosine_sim
+           FROM q a JOIN assigned b
+             ON b.cid = a.cid AND b.vec_id <> a.vec_id),
+         ranked AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+           FROM sims)
+    SELECT query_id, neighbor_id, cosine_sim, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sim.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=range(10), k=5, n_centroids=16
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _sql_lsh_bucket(alias: str, planes: list[list[int]]) -> str:
     terms = []
     for p, plane in enumerate(planes):

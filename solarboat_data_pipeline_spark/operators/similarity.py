@@ -85,6 +85,78 @@ def cosine_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid by cosine (ties → lowest centroid id).
+
+    Deterministic seed centroids — the first ``n_centroids`` vectors by id
+    (k-means iterations would refine them; the inverted-file structure and
+    probe path are identical, and seeding keeps the exact SQL oracle).
+    Assignment is a broadcast of the tiny centroid set against the corpus:
+    no shuffle of the big side, O(N·C) fully in codegen."""
+    cent = df.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec")
+    )
+    scored = df.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cid"),
+        cosine(F.col(vec_col), F.col("c_vec")).alias("__ccos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__ccos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids,
+    k: int = 5,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF with nprobe=1: exact cosine ranking
+    restricted to the query's own centroid cell. Same output shape as
+    :func:`cosine_topk`; recall loss shows up as missing neighbors that
+    live in other cells."""
+    assigned = ivf_assign(df, n_centroids, id_col, vec_col)
+    queries = assigned.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("cid").alias("q_cid"),
+    )
+    corpus = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("cid").alias("c_cid"),
+    )
+    sims = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("c_cid") == F.col("q_cid"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     """Random-hyperplane bucket id: bit p = sign of ⟨vec, plane_p⟩."""
     acc = F.lit(0).cast("long")

@@ -6,10 +6,12 @@ from solarboat_data_pipeline_spark.streaming.pipeline import (
     stream_resample_mean,
     write_parquet_stream,
 )
+from solarboat_data_pipeline_spark.streaming.stateful import stream_ffill
 
 __all__ = [
     "stream_candump",
     "stream_decode_long",
     "stream_resample_mean",
+    "stream_ffill",
     "write_parquet_stream",
 ]
