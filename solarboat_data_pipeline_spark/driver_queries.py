@@ -272,6 +272,73 @@ def p17_float_downcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# candump frame pattern for the oracle: DuckDB's RE2 lacks the trailing
+# (?!\w) lookahead of sources.candump.FRAME_REGEX; on the well-formed lines
+# this query constructs, the two patterns match identically.
+_SQL_FRAME_PAT = r"\((\d{10}\.\d{6})\)\s(\w+)\s([0-9a-fA-F]{3})#((?:[0-9a-fA-F]{2}){2,8})"
+
+
+@register(
+    "s1_candump_parse",
+    rf"""
+    WITH lines AS (
+      SELECT printf('(%.6f) can0 %s#%s',
+                    round(extract(epoch FROM ts), 6),
+                    lpad(printf('%x', event_id % 2048), 3, '0'),
+                    substr(md5(props), 1, 14)) ||
+             CASE WHEN event_id % 10 = 0 THEN
+               printf('(%.6f) can1 %s#%s',
+                      round(extract(epoch FROM ts), 6) + 0.5,
+                      lpad(printf('%x', (event_id + 7) % 2048), 3, '0'),
+                      substr(md5(props), 15, 14))
+             ELSE '' END AS line
+      FROM events),
+    frames AS (
+      SELECT unnest(regexp_extract_all(line, '{_SQL_FRAME_PAT}', 0)) AS fr
+      FROM lines)
+    SELECT regexp_extract(fr, '{_SQL_FRAME_PAT}', 1)::DOUBLE AS ts_raw,
+           regexp_extract(fr, '{_SQL_FRAME_PAT}', 2) AS interface,
+           ('0x' || regexp_extract(fr, '{_SQL_FRAME_PAT}', 3))::BIGINT AS topic_id,
+           round((('0x' || substr(regexp_extract(fr, '{_SQL_FRAME_PAT}', 4), 3, 2))::BIGINT +
+                  ('0x' || substr(regexp_extract(fr, '{_SQL_FRAME_PAT}', 4), 5, 2))::BIGINT * 256)
+                 / 100.0, 6) AS u16_scaled
+    FROM frames
+    """,
+)
+def s1_candump_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+P1+P5+P10 end-to-end on candump-format text built from events:
+    multi-frame lines exercise the extract-all explode, then the real
+    frame-extraction and LE-u16 decode expressions run."""
+    from solarboat_data_pipeline_spark.sources.candump import extract_frames
+
+    ev = _t(spark, sf_dir, "events")
+    frame1 = F.format_string(
+        "(%.6f) can0 %s#%s",
+        F.round(epoch_seconds(F.col("ts")), 6),
+        F.lpad(F.lower(F.hex(F.col("event_id") % 2048)), 3, "0"),
+        F.substring(F.md5("props"), 1, 14),
+    )
+    frame2 = F.format_string(
+        "(%.6f) can1 %s#%s",
+        F.round(epoch_seconds(F.col("ts")), 6) + 0.5,
+        F.lpad(F.lower(F.hex((F.col("event_id") + 7) % 2048)), 3, "0"),
+        F.substring(F.md5("props"), 15, 14),
+    )
+    lines = ev.select(
+        F.concat(
+            frame1, F.when(F.col("event_id") % 10 == 0, frame2).otherwise(F.lit(""))
+        ).alias("value")
+    )
+    fr = extract_frames(lines, with_order=False)
+    b = lambda pos: F.conv(F.substring("payload_hex", pos, 2), 16, 10).cast("long")  # noqa: E731
+    return fr.select(
+        F.col("ts_raw").cast("double").alias("ts_raw"),
+        "interface",
+        F.conv("topic_hex", 16, 10).cast("long").alias("topic_id"),
+        F.round((b(3) + b(5) * 256) / 100.0, 6).alias("u16_scaled"),
+    )
+
+
 @register(
     "p4_crop_bounds",
     """
