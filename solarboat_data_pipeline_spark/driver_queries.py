@@ -1541,6 +1541,61 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", F.col("frame_index").cast("long").alias("frame_index"))
 
 
+@register(
+    "skew_salted_topk",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id DESC) AS rank
+      FROM events WHERE value IS NOT NULL)
+    SELECT user_id, event_id, round(value, 6) AS value, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def skew_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-phase salted top-k must equal the plain window top-k; event_id in
+    # the order breaks value ties deterministically
+    from solarboat_data_pipeline_spark.operators.skew import salted_topk
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("user_id", "event_id", "value")
+        .withColumn("__ord", F.struct("value", "event_id"))
+    )
+    out = salted_topk(ev, ["user_id"], "__ord", k=3, salt_on="event_id")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# F7: pvlib physics — not SQL-expressible (rows-only check). In this
+# container the deterministic fallback runs; on a pvlib cluster the same
+# call dispatches the Arrow-batched mapInPandas physics path.
+@register("f7_poa_irradiance_rows_only", None)
+def f7_poa_irradiance_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarboat_data_pipeline_spark.functions.solar import poa_irradiance
+    from solarboat_data_pipeline_spark.operators.timeseries import (
+        trapezoid_integral,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").alias("timestamp"),
+        (F.abs(F.col("value")) * 10).alias("ghi"),
+        (F.abs(F.col("value")) * 8).alias("dni"),
+        (F.abs(F.col("value")) * 2).alias("dhi"),
+        F.lit(0.9).alias("albedo"),
+    )
+    poa = poa_irradiance(ev, latitude=-27.59, longitude=-48.55)
+    # A7: POA → cumulative energy (lib/process_solcast_historic_data.py:104)
+    out = trapezoid_integral(poa, "poa", "energy", ts_col="timestamp")
+    return out.select("timestamp", "poa", "energy")
+
+
 # ---------------------------------------------------------------------------
 # §2.7 streaming
 # ---------------------------------------------------------------------------
