@@ -293,3 +293,39 @@ def test_iqr_clip(spark):
     vals = [r["x"] for r in out.collect()]
     assert vals.count(None) == 1  # only the 10000 outlier nulled
     assert 10000.0 not in [v for v in vals if v is not None]
+
+
+def test_interpolate_long_strategy_matches_wide(spark):
+    # the >8-column auto-switch must be invisible: long and wide strategies
+    # agree cell-for-cell on nulls and values
+    import math
+
+    from pyspark.sql import functions as F
+
+    base = spark.range(120).select(
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 10).alias("timestamp"),
+        *[
+            (F.when((F.col("id") + i) % 5 != 0, (F.col("id") % 97) * 0.5 + i)).alias(
+                f"c{i}"
+            )
+            for i in range(12)
+        ],
+    )
+    for kwargs in ({"limit": 3}, {"limit_area": None}, {}):
+        wide = (
+            ts.interpolate_time(base, strategy="wide", **kwargs)
+            .orderBy("timestamp")
+            .collect()
+        )
+        long = (
+            ts.interpolate_time(base, strategy="long", **kwargs)
+            .orderBy("timestamp")
+            .collect()
+        )
+        assert len(wide) == len(long)
+        for rw, rl in zip(wide, long):
+            for c in [f"c{i}" for i in range(12)]:
+                vw, vl = rw[c], rl[c]
+                assert (vw is None) == (vl is None), (kwargs, c, vw, vl)
+                if vw is not None:
+                    assert math.isclose(vw, vl, rel_tol=1e-12), (kwargs, c)
