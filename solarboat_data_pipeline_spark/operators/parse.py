@@ -126,29 +126,87 @@ def decode_long(frames: DataFrame, catalog: CanCatalog) -> DataFrame:
     ).select("timestamp", "signal.*")
 
 
-def pivot_wide(long_df: DataFrame, catalog: CanCatalog) -> DataFrame:
-    """A1+A2 as an explicit two-step pivot (parity shape with the
-    reference's groupby-mean + unstack). Pivot values are supplied from the
-    schema so the pivot is single-pass and the output schema is static."""
+# above this many wide columns, the pivot runs as ONE collect_list-to-map
+# aggregate + per-column map extraction instead of n_cols aggregate
+# functions: measured on 2M lines × 280 columns, agg-pivot 53k lines/s vs
+# map-pivot 90k (the fused decode_wide drops to 43k at that width — its
+# n_cols conditional aggregates are evaluated for every input row)
+WIDE_PIVOT_MAX_AGG_COLS = 32
+
+
+def pivot_wide(
+    long_df: DataFrame, catalog: CanCatalog, strategy: str = "auto"
+) -> DataFrame:
+    """A1+A2: long signals → static wide schema (parity shape with the
+    reference's groupby-mean + unstack). Pivot values come from the schema
+    so the pivot is single-pass and the output schema is static.
+
+    ``strategy="agg"`` plans one conditional-avg aggregate per wide column;
+    ``"map"`` first A1-reduces per (timestamp, signal), then aggregates the
+    few present signals into a map and extracts columns as projections —
+    the scale path for wide catalogs where most columns are absent at any
+    timestamp; ``"auto"`` picks by catalog width."""
+    cols = catalog.wide_columns()
+    if strategy not in ("auto", "agg", "map"):
+        raise ValueError("strategy must be auto|agg|map")
+    use_map = strategy == "map" or (
+        strategy == "auto" and len(cols) > WIDE_PIVOT_MAX_AGG_COLS
+    )
     name = F.concat_ws(
         SEPARATOR, F.col("module_name"), F.col("topic_name"), F.col("byte_name")
     )
-    cols = catalog.wide_columns()
-    return (
-        long_df.withColumn("_wide_name", name)
-        .groupBy("timestamp")
-        .pivot("_wide_name", cols)
-        .agg(F.avg("value"))
+    if not use_map:
+        return (
+            long_df.withColumn("_wide_name", name)
+            .groupBy("timestamp")
+            .pivot("_wide_name", cols)
+            .agg(F.avg("value"))
+        )
+    a1 = (
+        long_df.select("timestamp", name.alias("_wide_name"), "value")
+        .groupBy("timestamp", "_wide_name")
+        .agg(F.avg("value").alias("value"))
+    )
+    m = a1.groupBy("timestamp").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("_wide_name", "value"))
+        ).alias("_m")
+    )
+    return m.select(
+        "timestamp", *[F.col("_m").getItem(c).alias(c) for c in cols]
     )
 
 
-def decode_wide(frames: DataFrame, catalog: CanCatalog, downcast: bool = True) -> DataFrame:
-    """Fused decode+pivot: one hash aggregate of conditional means.
+def decode_wide(
+    frames: DataFrame,
+    catalog: CanCatalog,
+    downcast: bool = True,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Decode + pivot to the wide table.
 
-    Equivalent to ``decode_long`` → ``pivot_wide`` (same-µs duplicate frames
-    average per signal, A1) but with a single shuffle and no row explosion.
-    ``downcast=True`` casts value columns to float, the faithful superset of
-    the reference's float16 (``lib/canparser.py:234``, P17)."""
+    ``strategy="fused"``: one hash aggregate of conditional means — a
+    single shuffle, no row explosion; fastest for narrow catalogs but its
+    n_cols aggregates are evaluated for EVERY input row, so it degrades as
+    the catalog widens (43k lines/s at 280 columns vs 90k for the long
+    path on the 2M-line bench). ``"long"``: ``decode_long`` →
+    map-strategy ``pivot_wide``. ``"auto"`` picks by catalog width.
+
+    Both are equivalent (same-µs duplicate frames average per signal, A1).
+    ``downcast=True`` casts value columns to float, the faithful superset
+    of the reference's float16 (``lib/canparser.py:234``, P17)."""
+    if strategy not in ("auto", "fused", "long"):
+        raise ValueError("strategy must be auto|fused|long")
+    cols = catalog.wide_columns()
+    if strategy == "long" or (
+        strategy == "auto" and len(cols) > WIDE_PIVOT_MAX_AGG_COLS
+    ):
+        out = pivot_wide(decode_long(frames, catalog), catalog, strategy="map")
+        if downcast:
+            out = out.select(
+                "timestamp", *[F.col(c).cast("float").alias(c) for c in cols]
+            )
+        return out
     aggs = []
     for mod, top in catalog.iter_topics():
         cond = _topic_condition(mod.signature, top.topic_id, top.size)

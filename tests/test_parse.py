@@ -88,22 +88,27 @@ def test_decode_long(frames, catalog):
 
 
 def test_decode_wide_matches_pivot(frames, catalog):
-    wide = decode_wide(frames, catalog, downcast=False)
-    via_pivot = pivot_wide(decode_long(frames, catalog), catalog)
+    wide = decode_wide(frames, catalog, downcast=False, strategy="fused")
     assert wide.count() == 7  # distinct matched timestamps
-    assert set(wide.columns) == set(via_pivot.columns)
-
     a = {r["timestamp"]: r for r in wide.collect()}
-    b = {r["timestamp"]: r for r in via_pivot.collect()}
-    assert a.keys() == b.keys()
-    for ts in a:
-        for c in wide.columns:
-            if c == "timestamp":
-                continue
-            va, vb = a[ts][c], b[ts][c]
-            assert (va is None) == (vb is None), (ts, c)
-            if va is not None:
-                assert math.isclose(va, vb, rel_tol=1e-12), (ts, c)
+
+    # every pivot strategy must agree cell-for-cell with the fused decode
+    for alt in (
+        pivot_wide(decode_long(frames, catalog), catalog, strategy="agg"),
+        pivot_wide(decode_long(frames, catalog), catalog, strategy="map"),
+        decode_wide(frames, catalog, downcast=False, strategy="long"),
+    ):
+        assert set(wide.columns) == set(alt.columns)
+        b = {r["timestamp"]: r for r in alt.collect()}
+        assert a.keys() == b.keys()
+        for ts in a:
+            for c in wide.columns:
+                if c == "timestamp":
+                    continue
+                va, vb = a[ts][c], b[ts][c]
+                assert (va is None) == (vb is None), (ts, c)
+                if va is not None:
+                    assert math.isclose(va, vb, rel_tol=1e-12), (ts, c)
 
 
 def test_same_microsecond_frames_average(frames, catalog):
