@@ -1190,10 +1190,9 @@ def _sql_band_hashes() -> str:
     return f"[{', '.join(bands)}]"
 
 
-@register(
-    "dd_lsh_pairs",
-    f"""
-    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+def _sql_lsh_pairs() -> str:
+    return f"""
+         t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
          s AS (SELECT doc_id, list_distinct({_SQL_SH}) AS sh FROM t
                WHERE len(list_distinct({_SQL_SH})) > 0),
          hb AS (SELECT doc_id,
@@ -1201,15 +1200,41 @@ def _sql_band_hashes() -> str:
          m AS (SELECT doc_id, [{_sql_minhash_mins()}] AS mins FROM hb),
          b AS (SELECT doc_id, unnest({_sql_band_hashes()}) AS band_hash,
                       unnest(generate_series(0, {dd.BANDS - 1})) AS band
-               FROM m)
-    SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
-    FROM b a JOIN b bb
-      ON a.band = bb.band AND a.band_hash = bb.band_hash
-     AND a.doc_id < bb.doc_id
-    """,
+               FROM m),
+         lsh_pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+           FROM b a JOIN b bb
+             ON a.band = bb.band AND a.band_hash = bb.band_hash
+            AND a.doc_id < bb.doc_id)
+    """
+
+
+@register(
+    "dd_lsh_pairs",
+    f"WITH {_sql_lsh_pairs()} SELECT id_a, id_b FROM lsh_pairs",
 )
 def dd_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dd_clusters",
+    f"""
+    WITH RECURSIVE {_sql_lsh_pairs()},
+         edges AS (SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+                   UNION SELECT id_b, id_a FROM lsh_pairs),
+         reach(src, dst) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS doc_id, min(dst)::BIGINT AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup LSH candidate pairs → connected-component cluster ids."""
+    pairs = dd.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+    return dd.connected_components(pairs)
 
 
 def _sql_simhash_bits() -> str:
@@ -1507,6 +1532,26 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         tx.fingerprint_tokens(F.col("__toks")).alias("fingerprint"),
         tx.rolling_min_hash_tokens(F.col("__toks")).alias("rolling_min_hash"),
+    )
+
+
+@register(
+    "txt_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+         s AS (SELECT doc_id, {_SQL_SH} AS sh FROM t)
+    SELECT doc_id,
+           round(CASE WHEN len(sh) > 0 THEN
+             1.0 - len(list_distinct(sh)) * 1.0 / len(sh) END, 6) AS repetition
+    FROM s
+    """,
+)
+def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tx.tokens(F.col("text")).alias("__toks"))
+    return toked.select(
+        "doc_id",
+        F.round(tx.repetition_ratio_tokens(F.col("__toks")), 6).alias("repetition"),
     )
 
 

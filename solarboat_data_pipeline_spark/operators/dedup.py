@@ -193,6 +193,60 @@ def simhash_table(
     return per_doc.select(id_col, acc.alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from candidate pairs: connected components
+    by iterative min-label propagation. Returns (doc_id, cluster_id) for
+    every vertex in ``pairs``; cluster_id = the component's minimum id.
+
+    Each iteration is one join + one aggregate (label ← min over self and
+    neighbors); converges in O(diameter) rounds — near-dup components are
+    shallow (dup groups, not long chains), so a handful. ``localCheckpoint``
+    cuts the growing lineage so iteration N doesn't replan N-deep. The
+    classic alternative for adversarial graphs is large/small-star; for
+    dedup workloads min-propagation is the simpler, equally scalable loop."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     threshold: float,

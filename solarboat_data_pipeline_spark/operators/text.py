@@ -106,6 +106,18 @@ def lang_id(text: Column) -> Column:
     return best_lang
 
 
+def repetition_ratio_tokens(toks: Column, k: int = 3) -> Column:
+    """Duplicate word-k-gram fraction: 1 − |distinct shingles|/|shingles|.
+    High values flag boilerplate/spam (a standard training-data quality
+    signal). Null when the document has fewer than k tokens. Same
+    materialized-tokens contract as :func:`fingerprint_tokens`."""
+    sh = word_shingles(toks, k)
+    n = F.size(sh)
+    return F.when(
+        n > 0, 1.0 - F.size(F.array_distinct(sh)).cast("double") / n
+    )
+
+
 def fingerprint_tokens(toks: Column) -> Column:
     """Key-collision fingerprint: md5 of the sorted distinct token set
     (OpenRefine-style normalization). Pass a MATERIALIZED token column
