@@ -51,11 +51,16 @@ def sql_shingles(toks: str) -> str:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which vanilla Spark 4
+        # rejects (PARQUET_TYPE_ILLEGAL). The legacy conf is runtime-settable
+        # and must be on in ANY session running these queries (the driver
+        # builds its own session, not ours) — it scans as long ns, converted
+        # here to the engine's µs TimestampType (values are µs-exact in the
+        # fixture, matching DuckDB's read).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet; with nanosAsLong it scans
-        # as long ns → convert to the engine's µs TimestampType (values are
-        # µs-exact in the fixture, matching DuckDB's read)
         from pyspark.sql.types import LongType
 
         if isinstance(df.schema["ts"].dataType, LongType):
@@ -1664,6 +1669,7 @@ def st_stream_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean, minus empty buckets (a stream has no dense spine)."""
     from pyspark.sql.types import LongType
 
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
     if isinstance(schema["ts"].dataType, LongType):
