@@ -59,6 +59,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # here to the engine's µs TimestampType (values are µs-exact in the
         # fixture, matching DuckDB's read).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # TimestampType collects in the session tz; DuckDB's naive values
+        # are the stored UTC instants — a non-UTC driver session would
+        # shift every returned timestamp
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         from pyspark.sql.types import LongType
