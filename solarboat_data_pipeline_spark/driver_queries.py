@@ -1037,9 +1037,9 @@ def f1_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT event_id,
            round(degrees(atan2(
-             cos(radians(plat)) * sin(radians(lon) - radians(plon)),
+             cos(radians(plat)) * sin(radians(lon) - radians(plon)) + 0.0,
              sin(radians(plat)) * (cos(radians(plat)) -
-               cos(radians(lat)) * cos(radians(lon) - radians(plon)))
+               cos(radians(lat)) * cos(radians(lon) - radians(plon))) + 0.0
            )) + 180.0, 6) AS heading
     FROM seq WHERE plat IS NOT NULL
     """,

@@ -35,8 +35,12 @@ def heading_deg(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colum
     rlat1, rlon1 = F.radians(lat1), F.radians(lon1)
     rlat2, rlon2 = F.radians(lat2), F.radians(lon2)
     dlon = rlon2 - rlon1
-    x = F.cos(rlat1) * F.sin(dlon)
-    y = F.sin(rlat1) * (F.cos(rlat1) - F.cos(rlat2) * F.cos(dlon))
+    # + 0.0 folds -0.0 to +0.0: for duplicate consecutive points both args
+    # are ±0 and atan2's result flips by π with the sign of zero, which is
+    # evaluation-order noise, not signal — pin the degenerate heading to
+    # atan2(0, 0) = 0 (→ 180° after the reference's +180 shift)
+    x = F.cos(rlat1) * F.sin(dlon) + F.lit(0.0)
+    y = F.sin(rlat1) * (F.cos(rlat1) - F.cos(rlat2) * F.cos(dlon)) + F.lit(0.0)
     return F.degrees(F.atan2(x, y)) + F.lit(180.0)
 
 

@@ -73,11 +73,16 @@ def stream_resample_mean(
     value_col: str = "value",
     key_cols: tuple[str, ...] = ("module_name", "topic_name", "byte_name"),
 ) -> DataFrame:
-    """A3, streaming: tumbling-window mean per signal with late-data drop.
+    """A3, streaming: tumbling-window mean per signal, watermark-bounded.
 
     Unlike the batch resampler there is no dense spine — a stream has no
-    "end", so empty buckets are a sink-side concern; the watermark replaces
-    the reference's per-chunk timestamp crop (its out-of-order tolerance).
+    "end", so empty buckets are a sink-side concern. The watermark bounds
+    state (windows finalize and emit in append mode once it passes them)
+    and is the engine's out-of-order tolerance, replacing the reference's
+    per-chunk timestamp crop. Note the measured engine semantics on this
+    Spark build: a row arriving after its window was finalized re-creates
+    the window and re-emits it (merge, not drop) — downstream consumers of
+    an append sink should treat re-emissions as upserts keyed by window.
     """
     period = f"{period_seconds} seconds"
     return (
