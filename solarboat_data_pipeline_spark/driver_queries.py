@@ -935,6 +935,50 @@ def w7_asfreq_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, event_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM g)
+    SELECT user_id, session_id::BIGINT AS session_id,
+           count(*)::BIGINT AS n_events,
+           min(event_id)::BIGINT AS first_event
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gap-based sessionization (30 min) + per-session stats; ties in the
+    # event order broken by event_id to match the oracle exactly
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    s = ev.withColumn("session_id", F.sum(new_s).over(w_cum))
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+        .withColumn("session_id", F.col("session_id").cast("long"))
+    )
+
+
+@register(
     "w6_sort_rank",
     """
     SELECT event_id,

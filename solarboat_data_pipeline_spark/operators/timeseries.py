@@ -500,6 +500,27 @@ def reindex_interpolate(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "timestamp",
+    gap_seconds: float = 1800.0,
+    partition_cols: Sequence[str] = (),
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the
+    previous event (per partition, in time order) exceeds ``gap_seconds``.
+    Classic lag + running-sum-of-boundaries composition — one sort per
+    partition, no state beyond the window."""
+    w = Window.partitionBy(*partition_cols).orderBy(ts_col)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap_us = int(gap_seconds * MICROS)
+    prev = F.lag(ts_col).over(w)
+    new_session = F.when(
+        prev.isNull() | ((_us(F.col(ts_col)) - _us(prev)) > gap_us), 1
+    ).otherwise(0)
+    return df.withColumn(out_col, F.sum(new_session).over(w_cum))
+
+
 def cumulative_sum(
     df: DataFrame,
     col: str,

@@ -4,6 +4,7 @@ from solarboat_data_pipeline_spark.streaming.pipeline import (
     stream_candump,
     stream_decode_long,
     stream_resample_mean,
+    stream_sessionize,
     write_parquet_stream,
 )
 from solarboat_data_pipeline_spark.streaming.stateful import stream_ffill
@@ -12,6 +13,7 @@ __all__ = [
     "stream_candump",
     "stream_decode_long",
     "stream_resample_mean",
+    "stream_sessionize",
     "stream_ffill",
     "write_parquet_stream",
 ]

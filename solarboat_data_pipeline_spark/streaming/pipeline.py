@@ -97,6 +97,29 @@ def stream_resample_mean(
     )
 
 
+def stream_sessionize(
+    events: DataFrame,
+    gap_seconds: float = 1800.0,
+    watermark: str = "10 seconds",
+    ts_col: str = "timestamp",
+    key_cols: tuple[str, ...] = ("series",),
+) -> DataFrame:
+    """Streaming sessionization via the native ``session_window`` — merging
+    session state is maintained by the engine and bounded by the watermark
+    (the batch analogue is :func:`..operators.timeseries.sessionize`)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), f"{gap_seconds} seconds"), *key_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *key_cols,
+            "n_events",
+        )
+    )
+
+
 def write_parquet_stream(
     df: DataFrame,
     path: str,

@@ -110,3 +110,61 @@ def test_stream_resample_matches_batch_windows(spark, catalog, tmp_path):
     assert got.keys() == want.keys()
     for k, v in want.items():
         assert math.isclose(got[k], v, rel_tol=1e-12), k
+
+
+def test_stream_sessionize_matches_batch_gaps(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from solarboat_data_pipeline_spark.operators.timeseries import sessionize
+    from solarboat_data_pipeline_spark.streaming.pipeline import stream_sessionize
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    rows = [("a", e) for e in (0, 5, 8, 100, 103, 300)] + [("b", e) for e in (0, 200)]
+    spark.createDataFrame(rows, "series string, epoch long").select(
+        "series", F.timestamp_seconds("epoch").alias("timestamp")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/all.parquet")
+
+    stream = spark.readStream.schema("series string, timestamp timestamp").parquet(
+        f"{src}/*.parquet"
+    )
+    out = stream_sessionize(stream, gap_seconds=30.0, watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["series"], int(r["session_start"].timestamp())): r["n_events"]
+        for r in spark.sql("select * from sess_stream").collect()
+    }
+    # sessions: a:[0,5,8], a:[100,103], a:[300], b:[0], b:[200]
+    assert got == {
+        ("a", 0): 3,
+        ("a", 100): 2,
+        ("a", 300): 1,
+        ("b", 0): 1,
+        ("b", 200): 1,
+    }
+
+    # batch sessionize must find the same groups
+    batch = spark.read.parquet(f"{src}/all.parquet")
+    sess = sessionize(batch, gap_seconds=30.0, partition_cols=["series"])
+    counts = {
+        (r["series"], r["session_id"]): r["n"]
+        for r in sess.groupBy("series", "session_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts == {
+        ("a", 1): 3,
+        ("a", 2): 2,
+        ("a", 3): 1,
+        ("b", 1): 1,
+        ("b", 2): 1,
+    }
