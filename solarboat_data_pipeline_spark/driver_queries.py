@@ -1271,6 +1271,45 @@ def dd_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_near_dup_pipeline",
+    f"""
+    WITH RECURSIVE {_sql_lsh_pairs()},
+         pids AS (SELECT id_a AS id FROM lsh_pairs
+                  UNION SELECT id_b FROM lsh_pairs),
+         toks2 AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+                   WHERE doc_id IN (SELECT id FROM pids)),
+         sd AS (SELECT DISTINCT doc_id, unnest(list_distinct({_SQL_SH.replace('toks', 'toks')})) AS sh
+                FROM toks2),
+         sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sd GROUP BY 1),
+         inter AS (SELECT p.id_a, p.id_b, count(*)::BIGINT AS c
+                   FROM lsh_pairs p
+                   JOIN sd a ON a.doc_id = p.id_a
+                   JOIN sd b ON b.doc_id = p.id_b AND b.sh = a.sh
+                   GROUP BY 1, 2),
+         verified AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+           WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+                   UNION SELECT id_b, id_a FROM verified),
+         reach(src, dst) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                  FROM reach GROUP BY src)
+    SELECT doc_id::BIGINT AS drop_id, cluster_id::BIGINT AS keep_id
+    FROM comp WHERE doc_id <> cluster_id
+    """,
+)
+def dd_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship dedup composition: LSH candidates → exact-Jaccard verify →
+    connected components → per-cluster representative; returns the removal
+    list (drop_id, keep_id)."""
+    return dd.near_dup_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
     "dd_clusters",
     f"""
     WITH RECURSIVE {_sql_lsh_pairs()},

@@ -193,6 +193,78 @@ def simhash_table(
     return per_doc.select(id_col, acc.alias("simhash"))
 
 
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for candidate pairs — the verify
+    stage after LSH pruning. Shingle postings are semi-join-restricted to
+    ids appearing in ``pairs`` first, so the posting join never touches
+    documents without candidates. Returns (id_a, id_b, jaccard ≥ threshold)."""
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    ).join(ids, "id", "semi")
+    sh = toked.select(
+        "id",
+        F.explode(F.array_distinct(word_shingles(F.col("__toks")))).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def near_dup_dedup(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The complete near-duplicate REMOVAL pipeline:
+    shingle→MinHash→LSH candidates → exact-Jaccard verify → connected
+    components → keep the minimum id per cluster. Returns
+    (drop_id, keep_id): one row per document to remove, pointing at its
+    kept representative. Documents with no verified near-dup never appear.
+    Every stage is sub-quadratic: candidates come only from shared LSH
+    bands, verification touches only candidates, clustering iterates
+    join+aggregate rounds over the verified edge set."""
+    cands = lsh_candidate_pairs(df, text_col, id_col)
+    verified = jaccard_verify(df, cands, threshold, text_col, id_col)
+    comp = connected_components(verified.select("id_a", "id_b"))
+    return comp.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("drop_id"), F.col("cluster_id").alias("keep_id")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
