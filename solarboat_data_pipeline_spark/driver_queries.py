@@ -25,6 +25,7 @@ from solarboat_data_pipeline_spark.functions.formatting import epoch_seconds
 from solarboat_data_pipeline_spark.functions.geo import haversine_km, heading_deg
 from solarboat_data_pipeline_spark.operators import dedup as dd
 from solarboat_data_pipeline_spark.operators import multimodal as mm
+from solarboat_data_pipeline_spark.operators import scale as sc
 from solarboat_data_pipeline_spark.operators import similarity as sim
 from solarboat_data_pipeline_spark.operators import text as tx
 from solarboat_data_pipeline_spark.operators import timeseries as ts
@@ -1784,6 +1785,107 @@ def st_stream_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_features_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.documents_as_media(_t(spark, sf_dir, "documents"))
     return mm.extract_features(media, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# scale-path variants (operators/scale.py): same semantics as their global
+# twins — the oracle SQL is shared verbatim — but the ordered scan runs as
+# bucketed local windows + a tiny carry pass instead of one global window,
+# so nothing funnels through a single task at 100 TB. The driver verifies
+# both variants hash-identically against the same DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+
+@register("j4_asof_backward_scaled", _REGISTRY["j4_asof_backward"][1])
+def j4_asof_backward_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select("ts", "event_id")
+    right = ev.where(F.col("event_type") == "error").select(
+        "ts", F.col("value").alias("last_error_value")
+    )
+    out = sc.asof_join_backward(
+        left, right, on="ts", value_cols=["last_error_value"], num_buckets=32
+    )
+    return out.select(
+        "event_id", F.round("last_error_value", 6).alias("last_error_value")
+    )
+
+
+@register("j3_asof_linear_scaled", _REGISTRY["j3_asof_linear"][1])
+def j3_asof_linear_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select("ts", "event_id")
+    right = ev.where(F.col("event_type") == "signup").select(
+        "ts", F.col("value").alias("interp_value")
+    )
+    out = sc.asof_join_linear(
+        left, right, on="ts", value_cols=["interp_value"], num_buckets=32
+    )
+    return out.select("event_id", F.round("interp_value", 6).alias("interp_value"))
+
+
+@register("w3_interpolate_scaled", _REGISTRY["w3_interpolate_bounded"][1])
+def w3_interpolate_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") == 7)
+        .select(F.col("ts").alias("timestamp"), "value")
+    )
+    res = ts.resample_mean(src, 3600.0, value_cols=["value"])
+    out = sc.interpolate_time(res, value_cols=["value"], limit=6, num_buckets=32)
+    return out.select("timestamp", F.round("value", 6).alias("value"))
+
+
+@register(
+    "w_sessionize_scaled",
+    """
+    WITH g AS (
+      SELECT event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 300000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (ORDER BY ts, event_id)),
+    s AS (
+      SELECT event_id,
+             sum(new_s) OVER (ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM g)
+    SELECT session_id::BIGINT AS session_id,
+           count(*)::BIGINT AS n_events,
+           min(event_id)::BIGINT AS first_event
+    FROM s GROUP BY session_id
+    """,
+)
+def w_sessionize_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single global series (no user partition — the hard case): 5-min gap
+    # sessions over the full event stream via the distributed carry scan
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    s = sc.sessionize(
+        ev, ts_col="ts", gap_seconds=300.0, tiebreak_cols=["event_id"],
+        num_buckets=32,
+    )
+    return s.groupBy("session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+@register(
+    "a7_trapezoid_scaled",
+    _REGISTRY["a7_trapezoid_energy"][1],
+)
+def a7_trapezoid_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") == 1)
+    out = sc.trapezoid_integral(
+        ev.select("event_id", "ts", "value"),
+        "value",
+        "energy",
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+        num_buckets=32,
+    )
+    return out.select("event_id", F.round("energy", 6).alias("energy"))
 
 
 # ---------------------------------------------------------------------------

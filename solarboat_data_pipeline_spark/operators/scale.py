@@ -1,0 +1,437 @@
+"""Scale path for single-series ordered operators: bucketed scan + carry.
+
+The kernels in :mod:`.timeseries` take ``partition_cols``; with a natural
+series key (device, day) every window partitions and scales for free. The
+reference pipeline, though, is ONE series — a single boat's clock — and a
+``Window.orderBy(ts)`` with no partition funnels the whole table through one
+task ("WARN WindowExec: No Partition Defined"). Fine at 10⁷ rows, fatal at
+100 TB.
+
+This module re-expresses the ordered scans as the classic two-pass
+distributed prefix algorithm:
+
+1. **bucket** — assign each row a contiguous time bucket ``__bkt`` from
+   approx-quantile boundaries of the order key (density-balanced, so skewed
+   clocks don't produce straggler buckets; the boundaries are embedded as
+   plan literals so everything downstream is deterministic);
+2. **local scan** — run the window partitioned by ``__bkt`` (N parallel
+   sorts of ~|data|/N rows each);
+3. **carry** — reduce each bucket to one summary row (its last running
+   value), run the same scan over the ≤``num_buckets`` summary rows (tiny —
+   this is the only single-partition window left, over at most a few
+   thousand rows), and broadcast the per-bucket carry-in back;
+4. **merge** — ``coalesce(local, carry_in)`` / ``local + carry_in``.
+
+Results are bit-identical to the global-window forms for fill/blend/lag
+operators (same expression trees, same tie order). Running *float* sums
+(``cumulative_sum``, ``trapezoid_integral``) reassociate additions across
+the bucket boundary — equal up to float rounding, exact for integers.
+
+The quantile pre-pass is one extra scan of the order column; callers that
+already know their time range can pass ``bounds`` (a list of epoch-µs
+boundaries, e.g. one per day) and skip it — at 100 TB you would derive
+bounds from partition metadata (min/max per parquet partition), not a scan.
+
+No analogue exists in the reference (it never distributes an ordered scan;
+per-file ``multiprocessing.Pool`` at ``lib/canparser.py:406-417`` is its
+only parallelism) — this is the 1000-executor design the reference defers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .timeseries import MICROS, _union_for_asof, _us
+
+BUCKET = "__bkt"
+
+
+def _default_buckets(df: DataFrame) -> int:
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
+def compute_bounds(
+    df: DataFrame,
+    ts_col: str,
+    num_buckets: int,
+    relative_error: float = 1e-3,
+) -> list[int]:
+    """Approx-quantile bucket boundaries (epoch µs) for the order key."""
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    if not probs:
+        return []
+    qdf = df.select(_us(F.col(ts_col)).cast("double").alias("__k"))
+    raw = qdf.approxQuantile("__k", probs, relative_error)
+    return sorted({int(b) for b in raw})
+
+
+def with_buckets(
+    df: DataFrame,
+    ts_col: str,
+    num_buckets: int | None = None,
+    bounds: Sequence[int] | None = None,
+) -> DataFrame:
+    """Add the contiguous range-bucket id ``__bkt``.
+
+    Equal order keys always land in the same bucket (assignment depends on
+    the key value only), so bucket boundaries can never split a tie group —
+    a requirement for the carry math to reproduce global-window semantics.
+    """
+    if bounds is None:
+        bounds = compute_bounds(df, ts_col, num_buckets or _default_buckets(df))
+    k = _us(F.col(ts_col))
+    bkt = F.lit(0)
+    for b in sorted(bounds):
+        # boundary CASE chain stays inside whole-stage codegen; a few dozen
+        # comparisons per row beat any interpreted array search
+        bkt = bkt + F.when(k >= F.lit(int(b)), 1).otherwise(0)
+    return df.withColumn(BUCKET, bkt)
+
+
+def _ordering(order_cols: Sequence[str | Column], desc: bool) -> list[Column]:
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    return [c.desc() for c in cols] if desc else cols
+
+
+def _scan_fill(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    exprs: dict[str, Column],
+    desc: bool = False,
+) -> DataFrame:
+    """For each ``name → expr`` add column ``name`` = last non-null value of
+    ``expr`` at-or-before the current row in global ``order_cols`` order
+    (forward scan; ``desc=True`` gives first-at-or-after). ``df`` must
+    already carry ``__bkt``; all names are computed in ONE local window +
+    ONE summary aggregate + ONE broadcast join, however many there are."""
+    order = _ordering(order_cols, desc)
+    w_local = (
+        Window.partitionBy(BUCKET)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rn_local = F.row_number().over(Window.partitionBy(BUCKET).orderBy(*order))
+    out = df.withColumn("__rnl", rn_local).withColumns(
+        {n: F.last(e, ignorenulls=True).over(w_local) for n, e in exprs.items()}
+    )
+    # one summary row per bucket: the running value at the bucket's LAST row
+    # (struct max on the unique local row number picks it exactly)
+    last_row = out.groupBy(BUCKET).agg(
+        *[
+            F.max(F.struct(F.col("__rnl").alias("r"), F.col(n).alias("v")))
+            .alias(n)
+            for n in exprs
+        ]
+    )
+    w_carry = (
+        Window.orderBy(F.col(BUCKET).desc() if desc else F.col(BUCKET))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = last_row.select(
+        BUCKET,
+        *[
+            F.last(F.col(n)["v"], ignorenulls=True)
+            .over(w_carry)
+            .alias(f"__carry_{n}")
+            for n in exprs
+        ],
+    )
+    out = out.join(F.broadcast(carry), BUCKET, "left")
+    out = out.withColumns(
+        {n: F.coalesce(F.col(n), F.col(f"__carry_{n}")) for n in exprs}
+    )
+    return out.drop("__rnl", *[f"__carry_{n}" for n in exprs])
+
+
+def _scan_sum(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    exprs: dict[str, Column],
+) -> DataFrame:
+    """For each ``name → expr`` add the running sum of ``expr`` over the
+    global order: local running sum + exclusive prefix of bucket totals."""
+    order = _ordering(order_cols, desc=False)
+    w_local = (
+        Window.partitionBy(BUCKET)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df.withColumns({n: F.sum(e).over(w_local) for n, e in exprs.items()})
+    totals = df.groupBy(BUCKET).agg(
+        *[F.sum(e).alias(n) for n, e in exprs.items()]
+    )
+    w_prefix = Window.orderBy(BUCKET).rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.select(
+        BUCKET,
+        *[F.sum(n).over(w_prefix).alias(f"__prefix_{n}") for n in exprs],
+    )
+    out = out.join(F.broadcast(prefix), BUCKET, "left")
+    out = out.withColumns(
+        {
+            n: F.col(n) + F.coalesce(F.col(f"__prefix_{n}"), F.lit(0))
+            for n in exprs
+        }
+    )
+    return out.drop(*[f"__prefix_{n}" for n in exprs])
+
+
+def _scan_lag1(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    exprs: dict[str, Column],
+) -> DataFrame:
+    """For each ``name → expr`` add ``expr`` evaluated at the previous row
+    in global order (row-wise lag(1), NOT ignorenulls): local lag, with the
+    previous bucket's literal last-row value carried into each bucket's
+    first row."""
+    order = _ordering(order_cols, desc=False)
+    w_local = Window.partitionBy(BUCKET).orderBy(*order)
+    rn_local = F.row_number().over(w_local)
+    staged = df.withColumn("__rnl", rn_local).withColumns(
+        {f"__raw_{n}": e for n, e in exprs.items()}
+    )
+    # literal value at each bucket's last row (may be null — lag semantics)
+    last_row = staged.groupBy(BUCKET).agg(
+        *[
+            F.max(F.struct(F.col("__rnl").alias("r"), F.col(f"__raw_{n}").alias("v")))
+            .alias(n)
+            for n in exprs
+        ]
+    )
+    w_prev_bucket = Window.orderBy(BUCKET)
+    carry = last_row.select(
+        BUCKET,
+        *[
+            F.lag(F.col(n)["v"]).over(w_prev_bucket).alias(f"__carry_{n}")
+            for n in exprs
+        ],
+    )
+    out = staged.join(F.broadcast(carry), BUCKET, "left")
+    out = out.withColumns(
+        {
+            n: F.when(
+                F.col("__rnl") == 1, F.col(f"__carry_{n}")
+            ).otherwise(F.lag(f"__raw_{n}").over(w_local))
+            for n in exprs
+        }
+    )
+    return out.drop(
+        "__rnl",
+        *[f"__raw_{n}" for n in exprs],
+        *[f"__carry_{n}" for n in exprs],
+    )
+
+
+# ---------------------------------------------------------------------------
+# public operators — signatures mirror .timeseries, semantics identical
+# ---------------------------------------------------------------------------
+
+
+def cumulative_sum(
+    df: DataFrame,
+    col: str,
+    out_col: str,
+    ts_col: str = "timestamp",
+    tiebreak_cols: Sequence[str] = (),
+    num_buckets: int | None = None,
+    bounds: Sequence[int] | None = None,
+) -> DataFrame:
+    """A6 at scale: null-skipping running total over global time order.
+
+    ``tiebreak_cols`` fix the order within equal timestamps (bucket
+    assignment stays on the time key alone, so tie groups never split)."""
+    b = with_buckets(df, ts_col, num_buckets, bounds)
+    order = [ts_col, *tiebreak_cols]
+    b = _scan_sum(b, order, {out_col: F.coalesce(F.col(col), F.lit(0.0))})
+    return b.drop(BUCKET)
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "timestamp",
+    gap_seconds: float = 1800.0,
+    out_col: str = "session_id",
+    tiebreak_cols: Sequence[str] = (),
+    num_buckets: int | None = None,
+    bounds: Sequence[int] | None = None,
+) -> DataFrame:
+    """Gap sessionization at scale: lag across bucket boundaries via the
+    previous bucket's max timestamp; session ids are an exact (integer)
+    distributed running sum of boundary flags."""
+    gap_us = int(gap_seconds * MICROS)
+    order = [ts_col, *tiebreak_cols]
+    b = with_buckets(df, ts_col, num_buckets, bounds)
+    b = _scan_lag1(b, order, {"__prev_ts": F.col(ts_col)})
+    new_session = F.when(
+        F.col("__prev_ts").isNull()
+        | ((_us(F.col(ts_col)) - _us(F.col("__prev_ts"))) > gap_us),
+        1,
+    ).otherwise(0)
+    b = _scan_sum(b, order, {out_col: new_session})
+    return b.withColumn(out_col, F.col(out_col).cast("long")).drop(
+        BUCKET, "__prev_ts"
+    )
+
+
+def trapezoid_integral(
+    df: DataFrame,
+    col: str,
+    out_col: str,
+    ts_col: str = "timestamp",
+    time_constant: float = 3600.0,
+    tiebreak_cols: Sequence[str] = (),
+    num_buckets: int | None = None,
+    bounds: Sequence[int] | None = None,
+) -> DataFrame:
+    """A7 at scale: running trapezoid integral; per-row steps come from a
+    carried lag(1), the prefix from a distributed running sum."""
+    order = [ts_col, *tiebreak_cols]
+    b = with_buckets(df, ts_col, num_buckets, bounds)
+    b = _scan_lag1(
+        b, order, {"__pv": F.col(col), "__pts": _us(F.col(ts_col))}
+    )
+    dt = (_us(F.col(ts_col)) - F.col("__pts")) / MICROS / time_constant
+    step = F.coalesce((F.col(col) + F.col("__pv")) / 2 * dt, F.lit(0.0))
+    b = _scan_sum(b, order, {out_col: step})
+    return b.drop(BUCKET, "__pv", "__pts")
+
+
+def interpolate_time(
+    df: DataFrame,
+    ts_col: str = "timestamp",
+    value_cols: Sequence[str] | None = None,
+    limit: int | None = None,
+    limit_area: str | None = "inside",
+    num_buckets: int | None = None,
+    bounds: Sequence[int] | None = None,
+) -> DataFrame:
+    """W3/W4 at scale: same pandas ``interpolate(method="time")`` semantics
+    as :func:`timeseries.interpolate_time`, with the previous-valid scan,
+    next-valid scan, and global row number all bucket-distributed. All
+    value columns share the two scans (one forward, one backward)."""
+    if value_cols is None:
+        value_cols = [c for c in df.columns if c != ts_col]
+    if limit_area not in ("inside", None):
+        raise ValueError("limit_area must be 'inside' or None")
+    b = with_buckets(df, ts_col, num_buckets, bounds)
+    b = _scan_sum(b, [ts_col], {"__rn": F.lit(1)})
+    b = b.withColumn("__rn", F.col("__rn").cast("long"))
+    ts_us = _us(F.col(ts_col))
+    fwd = {}
+    for c in value_cols:
+        v = F.col(c)
+        fwd[f"__p_{c}"] = v
+        fwd[f"__pts_{c}"] = F.when(v.isNotNull(), ts_us)
+        fwd[f"__prn_{c}"] = F.when(v.isNotNull(), F.col("__rn"))
+    b = _scan_fill(b, [ts_col], fwd)
+    bwd = {}
+    for c in value_cols:
+        v = F.col(c)
+        bwd[f"__n_{c}"] = v
+        bwd[f"__nts_{c}"] = F.when(v.isNotNull(), ts_us)
+    b = _scan_fill(b, [ts_col], bwd, desc=True)
+    out_cols: dict[str, Column] = {}
+    for c in value_cols:
+        v = F.col(c)
+        prev_v, next_v = F.col(f"__p_{c}"), F.col(f"__n_{c}")
+        prev_ts, next_ts = F.col(f"__pts_{c}"), F.col(f"__nts_{c}")
+        gap_pos = F.col("__rn") - F.col(f"__prn_{c}")
+        frac = (ts_us - prev_ts) / (next_ts - prev_ts)
+        blend = prev_v + (next_v - prev_v) * frac
+        cond = prev_v.isNotNull() & next_v.isNotNull()
+        if limit is not None:
+            cond = cond & (gap_pos <= F.lit(int(limit)))
+        filled = F.when(v.isNotNull(), v).when(cond, blend)
+        if limit_area is None:
+            tcond = prev_v.isNotNull() & next_v.isNull()
+            if limit is not None:
+                tcond = tcond & (gap_pos <= F.lit(int(limit)))
+            filled = filled.when(tcond, prev_v)
+        out_cols[c] = filled
+    temps = [
+        t
+        for c in value_cols
+        for t in (f"__p_{c}", f"__pts_{c}", f"__prn_{c}", f"__n_{c}", f"__nts_{c}")
+    ]
+    return b.withColumns(out_cols).drop(BUCKET, "__rn", *temps)
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "timestamp",
+    value_cols: Sequence[str] | None = None,
+    tolerance_seconds: float | None = None,
+    num_buckets: int | None = None,
+    bounds: Sequence[int] | None = None,
+) -> DataFrame:
+    """J4 at scale: backward (ffill) as-of join with the carry scan instead
+    of a global window. Tie order matches the global form (right rows sort
+    before left at equal timestamps), and equal timestamps can never split
+    across buckets."""
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c != on]
+    u = _union_for_asof(left, right, on, value_cols, ())
+    b = with_buckets(u, on, num_buckets, bounds)
+    exprs: dict[str, Column] = {f"__f_{c}": F.col(c) for c in value_cols}
+    if tolerance_seconds is not None:
+        exprs["__f_ref_ts"] = F.when(F.col("__src") == 0, _us(F.col(on)))
+    b = _scan_fill(b, [F.col(on), F.col("__src")], exprs)
+    picks = {c: F.col(f"__f_{c}") for c in value_cols}
+    if tolerance_seconds is not None:
+        ok = (_us(F.col(on)) - F.col("__f_ref_ts")) <= int(
+            tolerance_seconds * MICROS
+        )
+        picks = {c: F.when(ok, picks[c]) for c in value_cols}
+    out = b.withColumns(picks).where(F.col("__src") == 1)
+    return out.drop(BUCKET, "__src", *[f"__f_{c}" for c in value_cols], "__f_ref_ts")
+
+
+def asof_join_linear(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "timestamp",
+    value_cols: Sequence[str] | None = None,
+    clamp_forward: bool = True,
+    num_buckets: int | None = None,
+    bounds: Sequence[int] | None = None,
+) -> DataFrame:
+    """J3 at scale: interpolating as-of join — forward and backward carry
+    scans replace the two global windows."""
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c != on]
+    u = _union_for_asof(left, right, on, value_cols, ())
+    b = with_buckets(u, on, num_buckets, bounds)
+    order = [F.col(on), F.col("__src")]
+    ts_us = _us(F.col(on))
+    fwd: dict[str, Column] = {}
+    bwd: dict[str, Column] = {}
+    for c in value_cols:
+        v = F.col(c)
+        fwd[f"__p_{c}"] = v
+        fwd[f"__pts_{c}"] = F.when(v.isNotNull(), ts_us)
+        bwd[f"__n_{c}"] = v
+        bwd[f"__nts_{c}"] = F.when(v.isNotNull(), ts_us)
+    b = _scan_fill(b, order, fwd)
+    b = _scan_fill(b, order, bwd, desc=True)
+    picks = {}
+    for c in value_cols:
+        prev_v, next_v = F.col(f"__p_{c}"), F.col(f"__n_{c}")
+        prev_ts, next_ts = F.col(f"__pts_{c}"), F.col(f"__nts_{c}")
+        blend = F.when(next_ts == prev_ts, prev_v).otherwise(
+            prev_v + (next_v - prev_v) * (ts_us - prev_ts) / (next_ts - prev_ts)
+        )
+        expr = F.when(prev_v.isNotNull() & next_v.isNotNull(), blend)
+        if clamp_forward:
+            expr = expr.when(prev_v.isNotNull() & next_v.isNull(), prev_v)
+        picks[c] = expr
+    temps = [
+        t
+        for c in value_cols
+        for t in (f"__p_{c}", f"__pts_{c}", f"__n_{c}", f"__nts_{c}")
+    ]
+    out = b.withColumns(picks).where(F.col("__src") == 1)
+    return out.drop(BUCKET, "__src", *temps)

@@ -1,0 +1,189 @@
+"""Scale-path kernels (operators/scale.py) vs their global-window twins.
+
+Same semantics, different physical plan: random adversarial series (nulls,
+duplicate timestamps, long gaps, empty buckets) must produce identical
+results through the bucketed carry scan and the single global window. Bucket
+boundaries are forced to land mid-series (small ``num_buckets`` and explicit
+``bounds``) so the carry logic is actually exercised.
+"""
+
+import math
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from solarboat_data_pipeline_spark.operators import scale, timeseries as ts
+
+
+def _ts(s):
+    return pd.Timestamp(s, unit="s").to_pydatetime()
+
+
+def _mk_series(spark, seed=7, n=400):
+    rng = random.Random(seed)
+    rows = []
+    t = 0.0
+    for _ in range(n):
+        # irregular steps incl. repeats (step 0 → duplicate timestamps)
+        t += rng.choice([0.0, 0.5, 1.0, 1.0, 2.0, 30.0])
+        v = None if rng.random() < 0.45 else round(rng.uniform(-5, 5), 3)
+        rows.append((_ts(t), v))
+    return spark.createDataFrame(rows, "timestamp timestamp, v double")
+
+
+def _uniq_ts(df, val_col="v"):
+    """Collapse duplicate timestamps deterministically (max value). Ordered
+    kernels that read values through ties (ffill, lag) are tie-arbitrary in
+    BOTH implementations — exactly like pandas and the global window — so
+    parity tests compare on tie-free series, as the reference itself dedups
+    timestamps (W5) before its as-of joins."""
+    return df.groupBy("timestamp").agg(F.max(val_col).alias(val_col))
+
+
+def _vals(df, cols=("v",), ts_col="timestamp"):
+    out = []
+    for r in df.orderBy(ts_col, *cols).collect():
+        out.append(tuple([r[ts_col]] + [r[c] for c in cols]))
+    return out
+
+
+def _approx_eq(a, b, tol=1e-9):
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra[0] == rb[0]
+        for x, y in zip(ra[1:], rb[1:]):
+            if x is None or y is None:
+                assert x is None and y is None
+            else:
+                assert math.isclose(x, y, rel_tol=tol, abs_tol=tol), (ra, rb)
+
+
+BUCKETS = 7  # few, so every bucket has many rows and boundaries bite
+
+
+def test_with_buckets_is_contiguous_and_tie_safe(spark):
+    df = _mk_series(spark, seed=1)
+    b = scale.with_buckets(df, "timestamp", num_buckets=BUCKETS)
+    # bucket id must be a non-decreasing function of the timestamp
+    rows = b.select("timestamp", scale.BUCKET).orderBy("timestamp").collect()
+    ids = [r[scale.BUCKET] for r in rows]
+    assert ids == sorted(ids)
+    assert len(set(ids)) > 1, "quantile bounds produced a single bucket"
+    per_ts = b.groupBy("timestamp").agg(
+        F.countDistinct(scale.BUCKET).alias("n")
+    )
+    assert per_ts.agg(F.max("n")).first()[0] == 1, "a tie group split buckets"
+
+
+def test_cumulative_sum_matches_global(spark):
+    df = _mk_series(spark, seed=2)
+    g = ts.cumulative_sum(df, "v", "cum", order_cols=["timestamp"])
+    s = scale.cumulative_sum(df, "v", "cum", ts_col="timestamp", num_buckets=BUCKETS)
+    _approx_eq(_vals(g, ("cum",)), _vals(s, ("cum",)))
+
+
+def test_sessionize_matches_global(spark):
+    df = _mk_series(spark, seed=3).drop("v")
+    g = ts.sessionize(df, gap_seconds=10.0)
+    s = scale.sessionize(df, gap_seconds=10.0, num_buckets=BUCKETS)
+    assert _vals(g, ("session_id",)) == _vals(s, ("session_id",))
+
+
+def test_trapezoid_matches_global(spark):
+    df = _uniq_ts(_mk_series(spark, seed=4).where(F.col("v").isNotNull()))
+    g = ts.trapezoid_integral(df, "v", "e")
+    s = scale.trapezoid_integral(df, "v", "e", num_buckets=BUCKETS)
+    _approx_eq(_vals(g, ("e",)), _vals(s, ("e",)))
+
+
+@pytest.mark.parametrize("limit,area", [(None, "inside"), (2, "inside"), (None, None), (3, None)])
+def test_interpolate_matches_global(spark, limit, area):
+    df = _uniq_ts(_mk_series(spark, seed=5))
+    g = ts.interpolate_time(df, value_cols=["v"], limit=limit, limit_area=area)
+    s = scale.interpolate_time(
+        df, value_cols=["v"], limit=limit, limit_area=area, num_buckets=BUCKETS
+    )
+    _approx_eq(_vals(g), _vals(s))
+
+
+def test_asof_backward_matches_global(spark):
+    left = _mk_series(spark, seed=6).drop("v")
+    right = _uniq_ts(
+        _mk_series(spark, seed=7).where(F.col("v").isNotNull())
+    ).withColumnRenamed("v", "rv")
+    g = ts.asof_join_backward(left, right, on="timestamp", value_cols=["rv"])
+    s = scale.asof_join_backward(left, right, on="timestamp", value_cols=["rv"], num_buckets=BUCKETS)
+    _approx_eq(_vals(g, ("rv",)), _vals(s, ("rv",)))
+
+
+def test_asof_backward_tolerance_matches_global(spark):
+    left = _mk_series(spark, seed=8).drop("v")
+    right = _uniq_ts(
+        _mk_series(spark, seed=9).where(F.col("v").isNotNull())
+    ).withColumnRenamed("v", "rv")
+    g = ts.asof_join_backward(
+        left, right, on="timestamp", value_cols=["rv"], tolerance_seconds=20.0
+    )
+    s = scale.asof_join_backward(
+        left,
+        right,
+        on="timestamp",
+        value_cols=["rv"],
+        tolerance_seconds=20.0,
+        num_buckets=BUCKETS,
+    )
+    _approx_eq(_vals(g, ("rv",)), _vals(s, ("rv",)))
+
+
+@pytest.mark.parametrize("clamp", [True, False])
+def test_asof_linear_matches_global(spark, clamp):
+    left = _mk_series(spark, seed=10).drop("v")
+    right = _uniq_ts(
+        _mk_series(spark, seed=11).where(F.col("v").isNotNull())
+    ).withColumnRenamed("v", "rv")
+    g = ts.asof_join_linear(
+        left, right, on="timestamp", value_cols=["rv"], clamp_forward=clamp
+    )
+    s = scale.asof_join_linear(
+        left,
+        right,
+        on="timestamp",
+        value_cols=["rv"],
+        clamp_forward=clamp,
+        num_buckets=BUCKETS,
+    )
+    _approx_eq(_vals(g, ("rv",)), _vals(s, ("rv",)))
+
+
+def test_explicit_bounds_skip_quantile_pass(spark):
+    df = _mk_series(spark, seed=12)
+    lo, hi = df.agg(
+        F.unix_micros(F.min("timestamp")), F.unix_micros(F.max("timestamp"))
+    ).first()
+    bounds = [lo + (hi - lo) * i // 5 for i in range(1, 5)]
+    g = ts.cumulative_sum(df, "v", "cum", order_cols=["timestamp"])
+    s = scale.cumulative_sum(df, "v", "cum", bounds=bounds)
+    _approx_eq(_vals(g, ("cum",)), _vals(s, ("cum",)))
+
+
+def test_degenerate_single_bucket(spark):
+    # all rows share one timestamp → every quantile boundary collapses
+    rows = [(_ts(5.0), float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "timestamp timestamp, v double")
+    s = scale.cumulative_sum(df, "v", "cum", num_buckets=BUCKETS)
+    total = s.agg(F.max("cum")).first()[0]
+    assert total == sum(range(20))
+
+
+def test_data_path_window_is_partitioned(spark):
+    """The big-side window must partition by bucket — only the ≤N-row carry
+    summary may use a global (single-partition) window."""
+    from solarboat_data_pipeline_spark.plans.audit import explain_string
+
+    df = _mk_series(spark, seed=13)
+    s = scale.interpolate_time(df, value_cols=["v"], num_buckets=BUCKETS)
+    plan = explain_string(s, mode="formatted")
+    assert scale.BUCKET in plan  # bucket column drives partitioning
+    assert "unboundedfollowing" not in plan.lower()  # no O(n²) frames
