@@ -96,54 +96,108 @@ def _ordering(order_cols: Sequence[str | Column], desc: bool) -> list[Column]:
     return [c.desc() for c in cols] if desc else cols
 
 
-def _scan_fill(
-    df: DataFrame,
+def _lv_struct(order: Sequence[Column], e: Column) -> Column:
+    """Key-ordered struct carrying ``e``: struct compare on the order keys
+    picks the extreme row; the trailing value field rides along (and breaks
+    full ties — tie-arbitrary, like every running ``last(ignorenulls)``)."""
+    ks = [k.alias(f"k{i}") for i, k in enumerate(order)]
+    return F.struct(*ks, e.alias("v"))
+
+
+def _attach_carries(
+    b: DataFrame,
     order_cols: Sequence[str | Column],
-    exprs: dict[str, Column],
-    desc: bool = False,
+    fwd: dict[str, Column],
+    bwd: dict[str, Column] | None = None,
+    want_count: bool = False,
 ) -> DataFrame:
-    """For each ``name → expr`` add column ``name`` = last non-null value of
-    ``expr`` at-or-before the current row in global ``order_cols`` order
-    (forward scan; ``desc=True`` gives first-at-or-after). ``df`` must
-    already carry ``__bkt``; all names are computed in ONE local window +
-    ONE summary aggregate + ONE broadcast join, however many there are."""
-    order = _ordering(order_cols, desc)
-    w_local = (
+    """Join per-bucket carry-in columns onto ``b`` for a set of fill
+    expressions, computed WITHOUT consuming any window output.
+
+    The per-bucket "last non-null value of ``e`` in order" is
+    ``max(when(e not null, struct(order…, e)))`` — a plain aggregate over
+    the bucketed base, so Spark's partial aggregation collapses the summary
+    branch to scan + map-side combine + a ≤num_buckets-row shuffle. No
+    sort, no window, no recompute of other operators. (The naive
+    formulation — aggregate the *running-fill window output* — re-executes
+    the whole upstream window chain per summary branch: AQE cannot reuse
+    the exchange because partial aggregation rewrites the build-side
+    subtree below it.)
+
+    Adds ``__c_{name}`` = carry-in (the fill value entering the bucket from
+    previous buckets; next buckets for ``bwd``), and with ``want_count``
+    ``__off`` = exclusive prefix of bucket row counts and ``__n`` = the
+    bucket's own row count.
+    """
+    order = _ordering(order_cols, desc=False)
+    bwd = bwd or {}
+    # a null e yields a null struct (when() with no otherwise), which
+    # max/min skip — so the extreme is taken over valid rows only
+    aggs = [
+        F.max(F.when(e.isNotNull(), _lv_struct(order, e))).alias(n)
+        for n, e in fwd.items()
+    ] + [
+        F.min(F.when(e.isNotNull(), _lv_struct(order, e))).alias(n)
+        for n, e in bwd.items()
+    ]
+    if want_count:
+        aggs.append(F.count(F.lit(1)).alias("__n"))
+    summary = b.groupBy(BUCKET).agg(*aggs)
+    # the only "global" windows left run over ≤num_buckets summary rows
+    w_f = Window.orderBy(BUCKET).rowsBetween(Window.unboundedPreceding, -1)
+    w_b = Window.orderBy(F.col(BUCKET).desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sel = [F.col(BUCKET)]
+    for n in fwd:
+        sel.append(F.last(n, ignorenulls=True).over(w_f)["v"].alias(f"__c_{n}"))
+    for n in bwd:
+        sel.append(F.last(n, ignorenulls=True).over(w_b)["v"].alias(f"__c_{n}"))
+    if want_count:
+        sel.append(F.col("__n"))
+        sel.append(F.coalesce(F.sum("__n").over(w_f), F.lit(0)).alias("__off"))
+    carry = summary.select(*sel)
+    return b.join(F.broadcast(carry), BUCKET, "left")
+
+
+def _run_fill(
+    b: DataFrame,
+    order_cols: Sequence[str | Column],
+    fwd: dict[str, Column],
+    bwd: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Data-side pass: bucket-local running fills merged with the carries
+    attached by :func:`_attach_carries`. Forward fills run in one window,
+    backward fills in a second over the same partitioning (an in-partition
+    re-sort, not a new shuffle — the chain is linear, no diamond)."""
+    bwd = bwd or {}
+    w_fwd = (
         Window.partitionBy(BUCKET)
-        .orderBy(*order)
+        .orderBy(*_ordering(order_cols, desc=False))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    rn_local = F.row_number().over(Window.partitionBy(BUCKET).orderBy(*order))
-    out = df.withColumn("__rnl", rn_local).withColumns(
-        {n: F.last(e, ignorenulls=True).over(w_local) for n, e in exprs.items()}
+    w_bwd = (
+        Window.partitionBy(BUCKET)
+        .orderBy(*_ordering(order_cols, desc=True))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    # one summary row per bucket: the running value at the bucket's LAST row
-    # (struct max on the unique local row number picks it exactly)
-    last_row = out.groupBy(BUCKET).agg(
-        *[
-            F.max(F.struct(F.col("__rnl").alias("r"), F.col(n).alias("v")))
-            .alias(n)
-            for n in exprs
-        ]
+    out = b.withColumns(
+        {
+            n: F.coalesce(
+                F.last(e, ignorenulls=True).over(w_fwd), F.col(f"__c_{n}")
+            )
+            for n, e in fwd.items()
+        }
     )
-    w_carry = (
-        Window.orderBy(F.col(BUCKET).desc() if desc else F.col(BUCKET))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    carry = last_row.select(
-        BUCKET,
-        *[
-            F.last(F.col(n)["v"], ignorenulls=True)
-            .over(w_carry)
-            .alias(f"__carry_{n}")
-            for n in exprs
-        ],
-    )
-    out = out.join(F.broadcast(carry), BUCKET, "left")
     out = out.withColumns(
-        {n: F.coalesce(F.col(n), F.col(f"__carry_{n}")) for n in exprs}
+        {
+            n: F.coalesce(
+                F.last(e, ignorenulls=True).over(w_bwd), F.col(f"__c_{n}")
+            )
+            for n, e in bwd.items()
+        }
     )
-    return out.drop("__rnl", *[f"__carry_{n}" for n in exprs])
+    return out.drop(*[f"__c_{n}" for n in list(fwd) + list(bwd)])
 
 
 def _scan_sum(
@@ -309,40 +363,99 @@ def interpolate_time(
     bounds: Sequence[int] | None = None,
 ) -> DataFrame:
     """W3/W4 at scale: same pandas ``interpolate(method="time")`` semantics
-    as :func:`timeseries.interpolate_time`, with the previous-valid scan,
-    next-valid scan, and global row number all bucket-distributed. All
-    value columns share the two scans (one forward, one backward)."""
+    as :func:`timeseries.interpolate_time`, with the previous-valid and
+    next-valid scans bucket-distributed. All value columns share one
+    summary aggregate and two data-side windows (one sort order each).
+
+    ``limit`` additionally needs each row's position inside its null run —
+    a global row-number affair. Cross-bucket positions are derived from two
+    more cheap aggregate branches over the base (bucket row counts and
+    trailing-null counts), never from re-running a window."""
     if value_cols is None:
         value_cols = [c for c in df.columns if c != ts_col]
     if limit_area not in ("inside", None):
         raise ValueError("limit_area must be 'inside' or None")
     b = with_buckets(df, ts_col, num_buckets, bounds)
-    b = _scan_sum(b, [ts_col], {"__rn": F.lit(1)})
-    b = b.withColumn("__rn", F.col("__rn").cast("long"))
     ts_us = _us(F.col(ts_col))
-    fwd = {}
+    fwd: dict[str, Column] = {}
+    bwd: dict[str, Column] = {}
     for c in value_cols:
         v = F.col(c)
         fwd[f"__p_{c}"] = v
         fwd[f"__pts_{c}"] = F.when(v.isNotNull(), ts_us)
-        fwd[f"__prn_{c}"] = F.when(v.isNotNull(), F.col("__rn"))
-    b = _scan_fill(b, [ts_col], fwd)
-    bwd = {}
-    for c in value_cols:
-        v = F.col(c)
         bwd[f"__n_{c}"] = v
         bwd[f"__nts_{c}"] = F.when(v.isNotNull(), ts_us)
-    b = _scan_fill(b, [ts_col], bwd, desc=True)
+    b = _attach_carries(
+        b, [ts_col], fwd, bwd, want_count=limit is not None
+    )
+    extra_temps: list[str] = []
+    if limit is not None:
+        # per-bucket last-valid position = n - trailing nulls; both come
+        # from plain aggregates (the trailing count needs the last-valid
+        # timestamp joined back first — a broadcast of ≤num_buckets rows)
+        lv = b.groupBy(BUCKET).agg(
+            *[
+                F.max(F.when(F.col(c).isNotNull(), ts_us)).alias(f"__lv_{c}")
+                for c in value_cols
+            ]
+        )
+        bt = b.join(F.broadcast(lv), BUCKET)
+        trail = bt.groupBy(BUCKET).agg(
+            F.first("__n").alias("__bn"),
+            F.first("__off").alias("__boff"),
+            *[
+                F.count(F.when(ts_us > F.col(f"__lv_{c}"), 1)).alias(f"__tr_{c}")
+                for c in value_cols
+            ],
+            *[F.first(f"__lv_{c}").alias(f"__blv_{c}") for c in value_cols],
+        )
+        w_f = Window.orderBy(BUCKET).rowsBetween(Window.unboundedPreceding, -1)
+        cpr = trail.select(
+            BUCKET,
+            *[
+                F.last(
+                    F.when(
+                        F.col(f"__blv_{c}").isNotNull(),
+                        F.col("__boff") + F.col("__bn") - F.col(f"__tr_{c}"),
+                    ),
+                    ignorenulls=True,
+                )
+                .over(w_f)
+                .alias(f"__cprn_{c}")
+                for c in value_cols
+            ],
+        )
+        b = b.join(F.broadcast(cpr), BUCKET, "left")
+        w_rn = Window.partitionBy(BUCKET).orderBy(ts_col)
+        b = b.withColumn("__rnl", F.row_number().over(w_rn))
+        w_run = w_rn.rowsBetween(Window.unboundedPreceding, 0)
+        b = b.withColumns(
+            {
+                f"__lprn_{c}": F.last(
+                    F.when(F.col(c).isNotNull(), F.col("__rnl")), ignorenulls=True
+                ).over(w_run)
+                for c in value_cols
+            }
+        )
+        extra_temps = (
+            ["__rnl", "__n", "__off"]
+            + [f"__lprn_{c}" for c in value_cols]
+            + [f"__cprn_{c}" for c in value_cols]
+        )
+    b = _run_fill(b, [ts_col], fwd, bwd)
     out_cols: dict[str, Column] = {}
     for c in value_cols:
         v = F.col(c)
         prev_v, next_v = F.col(f"__p_{c}"), F.col(f"__n_{c}")
         prev_ts, next_ts = F.col(f"__pts_{c}"), F.col(f"__nts_{c}")
-        gap_pos = F.col("__rn") - F.col(f"__prn_{c}")
         frac = (ts_us - prev_ts) / (next_ts - prev_ts)
         blend = prev_v + (next_v - prev_v) * frac
         cond = prev_v.isNotNull() & next_v.isNotNull()
         if limit is not None:
+            lprn = F.col(f"__lprn_{c}")
+            gap_pos = F.when(
+                lprn.isNotNull(), F.col("__rnl") - lprn
+            ).otherwise(F.col("__rnl") + F.col("__off") - F.col(f"__cprn_{c}"))
             cond = cond & (gap_pos <= F.lit(int(limit)))
         filled = F.when(v.isNotNull(), v).when(cond, blend)
         if limit_area is None:
@@ -354,9 +467,9 @@ def interpolate_time(
     temps = [
         t
         for c in value_cols
-        for t in (f"__p_{c}", f"__pts_{c}", f"__prn_{c}", f"__n_{c}", f"__nts_{c}")
+        for t in (f"__p_{c}", f"__pts_{c}", f"__n_{c}", f"__nts_{c}")
     ]
-    return b.withColumns(out_cols).drop(BUCKET, "__rn", *temps)
+    return b.withColumns(out_cols).drop(BUCKET, *temps, *extra_temps)
 
 
 def asof_join_backward(
@@ -368,18 +481,20 @@ def asof_join_backward(
     num_buckets: int | None = None,
     bounds: Sequence[int] | None = None,
 ) -> DataFrame:
-    """J4 at scale: backward (ffill) as-of join with the carry scan instead
-    of a global window. Tie order matches the global form (right rows sort
-    before left at equal timestamps), and equal timestamps can never split
-    across buckets."""
+    """J4 at scale: backward (ffill) as-of join — one data shuffle, one
+    bucket-local window, one aggregate-only carry branch. Tie order matches
+    the global form (right rows sort before left at equal timestamps), and
+    equal timestamps can never split across buckets."""
     if value_cols is None:
         value_cols = [c for c in right.columns if c != on]
     u = _union_for_asof(left, right, on, value_cols, ())
     b = with_buckets(u, on, num_buckets, bounds)
+    order = [F.col(on), F.col("__src")]
     exprs: dict[str, Column] = {f"__f_{c}": F.col(c) for c in value_cols}
     if tolerance_seconds is not None:
         exprs["__f_ref_ts"] = F.when(F.col("__src") == 0, _us(F.col(on)))
-    b = _scan_fill(b, [F.col(on), F.col("__src")], exprs)
+    b = _attach_carries(b, order, exprs)
+    b = _run_fill(b, order, exprs)
     picks = {c: F.col(f"__f_{c}") for c in value_cols}
     if tolerance_seconds is not None:
         ok = (_us(F.col(on)) - F.col("__f_ref_ts")) <= int(
@@ -400,7 +515,8 @@ def asof_join_linear(
     bounds: Sequence[int] | None = None,
 ) -> DataFrame:
     """J3 at scale: interpolating as-of join — forward and backward carry
-    scans replace the two global windows."""
+    scans replace the two global windows; both directions share one
+    summary aggregate and one broadcast join."""
     if value_cols is None:
         value_cols = [c for c in right.columns if c != on]
     u = _union_for_asof(left, right, on, value_cols, ())
@@ -415,8 +531,8 @@ def asof_join_linear(
         fwd[f"__pts_{c}"] = F.when(v.isNotNull(), ts_us)
         bwd[f"__n_{c}"] = v
         bwd[f"__nts_{c}"] = F.when(v.isNotNull(), ts_us)
-    b = _scan_fill(b, order, fwd)
-    b = _scan_fill(b, order, bwd, desc=True)
+    b = _attach_carries(b, order, fwd, bwd)
+    b = _run_fill(b, order, fwd, bwd)
     picks = {}
     for c in value_cols:
         prev_v, next_v = F.col(f"__p_{c}"), F.col(f"__n_{c}")
