@@ -1871,6 +1871,21 @@ def w_sessionize_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("w2_lagk_scaled", _REGISTRY["w2_lagk_outlier_filter"][1])
+def w2_lagk_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lag-k via the distributed rn self-join instead of a global window
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    out = sc.clean_timestamp_outliers(
+        ev,
+        ts_col="ts",
+        lag_rows=100,
+        threshold_ns=6e14,
+        tiebreak_cols=["event_id"],
+        num_buckets=32,
+    )
+    return out.select("event_id")
+
+
 @register(
     "a7_trapezoid_scaled",
     _REGISTRY["a7_trapezoid_energy"][1],

@@ -551,3 +551,68 @@ def asof_join_linear(
     ]
     out = b.withColumns(picks).where(F.col("__src") == 1)
     return out.drop(BUCKET, "__src", *temps)
+
+
+def lag_k(
+    df: DataFrame,
+    k: int,
+    cols: dict[str, str],
+    ts_col: str = "timestamp",
+    tiebreak_cols: Sequence[str] = (),
+    num_buckets: int | None = None,
+    bounds: Sequence[int] | None = None,
+) -> DataFrame:
+    """Row-wise ``lag(k)`` over the global order as a distributed self-join.
+
+    A window ``lag(col, 10_000)`` forces a single global sort AND holds a
+    10k-row frame per partition; carrying 10k boundary rows per bucket
+    through the summary would bloat the broadcast instead. The scalable
+    form: materialize the global row number (bucket-local ``row_number`` +
+    carried offset), then equi-join the frame to itself shifted by ``k`` —
+    every step is a plain distributed hash join/shuffle. ``cols`` maps
+    output name → source column to fetch from the row ``k`` earlier.
+    """
+    b = with_buckets(df, ts_col, num_buckets, bounds)
+    order = [ts_col, *tiebreak_cols]
+    b = _attach_carries(b, order, {}, None, want_count=True)
+    w = Window.partitionBy(BUCKET).orderBy(*_ordering(order, desc=False))
+    b = (
+        b.withColumn("__rn", F.row_number().over(w) + F.col("__off"))
+        .drop(BUCKET, "__n", "__off")
+    )
+    lagged = b.select(
+        (F.col("__rn") + F.lit(int(k))).alias("__rn"),
+        *[F.col(src).alias(out) for out, src in cols.items()],
+    )
+    return b.join(lagged, "__rn", "left").drop("__rn")
+
+
+def clean_timestamp_outliers(
+    df: DataFrame,
+    ts_col: str = "timestamp",
+    lag_rows: int = 10_000,
+    threshold_ns: float = 1e11,
+    tiebreak_cols: Sequence[str] = (),
+    num_buckets: int | None = None,
+    bounds: Sequence[int] | None = None,
+) -> DataFrame:
+    """W2 at scale (``lib/canparser.py:244-260``): the lag-10k clock-wrap
+    filter via :func:`lag_k` instead of a single-task global window."""
+    b = lag_k(
+        df,
+        lag_rows,
+        {"__lag_ts": ts_col},
+        ts_col=ts_col,
+        tiebreak_cols=tiebreak_cols,
+        num_buckets=num_buckets,
+        bounds=bounds,
+    )
+    diff_ns = ((_us(F.col(ts_col)) - _us(F.col("__lag_ts"))) * 1000).cast("double")
+    diff_ns = F.coalesce(diff_ns, F.lit(0.0))
+    lo, hi = float(threshold_ns), float(10 * threshold_ns)
+    outlier = ((diff_ns < -lo) & (diff_ns > -hi)) | ((diff_ns > lo) & (diff_ns < hi))
+    return (
+        b.withColumn("__outlier", outlier)
+        .where(~F.col("__outlier"))
+        .drop("__outlier", "__lag_ts")
+    )

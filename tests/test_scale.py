@@ -187,3 +187,25 @@ def test_data_path_window_is_partitioned(spark):
     plan = explain_string(s, mode="formatted")
     assert scale.BUCKET in plan  # bucket column drives partitioning
     assert "unboundedfollowing" not in plan.lower()  # no O(n²) frames
+
+
+def test_lag_k_matches_global_window(spark):
+    from pyspark.sql import Window
+
+    df = _uniq_ts(_mk_series(spark, seed=14))
+    g = df.withColumn(
+        "lv", F.lag("v", 17).over(Window.orderBy("timestamp"))
+    )
+    s = scale.lag_k(df, 17, {"lv": "v"}, num_buckets=BUCKETS)
+    _approx_eq(_vals(g, ("v", "lv")), _vals(s, ("v", "lv")))
+
+
+def test_clean_timestamp_outliers_matches_global(spark):
+    df = _mk_series(spark, seed=15).drop("v")
+    g = ts.clean_timestamp_outliers(df, lag_rows=50, threshold_ns=2e10)
+    s = scale.clean_timestamp_outliers(
+        df, lag_rows=50, threshold_ns=2e10, num_buckets=BUCKETS
+    )
+    kept = g.count()
+    assert 0 < kept < df.count(), "filter must actually drop rows here"
+    assert sorted(r[0] for r in g.collect()) == sorted(r[0] for r in s.collect())
