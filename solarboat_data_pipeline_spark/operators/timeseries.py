@@ -7,6 +7,10 @@ Catalyst can plan. Every ordered operator takes ``partition_cols``: with an
 empty tuple you get the reference's single-series semantics (one global sort
 — fine for one boat's telemetry); at 100 TB you pass the series key
 (device/day) so windows partition and nothing funnels through one task.
+When no natural series key exists, :mod:`.scale` provides equivalents of
+the single-series forms (as-of joins, interpolation, cumulative sums,
+sessionization, lag-k) that distribute the global order over range buckets
+with a carry pass — same semantics, no single-task window.
 """
 
 from __future__ import annotations
