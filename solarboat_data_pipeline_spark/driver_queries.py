@@ -73,6 +73,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _event_bounds(sf_dir: str, num_buckets: int = 32) -> list[int] | None:
+    """Scale-path bucket bounds for ``events.ts`` derived from parquet
+    FOOTER statistics — no data scanned (the 100 TB form; see
+    :func:`operators.scale.bounds_from_parquet_metadata`). ``None`` makes
+    the operators fall back to the approx-quantile scan."""
+    import os
+
+    return sc.bounds_from_parquet_metadata(
+        os.path.join(sf_dir, "events.parquet"), "ts", num_buckets
+    )
+
+
 QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
 _REGISTRY: dict[str, QuerySpec] = {}
 
@@ -1804,7 +1816,12 @@ def j4_asof_backward_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", F.col("value").alias("last_error_value")
     )
     out = sc.asof_join_backward(
-        left, right, on="ts", value_cols=["last_error_value"], num_buckets=32
+        left,
+        right,
+        on="ts",
+        value_cols=["last_error_value"],
+        num_buckets=32,
+        bounds=_event_bounds(sf_dir),
     )
     return out.select(
         "event_id", F.round("last_error_value", 6).alias("last_error_value")
@@ -1819,7 +1836,12 @@ def j3_asof_linear_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", F.col("value").alias("interp_value")
     )
     out = sc.asof_join_linear(
-        left, right, on="ts", value_cols=["interp_value"], num_buckets=32
+        left,
+        right,
+        on="ts",
+        value_cols=["interp_value"],
+        num_buckets=32,
+        bounds=_event_bounds(sf_dir),
     )
     return out.select("event_id", F.round("interp_value", 6).alias("interp_value"))
 
@@ -1832,7 +1854,13 @@ def w3_interpolate_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("ts").alias("timestamp"), "value")
     )
     res = ts.resample_mean(src, 3600.0, value_cols=["value"])
-    out = sc.interpolate_time(res, value_cols=["value"], limit=6, num_buckets=32)
+    out = sc.interpolate_time(
+        res,
+        value_cols=["value"],
+        limit=6,
+        num_buckets=32,
+        bounds=_event_bounds(sf_dir),
+    )
     return out.select("timestamp", F.round("value", 6).alias("value"))
 
 
@@ -1862,8 +1890,12 @@ def w_sessionize_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sessions over the full event stream via the distributed carry scan
     ev = _t(spark, sf_dir, "events").select("event_id", "ts")
     s = sc.sessionize(
-        ev, ts_col="ts", gap_seconds=300.0, tiebreak_cols=["event_id"],
+        ev,
+        ts_col="ts",
+        gap_seconds=300.0,
+        tiebreak_cols=["event_id"],
         num_buckets=32,
+        bounds=_event_bounds(sf_dir),
     )
     return s.groupBy("session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -1882,6 +1914,7 @@ def w2_lagk_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_ns=6e14,
         tiebreak_cols=["event_id"],
         num_buckets=32,
+        bounds=_event_bounds(sf_dir),
     )
     return out.select("event_id")
 
@@ -1899,6 +1932,7 @@ def a7_trapezoid_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         tiebreak_cols=["event_id"],
         num_buckets=32,
+        bounds=_event_bounds(sf_dir),
     )
     return out.select("event_id", F.round("energy", 6).alias("energy"))
 

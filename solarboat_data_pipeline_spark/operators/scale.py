@@ -68,6 +68,106 @@ def compute_bounds(
     return sorted({int(b) for b in raw})
 
 
+def _stat_to_us(v) -> int:
+    """Parquet column statistic → epoch µs int. Timestamp stats arrive as
+    pandas Timestamps (ns resolution); raw int64 stats pass through."""
+    ns = getattr(v, "value", None)  # pandas Timestamp
+    if ns is not None:
+        return int(ns) // 1000
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo or _dt.timezone.utc)
+        return int((v.replace(tzinfo=epoch.tzinfo) - epoch).total_seconds() * MICROS)
+    return int(v)
+
+
+def bounds_from_parquet_metadata(
+    path: str,
+    ts_col: str,
+    num_buckets: int,
+    int_divisor: int = 1,
+) -> list[int] | None:
+    """Bucket boundaries (epoch µs) from parquet FOOTER statistics only —
+    zero data scanned. This is the 100 TB form of :func:`compute_bounds`:
+    a petabyte table has thousands of row groups, and their per-group
+    ``(min, max, rows)`` triples define a piecewise-uniform CDF of the
+    order key that footer reads alone can invert into density-balanced
+    cuts. At the test SFs a file is a single row group, so the CDF
+    degenerates to linear cuts over ``[min, max]`` — still scan-free, and
+    bucket balance only affects speed, never results (the carry algebra is
+    bucket-count-independent; see module docstring).
+
+    ``path`` may be one parquet file or a directory of part files.
+    ``int_divisor`` converts raw int64 stats to µs (e.g. 1000 for an
+    epoch-ns BIGINT column); timestamp-typed stats convert automatically.
+    Returns ``None`` when any row group lacks min/max stats — callers fall
+    back to the quantile scan.
+    """
+    import os as _os
+
+    try:
+        import pyarrow.parquet as _pq
+    except ImportError:  # pragma: no cover
+        return None
+    if _os.path.isdir(path):
+        files = sorted(
+            _os.path.join(r, f)
+            for r, _, fs in _os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [path]
+    if not files:
+        return None
+    segs: list[tuple[int, int, int]] = []
+    for fp in files:
+        md = _pq.ParquetFile(fp).metadata
+        names = [md.schema.column(i).name for i in range(len(md.schema))]
+        try:
+            ci = names.index(ts_col)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            st = rgm.column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = _stat_to_us(st.min) // int_divisor
+            hi = _stat_to_us(st.max) // int_divisor
+            segs.append((lo, hi, rgm.num_rows))
+    total = sum(n for _, _, n in segs)
+    if total == 0:
+        return []
+    g_lo = min(lo for lo, _, _ in segs)
+    g_hi = max(hi for _, hi, _ in segs)
+
+    def cdf(t: float) -> float:
+        acc = 0.0
+        for lo, hi, n in segs:
+            if t >= hi:
+                acc += n
+            elif t > lo:
+                acc += n * (t - lo) / (hi - lo)
+        return acc
+
+    bounds: set[int] = set()
+    for i in range(1, num_buckets):
+        target = total * i / num_buckets
+        a, z = float(g_lo), float(g_hi)
+        for _ in range(64):
+            mid = (a + z) / 2
+            if cdf(mid) < target:
+                a = mid
+            else:
+                z = mid
+        cut = int(round((a + z) / 2))
+        if g_lo < cut <= g_hi:
+            bounds.add(cut)
+    return sorted(bounds)
+
+
 def with_buckets(
     df: DataFrame,
     ts_col: str,

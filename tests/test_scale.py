@@ -209,3 +209,72 @@ def test_clean_timestamp_outliers_matches_global(spark):
     kept = g.count()
     assert 0 < kept < df.count(), "filter must actually drop rows here"
     assert sorted(r[0] for r in g.collect()) == sorted(r[0] for r in s.collect())
+
+
+def test_bounds_from_parquet_metadata(spark, tmp_path):
+    """Footer-only bounds: piecewise-uniform CDF over row-group (min, max,
+    rows) triples must land cuts near the true quantiles, and operators fed
+    those bounds must match the global window exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # 3 row groups with disjoint, differently-dense time ranges
+    times = (
+        [1_000_000 * i for i in range(600)]  # dense: 0..600s
+        + [1_000_000 * (1000 + 10 * i) for i in range(300)]  # sparse
+        + [1_000_000 * (10_000 + i) for i in range(100)]
+    )
+    path = str(tmp_path / "meta_bounds.parquet")
+    schema = pa.schema([("t_us", pa.int64())])
+    with pq.ParquetWriter(path, schema) as w:
+        # one row group per density regime (as time-partitioned data has)
+        for seg in (times[:600], times[600:900], times[900:]):
+            w.write_table(pa.table({"t_us": pa.array(seg, pa.int64())}))
+    assert pq.ParquetFile(path).metadata.num_row_groups == 3
+
+    bounds = scale.bounds_from_parquet_metadata(path, "t_us", 4)
+    assert bounds is not None and len(bounds) == 3
+    # each bucket should hold ~250 of the 1000 rows (CDF is approximate
+    # within a row group, exact at group edges)
+    import bisect
+
+    sorted_t = sorted(times)
+    counts = []
+    prev = 0
+    for b in [*bounds, 10**18]:
+        i = bisect.bisect_left(sorted_t, b)
+        counts.append(i - prev)
+        prev = i
+    assert all(150 <= c <= 350 for c in counts), counts
+
+    # missing column → None (fallback signal)
+    assert scale.bounds_from_parquet_metadata(path, "nope", 4) is None
+
+    # results through metadata bounds == global window
+    df = spark.createDataFrame(
+        [(pd.Timestamp(t, unit="us").to_pydatetime(), float(i % 7))
+         for i, t in enumerate(times)],
+        "timestamp timestamp, v double",
+    )
+    g = ts.cumulative_sum(df, "v", "cum", order_cols=["timestamp"])
+    s = scale.cumulative_sum(df, "v", "cum", bounds=bounds)
+    _approx_eq(_vals(g, ("v", "cum")), _vals(s, ("v", "cum")))
+
+
+def test_bounds_from_timestamp_stats_match_time_range(tmp_path):
+    """Timestamp-typed statistics (pandas ns Timestamps) convert to µs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts_arr = pa.array(
+        [1_700_000_000_000_000_000 + int(i * 1e9) for i in range(100)],
+        pa.timestamp("ns"),
+    )
+    path = str(tmp_path / "tsstats.parquet")
+    pq.write_table(pa.table({"ts": ts_arr}), path)
+    bounds = scale.bounds_from_parquet_metadata(path, "ts", 2)
+    assert bounds is not None and len(bounds) == 1
+    lo_us, hi_us = 1_700_000_000_000_000, 1_700_000_000_000_000 + 99 * 1_000_000
+    assert lo_us < bounds[0] <= hi_us
+    # midpoint of a uniform range
+    assert abs(bounds[0] - (lo_us + hi_us) / 2) < 2_000_000
