@@ -53,6 +53,18 @@ def get_spark(
         # tolerate TIMESTAMP(NANOS) parquet columns (read as long ns;
         # converted to µs timestamps at scan wrappers)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # bucketed tables (sources/bucketed.py) need a metastore; keep the
+        # embedded-derby catalog out of the repo checkout
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dderby.system.home=" + os.environ.get(
+                "SPARK_GRAFT_DERBY", "/tmp/spark_graft_derby"
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
