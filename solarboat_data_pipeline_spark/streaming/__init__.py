@@ -3,6 +3,7 @@
 from solarboat_data_pipeline_spark.streaming.pipeline import (
     stream_candump,
     stream_decode_long,
+    stream_dedup_exact,
     stream_resample_mean,
     stream_sessionize,
     write_parquet_stream,
@@ -12,6 +13,7 @@ from solarboat_data_pipeline_spark.streaming.stateful import stream_ffill
 __all__ = [
     "stream_candump",
     "stream_decode_long",
+    "stream_dedup_exact",
     "stream_resample_mean",
     "stream_sessionize",
     "stream_ffill",

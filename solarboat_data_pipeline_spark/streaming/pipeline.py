@@ -120,6 +120,29 @@ def stream_sessionize(
     )
 
 
+def stream_dedup_exact(
+    df: DataFrame,
+    dedup_cols: tuple[str, ...],
+    ts_col: str = "timestamp",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming exact dedup with watermark-bounded state.
+
+    The batch form (:func:`..operators.dedup.exact_dedup`) is a hash
+    aggregate over the whole corpus; a stream can't hold every key it has
+    ever seen. ``dropDuplicatesWithinWatermark`` keeps a key's state only
+    until the watermark passes it — duplicates arriving within the
+    watermark span are dropped exactly, state stays O(keys-per-span) no
+    matter how long the stream runs. That bounded-memory trade (dups
+    separated by more than the span survive) is the standard streaming
+    ingest-dedup contract; the batch operator remains the exact whole-corpus
+    pass for compaction jobs.
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(dedup_cols)
+    )
+
+
 def write_parquet_stream(
     df: DataFrame,
     path: str,

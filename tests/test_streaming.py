@@ -168,3 +168,45 @@ def test_stream_sessionize_matches_batch_gaps(spark, tmp_path):
         ("b", 1): 1,
         ("b", 2): 1,
     }
+
+
+def test_stream_dedup_exact_matches_batch(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from solarboat_data_pipeline_spark.streaming.pipeline import stream_dedup_exact
+
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+    # duplicates within the watermark span, one exact pair, one triple
+    rows = [
+        (0, "alpha"), (1, "beta"), (2, "alpha"), (3, "gamma"),
+        (4, "alpha"), (5, "beta"), (6, "delta"),
+    ]
+    spark.createDataFrame(rows, "epoch long, text string").select(
+        F.timestamp_seconds("epoch").alias("timestamp"), "text"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/all.parquet")
+
+    stream = spark.readStream.schema("timestamp timestamp, text string").parquet(
+        f"{src}/*.parquet"
+    )
+    out = stream_dedup_exact(stream, ("text",), watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["text"] for r in spark.sql("select * from dedup_stream").collect()
+    )
+    assert got == ["alpha", "beta", "delta", "gamma"]
+
+    # batch equivalent: dropDuplicates over the whole corpus
+    batch = spark.read.parquet(f"{src}/all.parquet")
+    assert sorted(
+        r["text"] for r in batch.dropDuplicates(["text"]).collect()
+    ) == got
