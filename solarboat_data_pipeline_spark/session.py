@@ -59,8 +59,12 @@ def get_spark(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
         )
+        # the default 240 MB code cache fills after a few dozen
+        # whole-stage-codegen plans, silently disabling the JIT — long
+        # sessions then run generated code interpreted (~10x slower)
         .config(
             "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g "
             "-Dderby.system.home=" + os.environ.get(
                 "SPARK_GRAFT_DERBY", "/tmp/spark_graft_derby"
             ),
