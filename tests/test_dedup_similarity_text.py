@@ -1,0 +1,407 @@
+"""Unit tests for the LLM-data-pipeline operator families, verified
+against independent pure-Python reference implementations (hashlib /
+numpy / set algebra) rather than the Spark code under test.
+
+Covers dedup (exact, MinHash, LSH, SimHash, Jaccard, components,
+full near-dup pipeline), similarity (brute-force / IVF / LSH top-k),
+text analysis, and multimodal plumbing.
+"""
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from solarboat_data_pipeline_spark.operators import dedup as dd
+from solarboat_data_pipeline_spark.operators import multimodal as mm
+from solarboat_data_pipeline_spark.operators import similarity as sim
+from solarboat_data_pipeline_spark.operators import text as tx
+
+# ---------------------------------------------------------------------------
+# pure-Python reference implementations (the spec, independent of Spark)
+# ---------------------------------------------------------------------------
+
+
+def py_h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def py_tokens(text: str) -> list[str]:
+    return [t for t in text.lower().split() if t]
+
+
+def py_shingles(text: str, k: int = 3) -> set[str]:
+    toks = py_tokens(text)
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def py_minhash(text: str, num_hashes: int = 16) -> list[int] | None:
+    hs = [py_h32(s) for s in py_shingles(text)]
+    if not hs:
+        return None
+    # constants per the documented recipe (dedup._perm_constants)
+    out = []
+    for j in range(num_hashes):
+        a = (int(hashlib.md5(f"a{j}".encode()).hexdigest()[:8], 16) % (1 << 30)) | 1
+        b = int(hashlib.md5(f"b{j}".encode()).hexdigest()[:8], 16)
+        out.append(min((a * h + b) % ((1 << 61) - 1) for h in hs))
+    return out
+
+
+def py_simhash(text: str, bits: int = 16) -> int | None:
+    hs = [py_h32(t) for t in py_tokens(text)]  # multiset, not distinct
+    if not hs:
+        return None
+    acc = 0
+    for b in range(bits):
+        ones = sum((h >> b) & 1 for h in hs)
+        if ones * 2 > len(hs):
+            acc |= 1 << b
+    return acc
+
+
+def py_jaccard(t1: str, t2: str) -> float:
+    a, b = py_shingles(t1), py_shingles(t2)
+    return len(a & b) / len(a | b)
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river shore"),
+    (3, "entirely different content about solar boats and telemetry data"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (5, "短 doc"),  # fewer than 3 tokens → no shingles
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_keeps_min_id_per_text(docs):
+    rows = {r["keep_id"]: r["n_dups"] for r in dd.exact_dedup(docs).collect()}
+    # docs 1 and 4 are byte-identical → keep 1 with 2 dups
+    assert rows[1] == 2
+    assert rows[2] == 1 and rows[3] == 1 and rows[5] == 1
+    assert 4 not in rows
+
+
+def test_minhash_matches_python_reference(docs):
+    got = {
+        r["doc_id"]: [r[f"mh{j}"] for j in range(16)]
+        for r in dd.minhash_table(docs).collect()
+    }
+    for doc_id, text in DOCS:
+        want = py_minhash(text)
+        if want is None:
+            assert doc_id not in got  # shingle-less docs have no signature
+        else:
+            assert got[doc_id] == want, f"doc {doc_id}"
+
+
+def test_with_minhash_null_for_shingleless(docs):
+    rows = {r["doc_id"]: r["minhash"] for r in dd.with_minhash(docs).collect()}
+    assert rows[5] is None
+    assert rows[1] == py_minhash(DOCS[0][1])
+
+
+def test_lsh_identical_docs_always_candidates(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dd.lsh_candidate_pairs(docs).collect()}
+    assert (1, 4) in pairs  # identical signature → every band collides
+    # doc 3 shares no shingles with 1/2/4 → no band can match
+    assert not any(3 in p for p in pairs)
+
+
+def test_jaccard_verify_exact_values(spark, docs):
+    cand = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+    rows = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.jaccard_verify(docs, cand, threshold=0.0).collect()
+    }
+    assert math.isclose(rows[(1, 2)], round(py_jaccard(DOCS[0][1], DOCS[1][1]), 6))
+    assert (1, 3) not in rows  # zero intersection never survives the join
+
+
+def test_ngram_jaccard_pairs_matches_python(docs):
+    rows = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    want = {}
+    for i, (ida, ta) in enumerate(DOCS):
+        for idb, tb in DOCS[i + 1 :]:
+            if py_shingles(ta) and py_shingles(tb):
+                j = py_jaccard(ta, tb)
+                if j >= 0.1:
+                    want[(ida, idb)] = round(j, 6)
+    assert rows == pytest.approx(want)
+
+
+def test_simhash_matches_python_reference(docs):
+    got = {r["doc_id"]: r["simhash"] for r in dd.simhash_table(docs).collect()}
+    for doc_id, text in DOCS:
+        want = py_simhash(text)
+        if want is None:
+            assert doc_id not in got
+        else:
+            assert got[doc_id] == want, f"doc {doc_id}"
+
+
+def test_connected_components_known_graph(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (7, 5)], ["id_a", "id_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 5: 5, 7: 5}
+
+
+def test_near_dup_dedup_drops_higher_id(docs):
+    rows = {
+        r["drop_id"]: r["keep_id"] for r in dd.near_dup_dedup(docs, 0.5).collect()
+    }
+    # replicate the whole pipeline spec in Python: LSH bands (4 bands × 4
+    # rows over the 16 minhashes) → jaccard ≥ 0.5 verify → components
+    sigs = {i: py_minhash(t) for i, t in DOCS if py_minhash(t) is not None}
+    cands = set()
+    for ia in sigs:
+        for ib in sigs:
+            if ia < ib and any(
+                sigs[ia][b * 4 : b * 4 + 4] == sigs[ib][b * 4 : b * 4 + 4]
+                for b in range(4)
+            ):
+                cands.add((ia, ib))
+    texts = dict(DOCS)
+    edges = [p for p in cands if py_jaccard(texts[p[0]], texts[p[1]]) >= 0.5]
+    # min-label components over the verified edges
+    label = {i: i for p in edges for i in p}
+    for _ in range(10):
+        for a, b in edges:
+            m = min(label[a], label[b])
+            label[a] = label[b] = m
+    want = {i: lbl for i, lbl in label.items() if lbl != i}
+    assert rows == want
+    assert rows[4] == 1  # identical docs always collapse
+
+
+def test_embedding_cosine_pairs_matches_numpy(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [1.0, 0.01, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in dd.embedding_cosine_pairs(df, threshold=0.9).collect()
+    }
+    want = {}
+    for i, (ida, va) in enumerate(vecs):
+        for idb, vb in vecs[i + 1 :]:
+            a, b = np.array(va), np.array(vb)
+            c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            if round(c, 6) >= 0.9:
+                want[(ida, idb)] = round(c, 6)
+    assert got == pytest.approx(want)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _np_cosine(a, b):
+    a, b = np.asarray(a, float), np.asarray(b, float)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+VEC_CORPUS = [
+    (i, [math.sin(i * d + 1) for d in range(1, 5)]) for i in range(20)
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VEC_CORPUS, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_matches_numpy(vecs):
+    got = [
+        (r["neighbor_id"], r["cosine_sim"], r["rank"])
+        for r in sim.cosine_topk(vecs, [0], k=3).orderBy("rank").collect()
+    ]
+    sims = sorted(
+        (
+            (round(_np_cosine(VEC_CORPUS[0][1], v), 6), -i)
+            for i, v in VEC_CORPUS
+            if i != 0
+        ),
+        reverse=True,
+    )
+    want = [(-ni, s, rk + 1) for rk, (s, ni) in enumerate(sims[:3])]
+    assert got == pytest.approx(want)
+
+
+def test_ivf_topk_exact_within_cell(vecs):
+    """IVF(nprobe=1) results must be exactly the brute-force ranking
+    restricted to the query's centroid cell."""
+    n_cent = 4
+    # python replica of the deterministic seeding + assignment
+    cents = [(i, v) for i, v in VEC_CORPUS if i < n_cent]
+    assign = {}
+    for i, v in VEC_CORPUS:
+        best = max(cents, key=lambda c: (round(_np_cosine(v, c[1]), 12), -c[0]))
+        assign[i] = best[0]
+    got = [
+        (r["neighbor_id"], r["cosine_sim"])
+        for r in sim.ivf_topk(vecs, [5], k=3, n_centroids=n_cent)
+        .orderBy("rank")
+        .collect()
+    ]
+    cell = assign[5]
+    cellmates = [
+        (i, v) for i, v in VEC_CORPUS if i != 5 and assign[i] == cell
+    ]
+    ranked = sorted(
+        ((round(_np_cosine(VEC_CORPUS[5][1], v), 6), -i) for i, v in cellmates),
+        reverse=True,
+    )
+    want = [(-ni, s) for s, ni in ranked[:3]]
+    assert got == pytest.approx(want)
+
+
+def test_lsh_ann_cosine_values_exact_and_same_bucket(vecs):
+    hp = sim.hyperplanes(4)
+
+    def bucket(v):
+        acc = 0
+        for p, plane in enumerate(hp):
+            if sum(x * w for x, w in zip(v, plane)) > 0:
+                acc |= 1 << p
+        return acc
+
+    got = sim.lsh_ann_topk(vecs, [7], k=5, dim=4).collect()
+    qb = bucket(VEC_CORPUS[7][1])
+    for r in got:
+        nv = VEC_CORPUS[r["neighbor_id"]][1]
+        assert bucket(nv) == qb
+        assert r["cosine_sim"] == pytest.approx(
+            round(_np_cosine(VEC_CORPUS[7][1], nv), 6)
+        )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def _one(spark, text, col):
+    return spark.range(1).select(col(F.lit(text)).alias("v")).first()["v"]
+
+
+def test_token_counts(spark):
+    assert _one(spark, "a  b\tc\nd ", tx.token_count) == 4
+    assert _one(spark, "", tx.token_count) == 0
+    # "don't" → don + ' + t ; "x2" → x + 2
+    assert _one(spark, "don't x2", tx.bpe_ish_token_count) == 5
+
+
+def test_lang_id_picks_stopword_majority(spark):
+    assert _one(spark, "the cat and the dog is in it", tx.lang_id) == "en"
+    assert _one(spark, "el perro y la casa es un gato", tx.lang_id) == "es"
+    assert _one(spark, "xyzzy plugh", tx.lang_id) == "und"
+    # tie between en ("the") and fr ("le") → lexicographic: en
+    assert _one(spark, "the le", tx.lang_id) == "en"
+
+
+def test_quality_metrics_values(spark):
+    text = "The cat, the dog!"
+    m = tx.quality_metrics(F.lit(text))
+    row = spark.range(1).select(*[v.alias(k) for k, v in m.items()]).first()
+    assert row["n_chars"] == len(text)
+    assert row["n_words"] == 4
+    # tokens: the cat, the dog! → lengths 3,4,3,4 (punct attached)
+    assert row["avg_word_len"] == pytest.approx(14 / 4)
+    assert row["punct_ratio"] == pytest.approx(round(2 / len(text), 6))
+    assert row["stopword_ratio"] == pytest.approx(0.5)  # "the" ×2 of 4
+
+
+def test_repetition_ratio(spark):
+    col = lambda t: tx.repetition_ratio_tokens(tx.tokens(t))  # noqa: E731
+    assert _one(spark, "a b c a b c a b c", col) == pytest.approx(1 - 3 / 7)
+    assert _one(spark, "all words unique here now", col) == 0.0
+    assert _one(spark, "too short", col) is None
+
+
+def test_fingerprint_is_order_and_dup_insensitive(spark):
+    f1 = _one(spark, "b a c a", tx.fingerprint)
+    f2 = _one(spark, "c B A", tx.fingerprint)
+    f3 = _one(spark, "c b a d", tx.fingerprint)
+    assert f1 == f2 != f3
+    assert f1 == hashlib.md5(b"a b c").hexdigest()
+
+
+def test_rolling_min_hash_matches_python(spark):
+    text = "one two three four five"
+    want = min(py_h32(s) for s in py_shingles(text))
+    assert _one(spark, text, tx.rolling_min_hash) == want
+    assert _one(spark, "too short", tx.rolling_min_hash) is None
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_binary_metadata_matches_hashlib(spark, docs):
+    media = mm.documents_as_media(docs)
+    got = {r["media_id"]: r for r in mm.binary_metadata(media).collect()}
+    for doc_id, text in DOCS:
+        b = text.encode()
+        assert got[doc_id]["n_bytes"] == len(b)
+        assert got[doc_id]["sha256"] == hashlib.sha256(b).hexdigest()
+
+
+def test_extract_features_fake_kernel(spark, docs):
+    media = mm.documents_as_media(docs)
+    got = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    for doc_id, text in DOCS:
+        b = text.encode()
+        feat = got[doc_id]["feature"]
+        assert feat[0] == float(len(b))
+        assert feat[1] == pytest.approx(sum(b) / len(b))
+        assert feat[2] == float(min(b)) and feat[3] == float(max(b))
+
+
+def test_extract_features_real_decoder_is_marked_stub(spark, docs):
+    media = mm.documents_as_media(docs)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        mm.extract_features(media, fake=False).collect()
+
+
+def test_frame_sample_plan_counts(spark, docs):
+    media = mm.documents_as_media(docs)
+    got = (
+        mm.frame_sample_plan(media, every_n=2)
+        .groupBy("media_id")
+        .count()
+        .collect()
+    )
+    vids = {r["media_id"]: r["count"] for r in got}
+    for doc_id, text in DOCS:
+        if doc_id % 3 == 2:  # video/mp4 rows only
+            n_frames = len(text.encode()) // 100 + 1
+            assert vids[doc_id] == (n_frames + 1) // 2
+        else:
+            assert doc_id not in vids
