@@ -1726,6 +1726,24 @@ def skew_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "skew_count_distinct",
+    """
+    SELECT user_id, count(DISTINCT event_type) AS n_distinct
+    FROM events GROUP BY user_id
+    """,
+)
+def skew_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-phase exact distinct count: no single task ever aggregates a hot
+    # key's full value set (dedup spreads it across #distinct-value tasks)
+    from solarboat_data_pipeline_spark.operators.skew import (
+        two_phase_count_distinct,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return two_phase_count_distinct(ev, ["user_id"], "event_type")
+
+
 # F7: pvlib physics — not SQL-expressible (rows-only check). In this
 # container the deterministic fallback runs; on a pvlib cluster the same
 # call dispatches the Arrow-batched mapInPandas physics path.
