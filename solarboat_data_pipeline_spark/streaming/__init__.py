@@ -4,6 +4,7 @@ from solarboat_data_pipeline_spark.streaming.pipeline import (
     stream_candump,
     stream_decode_long,
     stream_dedup_exact,
+    stream_enrich_grid,
     stream_resample_mean,
     stream_sessionize,
     write_parquet_stream,
@@ -14,6 +15,7 @@ __all__ = [
     "stream_candump",
     "stream_decode_long",
     "stream_dedup_exact",
+    "stream_enrich_grid",
     "stream_resample_mean",
     "stream_sessionize",
     "stream_ffill",

@@ -143,6 +143,44 @@ def stream_dedup_exact(
     )
 
 
+def stream_enrich_grid(
+    stream: DataFrame,
+    static: DataFrame,
+    grid_seconds: float,
+    ts_col: str = "timestamp",
+    prefix: str = "",
+    value_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """J1/J2/J4, streaming: enrich a stream from a static table that lives
+    on a fixed time grid (the reference's forecast CSV is a 5-min grid,
+    GPS is 1 Hz — ``lib/unifier_with_forecast_data.py:50-56``,
+    ``lib/process_gpx_data.py:142-152``).
+
+    Because the static side's timestamps are grid-aligned, "most recent
+    value at or before t" is exactly "the value at floor(t / grid) * grid"
+    — the backward as-of collapses to a stateless snap-to-grid equi-join.
+    Stream-static joins keep no state at all; the static side is tiny and
+    broadcast, so each micro-batch is a map-only pass. (For a NON-gridded
+    static side, densify it first with
+    :func:`..operators.timeseries.asfreq` + forward fill in batch — the
+    join here stays the same.)
+    """
+    if value_cols is None:
+        value_cols = tuple(c for c in static.columns if c != ts_col)
+    us = int(grid_seconds * 1_000_000)
+    snapped = stream.withColumn(
+        "__grid_ts",
+        F.timestamp_micros((F.unix_micros(F.col(ts_col)) / us).cast("long") * us),
+    )
+    rhs = F.broadcast(
+        static.select(
+            F.col(ts_col).alias("__grid_ts"),
+            *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+        )
+    )
+    return snapped.join(rhs, "__grid_ts", "left").drop("__grid_ts")
+
+
 def write_parquet_stream(
     df: DataFrame,
     path: str,

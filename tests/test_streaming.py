@@ -210,3 +210,55 @@ def test_stream_dedup_exact_matches_batch(spark, tmp_path):
     assert sorted(
         r["text"] for r in batch.dropDuplicates(["text"]).collect()
     ) == got
+
+
+def test_stream_enrich_grid_matches_batch_asof(spark, tmp_path):
+    """Stream-static snap-to-grid enrichment must equal the batch backward
+    as-of join when the static side sits on a fixed grid."""
+    import os
+
+    from solarboat_data_pipeline_spark.operators.timeseries import (
+        asof_join_backward,
+    )
+    from solarboat_data_pipeline_spark.streaming.pipeline import stream_enrich_grid
+
+    src = str(tmp_path / "enrich_src")
+    os.makedirs(src)
+    # telemetry at irregular sub-second times; forecast on a 10 s grid
+    tel_epochs = [0.5, 3.2, 9.99, 10.0, 17.7, 29.3, 31.0, 45.05]
+    spark.createDataFrame(
+        [(e,) for e in tel_epochs], "epoch double"
+    ).select(
+        F.timestamp_seconds(F.col("epoch")).alias("timestamp"),
+        (F.col("epoch") * 2).alias("reading"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/all.parquet")
+
+    forecast = spark.createDataFrame(
+        [(g, float(g) * 10) for g in (0, 10, 20, 30, 40)], "g long, ghi double"
+    ).select(F.timestamp_seconds("g").alias("timestamp"), "ghi")
+
+    stream = spark.readStream.schema("timestamp timestamp, reading double").parquet(
+        f"{src}/*.parquet"
+    )
+    out = stream_enrich_grid(stream, forecast, 10.0, prefix="solcast_")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enrich_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["timestamp"]: r["solcast_ghi"]
+        for r in spark.sql("select * from enrich_stream").collect()
+    }
+
+    batch = spark.read.parquet(f"{src}/all.parquet")
+    asof = asof_join_backward(
+        batch.select("timestamp"), forecast, on="timestamp", value_cols=["ghi"]
+    )
+    want = {r["timestamp"]: r["ghi"] for r in asof.collect()}
+    assert got == want
+    assert len(got) == len(tel_epochs)
