@@ -125,3 +125,22 @@ def test_downcast_to_float(frames, catalog):
         for f in wide.schema.fields
         if f.name != "timestamp"
     )
+
+
+def test_extract_frames_group_values_exact(spark):
+    # regression: positional group splitting must yield the exact regex
+    # groups — no separator chars leaking into interface/topic/payload
+    lines = spark.createDataFrame(
+        [("(1581695094.944000) can0 021#fa9f04f600f600",),
+         ("(1600000000.000001) vcan12 7ff#AB12",)],
+        ["value"],
+    )
+    rows = {r["ts_raw"]: r for r in extract_frames(lines).collect()}
+    r1 = rows["1581695094.944000"]
+    assert r1["interface"] == "can0"
+    assert r1["topic_hex"] == "021"
+    assert r1["payload_hex"] == "fa9f04f600f600"
+    r2 = rows["1600000000.000001"]
+    assert r2["interface"] == "vcan12"
+    assert r2["topic_hex"] == "7ff"
+    assert r2["payload_hex"] == "ab12"
