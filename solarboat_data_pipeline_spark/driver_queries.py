@@ -1256,9 +1256,9 @@ def _sql_band_hashes() -> str:
     return f"[{', '.join(bands)}]"
 
 
-def _sql_lsh_pairs() -> str:
+def _sql_lsh_pairs(base: str = "documents") -> str:
     return f"""
-         t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+         t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM {base}),
          s AS (SELECT doc_id, list_distinct({_SQL_SH}) AS sh FROM t
                WHERE len(list_distinct({_SQL_SH})) > 0),
          hb AS (SELECT doc_id,
@@ -1320,6 +1320,71 @@ def dd_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components → per-cluster representative; returns the removal
     list (drop_id, keep_id)."""
     return dd.near_dup_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "pipeline_curation",
+    f"""
+    WITH RECURSIVE
+         curated AS (
+           SELECT doc_id, text FROM (
+             SELECT doc_id, text, lang, len({_SQL_TOKS}) AS n_words
+             FROM documents) q
+           WHERE lang = 'en' AND n_words BETWEEN 20 AND 100),
+         exact_keep AS (
+           SELECT min(doc_id) AS doc_id FROM curated GROUP BY md5(text)),
+         survivors AS (
+           SELECT c.doc_id, c.text FROM curated c
+           JOIN exact_keep k USING (doc_id)),
+         {_sql_lsh_pairs(base="survivors")},
+         pids AS (SELECT id_a AS id FROM lsh_pairs
+                  UNION SELECT id_b FROM lsh_pairs),
+         toks2 AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM survivors
+                   WHERE doc_id IN (SELECT id FROM pids)),
+         sd AS (SELECT DISTINCT doc_id, unnest(list_distinct({_SQL_SH})) AS sh
+                FROM toks2),
+         sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sd GROUP BY 1),
+         inter AS (SELECT p.id_a, p.id_b, count(*)::BIGINT AS c
+                   FROM lsh_pairs p
+                   JOIN sd a ON a.doc_id = p.id_a
+                   JOIN sd b ON b.doc_id = p.id_b AND b.sh = a.sh
+                   GROUP BY 1, 2),
+         verified AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+           WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+                   UNION SELECT id_b, id_a FROM verified),
+         reach(src, dst) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                  FROM reach GROUP BY src),
+         drops AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+    SELECT s.doc_id, len({SQL_TOKENS.format(t="s.text")})::BIGINT AS n_words
+    FROM survivors s WHERE s.doc_id NOT IN (SELECT doc_id FROM drops)
+    """,
+)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data curation composition — the standard corpus
+    pipeline end to end: quality/language filter → exact dedup (keep lowest
+    id per digest) → near-dup removal (LSH → Jaccard verify → components)
+    → surviving documents. Every stage is the already-verified operator;
+    the whole chain stays sub-quadratic and shuffle-minimal at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    curated = docs.where(
+        (F.col("lang") == "en") & tx.token_count(F.col("text")).between(20, 100)
+    ).select("doc_id", "text")
+    keep = dd.exact_dedup(curated).select(F.col("keep_id").alias("doc_id"))
+    survivors = curated.join(keep, "doc_id", "semi")
+    drops = dd.near_dup_dedup(survivors, threshold=0.5).select(
+        F.col("drop_id").alias("doc_id")
+    )
+    final = survivors.join(drops, "doc_id", "anti")
+    return final.select(
+        "doc_id", tx.token_count(F.col("text")).cast("long").alias("n_words")
+    )
 
 
 @register(
