@@ -25,6 +25,7 @@ from solarboat_data_pipeline_spark.functions.formatting import epoch_seconds
 from solarboat_data_pipeline_spark.functions.geo import haversine_km, heading_deg
 from solarboat_data_pipeline_spark.operators import dedup as dd
 from solarboat_data_pipeline_spark.operators import multimodal as mm
+from solarboat_data_pipeline_spark.operators import sampling as sp
 from solarboat_data_pipeline_spark.operators import scale as sc
 from solarboat_data_pipeline_spark.operators import similarity as sim
 from solarboat_data_pipeline_spark.operators import text as tx
@@ -2018,6 +2019,125 @@ def a7_trapezoid_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounds=_event_bounds(sf_dir),
     )
     return out.select("event_id", F.round("energy", 6).alias("energy"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / dataset mixing / corpus hygiene
+# (LLM-data-pipeline extension family, BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+_SQL_BUCKET = "(('0x' || substr(md5('{salt}' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000)"
+
+
+@register(
+    "samp_hash_sample",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_SQL_BUCKET.format(salt='s1')} < 2000
+    """,
+)
+def samp_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% Bernoulli sample keyed on md5(doc_id): stable
+    across cluster size, partitioning, and retries (operators/sampling.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sp.hash_sample(docs, "doc_id", 0.2, salt="s1").select("doc_id", "source")
+
+
+@register(
+    "samp_weighted_mix",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_SQL_BUCKET.format(salt='mix')} <
+      CASE source WHEN 'src0' THEN 8000 WHEN 'src1' THEN 5000
+                  WHEN 'src2' THEN 2500 ELSE 0 END
+    """,
+)
+def samp_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dataset mixing at per-source rates (pretraining mixture
+    weights); pure per-row expression, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    mixed = sp.weighted_mix(
+        docs, "source", "doc_id", {"src0": 0.8, "src1": 0.5, "src2": 0.25},
+        salt="mix",
+    )
+    return mixed.select("doc_id", "source")
+
+
+@register(
+    "samp_stratified",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_SQL_BUCKET.format(salt='strat')}, doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 7
+    """,
+)
+def samp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota of 7 docs, smallest hash first — a reproducible
+    stand-in for per-group reservoir sampling. One shuffle on the stratum."""
+    docs = _t(spark, sf_dir, "documents")
+    return sp.stratified_sample(docs, "source", "doc_id", 7, salt="strat").select(
+        "doc_id", "source"
+    )
+
+
+@register(
+    "txt_decontaminate",
+    f"""
+    WITH t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+         s AS (SELECT doc_id, list_distinct({{sh}}) AS sh FROM t),
+         h AS (SELECT doc_id, {{h32}} AS hh FROM (SELECT doc_id, unnest(sh) AS g FROM s)),
+         bench AS (SELECT DISTINCT hh FROM h WHERE doc_id % 29 = 0),
+         train AS (SELECT doc_id, hh FROM h WHERE doc_id % 29 != 0)
+    SELECT train.doc_id AS id, count(*)::BIGINT AS n_contaminated
+    FROM train JOIN bench USING (hh)
+    GROUP BY train.doc_id
+    """.format(toks=SQL_TOKENS.format(t="text"), sh=sql_shingles("toks"), h32=sql_h32("g")),
+)
+def txt_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct word-3-gram overlap of each
+    training doc against a (broadcast) eval corpus — docs with
+    n_contaminated > 0 would be quarantined before pretraining. Eval set =
+    every 29th doc, deterministically."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    train = docs.filter(F.col("doc_id") % 29 != 0)
+    out = dd.decontaminate(train, bench)
+    return out.select("id", F.col("n_contaminated").cast("long").alias("n_contaminated"))
+
+
+@register(
+    "txt_redact",
+    r"""
+    WITH p AS (SELECT doc_id,
+        'email u' || doc_id::VARCHAR || '@ex-corp.io tel 555 123 4567 acct 1234567 | '
+          || text AS raw
+      FROM documents)
+    SELECT doc_id,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(raw,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '[0-9][0-9 .-]{7,}[0-9]', '<PHONE>', 'g'),
+        '[0-9]{6,}', '<NUM>', 'g') AS redacted
+    FROM p
+    """,
+)
+def txt_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails, phone-shaped digit runs, long numbers) over a
+    synthetic PII prefix + the document text; chained replace-all regexes,
+    identical RE2-compatible patterns on both sides."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("email u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex-corp.io tel 555 123 4567 acct 1234567 | "),
+        F.col("text"),
+    )
+    return docs.select("doc_id", tx.redact_pii(raw).alias("redacted"))
 
 
 # ---------------------------------------------------------------------------

@@ -404,3 +404,30 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per training document, the number of
+    distinct word n-grams it shares with a benchmark/eval corpus (the
+    standard pretraining hygiene check — docs with overlap > 0 get dropped
+    or quarantined). Returns (id, n_contaminated) for overlap > 0 only.
+
+    Scale design: the benchmark side is the distinct shingle-hash set of
+    the (small) eval corpus — broadcast it, so the 100 TB train side
+    streams through a broadcast hash join inside its scan stage with no
+    shuffle of train data; the only exchange is the final per-doc count
+    aggregate (map-side combined)."""
+    bench_sh = F.broadcast(
+        _shingle_hashes(benchmark, text_col, id_col).select("__h").distinct()
+    )
+    train_sh = _shingle_hashes(train, text_col, id_col)
+    return (
+        train_sh.join(bench_sh, "__h")
+        .groupBy(F.col(id_col).alias("id"))
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )

@@ -1,0 +1,80 @@
+"""Deterministic sampling / dataset-mixing operators.
+
+Training-data pipelines at 100 TB need *reproducible* subsetting: a
+sample defined by a pure function of the row key, not by an RNG whose
+output depends on partitioning or task retries. Everything here keys off
+the md5-based 32-bit hash (``text.h32``), so
+
+* re-running the job — on any cluster size, with any partition layout —
+  selects the identical row set;
+* the sample composes with incremental loads (a row's fate never changes
+  as new data arrives);
+* each operator has an exactly mirrorable ANSI-SQL oracle.
+
+Scale design: ``hash_sample`` and ``weighted_mix`` are per-row
+expressions (no shuffle, whole-stage codegen end to end, filter runs
+before any downstream exchange). ``stratified_sample`` is a per-stratum
+top-k window: one shuffle on the stratum key; for heavy skew (one
+stratum ≫ others) compose with ``skew.salted_topk`` instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from solarboat_data_pipeline_spark.operators.text import h32
+
+# granularity of sampling rates: rates are expressed in basis points
+# (1/10_000) so 0.01 % granularity survives integer arithmetic identically
+# in Spark and the SQL oracle.
+RATE_DENOM = 10_000
+
+
+def sample_bucket(key: Column, salt: str = "") -> Column:
+    """Stable bucket in [0, RATE_DENOM) for a row key; pure expression."""
+    return h32(key.cast("string"), salt=salt) % RATE_DENOM
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep rows whose hash bucket
+    falls below ``rate`` (fraction in [0,1]). The reference pipeline has no
+    sampling operator; this is part of the LLM-data-pipeline extension
+    family (BASELINE.json north star)."""
+    return df.filter(sample_bucket(F.col(key_col), salt) < int(rate * RATE_DENOM))
+
+
+def weighted_mix(
+    df: DataFrame, source_col: str, key_col: str, rates: dict[str, float], salt: str = ""
+) -> DataFrame:
+    """Mix data sources at per-source rates in ONE pass (the standard
+    "dataset mixture weights" step of a pretraining pipeline). Sources
+    absent from ``rates`` are dropped. Pure per-row expression — at 100 TB
+    this runs inside the scan stage with zero shuffles."""
+    rate_expr: Column = F.lit(0)
+    for src, rate in sorted(rates.items()):
+        rate_expr = (
+            F.when(F.col(source_col) == src, F.lit(int(rate * RATE_DENOM)))
+            .otherwise(rate_expr)
+        )
+    return df.filter(sample_bucket(F.col(key_col), salt) < rate_expr)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, key_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic per-stratum quota: the k rows with the smallest hash
+    per stratum (a reproducible stand-in for per-group reservoir
+    sampling). Ties broken by the key itself so the result is unique.
+    One shuffle (hash-partition by stratum); map-side nothing to combine,
+    but the window is bounded (rank ≤ k) so state per stratum is O(k)."""
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

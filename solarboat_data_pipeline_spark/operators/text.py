@@ -140,3 +140,24 @@ def rolling_min_hash_tokens(toks: Column, k: int = 3) -> Column:
 
 def rolling_min_hash(text: Column, k: int = 3) -> Column:
     return rolling_min_hash_tokens(tokens(text), k)
+
+
+# PII-ish redaction patterns, applied in order. RE2-compatible (no
+# backrefs/lookarounds) so the same pattern strings run verbatim in the
+# JVM regex engine and the DuckDB oracle.
+REDACT_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9][0-9 .-]{7,}[0-9]", "<PHONE>"),
+    (r"[0-9]{6,}", "<NUM>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub email addresses, phone-shaped digit runs, and long numbers —
+    the minimum PII pass a web-scale training corpus gets before the
+    tokenizer. Pure chained ``regexp_replace`` (replace-all), whole-stage
+    codegen, no shuffle: at 100 TB this fuses into the scan stage."""
+    out = text
+    for pat, repl in REDACT_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -1,0 +1,122 @@
+"""Unit tests for deterministic sampling / mixing and corpus-hygiene
+operators (decontamination, PII redaction), verified against independent
+pure-Python reference implementations."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from solarboat_data_pipeline_spark.operators import dedup as dd
+from solarboat_data_pipeline_spark.operators import sampling as sp
+from solarboat_data_pipeline_spark.operators import text as tx
+
+# ---------------------------------------------------------------------------
+# pure-Python spec
+# ---------------------------------------------------------------------------
+
+
+def py_bucket(key, salt=""):
+    return int(hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:8], 16) % 10_000
+
+
+def py_shingles(text, k=3):
+    toks = [t for t in text.lower().split() if t]
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def py_h32(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+
+def test_hash_sample_matches_python_bucket_spec(spark):
+    df = spark.range(500).select(F.col("id").alias("k"))
+    got = {r["k"] for r in sp.hash_sample(df, "k", 0.3, salt="s").collect()}
+    want = {i for i in range(500) if py_bucket(i, "s") < 3000}
+    assert got == want
+    assert 0 < len(got) < 500  # sanity: rate is neither 0 nor 1
+
+
+def test_hash_sample_invariant_under_partitioning(spark):
+    df = spark.range(500).select(F.col("id").alias("k"))
+    a = {r["k"] for r in sp.hash_sample(df, "k", 0.3).collect()}
+    b = {r["k"] for r in sp.hash_sample(df.repartition(7), "k", 0.3).collect()}
+    assert a == b
+
+
+def test_weighted_mix_per_source_rates(spark):
+    rows = [(i, f"src{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, ["k", "src"])
+    rates = {"src0": 0.9, "src1": 0.4, "src2": 0.1}  # src3 absent → dropped
+    got = {r["k"] for r in sp.weighted_mix(df, "src", "k", rates).collect()}
+    want = {
+        k
+        for k, s in rows
+        if s in rates and py_bucket(k) < int(rates[s] * 10_000)
+    }
+    assert got == want
+    assert not any(k % 4 == 3 for k in got)
+
+
+def test_stratified_sample_exact_quota_and_selection(spark):
+    rows = [(i, f"g{i % 5}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    got = {}
+    for r in sp.stratified_sample(df, "g", "k", 3, salt="q").collect():
+        got.setdefault(r["g"], set()).add(r["k"])
+    for g in {f"g{i}" for i in range(5)}:
+        members = [k for k, s in rows if s == g]
+        want = set(sorted(members, key=lambda k: (py_bucket(k, "q"), k))[:3])
+        assert got[g] == want, g
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_counts_shared_distinct_shingles(spark):
+    bench_rows = [(100, "alpha beta gamma delta epsilon")]
+    train_rows = [
+        # shares shingles "alpha beta gamma", "beta gamma delta" with bench
+        (1, "zz alpha beta gamma delta yy"),
+        # no 3-gram overlap
+        (2, "entirely different words here now"),
+        # duplicated overlap region still counts each DISTINCT shingle once
+        (3, "alpha beta gamma xx alpha beta gamma"),
+    ]
+    bench = spark.createDataFrame(bench_rows, ["doc_id", "text"])
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    got = {r["id"]: r["n_contaminated"] for r in dd.decontaminate(train, bench).collect()}
+    bench_sh = py_shingles(bench_rows[0][1])
+    want = {
+        i: len(py_shingles(t) & bench_sh)
+        for i, t in train_rows
+        if py_shingles(t) & bench_sh
+    }
+    assert got == want
+    assert 2 not in got  # clean docs don't appear
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_golden_cases(spark):
+    cases = [
+        ("mail me at jo.do+spam@sub.ex-corp.io today", "mail me at <EMAIL> today"),
+        ("call 555 123 4567 or 555-123-4567", "call <PHONE> or <PHONE>"),
+        ("account 1234567 balance 12345", "account <NUM> balance 12345"),
+        ("no pii here", "no pii here"),
+        # email wins over the digit rules inside the address
+        ("x 12345678@example.com y", "x <EMAIL> y"),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)], ["i", "s"])
+    got = {r["i"]: r["out"] for r in df.select("i", tx.redact_pii(F.col("s")).alias("out")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}"
