@@ -212,10 +212,14 @@ def jaccard_verify(
     toked = df.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
     ).join(ids, "id", "semi")
+    # the postings feed THREE consumers (sizes, a-side, b-side); without a
+    # cut Spark recomputes the tokenize→shingle→explode subtree per branch.
+    # They are candidate-restricted (only docs appearing in ``pairs``), so
+    # materializing is small regardless of corpus size.
     sh = toked.select(
         "id",
         F.explode(F.array_distinct(word_shingles(F.col("__toks")))).alias("sh"),
-    )
+    ).localCheckpoint()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("id").alias("id_a"), "sh")
     b = sh.select(F.col("id").alias("id_b"), "sh")
