@@ -274,6 +274,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 50,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS from candidate pairs: connected components
     by iterative min-label propagation. Returns (doc_id, cluster_id) for
@@ -284,13 +285,48 @@ def connected_components(
     shallow (dup groups, not long chains), so a handful. ``localCheckpoint``
     cuts the growing lineage so iteration N doesn't replan N-deep. The
     classic alternative for adversarial graphs is large/small-star; for
-    dedup workloads min-propagation is the simpler, equally scalable loop."""
+    dedup workloads min-propagation is the simpler, equally scalable loop.
+
+    Size-adaptive finish (the AQE philosophy applied to iteration): every
+    Spark round costs a fixed scheduling latency no matter how small the
+    graph, and the verified near-dup EDGE set is orders of magnitude
+    smaller than the corpus — even a 100 TB corpus with 0.1% near-dup rate
+    yields edges that fit in driver memory. When the deduped edge count is
+    under ``driver_threshold``, finish with union-find on the driver (one
+    collect + one createDataFrame) instead of O(diameter) cluster rounds;
+    above it, run the distributed loop. Results are identical."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .localCheckpoint()
     )
+    if edges.count() <= driver_threshold:
+        parent: dict = {}
+        vertices: set = set()
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.toLocalIterator():
+            a, b = row["src"], row["dst"]
+            vertices.add(a)
+            vertices.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:  # union by min so the root IS the cluster id
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        out = sorted((v, find(v)) for v in vertices)
+        schema = edges.select(
+            F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id")
+        ).schema
+        return pairs.sparkSession.createDataFrame(out, schema=schema)
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )

@@ -56,6 +56,25 @@ def test_connected_components_two_chains(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_driver_and_distributed_paths_agree(spark):
+    # long chain (worst diameter) + star + singleton pair, shuffled order
+    edges = [(i, i + 1) for i in range(20, 0, -2)]
+    edges += [(i + 1, i + 2) for i in range(20, 0, -2)]
+    edges += [(100, x) for x in (104, 102, 103)] + [(200, 201)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    via_driver = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dd.connected_components(pairs).collect()
+    }
+    via_loop = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dd.connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert via_driver == via_loop
+    # the 2..22 chain collapses to one component rooted at its minimum
+    assert all(c == 2 for d, c in via_driver if d <= 22)
+
+
 def test_exact_dedup_groups(spark):
     docs = _docs(spark, [(5, "x"), (9, "x"), (7, "y")])
     rows = {r["digest"]: r for r in dd.exact_dedup(docs).collect()}
