@@ -28,6 +28,7 @@ from solarboat_data_pipeline_spark.operators import multimodal as mm
 from solarboat_data_pipeline_spark.operators import sampling as sp
 from solarboat_data_pipeline_spark.operators import scale as sc
 from solarboat_data_pipeline_spark.operators import similarity as sim
+from solarboat_data_pipeline_spark.operators import skew as sk
 from solarboat_data_pipeline_spark.operators import text as tx
 from solarboat_data_pipeline_spark.operators import timeseries as ts
 
@@ -656,29 +657,22 @@ def a4_minmax_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a5_quantile_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    # one percentile agg with an array of fractions: a single sort buffer
-    # instead of two
-    q = li.agg(
-        F.expr("percentile(l_extendedprice, array(0.01, 0.99))").alias("qs")
-    ).select(
-        F.element_at("qs", 1).alias("q1"), F.element_at("qs", 2).alias("q3")
-    )
-    joined = li.crossJoin(F.broadcast(q))
-    iqr = F.col("q3") - F.col("q1")
-    out = joined.agg(
-        F.round(F.first("q1"), 6).alias("q1"),
-        F.round(F.first("q3"), 6).alias("q3"),
-        F.sum(
-            F.when(
-                (F.col("l_extendedprice") < F.col("q1") - 1.5 * iqr)
-                | (F.col("l_extendedprice") > F.col("q3") + 1.5 * iqr),
-                1,
-            ).otherwise(0)
-        )
+    # exact quantiles via the bounded-memory selection kernel: Spark's
+    # exact `percentile` agg funnels a value->count map of every distinct
+    # value through one reducer (OOM at scale); this resolves each rank
+    # with aggregate passes + a tiny bracketed collect, then the outlier
+    # count is one scan with literal bounds (no crossJoin stage)
+    q1, q3 = sk.exact_quantile_cont(li, "l_extendedprice", [0.01, 0.99])
+    iqr = q3 - q1
+    lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+    price = F.col("l_extendedprice")
+    return li.agg(
+        F.round(F.lit(q1), 6).alias("q1"),
+        F.round(F.lit(q3), 6).alias("q3"),
+        F.sum(((price < lo) | (price > hi)).cast("long"))
         .cast("long")
         .alias("n_outliers"),
     )
-    return out
 
 
 @register(

@@ -66,3 +66,96 @@ def salted_topk(
         phase1.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
     )
+
+
+def _select_rank(
+    df: DataFrame,
+    col: str,
+    k: int,
+    accuracy: int,
+    driver_threshold: int,
+    depth: int = 0,
+) -> float:
+    """Exact value at 0-indexed sorted rank ``k`` among ``df[col]`` rows,
+    with bounded memory everywhere: approx-percentile brackets the rank,
+    conditional counts resolve boundary duplicates, and only the strictly
+    interior band (≈ 4·N/accuracy rows by the approx error guarantee) is
+    ever collected. Recurses (rare: N ≳ accuracy·threshold/4) on the band
+    with a rank shifted by the rows excluded below it."""
+    n = df.count()
+    if n <= driver_threshold:
+        vals = sorted(r[0] for r in df.select(col).collect())
+        return vals[k]
+    # bracket: approx values at fractions ±2/accuracy around the target
+    # rank; the sketch's rank error is ≤ N/accuracy, so lo's true rank is
+    # < k and hi's is > k. Clamp with global min/max at the edges.
+    f = k / (n - 1)
+    eps = 2.0 / accuracy
+    lo_f, hi_f = max(0.0, f - eps), min(1.0, f + eps)
+    row = df.agg(
+        F.expr(
+            f"percentile_approx({col}, array({lo_f}, {hi_f}), {accuracy})"
+        ).alias("b"),
+        F.min(col).alias("mn"),
+        F.max(col).alias("mx"),
+    ).first()
+    lo = row["mn"] if lo_f == 0.0 else row["b"][0]
+    hi = row["mx"] if hi_f == 1.0 else row["b"][1]
+    c = F.col(col)
+    cnt = df.agg(
+        F.sum((c < lo).cast("long")).alias("lt_lo"),
+        F.sum((c == lo).cast("long")).alias("eq_lo"),
+        F.sum((c < hi).cast("long")).alias("lt_hi"),
+        F.sum((c == hi).cast("long")).alias("eq_hi"),
+    ).first()
+    if cnt["lt_lo"] <= k < cnt["lt_lo"] + cnt["eq_lo"]:
+        return lo
+    if cnt["lt_hi"] <= k < cnt["lt_hi"] + cnt["eq_hi"]:
+        return hi
+    band = df.where((c > lo) & (c < hi))
+    return _select_rank(
+        band,
+        col,
+        k - cnt["lt_lo"] - cnt["eq_lo"],
+        accuracy,
+        driver_threshold,
+        depth + 1,
+    )
+
+
+def exact_quantile_cont(
+    df: DataFrame,
+    col: str,
+    fractions: Sequence[float],
+    accuracy: int = 10_000,
+    driver_threshold: int = 1 << 20,
+) -> list[float | None]:
+    """Exact interpolated quantiles (SQL ``quantile_cont`` / pandas
+    ``quantile``) with memory bounded at every stage — the scale-safe
+    replacement for Spark's exact ``percentile`` aggregate, which
+    materializes a value→count map of every distinct value on a single
+    reducer (an OOM, not a slowdown, at 100 TB).
+
+    Plan: per requested fraction p over N non-null rows, the result
+    interpolates the sorted values at ranks ⌊(N-1)p⌋ and ⌈(N-1)p⌉; each
+    rank is selected by ``_select_rank`` in O(1) full aggregate passes
+    plus a collect of only the ≈ 4N/accuracy rows bracketing the rank.
+    Everything driver-side is control flow on aggregate results (the AQE
+    pattern), never data iteration."""
+    filt = df.select(col).where(F.col(col).isNotNull())
+    n = filt.count()
+    if n == 0:
+        return [None for _ in fractions]
+    # batch: selection caches resolve each distinct rank once
+    ranks: dict[int, float] = {}
+    out: list[float | None] = []
+    for p in fractions:
+        pos = (n - 1) * p
+        k0, k1 = int(pos), min(int(pos) + 1, n - 1)
+        for k in (k0, k1):
+            if k not in ranks:
+                ranks[k] = _select_rank(
+                    filt, col, k, accuracy, driver_threshold
+                )
+        out.append(ranks[k0] + (pos - k0) * (ranks[k1] - ranks[k0]))
+    return out

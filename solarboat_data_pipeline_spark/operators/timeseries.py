@@ -346,12 +346,37 @@ def iqr_clip(
     outside [q1 - f*iqr, q3 + f*iqr] become null. (The reference computes
     this but ships with the call commented out; exposed here behind an
     explicit call for the same reason.) ``exact=False`` uses
-    ``percentile_approx`` — the scalable choice; exact percentile sorts."""
-    fn = "percentile" if exact else "percentile_approx"
+    ``percentile_approx`` — the scalable lazy choice; ``exact=True`` runs
+    the bounded-memory selection kernel (`skew.exact_quantile_cont`) per
+    column eagerly at call time — Spark's own exact ``percentile`` agg
+    would funnel a value→count map of every distinct value through one
+    reducer, an OOM at scale."""
+    if exact:
+        from solarboat_data_pipeline_spark.operators.skew import (
+            exact_quantile_cont,
+        )
+
+        updates = {}
+        for c in value_cols:
+            q1, q3 = exact_quantile_cont(df, c, [percentile, 1 - percentile])
+            if q1 is None:
+                continue  # all-null column: nothing to clip
+            iqr = q3 - q1
+            updates[c] = F.when(
+                F.col(c).between(q1 - factor * iqr, q3 + factor * iqr),
+                F.col(c),
+            )
+        return df.withColumns(updates)
     aggs = []
     for c in value_cols:
-        aggs.append(F.expr(f"{fn}({c}, {percentile})").alias(f"__q1_{c}"))
-        aggs.append(F.expr(f"{fn}({c}, {1 - percentile})").alias(f"__q3_{c}"))
+        aggs.append(
+            F.expr(f"percentile_approx({c}, {percentile})").alias(f"__q1_{c}")
+        )
+        aggs.append(
+            F.expr(f"percentile_approx({c}, {1 - percentile})").alias(
+                f"__q3_{c}"
+            )
+        )
     bounds = df.agg(*aggs)
     out = df.crossJoin(F.broadcast(bounds))
     updates = {}

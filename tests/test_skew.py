@@ -51,3 +51,50 @@ def test_salted_topk_matches_plain_window(spark):
         .collect()
     }
     assert got == want
+
+
+def test_exact_quantile_cont_matches_numpy(spark):
+    import numpy as np
+
+    from solarboat_data_pipeline_spark.operators.skew import exact_quantile_cont
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate(
+        [rng.lognormal(3, 2, 5000), np.full(2000, 42.0), rng.uniform(-5, 5, 3000)]
+    )
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    fracs = [0.0, 0.01, 0.25, 0.5, 0.99, 1.0]
+    got = exact_quantile_cont(df, "x", fracs)
+    want = np.quantile(vals, fracs)  # numpy default = linear interpolation
+    for g, w in zip(got, want):
+        assert abs(g - w) < 1e-9 * max(1.0, abs(w)), (g, w)
+
+
+def test_exact_quantile_cont_recursion_path(spark):
+    # driver_threshold below N forces the bracket/count/recurse machinery
+    import numpy as np
+
+    from solarboat_data_pipeline_spark.operators.skew import exact_quantile_cont
+
+    rng = np.random.RandomState(11)
+    vals = rng.normal(0, 100, 4000)
+    vals[1000:1500] = 7.0  # a heavy duplicate the brackets may land on
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    fracs = [0.3, 0.5, 0.9]
+    got = exact_quantile_cont(
+        df, "x", fracs, accuracy=200, driver_threshold=100
+    )
+    want = np.quantile(vals, fracs)
+    for g, w in zip(got, want):
+        assert abs(g - w) < 1e-9 * max(1.0, abs(w)), (g, w)
+
+
+def test_exact_quantile_cont_empty_and_nulls(spark):
+    from solarboat_data_pipeline_spark.operators.skew import exact_quantile_cont
+
+    empty = spark.createDataFrame([], "x double")
+    assert exact_quantile_cont(empty, "x", [0.5]) == [None]
+    with_nulls = spark.createDataFrame(
+        [(None,), (1.0,), (None,), (3.0,)], "x double"
+    )
+    assert exact_quantile_cont(with_nulls, "x", [0.5]) == [2.0]
