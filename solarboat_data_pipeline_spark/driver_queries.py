@@ -1372,7 +1372,11 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en") & tx.token_count(F.col("text")).between(20, 100)
     ).select("doc_id", "text")
     keep = dd.exact_dedup(curated).select(F.col("keep_id").alias("doc_id"))
-    survivors = curated.join(keep, "doc_id", "semi")
+    # materialize the post-exact-dedup corpus once (lazy local checkpoint):
+    # three consumers follow (LSH candidates, Jaccard verify, final anti
+    # join) and would each re-run the scan -> filter -> digest-dedup
+    # subtree; real curation pipelines persist this intermediate corpus
+    survivors = curated.join(keep, "doc_id", "semi").localCheckpoint(eager=False)
     drops = dd.near_dup_dedup(survivors, threshold=0.5).select(
         F.col("drop_id").alias("doc_id")
     )
