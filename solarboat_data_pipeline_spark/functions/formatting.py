@@ -29,5 +29,10 @@ def candump_line(
 
 
 def epoch_seconds(ts: Column) -> Column:
-    """Timestamp → epoch seconds as double with µs fraction preserved."""
-    return F.unix_micros(ts) / 1_000_000.0
+    """Timestamp → epoch seconds as double with µs fraction preserved.
+
+    NTZ-tolerant: naive-parquet fixtures read as ``TIMESTAMP_NTZ``, which
+    ``unix_micros`` rejects; the cast is a no-op for ``TIMESTAMP`` inputs
+    and interprets NTZ in the (UTC) session timezone otherwise.
+    """
+    return F.unix_micros(ts.cast("timestamp")) / 1_000_000.0

@@ -12,6 +12,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from solarboat_data_pipeline_spark.operators.timeseries import _us
+
 EARTH_RADIUS_KM = 6371.0
 
 
@@ -71,7 +73,7 @@ def derive_track(
     plat, plon = F.lag(lat_col).over(w), F.lag(lon_col).over(w)
     lat, lon = F.col(lat_col), F.col(lon_col)
     dist = haversine_km(plat, plon, lat, lon)
-    dt_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+    dt_us = _us(F.col(ts_col)) - _us(F.lag(ts_col).over(w))
     # pandas .dt.seconds: whole seconds component, modulo one day
     dt_hours = (F.floor(dt_us / 1_000_000) % 86400).cast("double") / 3600.0
     return df.withColumns(

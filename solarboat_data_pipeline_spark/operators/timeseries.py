@@ -24,7 +24,16 @@ MICROS = 1_000_000
 
 
 def _us(col: Column) -> Column:
-    return F.unix_micros(col)
+    """Epoch microseconds, tolerant of ``TIMESTAMP_NTZ`` inputs.
+
+    The fixtures store naive ``timestamp[us]`` parquet, which Spark 4 reads
+    as ``TIMESTAMP_NTZ`` — a type ``unix_micros`` rejects. The cast
+    interprets NTZ values in the session timezone (UTC in every session this
+    engine builds — see :mod:`..session`), making them the stored instants;
+    for a column that is already ``TIMESTAMP`` the cast is a no-op Catalyst
+    removes, so nothing changes on the normal path.
+    """
+    return F.unix_micros(col.cast("timestamp"))
 
 
 def time_spine(

@@ -92,7 +92,10 @@ def unify_forecast_stage(
     if shift_back_hours:
         shift_us = int(shift_back_hours * 3600 * 1_000_000)
         forecast = forecast.withColumn(
-            ts_col, F.timestamp_micros(F.unix_micros(F.col(ts_col)) - shift_us)
+            ts_col,
+            F.timestamp_micros(
+                F.unix_micros(F.col(ts_col).cast("timestamp")) - shift_us
+            ),
         )
     value_cols = [c for c in forecast.columns if c != ts_col]
     proj = reindex_interpolate(telemetry, forecast, on=ts_col, value_cols=value_cols)

@@ -35,7 +35,7 @@ def scan_json_dump(spark: SparkSession, path: str) -> DataFrame:
 def json_dump_to_candump(df: DataFrame) -> DataFrame:
     """K4: format records into candump lines; returns ``value`` (the line)
     plus a ``valid`` flag (module ≤ 255, non-empty bytes)."""
-    epoch = F.unix_micros(F.col("date")) / 1_000_000.0
+    epoch = F.unix_micros(F.col("date").cast("timestamp")) / 1_000_000.0
     payload = payload_from_int_array(F.col("bytes"), F.col("mod"))
     line = candump_line(epoch, F.col("top"), payload)
     return df.select(

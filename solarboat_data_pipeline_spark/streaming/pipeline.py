@@ -170,7 +170,9 @@ def stream_enrich_grid(
     us = int(grid_seconds * 1_000_000)
     snapped = stream.withColumn(
         "__grid_ts",
-        F.timestamp_micros((F.unix_micros(F.col(ts_col)) / us).cast("long") * us),
+        F.timestamp_micros(
+            (F.unix_micros(F.col(ts_col).cast("timestamp")) / us).cast("long") * us
+        ),
     )
     rhs = F.broadcast(
         static.select(
