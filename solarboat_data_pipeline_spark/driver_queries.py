@@ -1595,6 +1595,35 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_embedding_lsh_oracle() -> str:
+    planes = sim.hyperplanes(64, 8)
+    bucket = _sql_lsh_bucket("e", planes).replace("e.embedding", "embedding")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n,
+             {bucket} AS bucket
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(a.embedding, (x, i) ->
+                 x::DOUBLE * b.embedding[i]::DOUBLE)) / (a.n * b.n), 6) AS cosine_sim
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(a.embedding, (x, i) ->
+          x::DOUBLE * b.embedding[i]::DOUBLE)) / (a.n * b.n), 6) >= 0.35
+    """
+
+
+@register("dd_embedding_lsh", _dd_embedding_lsh_oracle())
+def dd_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding dedup at scale: hyperplane-LSH bucketing prunes
+    the candidate space, then the exact-cosine verification kernel of
+    ``dd_embedding_cosine`` runs only inside buckets
+    (operators/dedup.py:embedding_lsh_dedup_pairs)."""
+    return dd.embedding_lsh_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, dim=64
+    )
+
+
 def _sql_langid() -> str:
     counts = {
         lang: f"len(list_filter(toks, t -> list_contains({list(ws)!r}, t)))"
@@ -2615,7 +2644,7 @@ _PRIORITY = [
     "f6_json_extract",
     "f7_poa_irradiance_rows_only",
     "dd_exact",
-    "dd_lsh_pairs",
+    "dd_embedding_lsh",
     "dd_near_dup_pipeline",
     "dd_clusters",
     "pipeline_curation",
@@ -2630,6 +2659,7 @@ _PRIORITY = [
     # --- below the expected driver cut: scale twins whose mechanism is
     # already proven above, single-op duplicates of merged rows, and the
     # remaining long tail (all still oracle-checked by pytest locally)
+    "dd_lsh_pairs",
     "j4_asof_backward_scaled",
     "w_sessionize_scaled",
     "a7_trapezoid_scaled",

@@ -391,6 +391,51 @@ def embedding_cosine_pairs(
     )
 
 
+def embedding_lsh_dedup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed — the 100 TB form of
+    :func:`embedding_cosine_pairs`. Rows are bucketed by deterministic
+    random-hyperplane signs (one narrow projection, no shuffle), candidate
+    pairs come from a bucket-equality self-join (expected N²/2^planes
+    comparisons instead of N²), and the exact-cosine verification kernel
+    runs only on those candidates. Recall < 1 by design: a pair whose
+    signs differ in any plane is never compared — that is the trade that
+    makes embedding dedup feasible at corpus scale."""
+    from solarboat_data_pipeline_spark.operators.similarity import (
+        dot,
+        hyperplanes,
+        lsh_bucket,
+        norm,
+    )
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    hp = hyperplanes(dim, planes)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
+        lsh_bucket(F.col(vec_col), hp).alias("b"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+    return (
+        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def with_simhash(
     df: DataFrame,
     text_col: str = "text",

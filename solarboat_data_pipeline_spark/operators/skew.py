@@ -123,6 +123,60 @@ def _select_rank(
     )
 
 
+def _select_ranks_batched(
+    df: DataFrame,
+    col: str,
+    ks: Sequence[int],
+    n: int,
+    accuracy: int,
+    driver_threshold: int,
+) -> dict[int, float]:
+    """Resolve MANY sorted-rank lookups with shared full scans: one
+    ``percentile_approx`` pass brackets every rank at once, one conditional
+    -count pass classifies every bracket boundary, and only ranks that
+    land strictly inside their band (≈ 4N/accuracy rows each) fall back to
+    the per-rank recursion. O(1) full scans total instead of O(#ranks)."""
+    c = F.col(col)
+    fracs = []
+    for k in ks:
+        f = k / (n - 1) if n > 1 else 0.0
+        eps = 2.0 / accuracy
+        fracs.append((max(0.0, f - eps), min(1.0, f + eps)))
+    flat = sorted({x for pair in fracs for x in pair})
+    arr = ", ".join(repr(x) for x in flat)
+    row = df.agg(
+        F.expr(f"percentile_approx({col}, array({arr}), {accuracy})").alias("b"),
+        F.min(col).alias("mn"),
+        F.max(col).alias("mx"),
+    ).first()
+    approx = dict(zip(flat, row["b"]))
+    bounds = {}
+    for k, (lo_f, hi_f) in zip(ks, fracs):
+        lo = row["mn"] if lo_f == 0.0 else approx[lo_f]
+        hi = row["mx"] if hi_f == 1.0 else approx[hi_f]
+        bounds[k] = (lo, hi)
+    edges = sorted({v for b in bounds.values() for v in b})
+    cnt = df.agg(
+        *[F.sum((c < v).cast("long")).alias(f"lt_{i}") for i, v in enumerate(edges)],
+        *[F.sum((c == v).cast("long")).alias(f"eq_{i}") for i, v in enumerate(edges)],
+    ).first()
+    lt = {v: cnt[f"lt_{i}"] for i, v in enumerate(edges)}
+    eq = {v: cnt[f"eq_{i}"] for i, v in enumerate(edges)}
+    out: dict[int, float] = {}
+    for k in ks:
+        lo, hi = bounds[k]
+        if lt[lo] <= k < lt[lo] + eq[lo]:
+            out[k] = lo
+        elif lt[hi] <= k < lt[hi] + eq[hi]:
+            out[k] = hi
+        else:
+            band = df.where((c > lo) & (c < hi))
+            out[k] = _select_rank(
+                band, col, k - lt[lo] - eq[lo], accuracy, driver_threshold
+            )
+    return out
+
+
 def exact_quantile_cont(
     df: DataFrame,
     col: str,
@@ -137,25 +191,35 @@ def exact_quantile_cont(
     reducer (an OOM, not a slowdown, at 100 TB).
 
     Plan: per requested fraction p over N non-null rows, the result
-    interpolates the sorted values at ranks ⌊(N-1)p⌋ and ⌈(N-1)p⌉; each
-    rank is selected by ``_select_rank`` in O(1) full aggregate passes
-    plus a collect of only the ≈ 4N/accuracy rows bracketing the rank.
-    Everything driver-side is control flow on aggregate results (the AQE
-    pattern), never data iteration."""
+    interpolates the sorted values at ranks ⌊(N-1)p⌋ and ⌈(N-1)p⌉. Small
+    inputs (≤ ``driver_threshold``) collect ONCE and answer every rank
+    from the same sorted array; large inputs resolve all ranks through
+    ``_select_ranks_batched`` — a constant number of full aggregate passes
+    regardless of how many quantiles were requested, plus collects of only
+    the ≈ 4N/accuracy rows bracketing each rank. Everything driver-side is
+    control flow on aggregate results (the AQE pattern), never data
+    iteration."""
     filt = df.select(col).where(F.col(col).isNotNull())
     n = filt.count()
     if n == 0:
         return [None for _ in fractions]
-    # batch: selection caches resolve each distinct rank once
-    ranks: dict[int, float] = {}
-    out: list[float | None] = []
-    for p in fractions:
-        pos = (n - 1) * p
-        k0, k1 = int(pos), min(int(pos) + 1, n - 1)
-        for k in (k0, k1):
-            if k not in ranks:
-                ranks[k] = _select_rank(
-                    filt, col, k, accuracy, driver_threshold
-                )
-        out.append(ranks[k0] + (pos - k0) * (ranks[k1] - ranks[k0]))
-    return out
+    pos_k = [
+        (p * (n - 1), int(p * (n - 1)), min(int(p * (n - 1)) + 1, n - 1))
+        for p in fractions
+    ]
+    ks = sorted({k for _, k0, k1 in pos_k for k in (k0, k1)})
+    if n <= driver_threshold:
+        # Arrow batch transfer + numpy sort: ~10× the throughput of the
+        # py4j row-at-a-time collect for a single numeric column
+        import numpy as np
+
+        vals = np.sort(filt.toPandas()[col].to_numpy())
+        ranks = {k: float(vals[k]) for k in ks}
+    else:
+        ranks = _select_ranks_batched(
+            filt, col, ks, n, accuracy, driver_threshold
+        )
+    return [
+        ranks[k0] + (pos - k0) * (ranks[k1] - ranks[k0])
+        for pos, k0, k1 in pos_k
+    ]
