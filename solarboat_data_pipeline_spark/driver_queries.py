@@ -1609,7 +1609,7 @@ def _dd_embedding_lsh_oracle() -> str:
                  x::DOUBLE * b.embedding[i]::DOUBLE)) / (a.n * b.n), 6) AS cosine_sim
     FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE round(list_sum(list_transform(a.embedding, (x, i) ->
-          x::DOUBLE * b.embedding[i]::DOUBLE)) / (a.n * b.n), 6) >= 0.35
+          x::DOUBLE * b.embedding[i]::DOUBLE)) / (a.n * b.n), 6) >= 0.15
     """
 
 
@@ -1620,7 +1620,7 @@ def dd_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dd_embedding_cosine`` runs only inside buckets
     (operators/dedup.py:embedding_lsh_dedup_pairs)."""
     return dd.embedding_lsh_dedup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35, dim=64
+        _t(spark, sf_dir, "embeddings"), threshold=0.15, dim=64
     )
 
 

@@ -20,15 +20,18 @@ from pyspark.sql import functions as F
 NUM_PLANES = 8
 
 
-def hyperplanes(dim: int, planes: int = NUM_PLANES) -> list[list[int]]:
+def hyperplanes(
+    dim: int, planes: int = NUM_PLANES, salt: str = ""
+) -> list[list[int]]:
     """Deterministic ±1 hyperplanes: component d of plane p is +1 when the
-    low bit of md5("plane{p}:{d}") is set. Shared verbatim with the SQL
-    oracle."""
+    low bit of md5("{salt}plane{p}:{d}") is set. Shared verbatim with the
+    SQL oracle. ``salt`` yields independent plane sets for multi-table LSH
+    (OR-amplification)."""
     out = []
     for p in range(planes):
         row = []
         for d in range(dim):
-            h = hashlib.md5(f"plane{p}:{d}".encode()).hexdigest()
+            h = hashlib.md5(f"{salt}plane{p}:{d}".encode()).hexdigest()
             row.append(1 if int(h[:8], 16) & 1 else -1)
         out.append(row)
     return out

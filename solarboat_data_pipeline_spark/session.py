@@ -50,8 +50,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
-        # tolerate TIMESTAMP(NANOS) parquet columns (read as long ns;
-        # converted to µs timestamps at scan wrappers)
+        # legacy compat: TIMESTAMP(NANOS) parquet reads as long ns and the
+        # scan wrappers convert to µs. (Current fixtures are naive
+        # timestamp[us] → TIMESTAMP_NTZ; the wrappers cast those instead.)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # bucketed tables (sources/bucketed.py) need a metastore; keep the
         # embedded-derby catalog out of the repo checkout
