@@ -1595,19 +1595,23 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dd_embedding_lsh_oracle() -> str:
-    planes = sim.hyperplanes(64, 8)
-    bucket = _sql_lsh_bucket("e", planes).replace("e.embedding", "embedding")
+def _dd_embedding_lsh_oracle(tables: int = 2) -> str:
+    bucket_cols = []
+    for t in range(tables):
+        planes = sim.hyperplanes(64, 8, dd.lsh_table_salt(t))
+        b = _sql_lsh_bucket("e", planes).replace("e.embedding", "embedding")
+        bucket_cols.append(f"{b} AS b{t}")
+    any_bucket = " OR ".join(f"a.b{t} = b.b{t}" for t in range(tables))
     return f"""
     WITH e AS (
       SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n,
-             {bucket} AS bucket
+             {", ".join(bucket_cols)}
       FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_sum(list_transform(a.embedding, (x, i) ->
                  x::DOUBLE * b.embedding[i]::DOUBLE)) / (a.n * b.n), 6) AS cosine_sim
-    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM e a JOIN e b ON a.vec_id < b.vec_id AND ({any_bucket})
     WHERE round(list_sum(list_transform(a.embedding, (x, i) ->
           x::DOUBLE * b.embedding[i]::DOUBLE)) / (a.n * b.n), 6) >= 0.15
     """
@@ -1616,11 +1620,11 @@ def _dd_embedding_lsh_oracle() -> str:
 @register("dd_embedding_lsh", _dd_embedding_lsh_oracle())
 def dd_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end embedding dedup at scale: hyperplane-LSH bucketing prunes
-    the candidate space, then the exact-cosine verification kernel of
-    ``dd_embedding_cosine`` runs only inside buckets
+    the candidate space (two OR-amplified tables), then the exact-cosine
+    verification kernel of ``dd_embedding_cosine`` runs only inside buckets
     (operators/dedup.py:embedding_lsh_dedup_pairs)."""
     return dd.embedding_lsh_dedup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.15, dim=64
+        _t(spark, sf_dir, "embeddings"), threshold=0.15, dim=64, tables=2
     )
 
 

@@ -391,6 +391,12 @@ def embedding_cosine_pairs(
     )
 
 
+def lsh_table_salt(t: int) -> str:
+    """Deterministic per-table hyperplane salt; table 0 matches the
+    single-table planes (shared verbatim with the SQL oracles)."""
+    return "" if t == 0 else f"t{t}:"
+
+
 def embedding_lsh_dedup_pairs(
     df: DataFrame,
     threshold: float,
@@ -398,15 +404,23 @@ def embedding_lsh_dedup_pairs(
     vec_col: str = "embedding",
     planes: int = 8,
     dim: int | None = None,
+    tables: int = 1,
 ) -> DataFrame:
     """Embedding near-dup pairs, LSH-bucketed — the 100 TB form of
     :func:`embedding_cosine_pairs`. Rows are bucketed by deterministic
     random-hyperplane signs (one narrow projection, no shuffle), candidate
     pairs come from a bucket-equality self-join (expected N²/2^planes
     comparisons instead of N²), and the exact-cosine verification kernel
-    runs only on those candidates. Recall < 1 by design: a pair whose
-    signs differ in any plane is never compared — that is the trade that
-    makes embedding dedup feasible at corpus scale."""
+    runs only on those candidates.
+
+    Recall < 1 by design: a pair whose signs differ in any plane of every
+    table is never compared — that is the trade that makes embedding dedup
+    feasible at corpus scale. ``tables`` > 1 is the standard
+    OR-amplification: each row gets one bucket per independent plane set,
+    a pair is a candidate if ANY table buckets it together
+    (recall 1-(1-p^planes)^tables), and duplicate hits are collapsed with
+    a distinct. Each extra table multiplies candidate volume, not corpus
+    scans — the explode happens after the narrow projection."""
     from solarboat_data_pipeline_spark.operators.similarity import (
         dot,
         hyperplanes,
@@ -416,17 +430,25 @@ def embedding_lsh_dedup_pairs(
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    hp = hyperplanes(dim, planes)
+    buckets = [
+        lsh_bucket(F.col(vec_col), hyperplanes(dim, planes, lsh_table_salt(t)))
+        for t in range(tables)
+    ]
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("n"),
-        lsh_bucket(F.col(vec_col), hp).alias("b"),
+        F.posexplode(F.array(*buckets)).alias("t", "b"),
     )
     a, b = base.alias("a"), base.alias("b")
     cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
-    return (
-        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.id") < F.col("b.id")))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -434,6 +456,8 @@ def embedding_lsh_dedup_pairs(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+    # a pair found by several tables is one near-dup edge
+    return pairs.distinct() if tables > 1 else pairs
 
 
 def with_simhash(

@@ -216,6 +216,34 @@ def test_embedding_cosine_pairs_matches_numpy(spark):
     assert got == pytest.approx(want)
 
 
+def test_embedding_lsh_pairs_subset_of_exact_and_amplified(spark):
+    vecs = [(i, [math.sin(i * d + 1) for d in range(1, 9)]) for i in range(30)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in dd.embedding_cosine_pairs(df, threshold=0.2).collect()
+    }
+    one = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in dd.embedding_lsh_dedup_pairs(
+            df, threshold=0.2, planes=4, dim=8
+        ).collect()
+    }
+    two = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in dd.embedding_lsh_dedup_pairs(
+            df, threshold=0.2, planes=4, dim=8, tables=2
+        ).collect()
+    }
+    # every LSH pair is a true pair with the exact cosine value
+    assert set(one) <= set(exact) and set(two) <= set(exact)
+    for k in one:
+        assert one[k] == exact[k]
+    # table 0 of the amplified form uses the single-table planes, so
+    # OR-amplification can only ADD candidate pairs
+    assert set(one) <= set(two)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
