@@ -1434,6 +1434,36 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_simhash_pairs_oracle(max_hamming: int = 3, bits: int = 16, bands: int = 4) -> str:
+    w = bits // bands
+    mask = (1 << w) - 1
+    any_band = " OR ".join(
+        f"((a.simhash >> {t * w}) & {mask}) = ((b.simhash >> {t * w}) & {mask})"
+        for t in range(bands)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+         hb AS (SELECT doc_id, toks,
+                       list_transform(toks, t -> {sql_h32('t')}) AS hs FROM t),
+         s AS (SELECT doc_id, ({_sql_simhash_bits()})::BIGINT AS simhash
+               FROM hb WHERE len(toks) > 0)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id AND ({any_band})
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@register("dd_simhash_pairs", _dd_simhash_pairs_oracle())
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs: banded-bucket join (exact recall
+    for Hamming ≤ 3 by pigeonhole over 4 bands) + exact bit_count verify
+    (operators/dedup.py:simhash_near_dup_pairs)."""
+    return dd.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
 @register(
     "dd_ngram_jaccard",
     f"""
@@ -2664,6 +2694,7 @@ _PRIORITY = [
     # already proven above, single-op duplicates of merged rows, and the
     # remaining long tail (all still oracle-checked by pytest locally)
     "dd_lsh_pairs",
+    "dd_simhash_pairs",
     "j4_asof_backward_scaled",
     "w_sessionize_scaled",
     "a7_trapezoid_scaled",

@@ -193,6 +193,62 @@ def simhash_table(
     return per_doc.select(id_col, acc.alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    bands: int = BANDS,
+) -> DataFrame:
+    """SimHash near-dup pairs via the banded-bucket join: the signature is
+    split into ``bands`` contiguous bit-bands; a pair is a candidate when
+    ANY band matches exactly, then the exact Hamming distance
+    (``bit_count(xor)``) filters to ``max_hamming``.
+
+    Pigeonhole guarantee: with ``max_hamming < bands``, a qualifying pair
+    differs in at most ``max_hamming`` bands, so at least one band matches
+    — recall is exact, unlike hyperplane LSH. The trade is candidate
+    volume: expected N²/2^(bits/bands) per band. At corpus scale use wider
+    signatures (``bits=64``) so each band still has enough entropy;
+    everything here is parameterized on ``bits``/``bands``.
+
+    Returns ``(id_a, id_b, hamming)``, ``id_a < id_b``, duplicates across
+    bands collapsed."""
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    w = bits // bands
+    sh = simhash_table(df, text_col, id_col, bits).where(
+        F.col("simhash").isNotNull()
+    )
+    keys = [
+        F.shiftright("simhash", t * w).bitwiseAND(F.lit((1 << w) - 1)).cast("long")
+        for t in range(bands)
+    ]
+    base = sh.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.posexplode(F.array(*keys)).alias("band", "key"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def jaccard_verify(
     df: DataFrame,
     pairs: DataFrame,

@@ -216,6 +216,24 @@ def test_embedding_cosine_pairs_matches_numpy(spark):
     assert got == pytest.approx(want)
 
 
+def test_simhash_pairs_exact_recall_at_max_hamming(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dd.simhash_table(docs).collect()
+          if r["simhash"] is not None}
+    want = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sh[a] ^ sh[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    # pigeonhole over 4 bands: recall must be EXACT at hamming <= bands-1
+    assert got == want
+
+
 def test_embedding_lsh_pairs_subset_of_exact_and_amplified(spark):
     vecs = [(i, [math.sin(i * d + 1) for d in range(1, 9)]) for i in range(30)]
     df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
