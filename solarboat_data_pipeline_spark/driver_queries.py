@@ -1558,7 +1558,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              SELECT *, row_number() OVER
                (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
              FROM scored) WHERE rn = 1),
-         q AS (SELECT vec_id, embedding, cid FROM assigned WHERE vec_id < 10),
+         q AS (SELECT vec_id, embedding, cid FROM (
+             SELECT vec_id, embedding, cid, row_number() OVER
+               (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+             FROM scored WHERE vec_id < 10) WHERE rn <= 2),
          sims AS (
            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                   round({_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_B}), 6) AS cosine_sim
@@ -1574,7 +1577,11 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sim.ivf_topk(
-        _t(spark, sf_dir, "embeddings"), query_ids=range(10), k=5, n_centroids=16
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=range(10),
+        k=5,
+        n_centroids=16,
+        nprobe=2,
     )
     return out.select(
         "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("long").alias("rank")

@@ -126,16 +126,37 @@ def ivf_topk(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k via IVF with nprobe=1: exact cosine ranking
-    restricted to the query's own centroid cell. Same output shape as
+    """Approximate top-k via IVF: exact cosine ranking restricted to the
+    query's ``nprobe`` nearest centroid cells. Same output shape as
     :func:`cosine_topk`; recall loss shows up as missing neighbors that
-    live in other cells."""
+    live in unprobed cells and shrinks as ``nprobe`` grows (the standard
+    IVF recall/cost dial — probing multiplies only the tiny query side,
+    never the corpus scan)."""
     assigned = ivf_assign(df, n_centroids, id_col, vec_col)
-    queries = assigned.where(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.col("cid").alias("q_cid"),
+    cent = df.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec")
+    )
+    qvecs = df.where(F.col(id_col).isin(list(query_ids)))
+    w_probe = Window.partitionBy(id_col).orderBy(
+        F.col("__ccos").desc(), F.col("cid").asc()
+    )
+    queries = (
+        qvecs.crossJoin(F.broadcast(cent))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cid"),
+            cosine(F.col(vec_col), F.col("c_vec")).alias("__ccos"),
+        )
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .where(F.col("__rn") <= nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("cid").alias("q_cid"),
+        )
     )
     corpus = assigned.select(
         F.col(id_col).alias("neighbor_id"),

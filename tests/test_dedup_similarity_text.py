@@ -327,6 +327,24 @@ def test_ivf_topk_exact_within_cell(vecs):
     assert got == pytest.approx(want)
 
 
+def test_ivf_nprobe_only_adds_candidates(vecs):
+    def neighbors(nprobe):
+        out = sim.ivf_topk(
+            vecs, query_ids=range(4), k=100, n_centroids=4, nprobe=nprobe
+        ).collect()
+        d = {}
+        for r in out:
+            d.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return d
+
+    one, two = neighbors(1), neighbors(2)
+    # with k above corpus size the rank cutoff never bites, so probing a
+    # second cell can only ADD candidate neighbors per query
+    for q, ns in one.items():
+        assert ns <= two.get(q, set())
+    assert sum(map(len, two.values())) > sum(map(len, one.values()))
+
+
 def test_lsh_ann_cosine_values_exact_and_same_bucket(vecs):
     hp = sim.hyperplanes(4)
 
