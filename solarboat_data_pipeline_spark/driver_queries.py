@@ -2156,6 +2156,37 @@ def samp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "samp_token_budget",
+    f"""
+    WITH t AS (SELECT doc_id, source, {SQL_TOKENS.format(t="text")} AS toks
+               FROM documents),
+         s AS (SELECT doc_id, source, len(toks)::BIGINT AS n_tokens,
+                      {_SQL_BUCKET.format(salt='tok')} AS bkt
+               FROM t),
+         c AS (SELECT doc_id, source, n_tokens,
+                      sum(n_tokens) OVER (
+                        PARTITION BY source ORDER BY bkt, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM s)
+    SELECT doc_id, source, n_tokens FROM c WHERE cum <= 2000
+    """,
+)
+def samp_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy prefix sample to a 2000-token budget per source in
+    deterministic hash order (operators/sampling.py:token_budget_sample) —
+    pretraining mixtures are sized in tokens, not rows."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    out = sp.token_budget_sample(
+        docs, 2000, "n_tokens", "doc_id", strata_col="source", salt="tok"
+    )
+    return out.select("doc_id", "source", "n_tokens")
+
+
+@register(
     "txt_decontaminate",
     f"""
     WITH t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
@@ -2718,6 +2749,7 @@ _PRIORITY = [
     "txt_redact",
     "samp_hash_sample",
     "samp_weighted_mix",
+    "samp_token_budget",
     "skew_count_distinct",
     "mm_frame_sample",
     "mm_features_rows_only",

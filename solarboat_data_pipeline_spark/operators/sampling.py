@@ -78,3 +78,41 @@ def stratified_sample(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    size_col: Column | str,
+    key_col: str,
+    strata_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Greedy prefix sample to a TOKEN budget (pretraining corpora are
+    sized in tokens, not rows): rows are taken in deterministic hash
+    order until the running token total would exceed ``budget_tokens`` —
+    per stratum when ``strata_col`` is given, globally otherwise.
+
+    The kept set is a pure function of (key, salt, sizes): re-runs, other
+    cluster layouts, and retries select the identical rows, and the
+    greedy-prefix rule makes the sample maximal (the next candidate in
+    hash order would overflow the budget — rows after a too-big document
+    are NOT pulled forward, matching the SQL-mirrorable prefix rule).
+
+    One shuffle on the stratum key. A single giant stratum funnels its
+    running sum through one task — for that shape distribute the prefix
+    over hash-range buckets exactly as :mod:`.scale` does for time
+    (bucket by hash range, per-bucket local cumsum, broadcast the
+    exclusive prefix of bucket totals)."""
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    parts = [strata_col] if strata_col else []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(sample_bucket(F.col(key_col), salt), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("__cum_tokens", F.sum(size).over(w))
+        .filter(F.col("__cum_tokens") <= budget_tokens)
+        .drop("__cum_tokens")
+    )

@@ -74,6 +74,31 @@ def test_stratified_sample_exact_quota_and_selection(spark):
         assert got[g] == want, g
 
 
+def test_token_budget_sample_greedy_prefix(spark):
+    rows = [(i, f"g{i % 3}", (i * 7) % 90 + 10) for i in range(120)]
+    df = spark.createDataFrame(rows, ["k", "g", "n_tok"])
+    budget = 300
+    got = {}
+    for r in sp.token_budget_sample(
+        df, budget, "n_tok", "k", strata_col="g", salt="b"
+    ).collect():
+        got.setdefault(r["g"], []).append((r["k"], r["n_tok"]))
+    for g in {f"g{i}" for i in range(3)}:
+        members = sorted(
+            ((k, n) for k, s, n in rows if s == g),
+            key=lambda kn: (py_bucket(kn[0], "b"), kn[0]),
+        )
+        # python replication of the greedy prefix
+        want, cum = [], 0
+        for k, n in members:
+            cum += n
+            if cum > budget:
+                break
+            want.append((k, n))
+        assert sorted(got.get(g, [])) == sorted(want), g
+        assert sum(n for _, n in want) <= budget
+
+
 # ---------------------------------------------------------------------------
 # decontamination
 # ---------------------------------------------------------------------------
