@@ -1946,6 +1946,101 @@ def st_stream_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("st_stream_resample")
 
 
+def _event_stream(spark: SparkSession, sf_dir: str):
+    """File-source stream over the events fixture with the NTZ→TIMESTAMP
+    cast the batch scans apply (same pattern as ``st_stream_resample``)."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
+    if isinstance(schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _drain_to_memory(df, name: str, mode: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return df.sparkSession.table(name)
+
+
+@register(
+    "st_stream_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM g)
+    SELECT session_start, session_end, user_id, n_events FROM (
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 1800 SECOND AS session_end,
+             count(*)::BIGINT AS n_events
+      FROM s GROUP BY user_id, sid)
+    """,
+)
+def st_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization as a real Structured Streaming run: the engine's
+    ``session_window`` merges session state (streaming/pipeline.py:100);
+    complete mode over a drained backlog equals the batch gap-merge, with
+    ``session_end = last event + gap`` (the session_window contract)."""
+    from solarboat_data_pipeline_spark.streaming.pipeline import (
+        stream_sessionize,
+    )
+
+    stream = _event_stream(spark, sf_dir)
+    sess = stream_sessionize(
+        stream, gap_seconds=1800.0, ts_col="ts", key_cols=("user_id",)
+    )
+    out = _drain_to_memory(sess, "st_stream_sessionize", "complete")
+    return out.select(
+        "session_start", "session_end", "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "st_stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming/pipeline.py:123,
+    ``dropDuplicatesWithinWatermark``): state is bounded by the watermark
+    span; with a span covering the drained backlog it equals batch
+    DISTINCT on the dedup key. Only the key columns are returned — WHICH
+    duplicate row survives is batch-order-dependent by contract."""
+    from solarboat_data_pipeline_spark.streaming.pipeline import (
+        stream_dedup_exact,
+    )
+
+    stream = _event_stream(spark, sf_dir)
+    deduped = stream_dedup_exact(
+        stream, ("user_id", "event_type"), ts_col="ts", watermark="365 days"
+    )
+    out = _drain_to_memory(
+        deduped.select("user_id", "event_type"), "st_stream_dedup", "append"
+    )
+    return out.select("user_id", "event_type")
+
+
 # mapInPandas feature extraction: Spark-side plumbing is real, the decode
 # kernel is a stub — no SQL equivalent, so the driver records rows-only.
 @register("mm_features_rows_only", None)
@@ -2753,6 +2848,8 @@ _PRIORITY = [
     "skew_count_distinct",
     "mm_frame_sample",
     "mm_features_rows_only",
+    "st_stream_sessionize",
+    "st_stream_dedup",
     "agg_rollup",
     "agg_count_distinct",
     "w1_lag_diff",
