@@ -59,3 +59,18 @@ def test_q1_single_shuffle_agg(spark, qs):
 def test_exact_dedup_single_shuffle(spark, qs):
     a = audit(qs["dd_exact"](spark, SF_DIR))
     assert a.shuffles == 1, a.plan
+
+
+def test_embedding_and_simhash_pair_joins_are_bucketed(spark, qs):
+    # candidate generation must join on bucket equality, never produce the
+    # all-pairs nested-loop the exact baselines use
+    for name in ("dd_embedding_lsh", "dd_simhash_pairs"):
+        a = audit(qs[name](spark, SF_DIR))
+        assert not a.cartesian_join, name
+
+
+def test_token_budget_sample_single_shuffle(spark, qs):
+    # hash-order prefix per stratum: one exchange on the stratum key
+    a = audit(qs["samp_token_budget"](spark, SF_DIR))
+    assert a.shuffles <= 1, a.plan
+    assert not a.unbounded_following
