@@ -2041,6 +2041,36 @@ def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_type")
 
 
+@register(
+    "mm_resize",
+    """
+    WITH media AS (
+      -- document text is pure ASCII in these fixtures, so VARCHAR substr
+      -- equals the byte slice the Spark kernel takes on the utf-8 payload
+      SELECT doc_id AS media_id, text,
+             (doc_id % 640 + 1)::INT AS width,
+             (doc_id % 480 + 1)::INT AS height
+      FROM documents WHERE doc_id % 3 = 0),
+    sized AS (
+      SELECT media_id, width, height, text,
+             greatest(1, least(octet_length(encode(text)),
+               octet_length(encode(text)) * 3072 // (width * height)))::BIGINT AS n
+      FROM media)
+    SELECT media_id, 'image/png' AS media_type, width, height,
+           64::INT AS target_width, 48::INT AS target_height,
+           n AS n_bytes, md5(substr(text, 1, n::INT)) AS payload_md5
+    FROM sized
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (operators/multimodal.py:resize_plan): the
+    Arrow mapInPandas batching, type filter, and typed target dims are
+    real; the pixel kernel is the documented stub (proportional byte-
+    stream truncation), which makes the output exactly SQL-checkable."""
+    media = mm.documents_as_media(_t(spark, sf_dir, "documents"))
+    return mm.resize_plan(media, target_width=64, target_height=48)
+
+
 # mapInPandas feature extraction: Spark-side plumbing is real, the decode
 # kernel is a stub — no SQL equivalent, so the driver records rows-only.
 @register("mm_features_rows_only", None)
@@ -2847,6 +2877,7 @@ _PRIORITY = [
     "samp_token_budget",
     "skew_count_distinct",
     "mm_frame_sample",
+    "mm_resize",
     "mm_features_rows_only",
     "st_stream_sessionize",
     "st_stream_dedup",

@@ -96,6 +96,61 @@ def extract_features(df: DataFrame, fake: bool = True, feat_dim: int = 4) -> Dat
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id long, media_type string, width int, height int, "
+    "target_width int, target_height int, n_bytes long, payload_md5 string"
+)
+
+
+def resize_plan(
+    df: DataFrame, target_width: int, target_height: int, fake: bool = True
+) -> DataFrame:
+    """Image-resize plumbing via Arrow-batched ``mapInPandas``.
+
+    The Spark-side contract is real: image rows selected by type, typed
+    target dimensions attached, payloads re-emitted batch-wise. The pixel
+    kernel is the stub — ``fake=True`` scales the BYTE STREAM
+    proportionally to the area ratio (first ``min(len, len·target_area ÷
+    source_area)`` bytes, ≥1), a deterministic SQL-mirrorable stand-in;
+    ``fake=False`` raises ``NotImplementedError`` at the marked PIL/ffmpeg
+    integration point. Output carries the md5 of the resized payload so
+    correctness is hash-checkable without shipping the bytes around."""
+    import hashlib
+
+    area = target_width * target_height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL/ffmpeg; "
+                    "not available in this container"
+                )
+            n_out, digests = [], []
+            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                b = bytes(payload)
+                n = max(1, min(len(b), len(b) * area // max(int(w) * int(h), 1)))
+                out = b[:n]
+                n_out.append(len(out))
+                digests.append(hashlib.md5(out).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "target_width": target_width,
+                    "target_height": target_height,
+                    "n_bytes": n_out,
+                    "payload_md5": digests,
+                }
+            )
+
+    return df.where(F.col("media_type") == "image/png").mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits (media_id,
     frame_index) rows without decoding — the downstream decoder maps each
