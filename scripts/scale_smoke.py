@@ -24,6 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from solarboat_data_pipeline_spark import get_spark  # noqa: E402
@@ -90,9 +91,13 @@ def main() -> None:
         t_g = timed_noop(g)
         t_s = timed_noop(s)
         n, null_mm, max_rel = divergence(g, s, out_col)
+        # the full join's row count equals each side's count exactly when
+        # both forms produced the same id set
+        ng, ns = g.count(), s.count()
         tol = 0.0 if exact else REL_TOL
         ok = (
-            n == N
+            n == ng == ns
+            and n > 0
             and null_mm == 0
             and (max_rel is None or max_rel <= tol)
         )
@@ -100,6 +105,7 @@ def main() -> None:
             "rows": n,
             "global_sec": t_g,
             "scaled_sec": t_s,
+            "null_mismatches": null_mm,
             "max_rel_divergence": max_rel,
             "agree": ok,
         }
@@ -132,6 +138,39 @@ def main() -> None:
         lambda: ts.sessionize(df, ts_col="ts", gap_seconds=2.5, out_col="out"),
         lambda: sc.sessionize(
             df, ts_col="ts", gap_seconds=2.5, out_col="out",
+            tiebreak_cols=["event_id"], num_buckets=BUCKETS,
+        ),
+        "out",
+        exact=True,
+    )
+
+    # as-of join: left = every 3rd point, right = the valued points; both
+    # forms produce (event_id, v) — the carried most-recent right value
+    left = df.where(F.col("event_id") % 3 == 0).select("event_id", "ts")
+    right = df.where(F.col("value").isNotNull()).select(
+        "ts", F.col("value").alias("v")
+    )
+    import solarboat_data_pipeline_spark.operators.timeseries as _ts
+
+    case(
+        "asof_join_backward",
+        lambda: _ts.asof_join_backward(left, right, on="ts", value_cols=["v"])
+        .select("event_id", F.col("v").alias("out")),
+        lambda: sc.asof_join_backward(
+            left, right, on="ts", value_cols=["v"], num_buckets=BUCKETS
+        ).select("event_id", F.col("v").alias("out")),
+        "out",
+        exact=True,
+    )
+
+    case(
+        "lag_k",
+        lambda: df.withColumn(
+            "out",
+            F.lag("value", 1000).over(Window.orderBy("ts", "event_id")),
+        ),
+        lambda: sc.lag_k(
+            df, 1000, {"out": "value"}, ts_col="ts",
             tiebreak_cols=["event_id"], num_buckets=BUCKETS,
         ),
         "out",
