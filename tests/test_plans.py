@@ -74,3 +74,35 @@ def test_token_budget_sample_single_shuffle(spark, qs):
     a = audit(qs["samp_token_budget"](spark, SF_DIR))
     assert a.shuffles <= 1, a.plan
     assert not a.unbounded_following
+
+
+# mapInPandas (ArrowEvalPython/MapInPandas) is the sanctioned Python path;
+# BatchEvalPython would mean a row-at-a-time UDF leaked into a hot path
+NO_PYTHON_QUERIES = [
+    "s1_candump_parse",
+    "p10_binary_decode",
+    "q1_pricing_summary",
+    "j3_asof_linear",
+    "j3_asof_linear_scaled",
+    "w3_interpolate_scaled",
+    "w2_lagk_scaled",
+    "dd_lsh_pairs",
+    "dd_embedding_lsh",
+    "dd_simhash_pairs",
+    "sim_cosine_topk",
+    "txt_quality",
+    "txt_decontaminate",
+    "samp_token_budget",
+    "pipeline_curation",
+]
+
+
+@pytest.mark.parametrize("name", NO_PYTHON_QUERIES)
+def test_hot_paths_have_no_rowwise_python(spark, qs, name):
+    a = audit(qs[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in a.plan, name
+
+
+def test_parse_path_stays_in_codegen(spark, qs):
+    a = audit(qs["s1_candump_parse"](spark, SF_DIR), execute=True)
+    assert a.codegen_stages >= 1, a.plan
