@@ -1731,6 +1731,53 @@ def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_quality_filter",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+         s AS (SELECT doc_id, text, toks, {_SQL_SH} AS sh FROM t),
+         m AS (SELECT doc_id,
+                 len(toks)::BIGINT AS n_words,
+                 round(CASE WHEN len(toks) > 0 THEN
+                   list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks)
+                 END, 6) AS awl,
+                 round(CASE WHEN length(text) > 0 THEN
+                   len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text)
+                 END, 6) AS pr,
+                 round(CASE WHEN len(toks) > 0 THEN
+                   len(list_filter(toks, t -> list_contains({sorted({w for ws in tx.LANG_STOPWORDS.values() for w in ws})!r}, t))) * 1.0 / len(toks)
+                 END, 6) AS sr,
+                 round(CASE WHEN len(sh) > 0 THEN
+                   1.0 - len(list_distinct(sh)) * 1.0 / len(sh) END, 6) AS rep
+           FROM s)
+    SELECT doc_id, n_words FROM m
+    WHERE n_words BETWEEN 30 AND 100000
+      AND awl BETWEEN 3.0 AND 5.0
+      AND pr <= 0.1 AND sr >= 0.02 AND coalesce(rep, 0) <= 0.2
+    """,
+)
+def txt_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style composite quality gate
+    (operators/text.py:quality_filter): one per-row codegen boolean over
+    the verified scalar metrics — at scale it prunes in the scan stage."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.where(
+        tx.quality_filter(
+            F.col("text"),
+            min_words=30,
+            max_words=100_000,
+            min_avg_word_len=3.0,
+            max_avg_word_len=5.0,
+            max_punct_ratio=0.1,
+            min_stopword_ratio=0.02,
+            max_repetition=0.2,
+        )
+    )
+    return kept.select(
+        "doc_id", tx.token_count(F.col("text")).cast("long").alias("n_words")
+    )
+
+
+@register(
     "txt_tokens",
     f"""
     WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
@@ -2867,6 +2914,7 @@ _PRIORITY = [
     "dd_ngram_jaccard",
     "dd_embedding_cosine",
     "sim_ivf_topk",
+    "txt_quality_filter",
     "txt_langid",
     "txt_tokens",
     "txt_fingerprint",

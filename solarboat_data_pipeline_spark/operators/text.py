@@ -84,6 +84,36 @@ def quality_metrics(text: Column) -> dict[str, Column]:
     }
 
 
+def quality_filter(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_punct_ratio: float = 0.10,
+    min_stopword_ratio: float = 0.01,
+    max_repetition: float = 0.20,
+) -> Column:
+    """Gopher/C4-style composite quality gate as ONE boolean expression:
+    word-count bounds, mean-word-length band, symbol-ratio cap, stopword
+    floor (natural prose has function words), and 3-gram repetition cap
+    (boilerplate/spam detector). All sub-signals are the already-verified
+    scalar metrics, so the whole gate stays a per-row codegen expression —
+    at 100 TB this runs inside the scan with zero shuffles and prunes the
+    corpus before anything expensive touches it."""
+    m = quality_metrics(text)
+    # rounded like every quality_metrics signal, so thresholds behave
+    # identically across engines (and the SQL oracle)
+    rep = F.round(repetition_ratio_tokens(tokens(text)), 6)
+    return (
+        m["n_words"].between(min_words, max_words)
+        & m["avg_word_len"].between(min_avg_word_len, max_avg_word_len)
+        & (m["punct_ratio"] <= max_punct_ratio)
+        & (m["stopword_ratio"] >= min_stopword_ratio)
+        & (F.coalesce(rep, F.lit(0.0)) <= max_repetition)
+    )
+
+
 def lang_id(text: Column) -> Column:
     """Stopword-count language ID with deterministic tie-break (highest
     count wins; ties resolve in lexicographic language order)."""
