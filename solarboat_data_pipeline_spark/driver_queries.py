@@ -1280,6 +1280,27 @@ def dd_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_minhash_estimate",
+    f"""
+    WITH {_sql_lsh_pairs()}
+    SELECT p.id_a, p.id_b,
+           round(list_sum(list_transform(
+             generate_series(1, {dd.NUM_HASHES}),
+             i -> CASE WHEN ma.mins[i] = mb.mins[i] THEN 1 ELSE 0 END
+           )) / {dd.NUM_HASHES}.0, 6) AS jaccard_est
+    FROM lsh_pairs p
+    JOIN m ma ON p.id_a = ma.doc_id
+    JOIN m mb ON p.id_b = mb.doc_id
+    """,
+)
+def dd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-agreement Jaccard estimate over the LSH candidates
+    (operators/dedup.py:minhash_jaccard_estimate) — the cheap scoring rung
+    between candidate generation and the exact postings verify."""
+    return dd.minhash_jaccard_estimate(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "dd_near_dup_pipeline",
     f"""
     WITH RECURSIVE {_sql_lsh_pairs()},
@@ -2910,6 +2931,7 @@ _PRIORITY = [
     "a7_trapezoid_scaled",
     "j2_left_join_summary",
     "dd_simhash",
+    "dd_minhash_estimate",
     "dd_minhash_signature",
     "dd_ngram_jaccard",
     "dd_embedding_cosine",

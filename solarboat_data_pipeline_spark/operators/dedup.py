@@ -121,6 +121,43 @@ def with_minhash(
     return df.join(m, id_col, "left").select(*df.columns, sig)
 
 
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """Signature-only Jaccard ESTIMATE for candidate pairs — the cheap
+    middle rung between LSH candidates and the exact postings-join verify:
+    the fraction of agreeing signature components is an unbiased estimator
+    of the true Jaccard (stderr ≈ √(J(1−J)/num_hashes)), computed from
+    the already-aggregated signatures with two id-equi-joins and no
+    re-tokenization of document text. ``pairs=None`` scores the LSH
+    candidates. Returns ``(id_a, id_b, jaccard_est)``."""
+    sig = minhash_table(df, text_col, id_col, num_hashes)
+    if pairs is None:
+        pairs = lsh_candidate_pairs(df, text_col, id_col)
+    a = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh{j}").alias(f"__a{j}") for j in range(num_hashes)],
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh{j}").alias(f"__b{j}") for j in range(num_hashes)],
+    )
+    agree = None
+    for j in range(num_hashes):
+        term = F.when(F.col(f"__a{j}") == F.col(f"__b{j}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    est = F.round(agree.cast("double") / num_hashes, 6)
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", est.alias("jaccard_est"))
+    )
+
+
 def _band_hash_array(
     bands: int = BANDS, rows: int = ROWS_PER_BAND
 ) -> Column:
