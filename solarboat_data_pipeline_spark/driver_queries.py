@@ -2139,6 +2139,34 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.resize_plan(media, target_width=64, target_height=48)
 
 
+@register(
+    "st_stream_ffill",
+    """
+    SELECT user_id, ts, value,
+           last_value(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM events
+    """,
+)
+def st_stream_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (streaming/stateful.py:
+    ``applyInPandasWithState``): per-key forward fill whose state — one
+    scalar per series — carries across micro-batches, so gaps spanning
+    batch boundaries still fill. Equals the batch running
+    last-non-null over a drained ordered backlog (the fixture has no
+    (user_id, ts) ties, so the fill order is deterministic)."""
+    from solarboat_data_pipeline_spark.streaming.stateful import stream_ffill
+
+    stream = _event_stream(spark, sf_dir).select("user_id", "ts", "value")
+    filled = stream_ffill(
+        stream, key_cols=("user_id",), ts_col="ts", value_col="value",
+        out_col="filled",
+    )
+    out = _drain_to_memory(filled, "st_stream_ffill", "append")
+    return out.select("user_id", "ts", "value", "filled")
+
+
 # mapInPandas feature extraction: Spark-side plumbing is real, the decode
 # kernel is a stub — no SQL equivalent, so the driver records rows-only.
 @register("mm_features_rows_only", None)
@@ -2951,6 +2979,7 @@ _PRIORITY = [
     "mm_features_rows_only",
     "st_stream_sessionize",
     "st_stream_dedup",
+    "st_stream_ffill",
     "agg_rollup",
     "agg_count_distinct",
     "w1_lag_diff",
