@@ -2140,6 +2140,47 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_stream_enrich",
+    """
+    WITH g AS (
+      SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS grid,
+             round(avg(value), 6) AS avg_value
+      FROM events GROUP BY 1)
+    SELECT e.event_id, g.avg_value AS ref_avg_value
+    FROM events e
+    LEFT JOIN g
+      ON g.grid = make_timestamp((epoch_us(e.ts) // 21600000000) * 21600000000)
+    """,
+)
+def st_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming enrichment join (streaming/pipeline.py:stream_enrich_grid):
+    the stream snaps each event to the static side's time grid and joins
+    the broadcast static table statelessly — the streaming analogue of the
+    J1/J2/J4 enrichment stage. Equals the batch snap-to-grid left join."""
+    from solarboat_data_pipeline_spark.streaming.pipeline import (
+        stream_enrich_grid,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    static = (
+        ev.groupBy(
+            F.timestamp_micros(
+                (F.floor(ts._us(F.col("ts")) / 21_600_000_000) * 21_600_000_000)
+                .cast("long")
+            ).alias("ts")
+        )
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+    stream = _event_stream(spark, sf_dir).select("event_id", "ts")
+    enriched = stream_enrich_grid(
+        stream, static, grid_seconds=21600.0, ts_col="ts",
+        prefix="ref_", value_cols=("avg_value",),
+    )
+    out = _drain_to_memory(enriched, "st_stream_enrich", "append")
+    return out.select("event_id", "ref_avg_value")
+
+
+@register(
     "st_stream_ffill",
     """
     SELECT user_id, ts, value,
@@ -2980,6 +3021,7 @@ _PRIORITY = [
     "st_stream_sessionize",
     "st_stream_dedup",
     "st_stream_ffill",
+    "st_stream_enrich",
     "agg_rollup",
     "agg_count_distinct",
     "w1_lag_diff",
