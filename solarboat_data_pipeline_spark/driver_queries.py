@@ -2139,6 +2139,49 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.resize_plan(media, target_width=64, target_height=48)
 
 
+@register("st_stream_parse", _REGISTRY["s1_candump_parse"][1])
+def st_stream_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 as a real file STREAM (streaming/pipeline.py:stream_candump):
+    the same candump lines as ``s1_candump_parse`` are staged to text
+    files, read through ``readStream.text``, and parsed by the IDENTICAL
+    stateless batch operators (P1-P12 are row-local, hence stream-safe).
+    Shares s1's oracle verbatim — the stream must produce the exact same
+    parsed frame set as the batch scan."""
+    from solarboat_data_pipeline_spark.sources.candump import extract_frames
+    from solarboat_data_pipeline_spark.streaming.pipeline import stream_candump
+
+    ev = _t(spark, sf_dir, "events")
+    frame1 = F.format_string(
+        "(%.6f) can0 %s#%s",
+        F.round(epoch_seconds(F.col("ts")), 6),
+        F.lpad(F.lower(F.hex(F.col("event_id") % 2048)), 3, "0"),
+        F.substring(F.md5("props"), 1, 14),
+    )
+    frame2 = F.format_string(
+        "(%.6f) can1 %s#%s",
+        F.round(epoch_seconds(F.col("ts")), 6) + 0.5,
+        F.lpad(F.lower(F.hex((F.col("event_id") + 7) % 2048)), 3, "0"),
+        F.substring(F.md5("props"), 15, 14),
+    )
+    lines = ev.select(
+        F.concat(
+            frame1, F.when(F.col("event_id") % 10 == 0, frame2).otherwise(F.lit(""))
+        ).alias("value")
+    )
+    stage = _io_dir(sf_dir, "st_candump_text")
+    lines.write.mode("overwrite").text(stage)
+    stream = stream_candump(spark, f"{stage}/part-*")
+    fr = extract_frames(stream, with_order=False)
+    b = lambda pos: F.conv(F.substring("payload_hex", pos, 2), 16, 10).cast("long")  # noqa: E731
+    parsed = fr.select(
+        F.col("ts_raw").cast("double").alias("ts_raw"),
+        "interface",
+        F.conv("topic_hex", 16, 10).cast("long").alias("topic_id"),
+        F.round((b(3) + b(5) * 256) / 100.0, 6).alias("u16_scaled"),
+    )
+    return _drain_to_memory(parsed, "st_stream_parse", "append")
+
+
 @register(
     "st_stream_enrich",
     """
@@ -3022,6 +3065,7 @@ _PRIORITY = [
     "st_stream_dedup",
     "st_stream_ffill",
     "st_stream_enrich",
+    "st_stream_parse",
     "agg_rollup",
     "agg_count_distinct",
     "w1_lag_diff",
