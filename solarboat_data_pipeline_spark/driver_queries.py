@@ -2492,6 +2492,46 @@ def samp_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_model_score",
+    """
+    SELECT doc_id,
+           round(list_sum(list_transform(string_split(text, ''), c -> ord(c)))
+                 / greatest(length(text), 1) / 255.0, 6) AS score
+    FROM documents
+    """,
+)
+def txt_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based scoring plumbing (operators/text.py:model_score): Arrow
+    record batches to an executor-side scorer, scores back column-aligned
+    — the run shape of perplexity/classifier curation gates. The model is
+    the documented stub (deterministic byte statistic, ASCII fixtures make
+    char ords equal bytes), so the plumbing is exactly SQL-checkable."""
+    return tx.model_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dd_incremental",
+    """
+    WITH seen AS (SELECT DISTINCT md5(text) AS digest FROM documents
+                  WHERE doc_id % 5 != 0),
+         incoming AS (SELECT doc_id, md5(text) AS digest FROM documents
+                      WHERE doc_id % 5 = 0)
+    SELECT i.doc_id FROM incoming i
+    WHERE i.digest NOT IN (SELECT digest FROM seen)
+    """,
+)
+def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (operators/dedup.py:dedup_against): only
+    documents whose content digest is unseen in the existing corpus
+    survive — a LEFT ANTI join on the digest, the standard shape for
+    appending a new crawl increment to a deduplicated corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 5 != 0)
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+    return dd.dedup_against(incoming, seen).select("doc_id")
+
+
+@register(
     "txt_decontaminate",
     f"""
     WITH t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
@@ -3043,6 +3083,8 @@ _PRIORITY = [
     "a7_trapezoid_scaled",
     "j2_left_join_summary",
     "dd_simhash",
+    "dd_incremental",
+    "txt_model_score",
     "dd_minhash_estimate",
     "dd_minhash_signature",
     "dd_ngram_jaccard",

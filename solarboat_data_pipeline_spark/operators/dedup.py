@@ -121,6 +121,23 @@ def with_minhash(
     return df.join(m, id_col, "left").select(*df.columns, sig)
 
 
+def dedup_against(
+    incoming: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest exact dedup: keep only ``incoming`` rows whose
+    content digest does not appear in ``seen`` — a LEFT ANTI join on the
+    digest. At corpus scale ``seen`` is the (small, digest-only) index of
+    the existing corpus, not its text: the anti join shuffles digests
+    only, and the incoming side streams through unchanged."""
+    seen_digests = seen.select(F.md5(F.col(text_col)).alias("__digest")).distinct()
+    return incoming.withColumn(
+        "__digest", F.md5(F.col(text_col))
+    ).join(seen_digests, "__digest", "anti").drop("__digest")
+
+
 def minhash_jaccard_estimate(
     df: DataFrame,
     pairs: DataFrame | None = None,

@@ -182,6 +182,48 @@ REDACT_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
+def model_score(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "score",
+    batch_size_hint: int = 10_000,
+    fake: bool = True,
+):
+    """Model-based quality scoring plumbing (perplexity / classifier
+    filtering, the modern curation gate) via Arrow-batched ``mapInPandas``.
+
+    The Spark-side contract is real — documents stream to the scorer in
+    Arrow record batches, scores come back column-aligned, nothing leaves
+    the executor — which is exactly how a small LM or fastText-style
+    classifier runs at corpus scale (load the model once per task, score
+    per batch). The MODEL is the stub: ``fake=True`` scores with a
+    deterministic byte-statistic stand-in (mean byte value / 255, so the
+    SQL oracle can reproduce it exactly); ``fake=False`` raises
+    ``NotImplementedError`` at the marked integration point."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    schema = f"{id_col} long, {out_col} double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # a real scorer loads its model HERE, once per task
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real model scoring requires a model runtime; "
+                    "not available in this container"
+                )
+            scores = []
+            for t in pdf[text_col]:
+                b = t.encode("utf-8")
+                scores.append(round(sum(b) / max(len(b), 1) / 255.0, 6))
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: scores})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
 def redact_pii(text: Column) -> Column:
     """Scrub email addresses, phone-shaped digit runs, and long numbers —
     the minimum PII pass a web-scale training corpus gets before the
