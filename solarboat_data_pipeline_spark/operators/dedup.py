@@ -152,9 +152,37 @@ def minhash_jaccard_estimate(
     the already-aggregated signatures with two id-equi-joins and no
     re-tokenization of document text. ``pairs=None`` scores the LSH
     candidates. Returns ``(id_a, id_b, jaccard_est)``."""
-    sig = minhash_table(df, text_col, id_col, num_hashes)
+    # materialize signatures ONCE (lazy local checkpoint): the band join
+    # and both estimate sides consume them, and each branch would
+    # otherwise re-run the tokenize→shingle→md5→min aggregation over the
+    # whole corpus — the dominant cost at scale
+    sig = minhash_table(df, text_col, id_col, num_hashes).localCheckpoint(
+        eager=False
+    )
     if pairs is None:
-        pairs = lsh_candidate_pairs(df, text_col, id_col)
+        if num_hashes != NUM_HASHES:
+            # banding constants assume the full signature width
+            pairs = lsh_candidate_pairs(df, text_col, id_col)
+            return minhash_jaccard_estimate(
+                df, pairs, text_col, id_col, num_hashes
+            )
+        exploded = sig.select(
+            id_col, F.posexplode(_band_hash_array()).alias("band", "band_hash")
+        )
+        a_, b_ = exploded.alias("a"), exploded.alias("b")
+        pairs = (
+            a_.join(
+                b_,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
     a = sig.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"mh{j}").alias(f"__a{j}") for j in range(num_hashes)],
