@@ -2251,12 +2251,41 @@ def st_stream_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "ts", "value", "filled")
 
 
-# mapInPandas feature extraction: Spark-side plumbing is real, the decode
-# kernel is a stub — no SQL equivalent, so the driver records rows-only.
-@register("mm_features_rows_only", None)
-def mm_features_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+# mapInPandas feature extraction: the Spark-side plumbing is real, the
+# decode kernel is a documented deterministic stub (byte-sum moments) —
+# which makes even the stub exactly SQL-checkable on the ASCII fixtures
+# (char ords equal payload bytes). A real decoder swaps in behind fake=.
+@register(
+    "mm_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type,
+             octet_length(encode(text))::BIGINT AS n_bytes,
+             list_transform(string_split(text, ''), c -> ord(c)) AS bytes
+      FROM documents)
+    SELECT media_id, media_type, n_bytes,
+           round(n_bytes * 1.0e0, 6) AS f_len,
+           round(list_sum(bytes) * 1.0e0 / greatest(n_bytes, 1), 6) AS f_mean,
+           round(coalesce(list_min(bytes), 0) * 1.0e0, 6) AS f_min,
+           round(coalesce(list_max(bytes), 0) * 1.0e0, 6) AS f_max
+    FROM m
+    """,
+)
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.documents_as_media(_t(spark, sf_dir, "documents"))
-    return mm.extract_features(media, fake=True)
+    feats = mm.extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        *[
+            F.round(F.col("feature")[i], 6).alias(n)
+            for i, n in enumerate(["f_len", "f_mean", "f_min", "f_max"])
+        ],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3102,7 +3131,7 @@ _PRIORITY = [
     "skew_count_distinct",
     "mm_frame_sample",
     "mm_resize",
-    "mm_features_rows_only",
+    "mm_features",
     "st_stream_sessionize",
     "st_stream_dedup",
     "st_stream_ffill",
