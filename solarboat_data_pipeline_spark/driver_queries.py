@@ -2042,6 +2042,34 @@ def _drain_to_memory(df, name: str, mode: str):
 
 
 @register(
+    "k_partitioned_prune",
+    """
+    SELECT event_id, ts, round(value, 6) AS value, event_type
+    FROM events WHERE event_id % 3 = 0 AND event_type = 'click'
+    """,
+)
+def k_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 partitioned sink + partition pruning: the subset is written
+    ``partitionBy(event_type)`` and read back with a partition filter —
+    at scale the pruned read touches only the matching directory, no file
+    of any other partition is opened (hive-style pruning at planning
+    time). The oracle recomputes the same rows from the flat parquet."""
+    import shutil
+
+    from solarboat_data_pipeline_spark.sources.sinks import write_parquet
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 3 == 0)
+    sub = ev.select(
+        "event_id", "ts", F.round("value", 6).alias("value"), "event_type"
+    )
+    path = _io_dir(sf_dir, "k_partitioned_events")
+    shutil.rmtree(path, ignore_errors=True)
+    write_parquet(sub, path, mode="overwrite", partition_by=["event_type"])
+    back = spark.read.parquet(path).where(F.col("event_type") == "click")
+    return back.select("event_id", "ts", "value", "event_type")
+
+
+@register(
     "st_stream_sessionize",
     """
     WITH g AS (
@@ -3132,6 +3160,7 @@ _PRIORITY = [
     "mm_frame_sample",
     "mm_resize",
     "mm_features",
+    "k_partitioned_prune",
     "st_stream_sessionize",
     "st_stream_dedup",
     "st_stream_ffill",
