@@ -2436,6 +2436,23 @@ def w2_lagk_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id")
 
 
+@register("w6_rank_scaled", _REGISTRY["w6_sort_rank"][1])
+def w6_rank_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 global sort at scale (operators/scale.py:global_rank): bucket-
+    local row_number + broadcast prefix of bucket counts — no single-task
+    window. Shares w6_sort_rank's oracle verbatim."""
+    ev = _t(spark, sf_dir, "events")
+    out = sc.global_rank(
+        ev.select("event_id", "ts"),
+        out_col="pos",
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+        num_buckets=32,
+        bounds=_event_bounds(sf_dir),
+    )
+    return out.select("event_id", F.col("pos").cast("long").alias("pos"))
+
+
 @register(
     "a7_trapezoid_scaled",
     _REGISTRY["a7_trapezoid_energy"][1],
@@ -3137,6 +3154,7 @@ _PRIORITY = [
     "dd_simhash_pairs",
     "j4_asof_backward_scaled",
     "w_sessionize_scaled",
+    "w6_rank_scaled",
     "a7_trapezoid_scaled",
     "j2_left_join_summary",
     "dd_simhash",

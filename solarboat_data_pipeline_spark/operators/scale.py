@@ -384,6 +384,29 @@ def _scan_lag1(
 # ---------------------------------------------------------------------------
 
 
+def global_rank(
+    df: DataFrame,
+    out_col: str = "pos",
+    ts_col: str = "timestamp",
+    tiebreak_cols: Sequence[str] = (),
+    num_buckets: int | None = None,
+    bounds: Sequence[int] | None = None,
+) -> DataFrame:
+    """W6 at scale: 1-based position in the global (ts, tiebreaks) order
+    WITHOUT a single-task window — bucket-local ``row_number`` plus the
+    broadcast exclusive prefix of bucket row counts. The classic
+    distributed total-order rank (what a global sort's output numbering
+    would be), every stage a plain shuffle/aggregate."""
+    b = with_buckets(df, ts_col, num_buckets, bounds)
+    order = [ts_col, *tiebreak_cols]
+    b = _attach_carries(b, order, {}, None, want_count=True)
+    w = Window.partitionBy(BUCKET).orderBy(*_ordering(order, desc=False))
+    return (
+        b.withColumn(out_col, F.row_number().over(w) + F.col("__off"))
+        .drop(BUCKET, "__n", "__off")
+    )
+
+
 def cumulative_sum(
     df: DataFrame,
     col: str,
