@@ -177,6 +177,22 @@ def main() -> None:
         exact=True,
     )
 
+    case(
+        "global_rank",
+        lambda: df.withColumn(
+            "out",
+            F.row_number()
+            .over(Window.orderBy("ts", "event_id"))
+            .cast("double"),
+        ),
+        lambda: sc.global_rank(
+            df, out_col="out", ts_col="ts", tiebreak_cols=["event_id"],
+            num_buckets=BUCKETS,
+        ).withColumn("out", F.col("out").cast("double")),
+        "out",
+        exact=True,
+    )
+
     interp_in = df.select("event_id", F.col("ts").alias("timestamp"), "value")
     case(
         "interpolate_time",
