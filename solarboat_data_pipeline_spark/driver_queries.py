@@ -2436,6 +2436,40 @@ def w2_lagk_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id")
 
 
+@register(
+    "j6_interval_join",
+    """
+    WITH iv AS (
+      SELECT event_id AS window_id, ts AS start_ts,
+             ts + INTERVAL 30 MINUTE AS end_ts
+      FROM events WHERE event_id % 97 = 0)
+    SELECT p.event_id, iv.window_id
+    FROM events p JOIN iv
+      ON p.ts >= iv.start_ts AND p.ts <= iv.end_ts
+    """,
+)
+def j6_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (operators/timeseries.py:interval_join):
+    intervals explode across fixed time chunks, the match is an equi-join
+    on the chunk + exact containment filter — no nested-loop product.
+    The oracle is DuckDB's native range join over the same windows."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.where(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("start_ts"),
+        F.expr("ts + INTERVAL 30 MINUTES").alias("end_ts"),
+    )
+    out = ts.interval_join(
+        ev.select("event_id", "ts"),
+        iv,
+        ts_col="ts",
+        start_col="start_ts",
+        end_col="end_ts",
+        chunk_seconds=1800.0,
+    )
+    return out.select("event_id", "window_id")
+
+
 @register("w6_rank_scaled", _REGISTRY["w6_sort_rank"][1])
 def w6_rank_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6 global sort at scale (operators/scale.py:global_rank): bucket-
@@ -3152,6 +3186,7 @@ _PRIORITY = [
     # remaining long tail (all still oracle-checked by pytest locally)
     "dd_lsh_pairs",
     "dd_simhash_pairs",
+    "j6_interval_join",
     "j4_asof_backward_scaled",
     "w_sessionize_scaled",
     "w6_rank_scaled",

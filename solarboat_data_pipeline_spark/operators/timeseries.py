@@ -302,6 +302,46 @@ def dedup_keep_first(
     )
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "timestamp",
+    start_col: str = "start",
+    end_col: str = "end",
+    chunk_seconds: float = 3600.0,
+) -> DataFrame:
+    """Point-in-interval join (inclusive ``[start, end]``) without the
+    nested-loop product Spark plans for a raw range predicate.
+
+    Scale shape: every interval EXPLODES across the fixed-width time
+    chunks it overlaps, every point maps to its chunk, and the match is a
+    plain equi-join on the chunk id followed by the exact containment
+    filter — candidate volume is |points| + Σ⌈interval_len/chunk⌉ instead
+    of |points|·|intervals|, and both sides shuffle-partition on the chunk
+    key like any hash join. Pick ``chunk_seconds`` near the typical
+    interval length: much smaller multiplies the interval-side explode,
+    much larger packs too many candidates per chunk.
+
+    Returns all point columns plus the matching interval's columns
+    (inner join; points in no interval drop, points in several match
+    each)."""
+    us = int(chunk_seconds * MICROS)
+    p = points.withColumn("__chunk", (_us(F.col(ts_col)) / us).cast("long"))
+    iv = intervals.withColumn(
+        "__chunk",
+        F.explode(
+            F.sequence(
+                (_us(F.col(start_col)) / us).cast("long"),
+                (_us(F.col(end_col)) / us).cast("long"),
+            )
+        ),
+    )
+    out = p.join(iv, "__chunk").where(
+        F.col(ts_col).between(F.col(start_col), F.col(end_col))
+    )
+    return out.drop("__chunk")
+
+
 def unify_chunks(
     target: DataFrame,
     reference: DataFrame,

@@ -63,8 +63,10 @@ def test_exact_dedup_single_shuffle(spark, qs):
 
 def test_embedding_and_simhash_pair_joins_are_bucketed(spark, qs):
     # candidate generation must join on bucket equality, never produce the
-    # all-pairs nested-loop the exact baselines use
-    for name in ("dd_embedding_lsh", "dd_simhash_pairs"):
+    # all-pairs nested-loop the exact baselines use; same contract for the
+    # chunk-bucketed interval join (Spark's native plan for a raw range
+    # predicate IS the nested loop)
+    for name in ("dd_embedding_lsh", "dd_simhash_pairs", "j6_interval_join"):
         a = audit(qs[name](spark, SF_DIR))
         assert not a.cartesian_join, name
 
@@ -89,6 +91,7 @@ NO_PYTHON_QUERIES = [
     "dd_lsh_pairs",
     "dd_embedding_lsh",
     "dd_simhash_pairs",
+    "j6_interval_join",
     "sim_cosine_topk",
     "txt_quality",
     "txt_decontaminate",
