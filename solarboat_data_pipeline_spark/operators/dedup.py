@@ -126,13 +126,22 @@ def dedup_against(
     seen: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    digest_col: str | None = None,
 ) -> DataFrame:
     """Incremental-ingest exact dedup: keep only ``incoming`` rows whose
     content digest does not appear in ``seen`` — a LEFT ANTI join on the
-    digest. At corpus scale ``seen`` is the (small, digest-only) index of
-    the existing corpus, not its text: the anti join shuffles digests
-    only, and the incoming side streams through unchanged."""
-    seen_digests = seen.select(F.md5(F.col(text_col)).alias("__digest")).distinct()
+    digest. At corpus scale pass ``seen`` as the (small) digest-only index
+    of the existing corpus via ``digest_col`` (a column of precomputed
+    md5(text) hex digests) instead of the corpus text: the anti join then
+    shuffles digests only, and the incoming side streams through
+    unchanged. With ``digest_col=None`` the digests are derived from
+    ``seen[text_col]``."""
+    if digest_col is not None:
+        seen_digests = seen.select(F.col(digest_col).alias("__digest")).distinct()
+    else:
+        seen_digests = seen.select(
+            F.md5(F.col(text_col)).alias("__digest")
+        ).distinct()
     return incoming.withColumn(
         "__digest", F.md5(F.col(text_col))
     ).join(seen_digests, "__digest", "anti").drop("__digest")
@@ -151,7 +160,16 @@ def minhash_jaccard_estimate(
     of the true Jaccard (stderr ≈ √(J(1−J)/num_hashes)), computed from
     the already-aggregated signatures with two id-equi-joins and no
     re-tokenization of document text. ``pairs=None`` scores the LSH
-    candidates. Returns ``(id_a, id_b, jaccard_est)``."""
+    candidates; note that with ``pairs=None`` and a reduced
+    ``num_hashes`` the candidate pairs still come from the FULL-width
+    banded LSH (the banding constants assume ``NUM_HASHES`` components),
+    while the estimate itself uses only ``num_hashes`` components.
+    Returns ``(id_a, id_b, jaccard_est)``."""
+    if pairs is None and num_hashes != NUM_HASHES:
+        # banding constants assume the full signature width; resolve the
+        # candidates first so the reduced-width signature table below is
+        # built exactly once (no dead full-plan behind a recursion)
+        pairs = lsh_candidate_pairs(df, text_col, id_col)
     # materialize signatures ONCE (lazy local checkpoint): the band join
     # and both estimate sides consume them, and each branch would
     # otherwise re-run the tokenize→shingle→md5→min aggregation over the
@@ -160,12 +178,6 @@ def minhash_jaccard_estimate(
         eager=False
     )
     if pairs is None:
-        if num_hashes != NUM_HASHES:
-            # banding constants assume the full signature width
-            pairs = lsh_candidate_pairs(df, text_col, id_col)
-            return minhash_jaccard_estimate(
-                df, pairs, text_col, id_col, num_hashes
-            )
         exploded = sig.select(
             id_col, F.posexplode(_band_hash_array()).alias("band", "band_hash")
         )
@@ -298,7 +310,7 @@ def simhash_near_dup_pairs(
     Returns ``(id_a, id_b, hamming)``, ``id_a < id_b``, duplicates across
     bands collapsed."""
     if bits % bands:
-        raise ValueError("bits must divide evenly into bands")
+        raise ValueError(f"bands ({bands}) must evenly divide bits ({bits})")
     w = bits // bands
     sh = simhash_table(df, text_col, id_col, bits).where(
         F.col("simhash").isNotNull()

@@ -324,7 +324,15 @@ def interval_join(
 
     Returns all point columns plus the matching interval's columns
     (inner join; points in no interval drop, points in several match
-    each)."""
+    each). The two sides must have DISJOINT column names (no implicit
+    aliasing happens here): a shared name would come out ambiguous or
+    duplicated, so it is rejected up front."""
+    clash = set(points.columns) & set(intervals.columns)
+    if clash:
+        raise ValueError(
+            "interval_join requires disjoint column names; shared: "
+            f"{sorted(clash)} — rename one side before joining"
+        )
     us = int(chunk_seconds * MICROS)
     p = points.withColumn("__chunk", (_us(F.col(ts_col)) / us).cast("long"))
     iv = intervals.withColumn(
