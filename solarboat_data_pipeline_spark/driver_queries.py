@@ -2419,6 +2419,99 @@ def w3_interpolate_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("timestamp", F.round("value", 6).alias("value"))
 
 
+_W3_WIDE_USERS = list(range(10))
+_W3_WIDE_SQL_COLS = ",\n".join(
+    f"       max(CASE WHEN user_id = {u} THEN value END) AS u{u}"
+    for u in _W3_WIDE_USERS
+)
+
+
+@register(
+    "w3_interpolate_wide_scaled",
+    f"""
+    WITH src AS (
+      SELECT user_id,
+             make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket,
+             round(avg(value), 4) AS v
+      FROM events WHERE user_id <= 9 GROUP BY 1, 2),
+    spine AS (
+      SELECT u.user_id, s.bucket
+      FROM (SELECT DISTINCT user_id FROM src) u
+      CROSS JOIN (
+        SELECT unnest(generate_series((SELECT min(bucket) FROM src),
+                                      (SELECT max(bucket) FROM src),
+                                      INTERVAL 1 HOUR)) AS bucket) s),
+    g AS (
+      SELECT spine.user_id, spine.bucket, src.v
+      FROM spine LEFT JOIN src USING (user_id, bucket)),
+    w AS (
+      SELECT *,
+        last_value(v IGNORE NULLS) OVER wp AS pv,
+        first_value(v IGNORE NULLS) OVER wn AS nv,
+        last_value(CASE WHEN v IS NOT NULL THEN epoch_us(bucket) END IGNORE NULLS) OVER wp AS pt,
+        first_value(CASE WHEN v IS NOT NULL THEN epoch_us(bucket) END IGNORE NULLS) OVER wn AS nt
+      FROM g
+      WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+    i AS (
+      SELECT user_id, bucket AS timestamp,
+             -- floor-canonicalized rounding: the blend double is
+             -- bit-identical to Spark's (same association), and
+             -- floor(x*1e6+0.5)/1e6 is deterministic on identical
+             -- doubles where engine round() rules differ on exact ties
+             floor((CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                 pv + (nv - pv) * ((epoch_us(bucket) - pt) / (nt - pt))
+             END) * 1000000 + 0.5) / 1000000 AS value
+      FROM w)
+    SELECT timestamp,
+{_W3_WIDE_SQL_COLS}
+    FROM i GROUP BY timestamp
+    """,
+)
+def w3_interpolate_wide_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 on the WIDE telemetry shape through the scale path: 10 value
+    columns trips the ``auto`` strategy into the long-format plan —
+    unpivot → one bucketed interpolation partitioned by (``__name``,
+    bucket) → repivot — instead of fanning 4 carry exprs per column
+    (reference shape: 233 signals, SURVEY §1.3). The oracle interpolates
+    per-user in long form and pivots, matching column-for-column."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") <= 9)
+    hour = F.timestamp_micros(
+        (ts._us(F.col("ts")) / 3_600_000_000).cast("long") * 3_600_000_000
+    )
+    agg = (
+        ev.groupBy(hour.alias("timestamp"))
+        .pivot("user_id", _W3_WIDE_USERS)
+        .agg(F.round(F.avg("value"), 4))
+    )
+    bounds_row = agg.agg(
+        F.min("timestamp").alias("lo"), F.max("timestamp").alias("hi")
+    ).first()
+    spine = ts.time_spine(spark, bounds_row["lo"], bounds_row["hi"], 3600.0)
+    wide = spine.join(agg, "timestamp", "left")
+    filled = sc.interpolate_time(
+        wide,
+        value_cols=[str(u) for u in _W3_WIDE_USERS],
+        num_buckets=32,
+        bounds=_event_bounds(sf_dir),
+    )
+    # floor-canonicalized rounding (matches the oracle expression exactly;
+    # engine round() rules disagree on exact-tie doubles)
+    return filled.select(
+        "timestamp",
+        *[
+            (F.floor(F.col(str(u)) * 1_000_000 + 0.5) / 1_000_000).alias(
+                f"u{u}"
+            )
+            for u in _W3_WIDE_USERS
+        ],
+    )
+
+
 @register(
     "w_sessionize_scaled",
     """
@@ -3237,6 +3330,7 @@ _PRIORITY = [
     "a5_quantile_iqr",
     "w2_lagk_outlier_filter",
     "w3_interpolate_bounded",
+    "w3_interpolate_wide_scaled",
     "f4_tz_convert",
     "f5_candump_format",
     "f6_json_extract",

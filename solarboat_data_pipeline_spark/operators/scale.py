@@ -44,7 +44,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .timeseries import MICROS, _union_for_asof, _us
+from .timeseries import (
+    MICROS,
+    WIDE_INTERPOLATE_MAX_COLS,
+    _union_for_asof,
+    _us,
+)
 
 BUCKET = "__bkt"
 
@@ -210,6 +215,7 @@ def _attach_carries(
     fwd: dict[str, Column],
     bwd: dict[str, Column] | None = None,
     want_count: bool = False,
+    partition_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Join per-bucket carry-in columns onto ``b`` for a set of fill
     expressions, computed WITHOUT consuming any window output.
@@ -228,7 +234,14 @@ def _attach_carries(
     previous buckets; next buckets for ``bwd``), and with ``want_count``
     ``__off`` = exclusive prefix of bucket row counts and ``__n`` = the
     bucket's own row count.
+
+    ``partition_cols`` generalizes the machinery to many independent
+    series in one frame (the long-format telemetry shape): summaries
+    group by (partition, bucket), the carry scans run per partition, and
+    the broadcast join keys on both. The carry table grows to
+    |partitions|·num_buckets rows — still tiny next to the data.
     """
+    pc = list(partition_cols)
     order = _ordering(order_cols, desc=False)
     bwd = bwd or {}
     # a null e yields a null struct (when() with no otherwise), which
@@ -242,13 +255,20 @@ def _attach_carries(
     ]
     if want_count:
         aggs.append(F.count(F.lit(1)).alias("__n"))
-    summary = b.groupBy(BUCKET).agg(*aggs)
-    # the only "global" windows left run over ≤num_buckets summary rows
-    w_f = Window.orderBy(BUCKET).rowsBetween(Window.unboundedPreceding, -1)
-    w_b = Window.orderBy(F.col(BUCKET).desc()).rowsBetween(
-        Window.unboundedPreceding, -1
+    summary = b.groupBy(*pc, BUCKET).agg(*aggs)
+    # the only "global" windows left run over ≤|partitions|·num_buckets
+    # summary rows
+    w_f = (
+        Window.partitionBy(*pc)
+        .orderBy(BUCKET)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    sel = [F.col(BUCKET)]
+    w_b = (
+        Window.partitionBy(*pc)
+        .orderBy(F.col(BUCKET).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sel = [*[F.col(c) for c in pc], F.col(BUCKET)]
     for n in fwd:
         sel.append(F.last(n, ignorenulls=True).over(w_f)["v"].alias(f"__c_{n}"))
     for n in bwd:
@@ -257,7 +277,7 @@ def _attach_carries(
         sel.append(F.col("__n"))
         sel.append(F.coalesce(F.sum("__n").over(w_f), F.lit(0)).alias("__off"))
     carry = summary.select(*sel)
-    return b.join(F.broadcast(carry), BUCKET, "left")
+    return b.join(F.broadcast(carry), [*pc, BUCKET], "left")
 
 
 def _run_fill(
@@ -265,19 +285,21 @@ def _run_fill(
     order_cols: Sequence[str | Column],
     fwd: dict[str, Column],
     bwd: dict[str, Column] | None = None,
+    partition_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Data-side pass: bucket-local running fills merged with the carries
     attached by :func:`_attach_carries`. Forward fills run in one window,
     backward fills in a second over the same partitioning (an in-partition
     re-sort, not a new shuffle — the chain is linear, no diamond)."""
+    pc = list(partition_cols)
     bwd = bwd or {}
     w_fwd = (
-        Window.partitionBy(BUCKET)
+        Window.partitionBy(*pc, BUCKET)
         .orderBy(*_ordering(order_cols, desc=False))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_bwd = (
-        Window.partitionBy(BUCKET)
+        Window.partitionBy(*pc, BUCKET)
         .orderBy(*_ordering(order_cols, desc=True))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -484,6 +506,8 @@ def interpolate_time(
     limit_area: str | None = "inside",
     num_buckets: int | None = None,
     bounds: Sequence[int] | None = None,
+    partition_cols: Sequence[str] = (),
+    strategy: str = "auto",
 ) -> DataFrame:
     """W3/W4 at scale: same pandas ``interpolate(method="time")`` semantics
     as :func:`timeseries.interpolate_time`, with the previous-valid and
@@ -493,11 +517,33 @@ def interpolate_time(
     ``limit`` additionally needs each row's position inside its null run —
     a global row-number affair. Cross-bucket positions are derived from two
     more cheap aggregate branches over the base (bucket row counts and
-    trailing-null counts), never from re-running a window."""
+    trailing-null counts), never from re-running a window.
+
+    ``strategy`` mirrors :func:`timeseries.interpolate_time`: the wide
+    form pays 4 carry exprs per value column, so past
+    ``WIDE_INTERPOLATE_MAX_COLS`` columns (a 233-signal telemetry table)
+    ``"auto"`` switches to the long plan — unpivot, ONE bucketed
+    interpolation partitioned by (series, ``__name``), repivot — keeping
+    the carry machinery per (name, bucket) instead of fanning expressions
+    out per column. ``partition_cols`` scopes every scan to independent
+    series within the same frame."""
+    pc = list(partition_cols)
     if value_cols is None:
-        value_cols = [c for c in df.columns if c != ts_col]
+        value_cols = [c for c in df.columns if c != ts_col and c not in pc]
     if limit_area not in ("inside", None):
         raise ValueError("limit_area must be 'inside' or None")
+    if strategy not in ("auto", "wide", "long"):
+        raise ValueError("strategy must be auto|wide|long")
+    use_long = strategy == "long" or (
+        strategy == "auto" and len(value_cols) > WIDE_INTERPOLATE_MAX_COLS
+    )
+    # the long plan only carries (partition, ts, values); fall back to
+    # wide when the frame holds extra passenger columns
+    extras = set(df.columns) - {ts_col, *pc, *value_cols}
+    if use_long and not extras:
+        return _interpolate_long(
+            df, ts_col, value_cols, pc, limit, limit_area, num_buckets, bounds
+        )
     b = with_buckets(df, ts_col, num_buckets, bounds)
     ts_us = _us(F.col(ts_col))
     fwd: dict[str, Column] = {}
@@ -509,21 +555,21 @@ def interpolate_time(
         bwd[f"__n_{c}"] = v
         bwd[f"__nts_{c}"] = F.when(v.isNotNull(), ts_us)
     b = _attach_carries(
-        b, [ts_col], fwd, bwd, want_count=limit is not None
+        b, [ts_col], fwd, bwd, want_count=limit is not None, partition_cols=pc
     )
     extra_temps: list[str] = []
     if limit is not None:
         # per-bucket last-valid position = n - trailing nulls; both come
         # from plain aggregates (the trailing count needs the last-valid
         # timestamp joined back first — a broadcast of ≤num_buckets rows)
-        lv = b.groupBy(BUCKET).agg(
+        lv = b.groupBy(*pc, BUCKET).agg(
             *[
                 F.max(F.when(F.col(c).isNotNull(), ts_us)).alias(f"__lv_{c}")
                 for c in value_cols
             ]
         )
-        bt = b.join(F.broadcast(lv), BUCKET)
-        trail = bt.groupBy(BUCKET).agg(
+        bt = b.join(F.broadcast(lv), [*pc, BUCKET])
+        trail = bt.groupBy(*pc, BUCKET).agg(
             F.first("__n").alias("__bn"),
             F.first("__off").alias("__boff"),
             *[
@@ -532,8 +578,13 @@ def interpolate_time(
             ],
             *[F.first(f"__lv_{c}").alias(f"__blv_{c}") for c in value_cols],
         )
-        w_f = Window.orderBy(BUCKET).rowsBetween(Window.unboundedPreceding, -1)
+        w_f = (
+            Window.partitionBy(*pc)
+            .orderBy(BUCKET)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
         cpr = trail.select(
+            *pc,
             BUCKET,
             *[
                 F.last(
@@ -548,8 +599,8 @@ def interpolate_time(
                 for c in value_cols
             ],
         )
-        b = b.join(F.broadcast(cpr), BUCKET, "left")
-        w_rn = Window.partitionBy(BUCKET).orderBy(ts_col)
+        b = b.join(F.broadcast(cpr), [*pc, BUCKET], "left")
+        w_rn = Window.partitionBy(*pc, BUCKET).orderBy(ts_col)
         b = b.withColumn("__rnl", F.row_number().over(w_rn))
         w_run = w_rn.rowsBetween(Window.unboundedPreceding, 0)
         b = b.withColumns(
@@ -565,7 +616,7 @@ def interpolate_time(
             + [f"__lprn_{c}" for c in value_cols]
             + [f"__cprn_{c}" for c in value_cols]
         )
-    b = _run_fill(b, [ts_col], fwd, bwd)
+    b = _run_fill(b, [ts_col], fwd, bwd, partition_cols=pc)
     out_cols: dict[str, Column] = {}
     for c in value_cols:
         v = F.col(c)
@@ -593,6 +644,56 @@ def interpolate_time(
         for t in (f"__p_{c}", f"__pts_{c}", f"__n_{c}", f"__nts_{c}")
     ]
     return b.withColumns(out_cols).drop(BUCKET, *temps, *extra_temps)
+
+
+def _interpolate_long(
+    df: DataFrame,
+    ts_col: str,
+    value_cols: Sequence[str],
+    partition_cols: Sequence[str],
+    limit: int | None,
+    limit_area: str | None,
+    num_buckets: int | None,
+    bounds: Sequence[int] | None,
+) -> DataFrame:
+    """Wide → long → bucketed interpolate → wide, mirroring
+    :func:`timeseries._interpolate_time_long` on the scale path: ONE set
+    of carry exprs partitioned by (series, ``__name``, bucket) replaces
+    the 4-per-column fan-out, then a single hash-aggregate repivot. The
+    bucket bounds are computed once on the wide frame (one scan of the
+    order column — or zero with explicit/footer-stat bounds) and reused
+    verbatim for every unpivoted series."""
+    if bounds is None:
+        bounds = compute_bounds(
+            df, ts_col, num_buckets or _default_buckets(df)
+        )
+    dtypes = dict(df.dtypes)
+    long = df.unpivot(
+        [*partition_cols, ts_col],
+        [F.col(c).cast("double").alias(c) for c in value_cols],
+        "__name",
+        "__v",
+    )
+    filled = interpolate_time(
+        long,
+        ts_col=ts_col,
+        value_cols=["__v"],
+        limit=limit,
+        limit_area=limit_area,
+        bounds=bounds,
+        partition_cols=[*partition_cols, "__name"],
+        strategy="wide",
+    )
+    out = (
+        filled.groupBy(*partition_cols, ts_col)
+        .pivot("__name", list(value_cols))
+        .agg(F.first("__v"))
+    )
+    return out.select(
+        *partition_cols,
+        ts_col,
+        *[F.col(c).cast(dtypes[c]).alias(c) for c in value_cols],
+    )
 
 
 def asof_join_backward(

@@ -108,6 +108,77 @@ def test_interpolate_matches_global(spark, limit, area):
     _approx_eq(_vals(g), _vals(s))
 
 
+def _mk_wide(spark, seed=11, n=120, n_cols=50):
+    """Strictly-increasing timestamps, ``n_cols`` sparse double columns —
+    the 233-signal telemetry shape that must take the long-format plan."""
+    rng = random.Random(seed)
+    rows = []
+    t = 0.0
+    for _ in range(n):
+        t += rng.choice([0.5, 1.0, 2.0, 30.0])
+        vals = [
+            None if rng.random() < 0.4 else round(rng.uniform(-5, 5), 3)
+            for _ in range(n_cols)
+        ]
+        rows.append((_ts(t), *vals))
+    cols = ", ".join(f"c{i} double" for i in range(n_cols))
+    return spark.createDataFrame(rows, f"timestamp timestamp, {cols}")
+
+
+@pytest.mark.parametrize("limit,area", [(None, "inside"), (2, None)])
+def test_interpolate_long_strategy_matches_global(spark, limit, area):
+    """50 value columns: both auto paths switch to long format; the scale
+    form (bucketed, carries per (name, bucket)) must equal the timeseries
+    long form (one global window per name)."""
+    df = _mk_wide(spark)
+    cols = [c for c in df.columns if c != "timestamp"]
+    g = ts.interpolate_time(df, value_cols=cols, limit=limit, limit_area=area)
+    s = scale.interpolate_time(
+        df, value_cols=cols, limit=limit, limit_area=area, num_buckets=BUCKETS
+    )
+    _approx_eq(_vals(g, cols), _vals(s, cols))
+
+
+def test_interpolate_long_strategy_no_per_column_fanout(spark):
+    """The chosen long plan must not contain per-column carry expressions:
+    no reference to a per-column temp like ``__p_c37`` may appear (the one
+    value column after unpivot is ``__v``)."""
+    df = _mk_wide(spark, n=40)
+    cols = [c for c in df.columns if c != "timestamp"]
+    plan = scale.interpolate_time(
+        df, value_cols=cols, num_buckets=3
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "__p_c37" not in plan and "__p___v" in plan
+    assert "unpivot" in plan.lower() or "expand" in plan.lower()
+
+
+def test_interpolate_partition_cols_matches_global(spark):
+    """Two independent series in one frame: partition-scoped carries must
+    reproduce the per-partition global windows."""
+    a = _uniq_ts(_mk_series(spark, seed=21)).withColumn("dev", F.lit("a"))
+    b = _uniq_ts(_mk_series(spark, seed=22)).withColumn("dev", F.lit("b"))
+    df = a.unionByName(b)
+    g = ts.interpolate_time(df, value_cols=["v"], partition_cols=["dev"])
+    s = scale.interpolate_time(
+        df, value_cols=["v"], partition_cols=["dev"], num_buckets=BUCKETS
+    )
+
+    def vals(d):
+        return [
+            (r["dev"], r["timestamp"], r["v"])
+            for r in d.orderBy("dev", "timestamp").collect()
+        ]
+
+    gv, sv = vals(g), vals(s)
+    assert len(gv) == len(sv)
+    for ra, rb in zip(gv, sv):
+        assert ra[:2] == rb[:2]
+        if ra[2] is None or rb[2] is None:
+            assert ra[2] is None and rb[2] is None
+        else:
+            assert math.isclose(ra[2], rb[2], rel_tol=1e-9, abs_tol=1e-9)
+
+
 def test_asof_backward_matches_global(spark):
     left = _mk_series(spark, seed=6).drop("v")
     right = _uniq_ts(
