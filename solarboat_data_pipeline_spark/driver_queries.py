@@ -2730,6 +2730,24 @@ def samp_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_tokens")
 
 
+@register("samp_token_budget_scaled", _REGISTRY["samp_token_budget"][1])
+def samp_token_budget_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling through the bucketed prefix scan
+    (operators/sampling.py:token_budget_sample_bucketed): a giant
+    stratum's running sum distributes over hash-range buckets instead of
+    funneling one task — same oracle, identical kept set."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    out = sp.token_budget_sample_bucketed(
+        docs, 2000, "n_tokens", "doc_id", strata_col="source", salt="tok",
+        num_buckets=16,
+    )
+    return out.select("doc_id", "source", "n_tokens")
+
+
 @register(
     "txt_model_score",
     """
@@ -3354,6 +3372,7 @@ _PRIORITY = [
     "txt_redact",
     "samp_hash_sample",
     "samp_weighted_mix",
+    "samp_token_budget_scaled",
     "skew_count_distinct",
     "mm_frame_sample",
     "agg_rollup",

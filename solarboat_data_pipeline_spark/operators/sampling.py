@@ -100,10 +100,9 @@ def token_budget_sample(
     are NOT pulled forward, matching the SQL-mirrorable prefix rule).
 
     One shuffle on the stratum key. A single giant stratum funnels its
-    running sum through one task — for that shape distribute the prefix
-    over hash-range buckets exactly as :mod:`.scale` does for time
-    (bucket by hash range, per-bucket local cumsum, broadcast the
-    exclusive prefix of bucket totals)."""
+    running sum through one task — for that shape use
+    :func:`token_budget_sample_bucketed`, which distributes the prefix
+    over hash-range buckets exactly as :mod:`.scale` does for time."""
     size = F.col(size_col) if isinstance(size_col, str) else size_col
     parts = [strata_col] if strata_col else []
     w = (
@@ -116,3 +115,57 @@ def token_budget_sample(
         .filter(F.col("__cum_tokens") <= budget_tokens)
         .drop("__cum_tokens")
     )
+
+
+def token_budget_sample_bucketed(
+    df: DataFrame,
+    budget_tokens: int,
+    size_col: Column | str,
+    key_col: str,
+    strata_col: str | None = None,
+    salt: str = "",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """:func:`token_budget_sample` for GIANT strata — identical kept set,
+    distributed running sum (the two-pass prefix-scan shape of
+    ``scale._scan_sum``, keyed on the hash instead of time):
+
+    1. the [0, RATE_DENOM) hash space splits into ``num_buckets``
+       contiguous ranges, so bucket id is a non-decreasing function of
+       the global order key (bucket boundaries can't split the
+       (hash, key) order);
+    2. the running token sum runs per (stratum, bucket) — N parallel
+       sorts of |stratum|/N rows instead of one straggler task;
+    3. per-bucket totals aggregate to ≤ |strata|·num_buckets summary
+       rows; their exclusive prefix (a window over the tiny summary)
+       broadcasts back and shifts each bucket-local cumsum into the
+       global one.
+
+    Ties in the hash order by (bucket, key) exactly like the global
+    form, so the greedy prefix keeps the identical row set."""
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    parts = [strata_col] if strata_col else []
+    width = -(-RATE_DENOM // num_buckets)  # ceil: covers the full range
+    b = df.withColumn("__sb", sample_bucket(F.col(key_col), salt))
+    b = b.withColumn("__hbkt", (F.col("__sb") / width).cast("int"))
+    w_local = (
+        Window.partitionBy(*parts, "__hbkt")
+        .orderBy("__sb", key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    b = b.withColumn("__cum_local", F.sum(size).over(w_local))
+    totals = b.groupBy(*parts, "__hbkt").agg(F.sum(size).alias("__tot"))
+    w_pre = (
+        Window.partitionBy(*parts)
+        .orderBy("__hbkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = totals.select(
+        *parts,
+        "__hbkt",
+        F.coalesce(F.sum("__tot").over(w_pre), F.lit(0)).alias("__pre"),
+    )
+    b = b.join(F.broadcast(prefix), [*parts, "__hbkt"], "left")
+    return b.filter(
+        (F.col("__cum_local") + F.col("__pre")) <= budget_tokens
+    ).drop("__sb", "__hbkt", "__cum_local", "__pre")

@@ -99,6 +99,42 @@ def test_token_budget_sample_greedy_prefix(spark):
         assert sum(n for _, n in want) <= budget
 
 
+def test_token_budget_bucketed_matches_global(spark):
+    """The hash-range-bucketed prefix scan must keep the IDENTICAL row
+    set as the single-window global form, across bucket counts (including
+    more buckets than distinct hash values land in)."""
+    rows = [(i, f"g{i % 3}", (i * 7) % 90 + 10) for i in range(300)]
+    df = spark.createDataFrame(rows, ["k", "g", "n_tok"]).repartition(7)
+    budget = 700
+    want = sorted(
+        (r["g"], r["k"], r["n_tok"])
+        for r in sp.token_budget_sample(
+            df, budget, "n_tok", "k", strata_col="g", salt="b"
+        ).collect()
+    )
+    for nb in (1, 4, 64):
+        got = sorted(
+            (r["g"], r["k"], r["n_tok"])
+            for r in sp.token_budget_sample_bucketed(
+                df, budget, "n_tok", "k", strata_col="g", salt="b",
+                num_buckets=nb,
+            ).collect()
+        )
+        assert got == want, f"num_buckets={nb}"
+    # global (no strata) path too
+    want_g = sorted(
+        r["k"]
+        for r in sp.token_budget_sample(df, budget, "n_tok", "k", salt="b").collect()
+    )
+    got_g = sorted(
+        r["k"]
+        for r in sp.token_budget_sample_bucketed(
+            df, budget, "n_tok", "k", salt="b", num_buckets=8
+        ).collect()
+    )
+    assert got_g == want_g
+
+
 # ---------------------------------------------------------------------------
 # decontamination
 # ---------------------------------------------------------------------------
