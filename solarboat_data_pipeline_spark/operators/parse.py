@@ -50,8 +50,13 @@ def crop_to_bounds(frames: DataFrame) -> DataFrame:
     """P4: keep rows between the first and last timestamp *in file order*
     (``lib/canparser.py:207-212`` — first/last are trusted, intermediates
     may be corrupt). Implemented as a broadcast of the 1-row bounds so the
-    plan stays lazy and scales: one cheap agg pass + a map-side filter."""
-    order = F.struct("_line_id", "_pos")
+    plan stays lazy and scales: one cheap agg pass + a map-side filter.
+    The order key includes the (file, block-offset) metadata keys from
+    ``extract_frames`` — required once the corpus spans multiple splits,
+    where bare ``monotonically_increasing_id`` is not file-ordered."""
+    from solarboat_data_pipeline_spark.sources.candump import ORDER_COLS
+
+    order = F.struct(*[c for c in ORDER_COLS if c in frames.columns])
     bounds = frames.agg(
         F.min_by("timestamp", order).alias("_first_ts"),
         F.max_by("timestamp", order).alias("_last_ts"),

@@ -12,9 +12,15 @@ whole-frame matches, ``posexplode`` to preserve intra-line order, and cheap
 per-group ``regexp_extract`` on the short frame strings. File order — which
 downstream order-sensitive operators (W2 outlier filter, P4 crop) need,
 since Spark has no implicit row order — is captured as
-``(_line_id, _pos)`` where ``_line_id`` is a ``monotonically_increasing_id``
-assigned before the explode (monotone w.r.t. file offset because text
-splits are scheduled in offset order).
+``(_file, _block, _line_id, _pos)``: the hidden ``_metadata`` columns give
+the file path and the split's byte offset within it, and a
+``monotonically_increasing_id`` assigned before the explode orders lines
+within a split. The file/block keys are REQUIRED for correctness on
+multi-split reads: Spark packs file splits into partitions largest-first
+(not offset order), so the bare id is NOT monotone w.r.t. file offset once
+a corpus spans more than one split — exactly the multi-GB single-log case
+the reference report processes. Non-file inputs (unit tests, streams) fall
+back to constant keys, i.e. plain intra-split order.
 """
 
 from __future__ import annotations
@@ -33,7 +39,7 @@ FRAME_REGEX = (
     r"(?!\w)"
 )
 
-ORDER_COLS = ["_line_id", "_pos"]
+ORDER_COLS = ["_file", "_block", "_line_id", "_pos"]
 
 
 def scan_candump(spark: SparkSession, path: str) -> DataFrame:
@@ -41,15 +47,28 @@ def scan_candump(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+def _order_keys(lines: DataFrame) -> tuple:
+    """(file, block-offset) order keys from the hidden ``_metadata``
+    columns; constant fallbacks when the input is not a file scan."""
+    try:
+        lines.select("_metadata.file_path")  # analysis-time probe
+    except Exception:
+        return F.lit(""), F.lit(0).cast("long")
+    return (
+        F.col("_metadata.file_path"),
+        F.col("_metadata.file_block_start"),
+    )
+
+
 def extract_frames(
     lines: DataFrame, source_col: str = "value", with_order: bool = True
 ) -> DataFrame:
     """Explode every frame match out of every line.
 
-    Output: ``_line_id, _pos, ts_raw, interface, topic_hex, payload_hex``.
-    Blank / garbage / truncated lines simply produce no matches.
-    ``with_order=False`` drops the file-order id (needed by the batch-only
-    W2/P4 operators) — required on streaming DataFrames, where
+    Output: ``_file, _block, _line_id, _pos, ts_raw, interface, topic_hex,
+    payload_hex``. Blank / garbage / truncated lines simply produce no
+    matches. ``with_order=False`` drops the file-order keys (needed by the
+    batch-only W2/P4 operators) — required on streaming DataFrames, where
     ``monotonically_increasing_id`` is unsupported.
     """
     pat = FRAME_REGEX
@@ -57,14 +76,21 @@ def extract_frames(
     # nondeterministic id expression lands in the same projection as
     # posexplode it is re-evaluated per generated row. The matches array is
     # also materialized here so the Generate input is a plain column.
-    line_id = (
-        F.monotonically_increasing_id() if with_order else F.lit(0).cast("long")
-    )
+    if with_order:
+        line_id = F.monotonically_increasing_id()
+        file_key, block_key = _order_keys(lines)
+    else:
+        line_id = F.lit(0).cast("long")
+        file_key, block_key = F.lit(""), F.lit(0).cast("long")
     with_ids = lines.select(
+        file_key.alias("_file"),
+        block_key.alias("_block"),
         line_id.alias("_line_id"),
         F.regexp_extract_all(source_col, F.lit(pat), 0).alias("_matches"),
     )
     frames = with_ids.select(
+        "_file",
+        "_block",
         "_line_id",
         F.posexplode("_matches").alias("_pos", "_frame"),
     )
@@ -75,6 +101,8 @@ def extract_frames(
     # '#' cannot occur before the delimiter (digits/ws/\w/hex only).
     h = F.instr("_frame", "#")
     return frames.select(
+        "_file",
+        "_block",
         "_line_id",
         "_pos",
         F.substring("_frame", 2, 17).alias("ts_raw"),

@@ -144,3 +144,35 @@ def test_extract_frames_group_values_exact(spark):
     assert r2["interface"] == "vcan12"
     assert r2["topic_hex"] == "7ff"
     assert r2["payload_hex"] == "ab12"
+
+
+def test_crop_bounds_multi_file_order(spark, tmp_path):
+    # regression: Spark packs file splits into partitions LARGEST-FIRST,
+    # so monotonically_increasing_id alone is not file-ordered once the
+    # corpus spans multiple files/splits — the crop must take its first/
+    # last frames from the (file, block) metadata order, not task order.
+    # a.log is tiny and lexicographically first; b.log is much larger, so
+    # size-ordered packing reads it first and (pre-fix) its first line
+    # would masquerade as the corpus "first".
+    a = tmp_path / "a.log"
+    a.write_text(
+        "(1700000100.000000) can0 021#fa9f04f600f600\n"  # trusted first
+        "(1700000050.000000) can0 021#fa9f04f600f600\n"  # corrupt: early
+        "(1700000110.000000) can0 021#fa9f04f600f600\n"
+    )
+    b = tmp_path / "b.log"
+    mid = "".join(
+        f"(17000001{5 + i % 30:02d}.000000) can0 021#fa9f04f600f600\n"
+        for i in range(3000)
+    )
+    b.write_text(mid + "(1700000150.000000) can0 021#fa9f04f600f600\n")
+
+    frames = with_timestamp(extract_frames(scan_candump(spark, str(tmp_path))))
+    cropped = crop_to_bounds(frames)
+    ts = [r["timestamp"].timestamp() for r in cropped.collect()]
+    # bounds = [first line of a.log, last line of b.log] = [100, 150]
+    assert min(ts) == 1700000100.0
+    assert max(ts) == 1700000150.0
+    # the corrupt early row (50) is cropped; everything in-range survives
+    assert 1700000050.0 not in ts
+    assert len(ts) == 2 + 3000 + 1  # a.log keeps 2 of 3; all of b.log
