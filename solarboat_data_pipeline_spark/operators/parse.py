@@ -139,6 +139,151 @@ def decode_long(frames: DataFrame, catalog: CanCatalog) -> DataFrame:
 WIDE_PIVOT_MAX_AGG_COLS = 32
 
 
+def decode_indexed(frames: DataFrame, catalog: CanCatalog) -> DataFrame:
+    """P8+P10-P12, index-keyed and catalog-size-independent: each signal
+    row is ``(timestamp, idx, value)`` where ``idx`` is the signal's
+    position in ``catalog.wide_columns()`` order — the internal shape for
+    the wide pivot at scale.
+
+    Unlike the per-topic generated CASE of :func:`decode_long` — whose
+    single CaseWhen expression overflows Janino's 64 KB method limit on
+    wide catalogs (50+ topics) and knocks the whole stage out of
+    whole-stage codegen into interpreted eval — the catalog here is a
+    CONSTANT-FOLDED literal ``map<key, struct<size, fields>>`` looked up
+    per frame, and the field decode is one small GENERIC expression over
+    ``(byte_offset, bit_offset, width, scale)`` applied after the explode.
+    Codegen size is O(1) in catalog width, so the decode stays compiled
+    for the reference's 233-signal schema and beyond. Dropping the three
+    name strings + unit per signal row (≈40 bytes → 12) also shrinks both
+    pivot shuffles ~3×."""
+    matched = _matched_frames(frames, catalog)
+    s = matched.select(
+        "timestamp",
+        "payload_hex",
+        F.explode("_spec.fields").alias("f"),
+    )
+    return s.select(
+        "timestamp",
+        F.col("f.idx").alias("idx"),
+        _decode_field(F.col("payload_hex"), F.col("f")).alias("value"),
+    )
+
+
+def _matched_frames(frames: DataFrame, catalog: CanCatalog) -> DataFrame:
+    """Frames that match a catalog topic (key + size guard), with the
+    topic's field-spec struct attached as ``_spec``. The catalog is a
+    constant-folded literal map, so the lookup is a per-row map probe."""
+    idx_of = {c: i for i, c in enumerate(catalog.wide_columns())}
+    entries = []
+    for mod, top in catalog.iter_topics():
+        key = mod.signature * 4096 + top.topic_id
+        fields = [
+            F.struct(
+                F.lit(
+                    idx_of[SEPARATOR.join([mod.name, top.name, s.name])]
+                ).alias("idx"),
+                F.lit(s.byte_offset).alias("off"),
+                F.lit(s.bit_offset).alias("bit"),
+                F.lit(s.bit_width).alias("width"),
+                F.lit(s.scale).alias("scale"),
+            )
+            for s in top.signals
+        ]
+        entries += [
+            F.lit(key),
+            F.struct(
+                F.lit(top.size).alias("size"), F.array(*fields).alias("fields")
+            ),
+        ]
+    if not entries:
+        raise ValueError("empty catalog")
+    spec = F.element_at(
+        F.create_map(*entries),
+        (F.col("signature") * 4096 + F.col("topic_id")).cast("int"),
+    )
+    return frames.select(
+        "timestamp", "payload_hex", spec.alias("_spec")
+    ).where(F.col("_spec").isNotNull() & (F.col("payload_len") == F.col("_spec.size")))
+
+
+def _decode_field(payload_hex: Column, f: Column) -> Column:
+    """Generic field decode over the hex payload given one field-spec
+    struct ``(idx, off, bit, width, scale)`` — small fixed codegen."""
+    lo = F.conv(payload_hex.substr(f["off"] * 2 + 1, F.lit(2)), 16, 10).cast(
+        "long"
+    )
+    hi = F.conv(payload_hex.substr(f["off"] * 2 + 3, F.lit(2)), 16, 10).cast(
+        "long"
+    )
+    raw = (
+        F.when(f["width"] == 16, lo + hi * 256)
+        .when(f["width"] == 8, lo)
+        # shiftright() only takes a literal shift; the arithmetic form
+        # (exact for byte-range values) accepts the per-field column
+        .otherwise(
+            F.floor(lo / F.pow(F.lit(2.0), f["bit"])).cast("long").bitwiseAND(1)
+        )
+    )
+    return raw.cast("double") * f["scale"]
+
+
+# a CAN payload is at most 8 bytes, so a topic decodes to at most 8 fused
+# fields — the frame_map strategy decodes all slots with fixed expressions
+MAX_TOPIC_FIELDS = 8
+
+
+def _decode_frame_entries(frames: DataFrame, catalog: CanCatalog) -> DataFrame:
+    """One row PER FRAME with its decoded ``(idx, value)`` entry array —
+    no explode, no shuffle: each of the ≤8 possible field slots is decoded
+    by a fixed generic expression (null-idx slots filtered out)."""
+    matched = _matched_frames(frames, catalog)
+    slots = []
+    for k in range(MAX_TOPIC_FIELDS):
+        # F.get is 0-based and null past the end (element_at throws there
+        # under ANSI mode)
+        f = F.get(F.col("_spec.fields"), k)
+        slots.append(
+            F.struct(
+                f["idx"].alias("idx"),
+                _decode_field(F.col("payload_hex"), f).alias("value"),
+            )
+        )
+    entries = F.filter(
+        F.array(*slots), lambda x: x["idx"].isNotNull()
+    )
+    return matched.select("timestamp", entries.alias("_sv"))
+
+
+def _merge_entries_mean(arr: Column) -> Column:
+    """A1-merge an ``array<struct<idx,value>>`` into an int-keyed map with
+    the mean per duplicate idx. When a row has no duplicates (the typical
+    case) the entries ARE the map and the per-idx mean scans are skipped."""
+    idxs = F.array_distinct(F.transform(arr, lambda x: x["idx"]))
+    mean_of = lambda i: (  # noqa: E731
+        F.aggregate(
+            F.filter(arr, lambda x: x["idx"] == i),
+            F.lit(0.0),
+            lambda acc, x: acc + x["value"],
+        )
+        / F.size(F.filter(arr, lambda x: x["idx"] == i))
+    )
+    return F.when(
+        F.size(idxs) == F.size(arr), F.map_from_entries(arr)
+    ).otherwise(F.map_from_arrays(idxs, F.transform(idxs, mean_of)))
+
+
+def _extract_wide_cols(
+    m: DataFrame, cols: list[str], downcast: bool
+) -> DataFrame:
+    """(timestamp, _m map<idx,value>) → the static wide schema."""
+    val = lambda i: F.col("_m").getItem(i)  # noqa: E731
+    if downcast:
+        val = lambda i: F.col("_m").getItem(i).cast("float")  # noqa: E731
+    return m.select(
+        "timestamp", *[val(i).alias(c) for i, c in enumerate(cols)]
+    )
+
+
 def pivot_wide(
     long_df: DataFrame, catalog: CanCatalog, strategy: str = "auto"
 ) -> DataFrame:
@@ -197,21 +342,67 @@ def decode_wide(
     path on the 2M-line bench). ``"long"``: ``decode_long`` →
     map-strategy ``pivot_wide``. ``"auto"`` picks by catalog width.
 
-    Both are equivalent (same-µs duplicate frames average per signal, A1).
-    ``downcast=True`` casts value columns to float, the faithful superset
-    of the reference's float16 (``lib/canparser.py:234``, P17)."""
-    if strategy not in ("auto", "fused", "long"):
-        raise ValueError("strategy must be auto|fused|long")
+    All strategies are equivalent (same-µs duplicate frames average per
+    signal, A1). ``"frame_map"`` is the zero-shuffle wide path: each frame
+    decodes to its entry map in place (≤8 fixed codegen expressions, no
+    explode), and only timestamps that actually hold MULTIPLE frames —
+    found by one thin count pass, typically a broadcast-empty set — take
+    a merge detour; everything else never shuffles. It reads the frames
+    twice, so pair it with ``parse_stage(crop_strategy="cached")`` (or any
+    materialized frame source). ``downcast=True`` casts value columns to
+    float, the faithful superset of the reference's float16
+    (``lib/canparser.py:234``, P17)."""
+    if strategy not in ("auto", "fused", "long", "frame_map"):
+        raise ValueError("strategy must be auto|fused|long|frame_map")
     cols = catalog.wide_columns()
+    if strategy == "frame_map":
+        per_frame = _decode_frame_entries(frames, catalog)
+        # thin pass: only (timestamp) is read — Catalyst prunes the decode
+        dups = (
+            per_frame.groupBy("timestamp")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .select("timestamp")
+        )
+        uniq = per_frame.join(F.broadcast(dups), "timestamp", "anti").select(
+            "timestamp", F.map_from_entries("_sv").alias("_m")
+        )
+        dup_g = (
+            per_frame.join(F.broadcast(dups), "timestamp", "semi")
+            .select("timestamp", F.explode("_sv").alias("e"))
+            .groupBy("timestamp")
+            .agg(
+                F.collect_list(
+                    F.struct(
+                        F.col("e.idx").alias("idx"),
+                        F.col("e.value").alias("value"),
+                    )
+                ).alias("_sv")
+            )
+        )
+        m = uniq.unionByName(
+            dup_g.select("timestamp", _merge_entries_mean(F.col("_sv")).alias("_m"))
+        )
+        return _extract_wide_cols(m, cols, downcast)
     if strategy == "long" or (
         strategy == "auto" and len(cols) > WIDE_PIVOT_MAX_AGG_COLS
     ):
-        out = pivot_wide(decode_long(frames, catalog), catalog, strategy="map")
-        if downcast:
-            out = out.select(
-                "timestamp", *[F.col(c).cast("float").alias(c) for c in cols]
-            )
-        return out
+        # index-keyed long path, ONE shuffle: the codegen'd explode decode
+        # emits thin (ts, idx, value) rows; a single collect_list groups a
+        # timestamp's few signals, and the A1 mean over the rare same-µs
+        # same-signal duplicates is computed in the projection with
+        # higher-order functions over the tiny per-row array (≈ signals
+        # per frame elements) — no second 47M-row shuffle, no n_cols
+        # aggregate fan-out
+        g = (
+            decode_indexed(frames, catalog)
+            .groupBy("timestamp")
+            .agg(F.collect_list(F.struct("idx", "value")).alias("_sv"))
+        )
+        m = g.select(
+            "timestamp", _merge_entries_mean(F.col("_sv")).alias("_m")
+        )
+        return _extract_wide_cols(m, cols, downcast)
     aggs = []
     for mod, top in catalog.iter_topics():
         cond = _topic_condition(mod.signature, top.topic_id, top.size)

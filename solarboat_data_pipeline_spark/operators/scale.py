@@ -658,21 +658,22 @@ def _interpolate_long(
 ) -> DataFrame:
     """Wide → long → bucketed interpolate → wide, mirroring
     :func:`timeseries._interpolate_time_long` on the scale path: ONE set
-    of carry exprs partitioned by (series, ``__name``, bucket) replaces
-    the 4-per-column fan-out, then a single hash-aggregate repivot. The
-    bucket bounds are computed once on the wide frame (one scan of the
-    order column — or zero with explicit/footer-stat bounds) and reused
-    verbatim for every unpivoted series."""
+    of carry exprs partitioned by (series, ``__idx``, bucket) replaces
+    the 4-per-column fan-out, then a single collect-to-map repivot (no
+    n_cols-aggregate pivot evaluated per long row; integer column indexes
+    keep the shuffle keys and repivot map int-typed). The bucket bounds
+    are computed once on the wide frame (one scan of the order column —
+    or zero with explicit/footer-stat bounds) and reused verbatim for
+    every unpivoted series. Requires unique ``(partition, ts)`` rows,
+    like the timeseries long path."""
     if bounds is None:
         bounds = compute_bounds(
             df, ts_col, num_buckets or _default_buckets(df)
         )
     dtypes = dict(df.dtypes)
-    long = df.unpivot(
-        [*partition_cols, ts_col],
-        [F.col(c).cast("double").alias(c) for c in value_cols],
-        "__name",
-        "__v",
+    arr = F.array(*[F.col(c).cast("double") for c in value_cols])
+    long = df.select(
+        *partition_cols, ts_col, F.posexplode(arr).alias("__idx", "__v")
     )
     filled = interpolate_time(
         long,
@@ -681,18 +682,21 @@ def _interpolate_long(
         limit=limit,
         limit_area=limit_area,
         bounds=bounds,
-        partition_cols=[*partition_cols, "__name"],
+        partition_cols=[*partition_cols, "__idx"],
         strategy="wide",
     )
-    out = (
-        filled.groupBy(*partition_cols, ts_col)
-        .pivot("__name", list(value_cols))
-        .agg(F.first("__v"))
+    m = filled.groupBy(*partition_cols, ts_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("__idx", "__v"))).alias(
+            "__m"
+        )
     )
-    return out.select(
+    return m.select(
         *partition_cols,
         ts_col,
-        *[F.col(c).cast(dtypes[c]).alias(c) for c in value_cols],
+        *[
+            F.col("__m").getItem(i).cast(dtypes[c]).alias(c)
+            for i, c in enumerate(value_cols)
+        ],
     )
 
 

@@ -97,6 +97,7 @@ def test_decode_wide_matches_pivot(frames, catalog):
         pivot_wide(decode_long(frames, catalog), catalog, strategy="agg"),
         pivot_wide(decode_long(frames, catalog), catalog, strategy="map"),
         decode_wide(frames, catalog, downcast=False, strategy="long"),
+        decode_wide(frames, catalog, downcast=False, strategy="frame_map"),
     ):
         assert set(wide.columns) == set(alt.columns)
         b = {r["timestamp"]: r for r in alt.collect()}

@@ -149,7 +149,9 @@ def test_interpolate_long_strategy_no_per_column_fanout(spark):
         df, value_cols=cols, num_buckets=3
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "__p_c37" not in plan and "__p___v" in plan
-    assert "unpivot" in plan.lower() or "expand" in plan.lower()
+    # long form materializes via posexplode (Generate) — int column
+    # indexes, not per-column expressions
+    assert "posexplode" in plan.lower() or "generate" in plan.lower()
 
 
 def test_interpolate_partition_cols_matches_global(spark):
