@@ -103,32 +103,34 @@ def _topic_condition(module_sig: int, topic_id: int, size: int) -> Column:
 def decode_long(frames: DataFrame, catalog: CanCatalog) -> DataFrame:
     """P8+P10-P12: schema lookup + binary decode + 1→N explode.
 
-    One generated CASE maps each (signature, topic, valid-length) to an
-    ``array<struct<module_name,topic_name,byte_name,value,unit>>``;
-    ``explode`` of a null/absent match drops the frame (the reference's
-    silent-drop semantics at ``lib/canparser.py:135-157``)."""
-    branches: Column | None = None
+    Decodes via the index-keyed spec map (:func:`decode_indexed` — O(1)
+    codegen size in catalog width; frames matching no (signature, topic,
+    valid-length) key are silently dropped, the reference's semantics at
+    ``lib/canparser.py:135-157``), then attaches the signal's name
+    strings + unit from a constant-folded metadata array indexed by the
+    signal's wide-column position."""
+    meta = []
     for mod, top in catalog.iter_topics():
-        arr = F.array(
-            *[
+        for s in top.signals:
+            meta.append(
                 F.struct(
                     F.lit(mod.name).alias("module_name"),
                     F.lit(top.name).alias("topic_name"),
                     F.lit(s.name).alias("byte_name"),
-                    s.decode(F.col("payload_hex")).alias("value"),
                     F.lit(s.unit).alias("unit"),
                 )
-                for s in top.signals
-            ]
-        )
-        cond = _topic_condition(mod.signature, top.topic_id, top.size)
-        branches = F.when(cond, arr) if branches is None else branches.when(cond, arr)
-    if branches is None:
+            )
+    if not meta:
         raise ValueError("empty catalog")
-    return frames.select(
+    named = F.get(F.array(*meta), F.col("idx"))
+    return decode_indexed(frames, catalog).select(
         "timestamp",
-        F.explode(branches).alias("signal"),
-    ).select("timestamp", "signal.*")
+        named["module_name"].alias("module_name"),
+        named["topic_name"].alias("topic_name"),
+        named["byte_name"].alias("byte_name"),
+        "value",
+        named["unit"].alias("unit"),
+    )
 
 
 # above this many wide columns, the pivot runs as ONE collect_list-to-map
