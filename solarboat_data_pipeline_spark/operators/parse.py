@@ -174,7 +174,10 @@ def decode_indexed(frames: DataFrame, catalog: CanCatalog) -> DataFrame:
 def _matched_frames(frames: DataFrame, catalog: CanCatalog) -> DataFrame:
     """Frames that match a catalog topic (key + size guard), with the
     topic's field-spec struct attached as ``_spec``. The catalog is a
-    constant-folded literal map, so the lookup is a per-row map probe."""
+    constant-folded literal map, so the lookup is a per-row map probe.
+    Reference parity: the (signature, topic) dispatch + payload-size
+    guard of ``lib/canparser.py:81-90,135-157`` (unknown frames and
+    wrong-length payloads silently dropped)."""
     idx_of = {c: i for i, c in enumerate(catalog.wide_columns())}
     entries = []
     for mod, top in catalog.iter_topics():
@@ -210,7 +213,10 @@ def _matched_frames(frames: DataFrame, catalog: CanCatalog) -> DataFrame:
 
 def _decode_field(payload_hex: Column, f: Column) -> Column:
     """Generic field decode over the hex payload given one field-spec
-    struct ``(idx, off, bit, width, scale)`` — small fixed codegen."""
+    struct ``(idx, off, bit, width, scale)`` — small fixed codegen.
+    Semantics of the reference's ctypes ``LittleEndianStructure`` access
+    (``lib/canparser_generator.py:29-54``): LE u16 fuse, LSB-run
+    bitfields, unit scaling folded into ``scale``."""
     lo = F.conv(payload_hex.substr(f["off"] * 2 + 1, F.lit(2)), 16, 10).cast(
         "long"
     )

@@ -56,3 +56,66 @@ def test_format_then_parse_roundtrip(spark, frames):
         assert int(r["topic_hex"], 16) == topic
         want_payload = f"{mod:02x}" + "".join(f"{b:02x}" for b in body)
         assert r["payload_hex"] == want_payload
+
+
+# randomized decode-strategy equivalence: for an arbitrary mini catalog
+# topic mix (u8 / u16 pairs / bitfields) and arbitrary frames — including
+# same-µs duplicates, unknown signatures, and wrong payload lengths —
+# every decode_wide strategy must produce identical cells
+DECODE_FRAME = st.tuples(
+    st.integers(0, 49),  # same-second base keeps duplicate ts likely
+    st.sampled_from([0, 100, 100, 200]),  # µs with planted collisions
+    st.sampled_from([33, 8, 64, 999]),  # known topics + one unknown
+    st.sampled_from([250, 230, 17]),  # known signatures + one unknown
+    st.integers(0, 8),  # payload body length (may violate the guard)
+    st.integers(0, 2**32 - 1),  # body entropy
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(DECODE_FRAME, min_size=1, max_size=30))
+def test_decode_strategies_agree_on_random_frames(spark, frames):
+    import math
+    import os
+
+    from solarboat_data_pipeline_spark.catalog import CanCatalog
+    from solarboat_data_pipeline_spark.operators.parse import (
+        decode_wide,
+        with_frame_meta,
+        with_timestamp,
+    )
+
+    cat = CanCatalog.load(
+        os.path.join(os.path.dirname(__file__), "data", "mini_can_ids.json")
+    )
+    rows = []
+    for i, (sec, us, topic, mod, blen, ent) in enumerate(frames):
+        body = "".join(
+            f"{(ent >> (8 * (k % 4))) & 0xFF:02x}" for k in range(blen)
+        )
+        payload = f"{mod:02x}" + body
+        rows.append(
+            (i, f"{1_700_000_000 + sec}.{us:06d}", f"{topic:03x}", payload)
+        )
+    lines = spark.createDataFrame(
+        rows, "i long, ts_raw string, topic_hex string, payload_hex string"
+    )
+    fr = with_frame_meta(with_timestamp(lines))
+    outs = [
+        decode_wide(fr, cat, downcast=False, strategy=s)
+        for s in ("fused", "long", "frame_map")
+    ]
+    collected = [
+        {r["timestamp"]: r for r in o.collect()} for o in outs
+    ]
+    base = collected[0]
+    for alt in collected[1:]:
+        assert base.keys() == alt.keys()
+        for ts, row in base.items():
+            for c in outs[0].columns:
+                if c == "timestamp":
+                    continue
+                va, vb = row[c], alt[ts][c]
+                assert (va is None) == (vb is None), (ts, c)
+                if va is not None:
+                    assert math.isclose(va, vb, rel_tol=1e-12), (ts, c)
