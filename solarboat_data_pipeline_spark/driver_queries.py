@@ -1960,6 +1960,12 @@ def skew_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integrating so both engines accumulate identical inputs.
 _F7_ORACLE = None
 if not _HAVE_PVLIB:
+    # The cumulative energy is compared across engines at a 1e-6 grid, so
+    # each trapezoid increment is QUANTIZED to an exact integer (×1e6,
+    # round, BIGINT) before the running sum: integer sums are exact in any
+    # association order (DuckDB's windowed SUM uses a segment tree, Spark
+    # sums sequentially — over ~100k doubles the association drift crosses
+    # the rounding grid; sf0.1 exposed this, sf0.01 did not).
     _F7_ORACLE = """
     WITH g AS (
       SELECT ts AS timestamp, round(avg(abs(value)) * 10, 6) AS ghi
@@ -1970,11 +1976,12 @@ if not _HAVE_PVLIB:
              lag(timestamp) OVER (ORDER BY timestamp) AS pt
       FROM g)
     SELECT timestamp, round(poa, 6) AS poa,
-           round(sum(coalesce((poa + pv) / 2 *
-                 ((epoch_us(timestamp) - epoch_us(pt)) / 1000000.0 / 3600.0),
+           round(sum(coalesce(CAST(round((poa + pv) / 2 *
+                 ((epoch_us(timestamp) - epoch_us(pt)) / 1000000.0 / 3600.0)
+                 * 1000000.0) AS BIGINT),
                  0)) OVER (ORDER BY timestamp
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             6) AS energy
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / 1000000.0, 6) AS energy
     FROM w
     """
 
@@ -1982,9 +1989,6 @@ if not _HAVE_PVLIB:
 @register("f7_poa_irradiance", _F7_ORACLE)
 def f7_poa_irradiance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarboat_data_pipeline_spark.functions.solar import poa_irradiance
-    from solarboat_data_pipeline_spark.operators.timeseries import (
-        trapezoid_integral,
-    )
 
     ev = (
         _t(spark, sf_dir, "events")
@@ -1999,8 +2003,28 @@ def f7_poa_irradiance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     poa = poa_irradiance(ev, latitude=-27.59, longitude=-48.55)
-    # A7: POA → cumulative energy (lib/process_solcast_historic_data.py:104)
-    out = trapezoid_integral(poa, "poa", "energy", ts_col="timestamp")
+    # A7: POA → cumulative energy (lib/process_solcast_historic_data.py:104).
+    # The increment expression mirrors the oracle SQL op-for-op and is
+    # quantized to an exact integer before the running sum — see the
+    # _F7_ORACLE comment (integer sums are association-order-exact, so
+    # Spark's sequential window and DuckDB's segment tree agree bit-wise).
+    w = Window.orderBy("timestamp").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lag1 = Window.orderBy("timestamp")
+    pv = F.lag("poa").over(lag1)
+    pt = F.lag("timestamp").over(lag1)
+    inc = (
+        (F.col("poa") + pv)
+        / 2
+        * ((F.unix_micros("timestamp") - F.unix_micros(pt)) / 1000000.0 / 3600.0)
+        * 1000000.0
+    )
+    out = poa.withColumn(
+        "energy",
+        F.sum(F.coalesce(F.round(inc).cast("long"), F.lit(0))).over(w)
+        / 1000000.0,
+    )
     return out.select(
         "timestamp",
         F.round("poa", 6).alias("poa"),
