@@ -95,12 +95,30 @@ def resample_stage(
     period_seconds: float,
     ts_col: str = "timestamp",
     max_gap_seconds: float = 60.0,
+    scale_buckets: int | None = None,
 ) -> DataFrame:
     """E2 (``lib/resampler.py:59-101``): mean-downsample to a fixed period
     and gap-fill ≤ ``max_gap_seconds`` with bounded time interpolation
-    (``limit = max(1, gap/period)`` samples, ``lib/resampler.py:63-66``)."""
+    (``limit = max(1, gap/period)`` samples, ``lib/resampler.py:63-66``).
+
+    ``scale_buckets``: by default the gap-fill runs as one global-window
+    interpolation — correct while the RESAMPLED grid (time-span/period
+    rows, not input rows) fits one task's sort. For the 100 TB shape
+    (years of sub-second grid → 1e9+ grid rows) pass a bucket count and
+    the fill runs the bucketed scale kernel instead (operators/scale.py,
+    equivalence proven in SCALE.md)."""
     limit = max(1, int(max_gap_seconds / period_seconds))
     res = resample_mean(wide, period_seconds, ts_col=ts_col, dense=True)
+    if scale_buckets is not None:
+        from solarboat_data_pipeline_spark.operators import scale as _scale
+
+        return _scale.interpolate_time(
+            res,
+            ts_col=ts_col,
+            limit=limit,
+            limit_area="inside",
+            num_buckets=scale_buckets,
+        )
     return interpolate_time(res, ts_col=ts_col, limit=limit, limit_area="inside")
 
 

@@ -105,3 +105,22 @@ def test_unify_stages_compose_independently(spark, catalog, forecast):
     with_gps = unify_gps_stage(with_fc, track)
     assert "gps_latitude" in with_gps.columns
     assert with_gps.count() == 4
+
+
+def test_resample_stage_bucketed_matches_global(spark, catalog):
+    # scale_buckets routes the gap-fill through the bucketed scale kernel;
+    # output must match the global-window form cell-for-cell
+    wide = parse_stage(spark, CORPUS, catalog)
+    g = resample_stage(wide, 1.0)
+    s = resample_stage(wide, 1.0, scale_buckets=3)
+    ga = {r["timestamp"]: r for r in g.collect()}
+    sa = {r["timestamp"]: r for r in s.collect()}
+    assert ga.keys() == sa.keys()
+    for ts, row in ga.items():
+        for c in g.columns:
+            if c == "timestamp":
+                continue
+            va, vb = row[c], sa[ts][c]
+            assert (va is None) == (vb is None), (ts, c)
+            if va is not None:
+                assert math.isclose(va, vb, rel_tol=1e-9), (ts, c)
