@@ -270,7 +270,10 @@ def simhash_table(
     """SimHash per document with ≥1 token: bit b set when more (multiset)
     token hashes have bit b set than not. Same explode→hash-agg shape as
     :func:`minhash_table`: per-bit popcounts are conditional sums inside one
-    codegen'd aggregate."""
+    codegen'd aggregate. ``bits`` ≤ 63 (one signed long; bit 63 would
+    overflow the ``1 << b`` literal)."""
+    if not 1 <= bits <= 63:
+        raise ValueError(f"bits ({bits}) must be in [1, 63]")
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
     ).select(id_col, h32(F.col("__t")).alias("__h"))
@@ -304,8 +307,10 @@ def simhash_near_dup_pairs(
     differs in at most ``max_hamming`` bands, so at least one band matches
     — recall is exact, unlike hyperplane LSH. The trade is candidate
     volume: expected N²/2^(bits/bands) per band. At corpus scale use wider
-    signatures (``bits=64``) so each band still has enough entropy;
-    everything here is parameterized on ``bits``/``bands``.
+    signatures (``bits=48`` or ``60``, i.e. 12/15-bit band keys) so each
+    band still has enough entropy; everything here is parameterized on
+    ``bits``/``bands``. ``bits`` is capped at 63 — the signature lives in
+    one signed long.
 
     Returns ``(id_a, id_b, hamming)``, ``id_a < id_b``, duplicates across
     bands collapsed."""

@@ -145,3 +145,31 @@ def test_asof_backward_empty_right(spark):
     out = ts.asof_join_backward(left, right, value_cols=["v"])
     assert out.count() == 3
     assert all(r["v"] is None for r in out.collect())
+
+
+def test_simhash_wide_bits_and_cap(spark):
+    # the corpus-scale recommendation (48/60-bit signatures) must work;
+    # bits > 63 must fail loudly, not with a lit() overflow deep in Spark
+    import pytest as _pytest
+
+    from solarboat_data_pipeline_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        simhash_table,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumped over the lazy dog"),
+            (3, "completely different text with other words entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    for bits in (48, 60, 63):
+        sh = {r["doc_id"]: r["simhash"] for r in simhash_table(df, bits=bits).collect()}
+        assert len(sh) == 3 and all(v is not None for v in sh.values())
+    pairs = simhash_near_dup_pairs(df, max_hamming=3, bits=48, bands=4).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got and (1, 3) not in got
+    with _pytest.raises(ValueError, match=r"bits \(64\)"):
+        simhash_table(df, bits=64)
