@@ -60,6 +60,13 @@ def get_spark(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
         )
+        # split generated expression code into smaller methods sooner
+        # (default 1024): the 187-column wide-decode plan otherwise emits
+        # near-huge-method-limit functions whose C2 compilation stalls the
+        # first execution ~40 s (measured: first run 50 s -> 29 s with
+        # this, identical ~12 s steady state). Constant-size methods also
+        # keep every stage JIT-eligible at any catalog width.
+        .config("spark.sql.codegen.methodSplitThreshold", "256")
         # the default 240 MB code cache fills after a few dozen
         # whole-stage-codegen plans, silently disabling the JIT — long
         # sessions then run generated code interpreted (~10x slower)
