@@ -1,0 +1,341 @@
+#!/usr/bin/env python
+"""Streaming throughput + batch-parity smoke at multi-million-event scale.
+
+The streaming operators (streaming/pipeline.py, streaming/stateful.py) are
+correctness-tested on small fixtures; this script is their scale evidence,
+the analogue of scripts/scale_smoke.py for the streaming family:
+
+1. generate 10 M events as K time-ordered parquet files (a file stream
+   source processes files in order, so this is the in-order-source
+   contract the ffill operator documents);
+2. run each streaming operator over the backlog with
+   ``trigger(availableNow)`` + ``maxFilesPerTrigger`` so the run is a
+   REAL multi-micro-batch execution (state carried across batches), not
+   one giant batch;
+3. verify the emitted rows against the corresponding batch kernel on the
+   same data (modulo the append-mode tail: windows/sessions the final
+   watermark has not passed are legitimately still open and unemitted —
+   the checker requires every missing row to be inside that tail horizon
+   and every emitted row to match batch exactly);
+4. report wall time and events/s per operator.
+
+Run from the repo root: python scripts/stream_smoke.py [n_events]
+Exits 1 unless every parity check agrees.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from solarboat_data_pipeline_spark import get_spark  # noqa: E402
+from solarboat_data_pipeline_spark.streaming.pipeline import (  # noqa: E402
+    stream_dedup_exact,
+    stream_resample_mean,
+    stream_sessionize,
+)
+from solarboat_data_pipeline_spark.streaming.stateful import (  # noqa: E402
+    stream_ffill,
+)
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+N_SERIES = 16
+N_FILES = 20
+FILES_PER_TRIGGER = 4  # -> 5 micro-batches over the backlog
+WORK = "/tmp/stream_smoke"
+BASE_US = 1_000_000_000  # corpus starts at epoch 1000 s (see generate())
+GAP_S = 5.0  # sessionize gap; generator plants a 10 s jump every 1000 steps
+WATERMARK = "5 seconds"
+WM_S = 5.0
+
+results: list[dict] = []
+
+
+def report(check: str, agree: bool, wall: float, extra: dict) -> None:
+    rec = {
+        "check": check,
+        "agree": bool(agree),
+        "wall_sec": round(wall, 2),
+        "events_per_sec": round(N / wall) if wall else None,
+        **extra,
+    }
+    results.append(rec)
+    print(json.dumps(rec), flush=True)
+
+
+def generate(spark, src: str) -> None:
+    """K time-ordered parquet files. Row i of series s (seq = i) has
+    ts = 0.1 s * seq + 10 s * (seq // 1000): a planted > GAP_S jump every
+    1000 steps makes sessionize output analytic. value is null on ~10% of
+    rows (hash-chosen) for the ffill check; text repeats every 2 ids
+    inside a 0.2 s span for the within-watermark dedup check."""
+    os.makedirs(src, exist_ok=True)
+    per_file = N // N_FILES
+    tmp = os.path.join(WORK, "_gen_tmp")
+    for f in range(N_FILES):
+        df = spark.range(f * per_file, (f + 1) * per_file).select(
+            F.col("id"),
+            F.concat(F.lit("s"), F.pmod("id", F.lit(N_SERIES))).alias("series"),
+        )
+        seq = (F.col("id") / N_SERIES).cast("long")
+        # BASE offset: a corpus starting at epoch 0 puts its first rows AT
+        # the stream's initial watermark, which drops them as late — an
+        # artifact of the synthetic clock, not of the operators
+        ts = F.timestamp_micros(
+            (
+                BASE_US
+                + seq * 100_000
+                + (seq / 1000).cast("long") * 10_000_000
+            ).cast("long")
+        )
+        df = df.select(
+            "series",
+            ts.alias("timestamp"),
+            F.when(
+                F.pmod(F.hash("id", F.lit(7)), 10) != 0, F.col("id").cast("double")
+            ).alias("value"),
+            F.concat(F.lit("k"), (F.col("id") / 2).cast("long")).alias("text"),
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.replace(part, os.path.join(src, f"events_{f:03d}.parquet"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def open_stream(spark, src: str):
+    return (
+        spark.readStream.schema(
+            "series string, timestamp timestamp, value double, text string"
+        )
+        .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+        .parquet(os.path.join(src, "*.parquet"))
+    )
+
+
+def run_stream(df, name: str) -> float:
+    out = os.path.join(WORK, f"out_{name}")
+    ckpt = os.path.join(WORK, f"ckpt_{name}")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    t0 = time.perf_counter()
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return time.perf_counter() - t0
+
+
+def check_resample(spark, src: str, max_ts) -> None:
+    """Stream windowed mean vs the batch window aggregate. Missing rows
+    must all be trailing (window not yet passed by the final watermark);
+    emitted rows must match batch values exactly."""
+    stream = stream_resample_mean(
+        open_stream(spark, src), 1.0, watermark=WATERMARK, key_cols=("series",)
+    )
+    wall = run_stream(stream, "resample")
+    got = spark.read.parquet(os.path.join(WORK, "out_resample"))
+    batch = (
+        spark.read.parquet(os.path.join(src, "*.parquet"))
+        .groupBy(F.window("timestamp", "1 seconds").alias("w"), "series")
+        .agg(F.avg("value").alias("value"))
+        .select(F.col("w.start").alias("timestamp"), "series", "value")
+    )
+    keys = ["timestamp", "series"]
+    spurious = got.join(batch, [*keys, "value"], "left_anti").count()
+    missing = batch.join(got, keys, "left_anti")
+    horizon = max_ts - (WM_S + 2.0)
+    late_missing = missing.where(
+        F.col("timestamp") < F.timestamp_seconds(F.lit(horizon))
+    ).count()
+    n_missing = missing.count()
+    report(
+        "stream_resample_vs_batch_window_mean",
+        spurious == 0 and late_missing == 0,
+        wall,
+        {
+            "emitted_windows": got.count(),
+            "spurious_or_value_mismatch": spurious,
+            "unemitted_tail_windows": n_missing,
+            "unemitted_before_horizon": late_missing,
+        },
+    )
+
+
+def check_sessionize(spark, src: str, max_ts) -> None:
+    """Stream session_window vs batch sessionize: every emitted session
+    must match a batch session (start + n_events) exactly; only sessions
+    still open at the final watermark may be missing."""
+    from solarboat_data_pipeline_spark.operators.timeseries import sessionize
+
+    stream = stream_sessionize(
+        open_stream(spark, src),
+        gap_seconds=GAP_S,
+        watermark=WATERMARK,
+        key_cols=("series",),
+    )
+    wall = run_stream(stream, "sessionize")
+    got = spark.read.parquet(os.path.join(WORK, "out_sessionize")).select(
+        "series", F.col("session_start").alias("start"), "n_events"
+    )
+    batch = (
+        sessionize(
+            spark.read.parquet(os.path.join(src, "*.parquet")),
+            gap_seconds=GAP_S,
+            partition_cols=["series"],
+        )
+        .groupBy("series", "session_id")
+        .agg(
+            F.min("timestamp").alias("start"),
+            F.max("timestamp").alias("end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("series", "start", "end", "n_events")
+    )
+    spurious = got.join(batch, ["series", "start", "n_events"], "left_anti").count()
+    missing = batch.join(got, ["series", "start"], "left_anti")
+    # a session is legitimately unemitted iff still OPEN at the final
+    # watermark: its last event within (watermark + gap) of stream end
+    horizon = max_ts - (WM_S + GAP_S + 2.0)
+    late_missing = missing.where(
+        F.col("end") < F.timestamp_seconds(F.lit(horizon))
+    ).count()
+    report(
+        "stream_sessionize_vs_batch",
+        spurious == 0 and late_missing == 0,
+        wall,
+        {
+            "emitted_sessions": got.count(),
+            "batch_sessions": batch.count(),
+            "spurious_or_count_mismatch": spurious,
+            "unemitted_open_sessions": missing.count(),
+            "unemitted_before_horizon": late_missing,
+        },
+    )
+
+
+def check_dedup(spark, src: str) -> None:
+    """Every text key is planted exactly twice within 0.2 s (well inside
+    the watermark), so the streaming within-watermark dedup must agree
+    with the batch whole-corpus dropDuplicates: exactly N/2 survivors."""
+    stream = stream_dedup_exact(
+        open_stream(spark, src), ("text",), watermark=WATERMARK
+    )
+    wall = run_stream(stream, "dedup")
+    got_n = spark.read.parquet(os.path.join(WORK, "out_dedup")).count()
+    batch_n = (
+        spark.read.parquet(os.path.join(src, "*.parquet"))
+        .dropDuplicates(["text"])
+        .count()
+    )
+    report(
+        "stream_dedup_within_watermark_vs_batch",
+        got_n == batch_n == N // 2,
+        wall,
+        {"stream_survivors": got_n, "batch_survivors": batch_n, "expected": N // 2},
+    )
+
+
+def check_ffill(spark, src: str) -> None:
+    """Cross-batch stateful forward fill vs the batch last-non-null
+    window — exact row-for-row equality (in-order file source)."""
+    stream = stream_ffill(open_stream(spark, src).drop("text"))
+    wall = run_stream(stream, "ffill")
+    got = spark.read.parquet(os.path.join(WORK, "out_ffill"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("series")
+        .orderBy("timestamp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    batch = (
+        spark.read.parquet(os.path.join(src, "*.parquet"))
+        .select(
+            "series",
+            "timestamp",
+            "value",
+            F.last("value", ignorenulls=True).over(w).alias("filled"),
+        )
+    )
+    n_got = got.count()
+    # null-safe equality: ``value`` is null on planted rows and ``filled``
+    # is null before a series' first sample — a plain join would count
+    # every such row as a mismatch
+    cond = (
+        (got["series"] == batch["series"])
+        & (got["timestamp"] == batch["timestamp"])
+        & got["value"].eqNullSafe(batch["value"])
+        & got["filled"].eqNullSafe(batch["filled"])
+    )
+    mismatches = got.join(batch, cond, "left_anti").count()
+    report(
+        "stream_ffill_cross_batch_vs_batch_window",
+        n_got == N and mismatches == 0,
+        wall,
+        {"rows": n_got, "mismatches": mismatches},
+    )
+
+
+def main() -> None:
+    spark = get_spark(app_name="stream-smoke")
+    shutil.rmtree(WORK, ignore_errors=True)
+    os.makedirs(WORK)
+    src = os.path.join(WORK, "events")
+    t0 = time.perf_counter()
+    generate(spark, src)
+    print(
+        json.dumps(
+            {
+                "stage": "generate",
+                "events": N,
+                "files": N_FILES,
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+        ),
+        flush=True,
+    )
+    max_ts = (
+        spark.read.parquet(os.path.join(src, "*.parquet"))
+        .agg(F.max(F.unix_micros("timestamp")))
+        .first()[0]
+        / 1e6
+    )
+
+    check_resample(spark, src, max_ts)
+    check_sessionize(spark, src, max_ts)
+    check_dedup(spark, src)
+    check_ffill(spark, src)
+
+    all_agree = all(r["agree"] for r in results)
+    print(
+        json.dumps(
+            {
+                "metric": "stream_smoke",
+                "events": N,
+                "micro_batches": N_FILES // FILES_PER_TRIGGER,
+                "all_agree": all_agree,
+                "events_per_sec": {
+                    r["check"]: r["events_per_sec"] for r in results
+                },
+            }
+        )
+    )
+    if not all_agree:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -51,15 +51,28 @@ def stream_ffill(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (last,) = state.get if state.exists else (None,)
-        for pdf in pdfs:
+        # a key's micro-batch arrives as MULTIPLE Arrow chunks with no
+        # cross-chunk ordering guarantee (~10k rows each), so sorting
+        # chunk-by-chunk silently mis-fills rows that straddle a chunk
+        # boundary out of time order (caught by scripts/stream_smoke.py
+        # at 10 M events: 45 straddling rows). Materialize the key's
+        # batch and sort ONCE — per-key-per-batch memory, bounded by the
+        # micro-batch size (maxFilesPerTrigger), not by stream length.
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(ts_col)
-            filled = []
-            for v in pdf[value_col]:
-                if pd.notna(v):
-                    last = float(v)
-                filled.append(last)
+            # vectorized carry: ffill within the batch, then the leading
+            # null run (rows before the batch's first valid sample) takes
+            # the value carried in state from previous batches
+            filled = pdf[value_col].astype("float64").ffill()
+            if last is not None:
+                filled = filled.fillna(last)
+            non_null = filled.dropna()
+            if len(non_null):
+                last = float(non_null.iloc[-1])
             out = pdf[[*key_cols, ts_col, value_col]].copy()
-            out[out_col] = pd.Series(filled, index=pdf.index, dtype="float64")
+            out[out_col] = filled
             yield out
         state.update((last,))
 

@@ -59,3 +59,48 @@ def test_ffill_carries_state_across_microbatches(spark, tmp_path):
     assert rows[("a", 2)] == (None, 2.0)
     assert rows[("a", 3)] == (3.0, 3.0)
     assert rows[("b", 2)] == (None, 9.0)
+
+
+def test_ffill_multi_chunk_group_sorts_globally(spark, tmp_path):
+    """A key's micro-batch arrives as MULTIPLE Arrow chunks with no
+    cross-chunk time ordering; the fill must sort the whole batch, not
+    chunk-by-chunk (regression: scripts/stream_smoke.py found 45
+    mis-filled straddling rows at 10 M events). Forcing 16-row Arrow
+    chunks over an interleaved-time file makes every chunk span distant
+    timestamps."""
+    src = str(tmp_path / "src_chunks")
+    os.makedirs(src)
+    n = 400
+    # interleaved write order: all even seqs, then all odd seqs — any
+    # contiguous chunk mixes early and late timestamps
+    order = list(range(0, n, 2)) + list(range(1, n, 2))
+    rows = [
+        ("a", 1000 + s, None if s % 5 == 2 else float(s)) for s in order
+    ]
+    _write_batch(spark, f"{src}/all.parquet", rows)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        schema = "series string, timestamp timestamp, value double"
+        stream = spark.readStream.schema(schema).parquet(f"{src}/*.parquet")
+        out = stream_ffill(stream, key_cols=("series",))
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ffill_chunks")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            int(r["timestamp"].timestamp()) - 1000: r["filled"]
+            for r in spark.sql("select * from ffill_chunks").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    assert len(got) == n
+    for s in range(n):
+        want = float(s - 1) if s % 5 == 2 else float(s)  # s=2 fills from s=1
+        assert got[s] == want, (s, got[s], want)
