@@ -1211,7 +1211,7 @@ def _sql_minhash_mins(base: str = "hs") -> str:
     mins = []
     for a, b in dd.PERM_CONSTANTS:
         mins.append(
-            f"list_min(list_transform({base}, h -> ({a} * h + {b}) % {dd.MINHASH_P}))"
+            f"list_min(list_transform({base}, h -> ({a} * h + {b}) % {dd.MINHASH_MOD}))"
         )
     return ", ".join(mins)
 

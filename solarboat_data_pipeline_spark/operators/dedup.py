@@ -30,11 +30,18 @@ BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
 SIMHASH_BITS = 16
 
-# MinHash permutations: ONE md5 per shingle, then cheap integer mixing
-# h_j = (A[j]*h + B[j]) mod P per permutation — 16× fewer digest
+# MinHash permutations: ONE md5 per shingle, then multiply-shift mixing
+# h_j = (A[j]*h + B[j]) mod 2^32 with A odd — 16× fewer digest
 # computations than hashing per permutation, and still exactly
-# reproducible in SQL. P = 2^61-1 (Mersenne); A < 2^30 keeps A*h < 2^62.
-MINHASH_P = (1 << 61) - 1
+# reproducible in SQL. A ~ 2^30 wraps the modulus ~A/2 times per unit of
+# h, so the 16 maps order shingles near-independently. (The previous
+# (A*h + B) mod (2^61-1) form with A < 2^30 wrapped AT MOST ONCE — every
+# map stayed piecewise-monotone in h, the 16 per-doc minima were highly
+# correlated, and 1 M-doc LSH recall measured ~8 points under the
+# banding expectation; this form closes the gap — see SCALE.md.)
+# A < 2^31 and h < 2^32 keep A*h + B < 2^63: BIGINT-exact in Spark AND
+# DuckDB, no unsigned wrap anywhere.
+MINHASH_MOD = 1 << 32
 
 
 def _perm_constants(num_hashes: int = NUM_HASHES) -> list[tuple[int, int]]:
@@ -42,7 +49,7 @@ def _perm_constants(num_hashes: int = NUM_HASHES) -> list[tuple[int, int]]:
 
     out = []
     for j in range(num_hashes):
-        a = (int(_hl.md5(f"a{j}".encode()).hexdigest()[:8], 16) % (1 << 30)) | 1
+        a = (int(_hl.md5(f"a{j}".encode()).hexdigest()[:8], 16) % (1 << 31)) | 1
         b = int(_hl.md5(f"b{j}".encode()).hexdigest()[:8], 16)
         out.append((a, b))
     return out
@@ -97,7 +104,7 @@ def minhash_table(
     reduces to one row per doc before the single shuffle."""
     h = _shingle_hashes(df, text_col, id_col)
     aggs = [
-        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(
             f"mh{j}"
         )
         for j, (a, b) in enumerate(PERM_CONSTANTS[:num_hashes])

@@ -41,12 +41,13 @@ def py_minhash(text: str, num_hashes: int = 16) -> list[int] | None:
     hs = [py_h32(s) for s in py_shingles(text)]
     if not hs:
         return None
-    # constants per the documented recipe (dedup._perm_constants)
+    # constants per the documented recipe (dedup._perm_constants):
+    # multiply-shift mod 2^32 with odd a < 2^31
     out = []
     for j in range(num_hashes):
-        a = (int(hashlib.md5(f"a{j}".encode()).hexdigest()[:8], 16) % (1 << 30)) | 1
+        a = (int(hashlib.md5(f"a{j}".encode()).hexdigest()[:8], 16) % (1 << 31)) | 1
         b = int(hashlib.md5(f"b{j}".encode()).hexdigest()[:8], 16)
-        out.append(min((a * h + b) % ((1 << 61) - 1) for h in hs))
+        out.append(min((a * h + b) % (1 << 32) for h in hs))
     return out
 
 
