@@ -23,6 +23,11 @@ recall and candidate volume have an analytic expectation:
 4. **Incremental dedup digest-index path** (1 M incoming vs 1 M seen via
    digest-only index): anti-join survivor count must equal the analytic
    expectation exactly.
+5. **IVF recall/cost dial vs brute cosine** (300 k vectors, 64 queries,
+   k=10): recall@k must be non-decreasing in ``nprobe``, and probing
+   ALL cells (``nprobe = n_centroids``) must reproduce the brute
+   ``cosine_topk`` result EXACTLY — the equivalence anchor that pins
+   the IVF plan as a restriction of the exact kernel.
 
 Run from the repo root:
     python scripts/scale_smoke_dedup.py [n_docs] [n_vecs] [n_edges]
@@ -283,12 +288,58 @@ def check_incremental_digest(spark) -> None:
     )
 
 
+def check_ivf_recall(spark) -> None:
+    """Recall@k of ivf_topk vs the exact cosine_topk on the same 64
+    queries, at nprobe = 1, 4 and n_centroids (the last must be EXACT:
+    probing every cell makes IVF a partition-wise restatement of the
+    brute scan)."""
+    from solarboat_data_pipeline_spark.operators import similarity as sim
+
+    df, _ = vectors(spark)
+    df = df.localCheckpoint()
+    k, n_cent = 10, 16
+    qids = [int(7 + 4679 * i) % N_VECS for i in range(64)]
+
+    t0 = time.perf_counter()
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(df, qids, k=k).collect()
+    }
+    brute_sec = round(time.perf_counter() - t0, 2)
+
+    recalls, secs = {}, {}
+    for nprobe in (1, 4, n_cent):
+        t0 = time.perf_counter()
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in sim.ivf_topk(
+                df, qids, k=k, n_centroids=n_cent, nprobe=nprobe
+            ).collect()
+        }
+        secs[nprobe] = round(time.perf_counter() - t0, 2)
+        recalls[nprobe] = round(len(got & brute) / len(brute), 4)
+    full_exact = recalls[n_cent] == 1.0
+    monotone = recalls[1] <= recalls[4] <= recalls[n_cent]
+    record(
+        "ivf_recall_dial_vs_brute",
+        full_exact and monotone,
+        queries=len(qids),
+        k=k,
+        n_centroids=n_cent,
+        recall_at_nprobe={str(p): r for p, r in recalls.items()},
+        ivf_sec={str(p): s for p, s in secs.items()},
+        brute_sec=brute_sec,
+        full_probe_exact=full_exact,
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-smoke-dedup")
     check_minhash_lsh(spark)
     check_embedding_lsh(spark)
     check_connected_components(spark)
     check_incremental_digest(spark)
+    check_ivf_recall(spark)
     all_ok = all(c["agree"] for c in results.values())
     print(
         json.dumps(
