@@ -1,0 +1,136 @@
+"""Randomized equivalence properties for the restructured ("scale-shape")
+kernels against their straightforward exact twins:
+
+* ``salted_topk`` ≡ plain ``row_number`` window top-k (skew.py — the
+  two-phase shard plan must be invisible in the result, including under
+  duplicate order values, where only the VALUE multiset per rank is
+  deterministic);
+* ``resample_mean`` sparse long path ≡ per-column aggregate path (the
+  width-triggered strategy switch must not change a single cell);
+* ``interval_join`` chunked equi-join plan ≡ brute-force range predicate
+  (timeseries.py — chunk explosion over arbitrary interval/chunk
+  geometry, intervals nesting/overlapping/degenerate).
+"""
+
+import math
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from solarboat_data_pipeline_spark.operators import timeseries as tsops
+from solarboat_data_pipeline_spark.operators.skew import salted_topk
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([1, 2, 5]),
+    st.sampled_from([2, 3]),
+)
+def test_salted_topk_matches_plain_window(spark, rows, k, n_salts):
+    df = spark.createDataFrame(
+        [(f"k{a}", float(b)) for a, b in rows], "key string, v double"
+    )
+    got = salted_topk(df, ["key"], "v", k, n_salts=n_salts).collect()
+    w = Window.partitionBy("key").orderBy(F.col("v").desc())
+    want = (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .collect()
+    )
+    # duplicate v values make WHICH row wins a tie arbitrary, but the
+    # multiset of returned values per key is deterministic
+    got_vals = Counter((r["key"], r["v"]) for r in got)
+    want_vals = Counter((r["key"], r["v"]) for r in want)
+    assert got_vals == want_vals, (rows, k, n_salts)
+    # and rank sequences must be exactly 1..n per key on both sides
+    for res in (got, want):
+        per_key = {}
+        for r in res:
+            per_key.setdefault(r["key"], []).append(r["rank"])
+        assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_key.values())
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 40),  # epoch second
+            st.one_of(st.none(), st.floats(-10, 10, allow_nan=False)),
+            st.one_of(st.none(), st.floats(-10, 10, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([1.0, 2.0]),
+)
+def test_resample_sparse_long_path_matches_agg_path(spark, rows, period):
+    df = spark.createDataFrame(
+        [(t, a, b) for t, a, b in rows], "epoch long, a double, b double"
+    ).select(F.timestamp_seconds("epoch").alias("timestamp"), "a", "b")
+
+    def run():
+        out = tsops.resample_mean(df, period, dense=True)
+        return sorted(
+            (r["timestamp"], r["a"], r["b"]) for r in out.collect()
+        )
+
+    agg = run()
+    orig = tsops.WIDE_RESAMPLE_MAX_AGG_COLS
+    tsops.WIDE_RESAMPLE_MAX_AGG_COLS = 1  # force the sparse long path
+    try:
+        sparse = run()
+    finally:
+        tsops.WIDE_RESAMPLE_MAX_AGG_COLS = orig
+    assert len(agg) == len(sparse)
+    for (t1, a1, b1), (t2, a2, b2) in zip(agg, sparse):
+        assert t1 == t2
+        for x, y in ((a1, a2), (b1, b2)):
+            if x is None or y is None:
+                assert x is None and y is None, (rows, period)
+            else:
+                assert math.isclose(x, y, rel_tol=1e-12), (rows, period)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(0, 1000), min_size=1, max_size=30),
+    st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(0, 300)),
+        min_size=1,
+        max_size=10,
+    ),
+    st.sampled_from([10.0, 60.0, 500.0]),
+)
+def test_interval_join_matches_brute_force(spark, point_epochs, ivs, chunk_s):
+    points = spark.createDataFrame(
+        [(i, e) for i, e in enumerate(point_epochs)], "pid long, pe long"
+    ).select("pid", F.timestamp_seconds("pe").alias("timestamp"))
+    intervals = spark.createDataFrame(
+        [(j, s, s + d) for j, (s, d) in enumerate(ivs)],
+        "iid long, se long, ee long",
+    ).select(
+        "iid",
+        F.timestamp_seconds("se").alias("start"),
+        F.timestamp_seconds("ee").alias("end"),
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in tsops.interval_join(
+            points, intervals, chunk_seconds=chunk_s
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, e in enumerate(point_epochs)
+        for j, (s, d) in enumerate(ivs)
+        if s <= e <= s + d
+    }
+    assert got == want, (point_epochs, ivs, chunk_s)
