@@ -96,3 +96,17 @@ def test_bucket_pruning_on_point_lookup(spark, bucketed_tables):
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", old
         )
+
+
+def test_driver_bucketed_join_query_plan(spark, sf_dir):
+    """The driver-visible k_bucketed_join query itself must plan the join
+    with zero Exchange (the only allowed shuffle is the final tiny
+    aggregate on c_mktsegment) and read bucket-pruned scans."""
+    from solarboat_data_pipeline_spark.driver_queries import k_bucketed_join
+
+    q = k_bucketed_join(spark, sf_dir)
+    plan = explain_string(q)
+    assert shuffle_count(plan) <= 1, plan
+    assert "SortMergeJoin" in plan, plan
+    assert "SelectedBucketsCount" in plan, plan
+    assert q.count() > 0
