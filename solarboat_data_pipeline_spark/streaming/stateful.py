@@ -60,7 +60,8 @@ def stream_ffill(
         # micro-batch size (maxFilesPerTrigger), not by stream length.
         chunks = [p for p in pdfs if len(p)]
         if chunks:
-            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   if len(chunks) > 1 else chunks[0])
             pdf = pdf.sort_values(ts_col)
             # vectorized carry: ffill within the batch, then the leading
             # null run (rows before the batch's first valid sample) takes

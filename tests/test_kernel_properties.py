@@ -79,7 +79,8 @@ def test_resample_sparse_long_path_matches_agg_path(spark, rows, period):
     def run():
         out = tsops.resample_mean(df, period, dense=True)
         return sorted(
-            (r["timestamp"], r["a"], r["b"]) for r in out.collect()
+            ((r["timestamp"], r["a"], r["b"]) for r in out.collect()),
+            key=lambda r: r[0],
         )
 
     agg = run()

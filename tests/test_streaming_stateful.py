@@ -45,7 +45,7 @@ def test_ffill_carries_state_across_microbatches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not finish in 120s'
 
     rows = {
         (r["series"], r["timestamp"].second % 10): (r["value"], r["filled"])
@@ -92,7 +92,7 @@ def test_ffill_multi_chunk_group_sorts_globally(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), 'stream did not finish in 120s'
         got = {
             int(r["timestamp"].timestamp()) - 1000: r["filled"]
             for r in spark.sql("select * from ffill_chunks").collect()
