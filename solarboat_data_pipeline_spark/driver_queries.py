@@ -23,9 +23,6 @@ from pyspark.sql import functions as F
 
 from solarboat_data_pipeline_spark.functions.formatting import epoch_seconds
 from solarboat_data_pipeline_spark.functions.geo import haversine_km, heading_deg
-from solarboat_data_pipeline_spark.functions.solar import (
-    HAVE_PVLIB as _HAVE_PVLIB,
-)
 from solarboat_data_pipeline_spark.operators import dedup as dd
 from solarboat_data_pipeline_spark.operators import multimodal as mm
 from solarboat_data_pipeline_spark.operators import sampling as sp
@@ -1950,32 +1947,36 @@ def skew_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_phase_count_distinct(ev, ["user_id"], "event_type")
 
 
-# F7: pvlib physics. With pvlib installed the Arrow-batched mapInPandas
-# physics path runs and is NOT SQL-expressible (rows-only check). Without
-# pvlib (this container) the documented deterministic fallback runs —
-# tilt-0 isotropic POA ≈ GHI — which IS closed-form, so the oracle below
-# mirrors it exactly (lib/process_solcast_historic_data.py:20-71 physics;
-# :104 cumtrapz energy). The per-timestamp pre-aggregation makes the
-# trapezoid ordering deterministic (unique ts), and ghi is rounded before
-# integrating so both engines accumulate identical inputs.
-_F7_ORACLE = None
-if not _HAVE_PVLIB:
-    # The cumulative energy is compared across engines at a 1e-6 grid, so
-    # each trapezoid increment is QUANTIZED to an exact integer (×1e6,
-    # round, BIGINT) before the running sum: integer sums are exact in any
-    # association order (DuckDB's windowed SUM uses a segment tree, Spark
-    # sums sequentially — over ~100k doubles the association drift crosses
-    # the rounding grid; sf0.1 exposed this, sf0.01 did not).
-    _F7_ORACLE = """
-    WITH g AS (
-      SELECT ts AS timestamp, round(avg(abs(value)) * 10, 6) AS ghi
-      FROM events GROUP BY ts),
-    w AS (
-      SELECT timestamp, ghi AS poa,
-             lag(ghi) OVER (ORDER BY timestamp) AS pv,
+# F7: real solar physics with an exact oracle. The NOAA solar-position +
+# isotropic-transposition chain (functions/solar.py:SOLPOS_STEPS/POA_EXPR,
+# citing lib/process_solcast_historic_data.py:20-71) is a single shared
+# formula text evaluated by BOTH engines, so the oracle mirrors the Spark
+# plan op-for-op. poa is rounded to 3 decimals on both sides before the
+# energy integral: +,*,/ are IEEE-identical across engines, and libm trig
+# ULP drift (~1e-13) is far below the 1e-3 grid, so the rounded values
+# (and hence the integer-quantized trapezoid sums) match bit-wise.
+def _f7_oracle() -> str:
+    from solarboat_data_pipeline_spark.functions.solar import poa_irradiance_sql
+
+    src = """
+      SELECT timestamp, ghi, ghi * 0.8 AS dni, ghi * 0.2 AS dhi,
+             CAST(0.9 AS DOUBLE) AS albedo
+      FROM (SELECT ts AS timestamp, round(avg(abs(value)) * 10, 6) AS ghi
+            FROM events GROUP BY ts)
+    """
+    poa = poa_irradiance_sql(src, latitude=-27.59, longitude=-48.55)
+    # A7 energy: each trapezoid increment is QUANTIZED to an exact integer
+    # (×1e6, round, BIGINT) before the running sum: integer sums are exact
+    # in any association order (DuckDB's windowed SUM uses a segment tree,
+    # Spark sums sequentially — over ~100k doubles the association drift
+    # crosses the rounding grid; sf0.1 exposed this, sf0.01 did not).
+    return f"""
+    WITH w AS (
+      SELECT timestamp, round(poa, 3) AS poa,
+             lag(round(poa, 3)) OVER (ORDER BY timestamp) AS pv,
              lag(timestamp) OVER (ORDER BY timestamp) AS pt
-      FROM g)
-    SELECT timestamp, round(poa, 6) AS poa,
+      FROM {poa})
+    SELECT timestamp, poa,
            round(sum(coalesce(CAST(round((poa + pv) / 2 *
                  ((epoch_us(timestamp) - epoch_us(pt)) / 1000000.0 / 3600.0)
                  * 1000000.0) AS BIGINT),
@@ -1986,7 +1987,7 @@ if not _HAVE_PVLIB:
     """
 
 
-@register("f7_poa_irradiance", _F7_ORACLE)
+@register("f7_poa_irradiance", _f7_oracle())
 def f7_poa_irradiance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarboat_data_pipeline_spark.functions.solar import poa_irradiance
 
@@ -2002,7 +2003,9 @@ def f7_poa_irradiance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.9).alias("albedo"),
         )
     )
-    poa = poa_irradiance(ev, latitude=-27.59, longitude=-48.55)
+    poa = poa_irradiance(ev, latitude=-27.59, longitude=-48.55).withColumn(
+        "poa", F.round("poa", 3)
+    )
     # A7: POA → cumulative energy (lib/process_solcast_historic_data.py:104).
     # The increment expression mirrors the oracle SQL op-for-op and is
     # quantized to an exact integer before the running sum — see the
@@ -2027,7 +2030,7 @@ def f7_poa_irradiance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "timestamp",
-        F.round("poa", 6).alias("poa"),
+        "poa",
         F.round("energy", 6).alias("energy"),
     )
 

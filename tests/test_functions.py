@@ -111,16 +111,18 @@ def test_epoch_seconds_roundtrip(spark):
     assert math.isclose(v, 1581695094.944, abs_tol=1e-6)
 
 
-def test_poa_fallback_without_pvlib(spark):
+def test_poa_builtin_contract(spark):
+    # 1970-01-01 00:00 UTC at lon -48.5 is ~21:00 local solar time: sun
+    # below the horizon, so tilt-0 isotropic POA reduces to the sky
+    # diffuse term alone (beam clamps to 0, ground term is 0 at tilt 0)
     df = spark.createDataFrame(
         [(pd.Timestamp(0, unit="s").to_pydatetime(), 800.0, 500.0, 100.0, 0.1)],
         "timestamp timestamp, ghi double, dni double, dhi double, albedo double",
     )
     out = solar.poa_irradiance(df, latitude=-27.6, longitude=-48.5)
     row = out.first()
-    assert "poa" in out.columns
-    if not solar.HAVE_PVLIB:
-        assert row["poa"] == 800.0
+    assert out.columns == df.columns + ["poa"]
+    assert row["poa"] == 100.0
 
 
 def test_gpx_scan(spark, tmp_path):

@@ -1,0 +1,208 @@
+"""F7 physics: the built-in NOAA solar-position + isotropic-POA chain
+(functions/solar.py) verified against astronomical invariants, the
+cross-engine (Spark vs DuckDB) shared-formula contract, and — where
+pvlib is installed — the reference's exact library."""
+
+import datetime as dt
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from solarboat_data_pipeline_spark.functions import solar
+
+
+def _pos(spark, rows, lat, lon, shift=0.0):
+    df = spark.createDataFrame([(t,) for t in rows], "timestamp timestamp")
+    out = solar.solar_position(
+        df, lat, lon, shift_seconds=shift, keep=solar.SOLPOS_OUTPUTS
+    )
+    return {r["timestamp"]: r.asDict() for r in out.collect()}
+
+
+def test_declination_at_solstices_and_equinox(spark):
+    p = _pos(
+        spark,
+        [
+            dt.datetime(2023, 6, 21, 15, 0),
+            dt.datetime(2023, 12, 22, 3, 0),
+            dt.datetime(2023, 3, 20, 21, 24),  # the 2023 March equinox instant
+        ],
+        40.0,
+        0.0,
+    )
+    decls = sorted(v["declination"] for v in p.values())
+    assert abs(decls[2] - 23.437) < 0.05   # June solstice
+    assert abs(decls[0] + 23.437) < 0.05   # December solstice
+    assert abs(decls[1]) < 0.05            # equinox crosses zero
+
+
+def test_equation_of_time_extremes(spark):
+    # published EoT curve: minimum ~-14.2 min near Feb 11, maximum
+    # ~+16.4 min near Nov 3, |EoT| <= 17 min everywhere
+    p = _pos(
+        spark,
+        [dt.datetime(2023, 2, 11, 12, 0), dt.datetime(2023, 11, 3, 12, 0)]
+        + [dt.datetime(2023, m, 15, 12, 0) for m in range(1, 13)],
+        0.0,
+        0.0,
+    )
+    eqts = {t: v["equation_of_time"] for t, v in p.items()}
+    assert abs(eqts[dt.datetime(2023, 2, 11, 12, 0)] + 14.2) < 0.5
+    assert abs(eqts[dt.datetime(2023, 11, 3, 12, 0)] - 16.4) < 0.5
+    assert all(abs(v) < 17.0 for v in eqts.values())
+
+
+def test_noon_elevation_matches_declination(spark):
+    # at solar noon, elevation = 90 - |lat - decl|; solar noon at lon 0
+    # on 2023-06-21 is ~12:02 UTC (EoT ~ -1.8 min)
+    p = _pos(spark, [dt.datetime(2023, 6, 21, 12, 2)], 40.0, 0.0)
+    v = next(iter(p.values()))
+    expect = 90.0 - abs(40.0 - v["declination"])
+    assert abs(v["elevation"] - expect) < 0.05
+    assert 175 < v["azimuth"] < 185  # sun due south from lat 40
+
+
+def test_azimuth_quadrants_and_hemispheres(spark):
+    # lat 40: morning sun in the east (90-180 before noon), afternoon in
+    # the west (180-270); lat -40 at local noon: sun due north (az ~ 0/360)
+    p = _pos(
+        spark,
+        [dt.datetime(2023, 6, 21, 8, 0), dt.datetime(2023, 6, 21, 16, 0)],
+        40.0,
+        0.0,
+    )
+    am = p[dt.datetime(2023, 6, 21, 8, 0)]["azimuth"]
+    pm = p[dt.datetime(2023, 6, 21, 16, 0)]["azimuth"]
+    assert 45 < am < 180 and 180 < pm < 315
+    q = _pos(spark, [dt.datetime(2023, 6, 21, 12, 2)], -40.0, 0.0)
+    az = next(iter(q.values()))["azimuth"]
+    assert az < 10 or az > 350
+
+
+def test_refraction_raises_apparent_sun(spark):
+    # refraction lifts the apparent sun: ~0.5 deg at the horizon, < 0.02
+    # deg at 45 deg elevation, defined as zenith - apparent_zenith
+    p = _pos(
+        spark,
+        [
+            dt.datetime(2023, 3, 20, 6, 10),   # sunrise-ish at lon 0
+            dt.datetime(2023, 6, 21, 12, 2),   # high sun
+        ],
+        0.0,
+        0.0,
+    )
+    for v in p.values():
+        refr = v["zenith"] - v["apparent_zenith"]
+        if v["elevation"] < 5:
+            assert 0.1 < refr < 0.6
+        else:
+            assert 0 <= refr < 0.02
+
+
+def test_t2_shift_reports_at_original_rows(spark):
+    t = dt.datetime(2023, 6, 21, 12, 0)
+    a = _pos(spark, [t], 40.0, 0.0, shift=0.0)
+    b = _pos(spark, [t], 40.0, 0.0, shift=150.0)
+    shifted = _pos(spark, [t + dt.timedelta(seconds=150)], 40.0, 0.0)
+    assert set(b) == {t}  # reported at the original timestamp
+    assert b[t]["zenith"] != a[t]["zenith"]
+    assert math.isclose(
+        b[t]["zenith"],
+        shifted[t + dt.timedelta(seconds=150)]["zenith"],
+        abs_tol=1e-12,
+    )
+
+
+def test_cross_engine_parity_random_inputs(spark):
+    # the same formula text must produce the same doubles in Spark and
+    # DuckDB (libm ULPs only): 400 pseudo-random timestamps over 3 years
+    base = 1_577_836_800  # 2020-01-01
+    eps = [(base + (i * 2_654_435_761) % (3 * 365 * 86400)) for i in range(400)]
+    rows = [dt.datetime.fromtimestamp(e, dt.timezone.utc).replace(tzinfo=None) for e in eps]
+    df = spark.createDataFrame(
+        [(t, 800.0, 500.0, 100.0, 0.15) for t in rows],
+        "timestamp timestamp, dni double, ghi double, dhi double, albedo double",
+    )
+    sp = (
+        solar.poa_irradiance(df, latitude=-27.59, longitude=-48.55, surface_tilt=20.0,
+                             surface_azimuth=30.0)
+        .select("timestamp", "poa")
+        .collect()
+    )
+    got = {r["timestamp"]: r["poa"] for r in sp}
+    vals = ", ".join(f"(TIMESTAMP '{t}', 800.0, 500.0, 100.0, 0.15)" for t in rows)
+    src = (
+        "SELECT timestamp, CAST(dni AS DOUBLE) AS dni, CAST(ghi AS DOUBLE) AS ghi,"
+        " CAST(dhi AS DOUBLE) AS dhi, CAST(albedo AS DOUBLE) AS albedo"
+        f" FROM (VALUES {vals}) t(timestamp, dni, ghi, dhi, albedo)"
+    )
+    q = solar.poa_irradiance_sql(src, latitude=-27.59, longitude=-48.55,
+                                 surface_tilt=20.0, surface_azimuth=30.0)
+    want = {
+        r[0]: r[1]
+        for r in duckdb.sql(f"SELECT timestamp, poa FROM {q}").fetchall()
+    }
+    assert got.keys() == want.keys()
+    worst = max(abs(got[t] - want[t]) for t in got)
+    assert worst < 1e-9, worst
+
+
+def test_poa_tilt_composition(spark):
+    # tilt-0: ground term vanishes, aoi = apparent zenith; tilt-90 facing
+    # away from the sun at night: only half the sky diffuse + half the
+    # ground reflection
+    t = dt.datetime(2023, 6, 21, 12, 2)
+    df = spark.createDataFrame(
+        [(t, 900.0, 700.0, 120.0, 0.2)],
+        "timestamp timestamp, dni double, ghi double, dhi double, albedo double",
+    )
+    flat = solar.poa_irradiance(df, 40.0, 0.0, period_seconds=0.0).first()["poa"]
+    pos = solar.solar_position(df, 40.0, 0.0).first()
+    expect = 900.0 * math.cos(math.radians(pos["apparent_zenith"])) + 120.0
+    assert math.isclose(flat, expect, rel_tol=1e-12)
+
+    night = dt.datetime(2023, 6, 21, 0, 0)
+    dfn = spark.createDataFrame(
+        [(night, 0.0, 10.0, 5.0, 0.5)],
+        "timestamp timestamp, dni double, ghi double, dhi double, albedo double",
+    )
+    vertical = solar.poa_irradiance(
+        dfn, 40.0, 0.0, surface_tilt=90.0, period_seconds=0.0
+    ).first()["poa"]
+    assert math.isclose(vertical, 5.0 * 0.5 + 10.0 * 0.5 * 0.5, rel_tol=1e-12)
+
+
+def test_solar_position_is_codegen_only(spark):
+    # the physics must stay JVM-side: no Python eval nodes in the plan
+    from solarboat_data_pipeline_spark.plans.audit import explain_string
+
+    df = spark.range(10).select(
+        F.timestamp_seconds(F.col("id") * 600 + 1_650_000_000).alias("timestamp"),
+        F.lit(800.0).alias("dni"), F.lit(500.0).alias("ghi"),
+        F.lit(100.0).alias("dhi"), F.lit(0.1).alias("albedo"),
+    )
+    plan = explain_string(solar.poa_irradiance(df, -27.59, -48.55))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "mapInPandas" not in plan.lower()
+
+
+@pytest.mark.skipif(not solar.HAVE_PVLIB, reason="pvlib not installed")
+def test_builtin_matches_pvlib(spark):  # pragma: no cover - needs pvlib
+    rows = [dt.datetime(2022, 9, 1, h, 30) for h in range(24)]
+    df = spark.createDataFrame(
+        [(t, 800.0, 500.0, 100.0, 0.15) for t in rows],
+        "timestamp timestamp, dni double, ghi double, dhi double, albedo double",
+    )
+    ours = {
+        r["timestamp"]: r["poa"]
+        for r in solar.poa_irradiance(df, -27.59, -48.55).collect()
+    }
+    ref = {
+        r["timestamp"]: r["poa"]
+        for r in solar.poa_irradiance(df, -27.59, -48.55, engine="pvlib").collect()
+    }
+    for t in ours:
+        # NOAA vs SPA position differ by < 0.1 deg; POA by < 1% + 1 W/m2
+        assert abs(ours[t] - ref[t]) < max(1.0, 0.01 * abs(ref[t]))
