@@ -315,6 +315,168 @@ def _interpolate_time_long(
     )
 
 
+def resample_interpolate(
+    df: DataFrame,
+    period_seconds: float,
+    ts_col: str = "timestamp",
+    value_cols: Sequence[str] | None = None,
+    partition_cols: Sequence[str] = (),
+    limit: int | None = None,
+    limit_area: str | None = "inside",
+) -> DataFrame:
+    """Fused A3+W3: ``resample_mean(dense=True)`` followed by
+    ``interpolate_time`` in ONE kernel, specialized to the uniform grid the
+    resample guarantees (``lib/resampler.py:59-101`` composition).
+
+    The composed classic plan materializes the dense wide grid, re-explodes
+    it, and runs TWO full window sorts over every grid cell (rows × cols —
+    450 M cells at the reference's 100 ms corpus). On a uniform grid none
+    of that is needed: a null run between two valid samples is filled by
+    arithmetic in the run bounds alone, so this kernel
+
+    1. averages the non-null input cells per (bucket, column) — the same
+       sparse aggregate the wide resample path uses;
+    2. takes ONE ``lead()`` window over those sparse valid samples only
+       (the single sort, over ~non-null-density of the grid volume);
+    3. GENERATES the filled cells with ``explode(sequence(1, fill_n))`` —
+       value ``v0 + (v1-v0)·k·step/((gap+1)·step)``, bit-identical to the
+       windowed form's time-weighted blend (same long-ratio division);
+    4. repivots valid ∪ generated cells with one collect-to-map aggregate
+       and left-joins the dense bucket spine so empty buckets appear as
+       all-null rows — exactly the classic output.
+
+    Shuffles: cell aggregate, sparse sort, repivot — the classic pair costs
+    the same three PLUS the wide materialization and two dense-grid sorts.
+    ``limit``/``limit_area`` follow :func:`interpolate_time` (``limit_area
+    =None`` clamps ≤ ``limit`` trailing cells to the last valid value,
+    bounded by the partition's grid end). Output value columns are DOUBLE
+    (the mean), matching the classic composition. Fully distributed — no
+    driver-side bounds collect."""
+    if limit_area not in ("inside", None):
+        raise ValueError("limit_area must be 'inside' or None")
+    step_us = int(round(period_seconds * MICROS))
+    if value_cols is None:
+        value_cols = [
+            c for c in df.columns if c != ts_col and c not in partition_cols
+        ]
+    pc = list(partition_cols)
+    ib = F.floor(_us(F.col(ts_col)) / step_us).cast("long")
+    arr = F.array(*[F.col(c).cast("double") for c in value_cols])
+    base = df.select(*pc, ib.alias("__b"), arr.alias("__a"))
+    cells = base.select(
+        *pc, "__b", F.posexplode("__a").alias("__idx", "__v")
+    ).where(F.col("__v").isNotNull())
+    a1 = cells.groupBy(*pc, "__b", "__idx").agg(F.avg("__v").alias("__v"))
+
+    # per-partition grid bounds from ALL input buckets (a row whose cells
+    # are all null still extends the dense spine, as in resample_mean)
+    kb = base.groupBy(*pc).agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+
+    w = Window.partitionBy(*pc, "__idx").orderBy("__b")
+    src = a1.withColumns(
+        {"__nb": F.lead("__b").over(w), "__nv": F.lead("__v").over(w)}
+    )
+    gap = F.col("__nb") - F.col("__b") - F.lit(1)
+    fill_n = gap if limit is None else F.least(gap, F.lit(int(limit)))
+    # time-weighted blend with the SAME long/long→double ratio as the
+    # windowed kernel: (k·step)/((gap+1)·step), not the simplified k/(gap+1)
+    frac = (F.col("__k") * F.lit(step_us)) / (
+        (gap + F.lit(1)) * F.lit(step_us)
+    )
+    gen = (
+        src.where(F.col("__nb").isNotNull() & (gap >= 1))
+        .select(
+            *pc,
+            "__idx",
+            "__b",
+            "__v",
+            "__nv",
+            F.col("__nb"),
+            F.explode(F.sequence(F.lit(1).cast("long"), fill_n)).alias("__k"),
+        )
+        .select(
+            *pc,
+            (F.col("__b") + F.col("__k")).alias("__b"),
+            "__idx",
+            (F.col("__v") + (F.col("__nv") - F.col("__v")) * frac).alias("__v"),
+        )
+    )
+    parts = [a1, gen]
+    if limit_area is None:
+        # pandas forward clamp: ≤ limit cells after the last valid sample,
+        # never past the partition's grid end
+        tail = src.where(F.col("__nb").isNull()).join(
+            F.broadcast(kb), pc, "inner"
+        ) if pc else src.where(F.col("__nb").isNull()).crossJoin(F.broadcast(kb))
+        tgap = F.col("__hi") - F.col("__b")
+        tn = tgap if limit is None else F.least(tgap, F.lit(int(limit)))
+        trail = (
+            tail.where(tgap >= 1)
+            .select(
+                *pc,
+                "__idx",
+                "__b",
+                "__v",
+                F.explode(F.sequence(F.lit(1).cast("long"), tn)).alias("__k"),
+            )
+            .select(
+                *pc,
+                (F.col("__b") + F.col("__k")).alias("__b"),
+                "__idx",
+                "__v",
+            )
+        )
+        parts.append(trail)
+    filled = parts[0]
+    for p in parts[1:]:
+        filled = filled.unionByName(p)
+    # repartition on the aggregate key BEFORE the repivot: the generated
+    # cells explode up to (limit)× out of the window stage's partitions
+    # (keyed by column, not bucket), so the map-side partial aggregate
+    # would otherwise buffer a whole task's exploded output in its
+    # sort-based fallback — observed >100 M records in one task at the
+    # 100 ms grid. After the explicit hash exchange every task aggregates
+    # exactly its own buckets' cells.
+    filled = filled.repartition(*pc, "__b")
+    mapped = filled.groupBy(*pc, "__b").agg(
+        F.map_from_entries(F.collect_list(F.struct("__idx", "__v"))).alias("__m")
+    )
+    # two-level spine: chunk starts first (tiny), then the per-chunk range
+    # AFTER a repartition — a year of sub-second grid (1e9 buckets) must
+    # not be generated by one task. The join is pinned to sort-merge:
+    # Catalyst's size estimate for the exploded/aggregated map side is
+    # unreliable and a "small" guess would broadcast-collect the whole
+    # filled grid through the driver (observed: >1 GiB at the 100 ms
+    # grid); neither side of a grid join is ever broadcastable at scale.
+    chunk = 1 << 16
+    spine = (
+        kb.select(
+            *pc,
+            F.col("__hi"),
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.lit(chunk))
+            ).alias("__c0"),
+        )
+        .repartition(*([*pc, "__c0"] if pc else ["__c0"]))
+        .select(
+            *pc,
+            F.explode(
+                F.sequence(
+                    F.col("__c0"),
+                    F.least(F.col("__c0") + F.lit(chunk - 1), F.col("__hi")),
+                )
+            ).alias("__b"),
+        )
+    )
+    return spine.join(mapped.hint("merge"), [*pc, "__b"], "left").select(
+        *pc,
+        F.timestamp_micros((F.col("__b") * F.lit(step_us))).alias(ts_col),
+        *[F.col("__m").getItem(i).alias(c) for i, c in enumerate(value_cols)],
+    )
+
+
 def asfreq(
     df: DataFrame,
     period_seconds: float,
@@ -355,7 +517,7 @@ def interval_join(
     ts_col: str = "timestamp",
     start_col: str = "start",
     end_col: str = "end",
-    chunk_seconds: float = 3600.0,
+    chunk_seconds: float | str = "auto",
 ) -> DataFrame:
     """Point-in-interval join (inclusive ``[start, end]``) without the
     nested-loop product Spark plans for a raw range predicate.
@@ -365,9 +527,13 @@ def interval_join(
     plain equi-join on the chunk id followed by the exact containment
     filter — candidate volume is |points| + Σ⌈interval_len/chunk⌉ instead
     of |points|·|intervals|, and both sides shuffle-partition on the chunk
-    key like any hash join. Pick ``chunk_seconds`` near the typical
+    key like any hash join. ``chunk_seconds`` should sit near the typical
     interval length: much smaller multiplies the interval-side explode,
-    much larger packs too many candidates per chunk.
+    much larger packs too many candidates per chunk. The default
+    ``"auto"`` reads the median interval length from a one-row
+    ``approx_percentile`` aggregate (bounded driver-side control flow,
+    like the other 1-row bounds collects in this package) and clamps it
+    to [1 s, 30 d]; pass a number to pin it.
 
     Returns all point columns plus the matching interval's columns
     (inner join; points in no interval drop, points in several match
@@ -380,6 +546,15 @@ def interval_join(
             "interval_join requires disjoint column names; shared: "
             f"{sorted(clash)} — rename one side before joining"
         )
+    if chunk_seconds == "auto":
+        row = intervals.agg(
+            F.expr(
+                f"approx_percentile((unix_micros({end_col}) - "
+                f"unix_micros({start_col})) / 1000000.0, 0.5)"
+            ).alias("__med")
+        ).first()
+        med = row["__med"] if row is not None else None
+        chunk_seconds = min(max(float(med), 1.0), 30 * 86400.0) if med else 3600.0
     us = int(chunk_seconds * MICROS)
     p = points.withColumn("__chunk", (_us(F.col(ts_col)) / us).cast("long"))
     iv = intervals.withColumn(

@@ -35,7 +35,11 @@ from solarboat_data_pipeline_spark.operators.timeseries import (
     dedup_keep_first,
     interpolate_time,
     reindex_interpolate,
+    resample_interpolate,
     resample_mean,
+)
+from solarboat_data_pipeline_spark.operators.timeseries import (
+    WIDE_RESAMPLE_MAX_AGG_COLS,
 )
 from solarboat_data_pipeline_spark.sources.candump import extract_frames, scan_candump
 from solarboat_data_pipeline_spark.sources.gpx import scan_gpx
@@ -100,22 +104,33 @@ def resample_stage(
     ts_col: str = "timestamp",
     max_gap_seconds: float = 60.0,
     scale_buckets: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """E2 (``lib/resampler.py:59-101``): mean-downsample to a fixed period
     and gap-fill ≤ ``max_gap_seconds`` with bounded time interpolation
     (``limit = max(1, gap/period)`` samples, ``lib/resampler.py:63-66``).
 
-    ``scale_buckets``: by default the gap-fill runs as one global-window
-    interpolation — correct while the RESAMPLED grid (time-span/period
-    rows, not input rows) fits one task's sort. For the 100 TB shape
-    (years of sub-second grid → 1e9+ grid rows) pass a bucket count and
-    the fill runs the bucketed scale kernel instead (operators/scale.py,
-    equivalence proven in SCALE.md)."""
+    ``strategy``: ``"fused"`` runs the single-kernel dense-grid form
+    (:func:`operators.timeseries.resample_interpolate`: one sparse sort +
+    arithmetic gap generation — no dense-grid window sorts, no
+    intermediate wide materialization); ``"classic"`` composes
+    ``resample_mean`` + ``interpolate_time``; ``"auto"`` picks fused for
+    wide catalogs (> ``WIDE_RESAMPLE_MAX_AGG_COLS`` value columns, the
+    regime where the composed plan's dense-grid sorts dominate) and
+    classic for narrow frames. Cell-for-cell equivalence is locked by
+    ``tests/test_resample_interpolate.py``.
+
+    ``scale_buckets``: by default the gap-fill's window runs per-column
+    (fused) or globally (classic) — correct while one column's sparse
+    samples (fused) or the resampled grid (classic) fits one task's sort.
+    For the 100 TB shape (years of sub-second grid → 1e9+ grid rows) pass
+    a bucket count and the fill runs the bucketed scale kernel instead
+    (operators/scale.py, equivalence proven in SCALE.md)."""
     limit = max(1, int(max_gap_seconds / period_seconds))
-    res = resample_mean(wide, period_seconds, ts_col=ts_col, dense=True)
     if scale_buckets is not None:
         from solarboat_data_pipeline_spark.operators import scale as _scale
 
+        res = resample_mean(wide, period_seconds, ts_col=ts_col, dense=True)
         return _scale.interpolate_time(
             res,
             ts_col=ts_col,
@@ -123,6 +138,18 @@ def resample_stage(
             limit_area="inside",
             num_buckets=scale_buckets,
         )
+    if strategy not in ("auto", "fused", "classic"):
+        raise ValueError("strategy must be auto|fused|classic")
+    n_vals = len(wide.columns) - 1
+    use_fused = strategy == "fused" or (
+        strategy == "auto" and n_vals > WIDE_RESAMPLE_MAX_AGG_COLS
+    )
+    if use_fused:
+        return resample_interpolate(
+            wide, period_seconds, ts_col=ts_col, limit=limit,
+            limit_area="inside",
+        )
+    res = resample_mean(wide, period_seconds, ts_col=ts_col, dense=True)
     return interpolate_time(res, ts_col=ts_col, limit=limit, limit_area="inside")
 
 
