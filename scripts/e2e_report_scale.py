@@ -118,24 +118,38 @@ def build_catalog() -> dict:
     return {"version": "e2e-shape-1", "modules": modules}
 
 
-def generate_corpus(spark, catalog: CanCatalog, path: str) -> float:
-    """Write N_LINES candump lines as text. The 56-row topic spec is
-    broadcast-joined onto ``spark.range`` so generation is one narrow
-    pass and each output file is a contiguous time block (file order
-    matters to the crop stage)."""
-    spec_rows = [
-        (
-            t,
-            f"{top.topic_id:03x}",
-            f"{mod.signature:02x}",
-            top.size,
-        )
-        for t, (mod, top) in enumerate(catalog.iter_topics())
-    ]
+def generate_corpus(
+    spark,
+    catalog: CanCatalog,
+    path: str,
+    unknown_sig_hex: str = "ff",
+    mab20: bool = False,
+    n_lines: int | None = None,
+) -> float:
+    """Write candump lines as text. The topic spec is broadcast-joined
+    onto ``spark.range`` so generation is one narrow pass and each output
+    file is a contiguous time block (file order matters to the crop
+    stage). ``unknown_sig_hex`` is the planted unknown-signature byte
+    (must NOT collide with a real module signature of ``catalog``).
+    ``mab20=True`` reproduces the real MAB20 log damage
+    (``lib/canparser.py:126-133``): topics 64/65 carry a junk sender byte
+    and topic 65 an oversized payload, so only the parse-stage workaround
+    (force signature 230, truncate topic 65 to 2 bytes) makes them
+    decodable."""
+    n = N_LINES if n_lines is None else n_lines
+    spec_rows = []
+    for t, (mod, top) in enumerate(catalog.iter_topics()):
+        sig_hex = f"{mod.signature:02x}"
+        size = top.size
+        if mab20 and top.topic_id in (64, 65):
+            sig_hex = "aa"  # junk sender byte, as in the real 2022 logs
+            if top.topic_id == 65:
+                size = top.size + 2  # oversized; the workaround truncates
+        spec_rows.append((t, f"{top.topic_id:03x}", sig_hex, size))
     spec = spark.createDataFrame(
         spec_rows, "t int, topic_hex string, sig_hex string, size int"
     )
-    base = spark.range(N_LINES).withColumn(
+    base = spark.range(n).withColumn(
         "t", F.pmod(F.hash("id", F.lit(9)), len(spec_rows)).cast("int")
     )
     df = base.join(F.broadcast(spec), "t")
@@ -155,7 +169,7 @@ def generate_corpus(spark, catalog: CanCatalog, path: str) -> float:
     body = F.substring(rand16, 1, (F.col("size") - 1) * 2)
     kind = F.pmod(F.hash("id", F.lit(13)), 1000)
     payload = (
-        F.when(kind.between(2, 6), F.concat(F.lit("ff"), body))
+        F.when(kind.between(2, 6), F.concat(F.lit(unknown_sig_hex), body))
         .when(kind.between(7, 8), F.concat(F.col("sig_hex"), body, F.lit("00")))
         .otherwise(F.concat(F.col("sig_hex"), body))
     )

@@ -2610,6 +2610,8 @@ def j6_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join (operators/timeseries.py:interval_join):
     intervals explode across fixed time chunks, the match is an equi-join
     on the chunk + exact containment filter — no nested-loop product.
+    chunk_seconds="auto" exercises the median-interval-length heuristic
+    (here every window is 30 min, so auto picks the 1800 s chunk).
     The oracle is DuckDB's native range join over the same windows."""
     ev = _t(spark, sf_dir, "events")
     iv = ev.where(F.col("event_id") % 97 == 0).select(
@@ -2623,7 +2625,7 @@ def j6_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         start_col="start_ts",
         end_col="end_ts",
-        chunk_seconds=1800.0,
+        chunk_seconds="auto",
     )
     return out.select("event_id", "window_id")
 

@@ -135,3 +135,30 @@ def test_interval_join_matches_brute_force(spark, point_epochs, ivs, chunk_s):
         if s <= e <= s + d
     }
     assert got == want, (point_epochs, ivs, chunk_s)
+
+
+def test_interval_join_auto_chunk(spark):
+    """chunk_seconds="auto" picks the median interval length (clamped) and
+    matches the explicit-chunk result exactly."""
+    points = spark.createDataFrame(
+        [(i, i * 40) for i in range(200)], "pid long, pe long"
+    ).select("pid", F.timestamp_seconds("pe").alias("timestamp"))
+    intervals = spark.createDataFrame(
+        [(j, j * 500, j * 500 + 600) for j in range(12)], "iid long, se long, ee long"
+    ).select(
+        "iid",
+        F.timestamp_seconds("se").alias("start"),
+        F.timestamp_seconds("ee").alias("end"),
+    )
+    auto = {
+        (r["pid"], r["iid"])
+        for r in tsops.interval_join(points, intervals).collect()
+    }
+    pinned = {
+        (r["pid"], r["iid"])
+        for r in tsops.interval_join(points, intervals, chunk_seconds=600.0).collect()
+    }
+    assert auto == pinned and len(auto) > 0
+
+    empty = intervals.where("iid < 0")
+    assert tsops.interval_join(points, empty).count() == 0
