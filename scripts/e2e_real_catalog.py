@@ -64,11 +64,26 @@ def main() -> None:
         "sec": gen_sec,
     }), flush=True)
 
-    # survival: 991/1000 planted-valid, PLUS the MAB20 workaround rescues
-    # the unknown-signature class on topics 64 and 65 (it rewrites their
-    # signature unconditionally) and the oversize class on topic 65 (it
-    # truncates before the size guard). Topics are uniform 1/n_topics.
-    expect = 0.991 + (0.005 + 0.005 + 0.002) / n_topics
+    # survival: per-topic. Base planted-valid is 991/1000; the MAB20
+    # workaround additionally rescues the unknown-signature class on
+    # topics 64 and 65 (it rewrites their signature unconditionally) and
+    # the oversize class on topic 65 (it truncates before the size
+    # guard). A topic whose payload is under 2 bytes NEVER parses: the
+    # reference's frame regex requires `(?:[0-9a-f]{2}){2,8}`
+    # (lib/canparser.py:279), so the real catalog's size-1 GENERIC
+    # placeholder topic is unreachable in the reference too — this
+    # engine reproduces that exactly (sources/candump.py pattern).
+    # Topics are uniform 1/n_topics.
+    expect = 0.0
+    for _, top in catalog.iter_topics():
+        if top.size < 2 or not top.signals:
+            continue  # regex-unreachable (or nothing to decode)
+        frac = 0.991
+        if top.topic_id == 64:
+            frac += 0.005
+        elif top.topic_id == 65:
+            frac += 0.005 + 0.002
+        expect += frac / n_topics
 
     sparse_out = os.path.join(WORK, "parsed_sparse.parquet")
 

@@ -323,6 +323,7 @@ def resample_interpolate(
     partition_cols: Sequence[str] = (),
     limit: int | None = None,
     limit_area: str | None = "inside",
+    group_width: int | None = None,
 ) -> DataFrame:
     """Fused A3+W3: ``resample_mean(dense=True)`` followed by
     ``interpolate_time`` in ONE kernel, specialized to the uniform grid the
@@ -351,7 +352,19 @@ def resample_interpolate(
     =None`` clamps ≤ ``limit`` trailing cells to the last valid value,
     bounded by the partition's grid end). Output value columns are DOUBLE
     (the mean), matching the classic composition. Fully distributed — no
-    driver-side bounds collect."""
+    driver-side bounds collect.
+
+    ``group_width``: the lead() window partitions by column, so one
+    column's full sample history sorts in one task — fine to ~1e8
+    samples/column, a scale-killer at a 100 TB corpus's years-of-10 Hz
+    columns. Passing a width W (in GRID BUCKETS, e.g. one day's worth)
+    re-partitions the window by ``(column, floor(bucket/W))`` — on a
+    uniform grid a fixed width bounds per-task rows STRUCTURALLY (≤ W
+    samples), no quantile scan needed — and carries the cross-group lead
+    through a boundary table (first valid sample per non-empty group,
+    |columns|·|groups| rows) joined back onto each group's last row
+    only. Equivalence with the global window is locked in
+    ``tests/test_resample_interpolate.py``."""
     if limit_area not in ("inside", None):
         raise ValueError("limit_area must be 'inside' or None")
     step_us = int(round(period_seconds * MICROS))
@@ -374,10 +387,45 @@ def resample_interpolate(
         F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
     )
 
-    w = Window.partitionBy(*pc, "__idx").orderBy("__b")
-    src = a1.withColumns(
-        {"__nb": F.lead("__b").over(w), "__nv": F.lead("__v").over(w)}
-    )
+    if group_width is None:
+        w = Window.partitionBy(*pc, "__idx").orderBy("__b")
+        src = a1.withColumns(
+            {"__nb": F.lead("__b").over(w), "__nv": F.lead("__v").over(w)}
+        )
+    else:
+        gw = int(group_width)
+        a1g = a1.withColumn("__g", F.floor(F.col("__b") / gw).cast("long"))
+        wg = Window.partitionBy(*pc, "__idx", "__g").orderBy("__b")
+        srcg = a1g.withColumns(
+            {"__nb": F.lead("__b").over(wg), "__nv": F.lead("__v").over(wg)}
+        )
+        # cross-group carry: each non-empty group's FIRST valid sample;
+        # lead over the (tiny) boundary table skips empty groups, so the
+        # carry is exactly the next valid sample in grid order
+        bnd = a1g.groupBy(*pc, "__idx", "__g").agg(
+            F.min(F.struct("__b", "__v")).alias("__s")
+        )
+        wb = Window.partitionBy(*pc, "__idx").orderBy("__g")
+        nxt = bnd.withColumn("__n", F.lead("__s").over(wb)).select(
+            *pc,
+            "__idx",
+            "__g",
+            F.col("__n.__b").alias("__cb"),
+            F.col("__n.__v").alias("__cv"),
+        )
+        # only each group's last row needs the carry — join that thin
+        # slice (|columns|·|groups| rows), never the full sample stream
+        carried = (
+            srcg.where(F.col("__nb").isNull())
+            .join(nxt, [*pc, "__idx", "__g"], "left")
+            .withColumns({"__nb": F.col("__cb"), "__nv": F.col("__cv")})
+            .drop("__cb", "__cv")
+        )
+        src = (
+            srcg.where(F.col("__nb").isNotNull())
+            .unionByName(carried)
+            .drop("__g")
+        )
     gap = F.col("__nb") - F.col("__b") - F.lit(1)
     fill_n = gap if limit is None else F.least(gap, F.lit(int(limit)))
     # time-weighted blend with the SAME long/long→double ratio as the

@@ -105,6 +105,7 @@ def resample_stage(
     max_gap_seconds: float = 60.0,
     scale_buckets: int | None = None,
     strategy: str = "auto",
+    fused_group_width: int | None = None,
 ) -> DataFrame:
     """E2 (``lib/resampler.py:59-101``): mean-downsample to a fixed period
     and gap-fill ≤ ``max_gap_seconds`` with bounded time interpolation
@@ -145,9 +146,12 @@ def resample_stage(
         strategy == "auto" and n_vals > WIDE_RESAMPLE_MAX_AGG_COLS
     )
     if use_fused:
+        # fused_group_width (grid buckets per window group, e.g. one
+        # day's worth) bounds the per-column sort structurally for
+        # 1e9-row-per-column grids; None = global per-column window
         return resample_interpolate(
             wide, period_seconds, ts_col=ts_col, limit=limit,
-            limit_area="inside",
+            limit_area="inside", group_width=fused_group_width,
         )
     res = resample_mean(wide, period_seconds, ts_col=ts_col, dense=True)
     return interpolate_time(res, ts_col=ts_col, limit=limit, limit_area="inside")

@@ -87,6 +87,30 @@ def test_fused_matches_classic_randomized(spark):
         _assert_same(fused, _classic(df, 1.0, limit))
 
 
+def test_fused_group_width_matches_global(spark):
+    """The 100 TB form: bucket-group windows + boundary-table carry must
+    equal the global per-column window exactly, including gaps that span
+    several (possibly empty) groups."""
+    rng = random.Random(11)
+    cols = ("a", "b", "c")
+    rows = []
+    t = 0.0
+    for _ in range(300):
+        t += rng.random() * 9.0
+        rows.append(
+            (t, *[rng.uniform(-5, 5) if rng.random() < 0.2 else None for _ in cols])
+        )
+    df = _mk(spark, rows, cols)
+    for limit in (None, 3):
+        for la in ("inside", None):
+            base = tsops.resample_interpolate(df, 1.0, limit=limit, limit_area=la)
+            for gw in (1, 7, 64):
+                g = tsops.resample_interpolate(
+                    df, 1.0, limit=limit, limit_area=la, group_width=gw
+                )
+                _assert_same(g, base)
+
+
 def test_fused_limit_area_none_trailing_clamp(spark):
     rows = [(0.0, 1.0, 4.0), (3.0, 7.0, None), (9.0, None, None)]
     df = _mk(spark, rows)
