@@ -2061,6 +2061,46 @@ def _f7_oracle() -> str:
     """
 
 
+def _solpos_oracle() -> str:
+    from solarboat_data_pipeline_spark.functions.solar import (
+        SOLPOS_OUTPUTS,
+        solar_position_sql,
+    )
+
+    pos = solar_position_sql(
+        "SELECT DISTINCT ts AS timestamp FROM events",
+        latitude=-27.59, longitude=-48.55, keep=SOLPOS_OUTPUTS,
+    )
+    # 1e-4 grid: libm ULP drift (~1e-13) must not straddle a rounding
+    # boundary across ~1e5 rows x 6 angles at sf0.1
+    cols = ", ".join(f"round({c}, 4) AS {c}" for c in SOLPOS_OUTPUTS)
+    return f"SELECT timestamp, {cols} FROM {pos}"
+
+
+@register("f7_solar_position", _solpos_oracle())
+def f7_solar_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOAA solar-position chain driver-visible on its own
+    (functions/solar.py:SOLPOS_STEPS): declination, equation of time,
+    zenith, elevation, apparent (refraction-corrected) zenith, azimuth —
+    all whole-stage-codegen expressions; the oracle evaluates the
+    identical formula text in DuckDB."""
+    from solarboat_data_pipeline_spark.functions.solar import (
+        SOLPOS_OUTPUTS,
+        solar_position,
+    )
+
+    src = _t(spark, sf_dir, "events").select(
+        F.col("ts").alias("timestamp")
+    ).distinct()
+    pos = solar_position(
+        src, latitude=-27.59, longitude=-48.55, keep=SOLPOS_OUTPUTS
+    )
+    return pos.select(
+        "timestamp",
+        *[F.round(c, 4).alias(c) for c in SOLPOS_OUTPUTS],
+    )
+
+
 @register("f7_poa_irradiance", _f7_oracle())
 def f7_poa_irradiance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarboat_data_pipeline_spark.functions.solar import poa_irradiance
@@ -3504,6 +3544,7 @@ _PRIORITY = [
     "mm_frame_sample",
     # queries whose code changes in round 4 → fresh driver rows
     "f7_poa_irradiance",
+    "f7_solar_position",
     "w3_interpolate_scaled",
     "w3_interpolate_bounded",
     "a3_resample_dense",
@@ -3513,12 +3554,12 @@ _PRIORITY = [
     "k_bucketed_join",
     "dd_incremental_index",
     "a3_w3_fused_grid",
-    # flagship representatives kept in-window
+    # flagship representative kept in-window
     "q1_pricing_summary",
-    "s1_candump_parse",
     # --- below the expected driver cut: queries green in r02/r03 whose
     # rows are the standing artifact -- ALL still oracle-checked by the
     # identical pytest gate every run.
+    "s1_candump_parse",
     "pipeline_curation",
     "s2_scan_pushdown",
     "s3_forecast_csv_roundtrip",
