@@ -848,7 +848,11 @@ def w2_lagk_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "w3_interpolate_bounded",
     """
-    WITH src AS (SELECT ts, value FROM events WHERE user_id = 7),
+    WITH src AS (
+      -- x1e6 integer quantization: exact bucket sums in any association
+      -- order (see a3_w3_fused_grid), un-scaled in the final round
+      SELECT ts, round(value * 1e6) AS value
+      FROM events WHERE user_id = 7),
     b AS (
       SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket,
              avg(value) AS v
@@ -872,11 +876,11 @@ def w2_lagk_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW wp AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
              wn AS (ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
     SELECT bucket AS timestamp,
-           round(CASE
+           round((CASE
              WHEN v IS NOT NULL THEN v
              WHEN pv IS NOT NULL AND nv IS NOT NULL AND (rn - last_rn) <= 6 THEN
                pv + (nv - pv) * (epoch_us(bucket) - pt) / (nt - pt)
-           END, 6) AS value
+           END) / 1e6, 6) AS value
     FROM w
     """,
 )
@@ -884,19 +888,28 @@ def w3_interpolate_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         _t(spark, sf_dir, "events")
         .where(F.col("user_id") == 7)
-        .select(F.col("ts").alias("timestamp"), "value")
+        .select(
+            F.col("ts").alias("timestamp"),
+            F.round(F.col("value") * 1e6).alias("value"),
+        )
     )
     res = ts.resample_mean(src, 3600.0, value_cols=["value"])
     out = ts.interpolate_time(res, value_cols=["value"], limit=6)
-    return out.select("timestamp", F.round("value", 6).alias("value"))
+    return out.select(
+        "timestamp", F.round(F.col("value") / 1e6, 6).alias("value")
+    )
 
 
 @register(
     "a3_w3_fused_grid",
     """
     WITH src AS (
-      SELECT ts, value,
-             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value * 0.5 END AS v2
+      -- inputs quantized to integers (x1e6): bucket SUMS are then exact
+      -- in any association order, so avg (and every blend derived from
+      -- it) is bit-identical across engines; un-scaled at the end
+      SELECT ts, round(value * 1e6) AS value,
+             CASE WHEN event_id % 3 = 0 THEN NULL
+                  ELSE round(value * 5e5) END AS v2
       FROM events WHERE user_id % 4 = 1),
     b AS (
       SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket,
@@ -926,14 +939,14 @@ def w3_interpolate_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW wp AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
              wn AS (ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
     SELECT bucket AS timestamp,
-           round(CASE WHEN v1 IS NOT NULL THEN v1
+           round((CASE WHEN v1 IS NOT NULL THEN v1
              WHEN p1 IS NOT NULL AND n1 IS NOT NULL AND (rn - lr1) <= 6 THEN
                p1 + (n1 - p1) * (epoch_us(bucket) - pt1) / (nt1 - pt1)
-           END, 6) AS value,
-           round(CASE WHEN v2 IS NOT NULL THEN v2
+           END) / 1e6, 6) AS value,
+           round((CASE WHEN v2 IS NOT NULL THEN v2
              WHEN p2 IS NOT NULL AND n2 IS NOT NULL AND (rn - lr2) <= 6 THEN
                p2 + (n2 - p2) * (epoch_us(bucket) - pt2) / (nt2 - pt2)
-           END, 6) AS v2
+           END) / 1e6, 6) AS v2
     FROM w
     """,
 )
@@ -951,17 +964,17 @@ def a3_w3_fused_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("user_id") % 4 == 1)
         .select(
             F.col("ts").alias("timestamp"),
-            "value",
+            F.round(F.col("value") * 1e6).alias("value"),
             F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(
-                F.col("value") * 0.5
+                F.round(F.col("value") * 5e5)
             ).alias("v2"),
         )
     )
     out = ts.resample_interpolate(src, 3600.0, limit=6, group_width=16)
     return out.select(
         "timestamp",
-        F.round("value", 6).alias("value"),
-        F.round("v2", 6).alias("v2"),
+        F.round(F.col("value") / 1e6, 6).alias("value"),
+        F.round(F.col("v2") / 1e6, 6).alias("v2"),
     )
 
 
@@ -2547,7 +2560,10 @@ def w3_interpolate_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         _t(spark, sf_dir, "events")
         .where(F.col("user_id") == 7)
-        .select(F.col("ts").alias("timestamp"), "value")
+        .select(
+            F.col("ts").alias("timestamp"),
+            F.round(F.col("value") * 1e6).alias("value"),
+        )
     )
     res = ts.resample_mean(src, 3600.0, value_cols=["value"])
     out = sc.interpolate_time(
@@ -2557,7 +2573,9 @@ def w3_interpolate_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_buckets=32,
         bounds=_event_bounds(sf_dir),
     )
-    return out.select("timestamp", F.round("value", 6).alias("value"))
+    return out.select(
+        "timestamp", F.round(F.col("value") / 1e6, 6).alias("value")
+    )
 
 
 _W3_WIDE_USERS = list(range(10))

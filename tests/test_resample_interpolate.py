@@ -161,3 +161,47 @@ def test_fused_plan_has_single_sort(spark):
     assert plan.count(") Window") == 1, plan
     assert classic.count(") Window") >= 2, classic
     assert plan.count(") Sort") < classic.count(") Sort"), (plan, classic)
+
+
+def test_fused_partition_cols_matches_classic(spark):
+    """Per-series form: partition_cols must partition the grid, the
+    windows, and the spine independently per key."""
+    rng = random.Random(3)
+    rows = []
+    for sid in ("x", "y"):
+        t = 0.0 if sid == "x" else 1000.0
+        for _ in range(120):
+            t += rng.random() * 6.0
+            rows.append(
+                (sid, t,
+                 rng.uniform(0, 9) if rng.random() < 0.3 else None,
+                 rng.uniform(0, 9) if rng.random() < 0.3 else None)
+            )
+    df = spark.createDataFrame(
+        rows, "sid string, epoch double, a double, b double"
+    ).select("sid", F.timestamp_seconds("epoch").alias("timestamp"), "a", "b")
+
+    def cells(out):
+        res = {}
+        for r in out.collect():
+            k = (r["sid"], r["timestamp"])
+            assert k not in res
+            res[k] = (r["a"], r["b"])
+        return res
+
+    for gw in (None, 16):
+        fused = tsops.resample_interpolate(
+            df, 1.0, partition_cols=["sid"], limit=4, group_width=gw
+        )
+        res = tsops.resample_mean(df, 1.0, partition_cols=["sid"], dense=True)
+        classic = tsops.interpolate_time(
+            res, partition_cols=["sid"], limit=4
+        )
+        fc, cc = cells(fused), cells(classic)
+        assert fc.keys() == cc.keys()
+        for k in cc:
+            for x, y in zip(fc[k], cc[k]):
+                if y is None:
+                    assert x is None, (k, x, y)
+                else:
+                    assert x is not None and math.isclose(x, y, abs_tol=0), (k, x, y)
