@@ -206,3 +206,21 @@ def test_builtin_matches_pvlib(spark):  # pragma: no cover - needs pvlib
     for t in ours:
         # NOAA vs SPA position differ by < 0.1 deg; POA by < 1% + 1 W/m2
         assert abs(ours[t] - ref[t]) < max(1.0, 0.01 * abs(ref[t]))
+
+
+def test_solar_chain_is_whole_stage_codegen(spark):
+    """Every Project of the 22-step chain must carry the `*(n)` codegen
+    marker — a Janino method-size fallback to interpreted eval would be
+    silent and ~10-100x slower at corpus scale (same failure mode as the
+    round-3 56-branch decode CaseWhen)."""
+    df = spark.range(100).select(
+        F.timestamp_seconds(F.col("id") * 600 + 1_650_000_000).alias("timestamp"),
+        F.lit(800.0).alias("dni"), F.lit(500.0).alias("ghi"),
+        F.lit(100.0).alias("dhi"), F.lit(0.1).alias("albedo"),
+    )
+    out = solar.poa_irradiance(df, -27.59, -48.55)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    project_lines = [l for l in plan.splitlines() if "Project" in l]
+    assert project_lines, plan
+    bad = [l for l in project_lines if "*(" not in l]
+    assert not bad, bad
