@@ -1,10 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio/video decode libraries are not available in this build
-container, so the *decode kernels* are stubs — but the Spark-side contract
-(schema, Arrow batch shape, partitioning, UDF signature) is real and
-tested. Swap ``fake=True`` for an actual decoder (PIL/torchaudio/ffmpeg)
-on a cluster that has it and nothing else changes.
+The IMAGE path is real: ``fake=False`` decodes genuine PNG payloads with
+the pure-stdlib codec in :mod:`.png` (zlib + struct — no PIL needed) and
+resizes on the decoded pixel array, all inside Arrow-batched
+``mapInPandas``. Audio/video decode libraries are not available in this
+build container, so those kernels remain documented stubs — the
+Spark-side contract (schema, Arrow batch shape, partitioning, UDF
+signature) is real and tested; swap in torchaudio/ffmpeg on a cluster
+that has them and nothing else changes.
 """
 
 from __future__ import annotations
@@ -15,6 +18,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from solarboat_data_pipeline_spark.operators import png as png_codec
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -44,6 +49,134 @@ def documents_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def synthesize_png_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    max_width: int = 16,
+    max_height: int = 12,
+) -> DataFrame:
+    """Build a media table whose payloads are GENUINE PNG files, one per
+    input row, encoded by the stdlib codec inside ``mapInPandas``.
+
+    Deterministic generator (the driver oracle recomputes decoded pixel
+    statistics from this formula without ever seeing the bytes):
+
+    * ``width  = id % max_width + 1``, ``height = id % max_height + 1``
+    * ``channels = 1`` (gray) for even ids, ``3`` (RGB) for odd
+    * ``pixel(x, y, c) = (7x + 13y + 31c + id) % 256``
+    * scanline filters CYCLE ``row % 5`` so every encoded image exercises
+      all five PNG filter reconstruction paths on decode.
+    """
+    import numpy as np
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w = mid % max_width + 1
+                h = mid % max_height + 1
+                ch = 1 if mid % 2 == 0 else 3
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                c = np.arange(ch, dtype=np.int64)
+                px = (
+                    7 * x[None, :, None] + 13 * y[:, None, None]
+                    + 31 * c[None, None, :] + mid
+                ) % 256
+                payloads.append(
+                    png_codec.encode_png(
+                        px.astype(np.uint8).tobytes(), w, h, ch, filter_type="cycle"
+                    )
+                )
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "image/png",
+                    "width": widths,
+                    "height": heights,
+                }
+            )
+
+    return src.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+DECODE_STATS_SCHEMA = (
+    "media_id long, width int, height int, channels int, pixel_sum long"
+)
+
+
+def decode_image_stats(df: DataFrame) -> DataFrame:
+    """REAL PNG decode via Arrow-batched ``mapInPandas``: parse the chunk
+    stream, inflate IDAT, reconstruct all five scanline filters, and emit
+    the decoded dimensions/channel count plus the pixel-value sum. Raises
+    on non-PNG payloads — no silent fallback."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {"media_id": [], "width": [], "height": [], "channels": [], "pixel_sum": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, px = png_codec.decode_png(bytes(payload))
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(ch)
+                rows["pixel_sum"].append(int(np.frombuffer(px, np.uint8).sum(dtype=np.int64)))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=DECODE_STATS_SCHEMA)
+
+
+RESIZE_STATS_SCHEMA = (
+    "media_id long, width int, height int, target_width int, "
+    "target_height int, channels int, pixel_sum long"
+)
+
+
+def resize_image_stats(
+    df: DataFrame, target_width: int, target_height: int, method: str = "nearest"
+) -> DataFrame:
+    """REAL decode + resize: PNG payloads are decoded, resampled on the
+    pixel array (``nearest`` uses the exact integer floor mapping the
+    driver oracle recomputes; ``bilinear`` is the half-pixel-center
+    blend), and summarized as decoded stats of the RESIZED image."""
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown resize method {method!r}")
+    kernel = (
+        png_codec.resize_nearest if method == "nearest" else png_codec.resize_bilinear
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "width": [], "height": [],
+                "target_width": [], "target_height": [],
+                "channels": [], "pixel_sum": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, px = png_codec.decode_png(bytes(payload))
+                out = kernel(px, w, h, ch, target_width, target_height)
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["target_width"].append(target_width)
+                rows["target_height"].append(target_height)
+                rows["channels"].append(ch)
+                rows["pixel_sum"].append(int(np.frombuffer(out, np.uint8).sum(dtype=np.int64)))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=RESIZE_STATS_SCHEMA)
+
+
 def binary_metadata(df: DataFrame) -> DataFrame:
     """Pure-expression metadata over the opaque payload: byte length and
     sha256 digest (JVM-side — no decode needed, scans stay columnar)."""
@@ -59,18 +192,37 @@ def extract_features(df: DataFrame, fake: bool = True, feat_dim: int = 4) -> Dat
     """Decode + feature-extract via Arrow-batched ``mapInPandas``.
 
     ``fake=True`` computes a deterministic per-payload feature (byte-sum
-    moments) standing in for a real decoder; ``fake=False`` raises
-    ``NotImplementedError`` — the marked integration point for PIL /
-    torchaudio / ffmpeg decoders.
+    moments) standing in for a real decoder. ``fake=False`` REALLY
+    decodes ``image/png`` payloads with the stdlib codec (feature =
+    ``[width, height, channels, pixel_mean]``) and raises
+    ``NotImplementedError`` for audio/video — the remaining
+    torchaudio/ffmpeg integration points.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real media decode requires PIL/torchaudio/ffmpeg; "
-                    "not available in this container"
+                feats = []
+                for mtype, payload in zip(pdf["media_type"], pdf["payload"]):
+                    if mtype != "image/png":
+                        raise NotImplementedError(
+                            f"real decode for {mtype!r} requires torchaudio/"
+                            "ffmpeg; not available in this container"
+                        )
+                    w, h, ch, px = png_codec.decode_png(bytes(payload))
+                    mean = float(np.frombuffer(px, np.uint8).mean()) if px else 0.0
+                    feats.append([float(w), float(h), float(ch), mean][:feat_dim])
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "media_type": pdf["media_type"],
+                        "n_bytes": pdf["payload"].map(len),
+                        "feature": feats,
+                    }
                 )
+                continue
             feats = []
             for payload in pdf["payload"]:
                 b = bytes(payload)
@@ -108,13 +260,16 @@ def resize_plan(
     """Image-resize plumbing via Arrow-batched ``mapInPandas``.
 
     The Spark-side contract is real: image rows selected by type, typed
-    target dimensions attached, payloads re-emitted batch-wise. The pixel
-    kernel is the stub — ``fake=True`` scales the BYTE STREAM
-    proportionally to the area ratio (first ``min(len, len·target_area ÷
-    source_area)`` bytes, ≥1), a deterministic SQL-mirrorable stand-in;
-    ``fake=False`` raises ``NotImplementedError`` at the marked PIL/ffmpeg
-    integration point. Output carries the md5 of the resized payload so
-    correctness is hash-checkable without shipping the bytes around."""
+    target dimensions attached, payloads re-emitted batch-wise.
+    ``fake=False`` REALLY resizes: decode the PNG with the stdlib codec,
+    nearest-neighbor resample the pixel array to the target dims, and
+    re-encode as PNG — ``n_bytes``/``payload_md5`` describe the re-encoded
+    file (round-tripped in ``tests/test_png.py``; the oracle-checkable
+    stats live in :func:`resize_image_stats`). ``fake=True`` keeps the
+    legacy SQL-mirrorable stand-in (proportional byte-stream truncation)
+    so existing oracle rows stay valid. Output carries the md5 of the
+    resized payload so correctness is hash-checkable without shipping the
+    bytes around."""
     import hashlib
 
     area = target_width * target_height
@@ -122,10 +277,30 @@ def resize_plan(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real image resize requires PIL/ffmpeg; "
-                    "not available in this container"
+                n_out, digests = [], []
+                for payload in pdf["payload"]:
+                    w, h, ch, px = png_codec.decode_png(bytes(payload))
+                    resized = png_codec.resize_nearest(
+                        px, w, h, ch, target_width, target_height
+                    )
+                    out = png_codec.encode_png(
+                        resized, target_width, target_height, ch, filter_type=0
+                    )
+                    n_out.append(len(out))
+                    digests.append(hashlib.md5(out).hexdigest())
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "media_type": pdf["media_type"],
+                        "width": pdf["width"],
+                        "height": pdf["height"],
+                        "target_width": target_width,
+                        "target_height": target_height,
+                        "n_bytes": n_out,
+                        "payload_md5": digests,
+                    }
                 )
+                continue
             n_out, digests = [], []
             for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
                 b = bytes(payload)

@@ -1,0 +1,280 @@
+"""Pure-stdlib PNG codec + resize kernels (``zlib`` + ``struct`` only).
+
+The PNG format is public (RFC 2083 / ISO 15948): a signature, a chunk
+stream (length, type, payload, CRC32), IHDR metadata, zlib-compressed
+IDAT pixel data where every scanline is prefixed by one of five filter
+types (None/Sub/Up/Average/Paeth). This module implements enough of it —
+honestly and completely within its stated envelope — to make the
+multimodal decode kernel REAL instead of a stub:
+
+* :func:`encode_png` — 8-bit, non-interlaced, color types 0 (gray),
+  2 (RGB), 4 (gray+alpha), 6 (RGBA); per-scanline filter selection is
+  caller-controlled so tests exercise every filter's decode path.
+* :func:`decode_png` — same envelope; raises ``ValueError`` with the
+  precise reason on anything outside it (palette images, 16-bit depth,
+  Adam7 interlace, truncated/corrupt streams, CRC mismatch).
+* :func:`resize_nearest` / :func:`resize_bilinear` — resampling on the
+  decoded array (numpy, vectorized — this runs inside Arrow-batched
+  ``mapInPandas`` workers, so it must not be a per-pixel Python loop).
+
+Reference parity: the reference pipeline has no image path (its media
+handling stops at opaque blobs); this kernel exists for the
+training-data-pipeline surface (multimodal decode/resize) that the
+engine adds on top. Decode correctness is proven two independent ways:
+encode→decode round-trips across all filter/color-type combinations in
+``tests/test_png.py``, and the driver oracle recomputes decoded pixel
+statistics arithmetically from the generator formula (DuckDB never sees
+the PNG bytes — if any stage of signature/IHDR/zlib/unfilter is wrong,
+the sums cannot match).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+#: channels per color type within the supported (8-bit) envelope
+_CHANNELS_BY_COLOR_TYPE = {0: 1, 2: 3, 4: 2, 6: 4}
+_COLOR_TYPE_BY_CHANNELS = {v: k for k, v in _CHANNELS_BY_COLOR_TYPE.items()}
+
+
+def _chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §6.6), vectorized; operands are int16+
+    arrays so the |p - x| arithmetic cannot wrap."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def encode_png(
+    pixels: bytes | bytearray | np.ndarray,
+    width: int,
+    height: int,
+    channels: int,
+    filter_type: int | str = 0,
+) -> bytes:
+    """Encode a row-major 8-bit pixel buffer (``height·width·channels``
+    bytes) as a non-interlaced PNG.
+
+    ``filter_type``: 0-4 applies that filter to every scanline;
+    ``"cycle"`` uses ``row % 5`` — deliberately exercising all five
+    decode paths in one image."""
+    if channels not in _COLOR_TYPE_BY_CHANNELS:
+        raise ValueError(f"unsupported channel count {channels}; use 1/2/3/4")
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8)
+    if arr.size != width * height * channels:
+        raise ValueError(
+            f"pixel buffer has {arr.size} bytes, expected "
+            f"{width}x{height}x{channels} = {width * height * channels}"
+        )
+    img = arr.reshape(height, width * channels)
+    bpp = channels  # bytes per pixel at bit depth 8
+
+    out = bytearray()
+    prior = np.zeros(width * channels, dtype=np.uint8)
+    for y in range(height):
+        raw = img[y]
+        ft = (y % 5) if filter_type == "cycle" else int(filter_type)
+        left = np.concatenate([np.zeros(bpp, np.uint8), raw[:-bpp]]) if raw.size > 0 else raw
+        up_left = (
+            np.concatenate([np.zeros(bpp, np.uint8), prior[:-bpp]])
+            if prior.size > 0
+            else prior
+        )
+        if ft == 0:
+            filt = raw
+        elif ft == 1:  # Sub
+            filt = raw - left
+        elif ft == 2:  # Up
+            filt = raw - prior
+        elif ft == 3:  # Average
+            filt = raw - ((left.astype(np.uint16) + prior.astype(np.uint16)) // 2).astype(np.uint8)
+        elif ft == 4:  # Paeth
+            filt = raw - _paeth_vec(left, prior, up_left)
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+        out.append(ft)
+        out.extend(filt.tobytes())
+        prior = raw
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, _COLOR_TYPE_BY_CHANNELS[channels], 0, 0, 0
+    )
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG within the supported envelope (8-bit depth, color
+    types 0/2/4/6, no interlace) to ``(width, height, channels,
+    row-major pixel bytes)``. Raises ``ValueError`` on malformed input
+    or unsupported features — never returns garbage silently."""
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        raise ValueError("decode_png expects a bytes-like payload")
+    data = bytes(data)
+    if not data.startswith(_SIGNATURE):
+        raise ValueError("not a PNG: bad signature")
+
+    pos = len(_SIGNATURE)
+    width = height = channels = -1
+    idat = bytearray()
+    seen_ihdr = seen_iend = False
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG: chunk header past end of data")
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body_end = pos + 8 + length
+        if body_end + 4 > len(data):
+            raise ValueError(f"truncated PNG: {ctype!r} chunk past end of data")
+        payload = data[pos + 8 : body_end]
+        (crc,) = struct.unpack(">I", data[body_end : body_end + 4])
+        if crc != (zlib.crc32(ctype + payload) & 0xFFFFFFFF):
+            raise ValueError(f"corrupt PNG: CRC mismatch in {ctype!r} chunk")
+        pos = body_end + 4
+
+        if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError("corrupt PNG: IHDR length != 13")
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG: bit depth {depth} (only 8)")
+            if color_type not in _CHANNELS_BY_COLOR_TYPE:
+                raise ValueError(
+                    f"unsupported PNG: color type {color_type} (palette images "
+                    "need a PLTE decoder; only 0/2/4/6 supported)"
+                )
+            if comp != 0 or filt != 0:
+                raise ValueError("unsupported PNG: nonzero compression/filter method")
+            if interlace != 0:
+                raise ValueError("unsupported PNG: Adam7 interlace")
+            if width <= 0 or height <= 0:
+                raise ValueError("corrupt PNG: non-positive dimensions")
+            channels = _CHANNELS_BY_COLOR_TYPE[color_type]
+            seen_ihdr = True
+        elif ctype == b"IDAT":
+            if not seen_ihdr:
+                raise ValueError("corrupt PNG: IDAT before IHDR")
+            idat.extend(payload)
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        # ancillary chunks (tEXt, pHYs, ...) are CRC-checked and skipped
+
+    if not seen_ihdr:
+        raise ValueError("corrupt PNG: missing IHDR")
+    if not seen_iend:
+        raise ValueError("truncated PNG: missing IEND")
+    if not idat:
+        raise ValueError("corrupt PNG: no IDAT data")
+
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG: zlib inflate failed ({exc})") from exc
+
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"corrupt PNG: inflated {len(raw)} bytes, expected "
+            f"{(stride + 1) * height} for {width}x{height}x{channels}"
+        )
+
+    bpp = channels
+    flat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.empty((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ft = int(flat[y, 0])
+        line = flat[y, 1:].copy()
+        if ft == 0:
+            pass
+        elif ft == 2:  # Up — fully vectorizable
+            line += prior
+        elif ft in (1, 3, 4):
+            # Sub/Average/Paeth carry an in-row left dependency, so this
+            # lane is inherently sequential per scanline (row-level
+            # parallelism comes from the Arrow batch above this kernel)
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                if ft == 1:
+                    line[i] = (int(line[i]) + int(left)) & 0xFF
+                elif ft == 3:
+                    up = prior[i]
+                    line[i] = (int(line[i]) + (int(left) + int(up)) // 2) & 0xFF
+                else:
+                    up = int(prior[i])
+                    ul = int(prior[i - bpp]) if i >= bpp else 0
+                    a, b, c = int(left), up, ul
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"corrupt PNG: unknown scanline filter {ft}")
+        out[y] = line
+        prior = line
+    return width, height, channels, out.tobytes()
+
+
+def resize_nearest(
+    pixels: bytes, width: int, height: int, channels: int, tw: int, th: int
+) -> bytes:
+    """Nearest-neighbor resize with the floor mapping
+    ``src = (dst · src_dim) // dst_dim`` — exact integer arithmetic, so
+    the driver oracle can recompute the result without decoding."""
+    if tw <= 0 or th <= 0:
+        raise ValueError("target dimensions must be positive")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    ys = (np.arange(th, dtype=np.int64) * height) // th
+    xs = (np.arange(tw, dtype=np.int64) * width) // tw
+    return img[ys][:, xs].tobytes()
+
+
+def resize_bilinear(
+    pixels: bytes, width: int, height: int, channels: int, tw: int, th: int
+) -> bytes:
+    """Bilinear resize, half-pixel-center mapping
+    ``src = (dst + 0.5)·(s/t) − 0.5`` clamped to the image, blended in
+    float64 and rounded ``floor(v + 0.5)`` — fully deterministic."""
+    if tw <= 0 or th <= 0:
+        raise ValueError("target dimensions must be positive")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    img = img.astype(np.float64)
+
+    def axis(src: int, dst: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        pos = np.clip((np.arange(dst) + 0.5) * (src / dst) - 0.5, 0.0, src - 1.0)
+        lo = np.floor(pos).astype(np.int64)
+        hi = np.minimum(lo + 1, src - 1)
+        return lo, hi, pos - lo
+
+    y0, y1, fy = axis(height, th)
+    x0, x1, fx = axis(width, tw)
+    fy = fy[:, None, None]
+    fx = fx[None, :, None]
+    top = img[y0][:, x0] * (1 - fx) + img[y0][:, x1] * fx
+    bot = img[y1][:, x0] * (1 - fx) + img[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    return np.floor(out + 0.5).astype(np.uint8).tobytes()

@@ -1,0 +1,231 @@
+"""Pure-stdlib PNG codec + the real multimodal decode/resize kernels.
+
+Two independent proofs of decode correctness:
+
+* local: encode→decode round-trips across every (filter, color-type)
+  combination, plus property-tested random images;
+* distributed: the Spark kernels decode synthesized PNGs and the
+  expected statistics are recomputed arithmetically from the generator
+  formula — the PNG bytes are never consulted on the expectation side.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from solarboat_data_pipeline_spark.operators import multimodal as mm
+from solarboat_data_pipeline_spark.operators import png
+
+
+def _gradient(w: int, h: int, ch: int, seed: int = 0) -> bytes:
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)
+    c = np.arange(ch, dtype=np.int64)
+    px = (7 * x[None, :, None] + 13 * y[:, None, None] + 31 * c[None, None, :] + seed) % 256
+    return px.astype(np.uint8).tobytes()
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4, "cycle"])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_roundtrip_all_filters_and_color_types(filter_type, channels):
+    w, h = 13, 7
+    raw = _gradient(w, h, channels, seed=5)
+    data = png.encode_png(raw, w, h, channels, filter_type=filter_type)
+    assert data.startswith(b"\x89PNG\r\n\x1a\n")
+    dw, dh, dch, out = png.decode_png(data)
+    assert (dw, dh, dch) == (w, h, channels)
+    assert out == raw
+
+
+def test_roundtrip_random_images():
+    rng = np.random.default_rng(42)
+    for _ in range(25):
+        w = int(rng.integers(1, 40))
+        h = int(rng.integers(1, 40))
+        ch = int(rng.choice([1, 2, 3, 4]))
+        raw = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+        ft = rng.choice([0, 1, 2, 3, 4, "cycle"])
+        dw, dh, dch, out = png.decode_png(png.encode_png(raw, w, h, ch, filter_type=ft))
+        assert (dw, dh, dch, out) == (w, h, ch, raw)
+
+
+def test_decode_rejects_garbage_and_corruption():
+    with pytest.raises(ValueError, match="signature"):
+        png.decode_png(b"not a png at all")
+    data = bytearray(png.encode_png(_gradient(4, 4, 1), 4, 4, 1))
+    idat = data.find(b"IDAT")
+    data[idat + 6] ^= 0xFF  # flip a byte inside the IDAT payload → CRC mismatch
+    with pytest.raises(ValueError, match="CRC|corrupt"):
+        png.decode_png(bytes(data))
+    whole = png.encode_png(_gradient(4, 4, 1), 4, 4, 1)
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        png.decode_png(whole[:-8])
+
+
+def test_decode_rejects_unsupported_features():
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 16-bit depth
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="bit depth"):
+        png.decode_png(sig + chunk(b"IHDR", ihdr16))
+    # palette color type
+    ihdr_pal = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    with pytest.raises(ValueError, match="color type"):
+        png.decode_png(sig + chunk(b"IHDR", ihdr_pal))
+    # Adam7 interlace
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    with pytest.raises(ValueError, match="interlace"):
+        png.decode_png(sig + chunk(b"IHDR", ihdr_i))
+
+
+def test_ancillary_chunks_are_skipped():
+    import struct
+    import zlib
+
+    data = png.encode_png(_gradient(3, 3, 3), 3, 3, 3)
+    # splice a tEXt chunk between IHDR and IDAT
+    ihdr_end = 8 + 8 + 13 + 4
+    payload = b"Comment\x00hello"
+    text = (
+        struct.pack(">I", len(payload)) + b"tEXt" + payload
+        + struct.pack(">I", zlib.crc32(b"tEXt" + payload) & 0xFFFFFFFF)
+    )
+    spliced = data[:ihdr_end] + text + data[ihdr_end:]
+    assert png.decode_png(spliced)[:3] == (3, 3, 3)
+
+
+def test_resize_nearest_matches_integer_mapping():
+    w, h, ch, tw, th = 10, 6, 3, 4, 9
+    raw = _gradient(w, h, ch, seed=3)
+    out = np.frombuffer(png.resize_nearest(raw, w, h, ch, tw, th), np.uint8)
+    img = np.frombuffer(raw, np.uint8).reshape(h, w, ch)
+    expect = np.empty((th, tw, ch), np.uint8)
+    for y in range(th):
+        for x in range(tw):
+            expect[y, x] = img[(y * h) // th, (x * w) // tw]
+    assert (out.reshape(th, tw, ch) == expect).all()
+
+
+def test_resize_bilinear_matches_naive_reference():
+    w, h, ch, tw, th = 7, 5, 2, 11, 3
+    raw = _gradient(w, h, ch, seed=9)
+    out = np.frombuffer(png.resize_bilinear(raw, w, h, ch, tw, th), np.uint8)
+    img = np.frombuffer(raw, np.uint8).reshape(h, w, ch).astype(np.float64)
+    expect = np.empty((th, tw, ch), np.uint8)
+    for y in range(th):
+        sy = min(max((y + 0.5) * (h / th) - 0.5, 0.0), h - 1.0)
+        y0, fy = int(np.floor(sy)), sy - int(np.floor(sy))
+        y1 = min(y0 + 1, h - 1)
+        for x in range(tw):
+            sx = min(max((x + 0.5) * (w / tw) - 0.5, 0.0), w - 1.0)
+            x0, fx = int(np.floor(sx)), sx - int(np.floor(sx))
+            x1 = min(x0 + 1, w - 1)
+            v = (
+                img[y0, x0] * (1 - fx) * (1 - fy) + img[y0, x1] * fx * (1 - fy)
+                + img[y1, x0] * (1 - fx) * fy + img[y1, x1] * fx * fy
+            )
+            expect[y, x] = np.floor(v + 0.5).astype(np.uint8)
+    assert (out.reshape(th, tw, ch) == expect).all()
+
+
+def test_resize_identity_is_noop():
+    raw = _gradient(8, 8, 1)
+    assert png.resize_nearest(raw, 8, 8, 1, 8, 8) == raw
+    assert png.resize_bilinear(raw, 8, 8, 1, 8, 8) == raw
+
+
+# ---------------------------------------------------------------------------
+# Spark kernels (fake=False — the REAL decode path)
+# ---------------------------------------------------------------------------
+
+
+def _doc_ids(spark, n=40):
+    return spark.range(n).select(F.col("id").alias("doc_id"))
+
+
+def test_decode_image_stats_matches_generator_formula(spark):
+    media = mm.synthesize_png_media(_doc_ids(spark))
+    got = {r["media_id"]: r for r in mm.decode_image_stats(media).collect()}
+    for mid in range(40):
+        w, h = mid % 16 + 1, mid % 12 + 1
+        ch = 1 if mid % 2 == 0 else 3
+        expect = sum(
+            (7 * x + 13 * y + 31 * c + mid) % 256
+            for x in range(w) for y in range(h) for c in range(ch)
+        )
+        r = got[mid]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, ch)
+        assert r["pixel_sum"] == expect
+
+
+def test_resize_image_stats_matches_floor_mapping(spark):
+    media = mm.synthesize_png_media(_doc_ids(spark))
+    got = {
+        r["media_id"]: r
+        for r in mm.resize_image_stats(media, 8, 6, method="nearest").collect()
+    }
+    for mid in range(40):
+        w, h = mid % 16 + 1, mid % 12 + 1
+        ch = 1 if mid % 2 == 0 else 3
+        expect = sum(
+            (7 * ((x * w) // 8) + 13 * ((y * h) // 6) + 31 * c + mid) % 256
+            for x in range(8) for y in range(6) for c in range(ch)
+        )
+        r = got[mid]
+        assert (r["target_width"], r["target_height"]) == (8, 6)
+        assert r["pixel_sum"] == expect, mid
+
+
+def test_extract_features_real_decode(spark):
+    media = mm.synthesize_png_media(_doc_ids(spark, n=12))
+    rows = {r["media_id"]: r for r in mm.extract_features(media, fake=False).collect()}
+    for mid, r in rows.items():
+        w, h = mid % 16 + 1, mid % 12 + 1
+        ch = 1 if mid % 2 == 0 else 3
+        mean = (
+            sum(
+                (7 * x + 13 * y + 31 * c + mid) % 256
+                for x in range(w) for y in range(h) for c in range(ch)
+            ) / (w * h * ch)
+        )
+        assert r["feature"][0] == float(w)
+        assert r["feature"][1] == float(h)
+        assert r["feature"][2] == float(ch)
+        assert abs(r["feature"][3] - mean) < 1e-9
+
+
+def test_extract_features_audio_still_stubbed(spark):
+    docs = _doc_ids(spark, n=9)
+    media = mm.documents_as_media(docs.withColumn("text", F.lit("abc")))
+    with pytest.raises(Exception, match="NotImplementedError|torchaudio"):
+        mm.extract_features(media.where(F.col("media_type") == "audio/wav"), fake=False).collect()
+
+
+def test_resize_plan_real_roundtrips(spark):
+    media = mm.synthesize_png_media(_doc_ids(spark, n=10))
+    out = mm.resize_plan(media, target_width=5, target_height=4, fake=False).collect()
+    assert len(out) == 10
+    # re-create each resized PNG locally and check the md5 the kernel emitted
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for r in out:
+        w, h, ch, px = png.decode_png(src[r["media_id"]])
+        resized = png.resize_nearest(px, w, h, ch, 5, 4)
+        blob = png.encode_png(resized, 5, 4, ch, filter_type=0)
+        assert r["payload_md5"] == hashlib.md5(blob).hexdigest()
+        assert r["n_bytes"] == len(blob)
+        # and the emitted file is itself a valid decodable PNG
+        dw, dh, dch, dpx = png.decode_png(blob)
+        assert (dw, dh, dch, dpx) == (5, 4, ch, resized)
