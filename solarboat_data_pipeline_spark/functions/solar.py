@@ -129,11 +129,17 @@ SOLPOS_STEPS: list[tuple[str, str]] = [
      "   + elevation*(103.4 + elevation*(-12.79 + elevation*0.711))))/3600.0"
      " ELSE (-20.774/tan(radians(elevation)))/3600.0 END"),
     ("apparent_zenith", "zenith - __sol_refr"),
-    # azimuth (deg clockwise from north), NOAA quadrant resolution
+    # azimuth (deg clockwise from north), NOAA quadrant resolution.
+    # Degenerate denominator (|lat| = 90, or the sun exactly at zenith/
+    # nadir) makes the quotient 0/0 — engines disagree on NULL vs NaN
+    # there, so the chain pins those rows to a deterministic 180.0°
+    # (azimuth is genuinely undefined at the poles; documented limitation)
+    ("__sol_azden", "cos(radians({lat}))*sin(radians(zenith))"),
     ("__sol_azr",
-     "degrees(acos(greatest(-1.0, least(1.0,"
+     "CASE WHEN abs(__sol_azden) < 1e-12 THEN 0.0"
+     " ELSE degrees(acos(greatest(-1.0, least(1.0,"
      " (sin(radians({lat}))*__sol_cosz - sin(radians(declination)))"
-     " / (cos(radians({lat}))*sin(radians(zenith)))))))"),
+     " / __sol_azden)))) END"),
     ("azimuth",
      "CASE WHEN __sol_ha > 0.0 THEN " + _pmod("__sol_azr + 180.0", "360.0")
      + " ELSE " + _pmod("540.0 - __sol_azr", "360.0") + " END"),
@@ -175,7 +181,22 @@ def solar_position(
 ) -> DataFrame:
     """Append solar-position columns computed at ``ts + shift_seconds``
     (the reference's T/2 shift) but reported at the original rows.
-    Pure built-in expressions — whole-stage codegen, no shuffle."""
+    Pure built-in expressions — whole-stage codegen, no shuffle.
+
+    Input columns may not collide (case-insensitively — Spark resolution
+    is case-insensitive by default) with any chain step name: real
+    Solcast exports ship ``Azimuth``/``Zenith`` columns, which
+    ``withColumn`` would silently overwrite and the final drop would
+    destroy. Rename such columns before calling (e.g.
+    ``withColumnRenamed("Azimuth", "solcast_azimuth")``)."""
+    step_names = {n.lower() for n, _ in SOLPOS_STEPS}
+    clash = sorted(c for c in df.columns if c.lower() in step_names)
+    if clash:
+        raise ValueError(
+            "solar_position would overwrite input column(s) "
+            f"{clash} with chain intermediates; rename them first "
+            "(Solcast exports include Azimuth/Zenith)"
+        )
     # CAST AS DOUBLE up front: SQL decimal-point literals are DECIMAL in
     # both dialects, and a BIGINT/DECIMAL division would run the early
     # (pre-trig) steps in decimal arithmetic — DuckDB and Spark round

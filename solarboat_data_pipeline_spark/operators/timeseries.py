@@ -352,7 +352,10 @@ def resample_interpolate(
     =None`` clamps ≤ ``limit`` trailing cells to the last valid value,
     bounded by the partition's grid end). Output value columns are DOUBLE
     (the mean), matching the classic composition. Fully distributed — no
-    driver-side bounds collect.
+    driver-side bounds collect; the only broadcast is the single global
+    bounds row in the ``partition_cols=()`` case (the keyed-bounds table
+    joins plain, so high-cardinality partitions never funnel through the
+    driver).
 
     ``group_width``: the lead() window partitions by column, so one
     column's full sample history sorts in one task — fine to ~1e8
@@ -454,9 +457,13 @@ def resample_interpolate(
     parts = [a1, gen]
     if limit_area is None:
         # pandas forward clamp: ≤ limit cells after the last valid sample,
-        # never past the partition's grid end
+        # never past the partition's grid end. kb is keyed by the
+        # partition cols, whose cardinality is unbounded at the 100 TB
+        # target — a forced broadcast would collect it through the driver,
+        # so join plain (AQE may still pick broadcast when it IS small);
+        # the pc=() case is a single global row, always broadcast-safe.
         tail = src.where(F.col("__nb").isNull()).join(
-            F.broadcast(kb), pc, "inner"
+            kb, pc, "inner"
         ) if pc else src.where(F.col("__nb").isNull()).crossJoin(F.broadcast(kb))
         tgap = F.col("__hi") - F.col("__b")
         tn = tgap if limit is None else F.least(tgap, F.lit(int(limit)))
@@ -594,7 +601,15 @@ def interval_join(
             "interval_join requires disjoint column names; shared: "
             f"{sorted(clash)} — rename one side before joining"
         )
+    if isinstance(chunk_seconds, str) and chunk_seconds != "auto":
+        raise ValueError(
+            f"chunk_seconds must be a number or 'auto', got {chunk_seconds!r}"
+        )
     if chunk_seconds == "auto":
+        # NOTE: this is an EAGER one-row Spark job at plan-construction
+        # time, and the intervals lineage is evaluated a second time by
+        # the join itself — cache()/localCheckpoint() intervals first if
+        # its lineage is expensive or non-deterministic.
         row = intervals.agg(
             F.expr(
                 f"approx_percentile((unix_micros({end_col}) - "

@@ -15,6 +15,7 @@ kernels against their straightforward exact twins:
 import math
 from collections import Counter
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Window
@@ -162,3 +163,17 @@ def test_interval_join_auto_chunk(spark):
 
     empty = intervals.where("iid < 0")
     assert tsops.interval_join(points, empty).count() == 0
+
+def test_interval_join_rejects_unknown_chunk_string(spark):
+    """Any string other than 'auto' must raise up front, not fall through
+    to an opaque TypeError in the microsecond arithmetic."""
+    points = spark.createDataFrame([(1, 40)], "pid long, pe long").select(
+        "pid", F.timestamp_seconds("pe").alias("timestamp")
+    )
+    intervals = spark.createDataFrame([(1, 0, 600)], "iid long, se long, ee long").select(
+        "iid",
+        F.timestamp_seconds("se").alias("start"),
+        F.timestamp_seconds("ee").alias("end"),
+    )
+    with pytest.raises(ValueError, match="chunk_seconds"):
+        tsops.interval_join(points, intervals, chunk_seconds="fast")

@@ -224,3 +224,65 @@ def test_solar_chain_is_whole_stage_codegen(spark):
     assert project_lines, plan
     bad = [l for l in project_lines if "*(" not in l]
     assert not bad, bad
+
+
+# ---------------------------------------------------------------------------
+# Published golden vectors — independent of BOTH engines' formula text.
+# These are worked examples from the public literature, so they validate
+# the chain itself (not merely Spark↔DuckDB evaluation parity).
+# ---------------------------------------------------------------------------
+
+
+def test_golden_nrel_spa_worked_example(spark):
+    """NREL SPA report (Reda & Andreas, NREL/TP-560-34302), §6 worked
+    example: 2003-10-17 12:30:30 local (UTC−7) at 39.742476°N,
+    −105.1786°E → topocentric apparent zenith 50.11162°, azimuth
+    194.34024° (clockwise from north), incidence 25.18700° on a 30°
+    slope rotated −10° from south. The NOAA low-accuracy chain ignores
+    Δt/parallax, worth ~0.003° here — asserted within 0.01°."""
+    t = dt.datetime(2003, 10, 17, 19, 30, 30)
+    p = _pos(spark, [t], 39.742476, -105.1786)[t]
+    assert abs(p["apparent_zenith"] - 50.11162) < 0.01
+    assert abs(p["azimuth"] - 194.34024) < 0.01
+    z, az = math.radians(p["apparent_zenith"]), p["azimuth"]
+    cos_aoi = (
+        math.cos(z) * math.cos(math.radians(30.0))
+        + math.sin(z) * math.sin(math.radians(30.0))
+        * math.cos(math.radians(az - 170.0))  # −10° from south = 170° from north
+    )
+    assert abs(math.degrees(math.acos(cos_aoi)) - 25.18700) < 0.01
+
+
+def test_golden_meeus_examples(spark):
+    """Meeus, *Astronomical Algorithms*, examples 25.a/28.a
+    (1992-10-13 0h TD): apparent declination −7.78507°, equation of
+    time 13.70940 min. The chain IS the Meeus low-accuracy series, so
+    declination agrees to ~1e-6° (Δt ≈ 59 s neglected, worth ~3e-4°)."""
+    t = dt.datetime(1992, 10, 13, 0, 0, 0)
+    p = _pos(spark, [t], 0.0, 0.0)[t]
+    assert abs(p["declination"] - (-7.78507)) < 1e-3
+    assert abs(p["equation_of_time"] - 13.70940) < 0.01
+
+
+def test_polar_azimuth_pinned_and_cross_engine(spark):
+    """At |lat| = 90 the azimuth denominator is 0/0: both engines must
+    agree on the documented deterministic fallback (180°), not NULL/NaN."""
+    t = dt.datetime(2023, 6, 21, 12, 0)
+    for lat in (90.0, -90.0):
+        p = _pos(spark, [t], lat, 0.0)[t]
+        assert p["azimuth"] == 180.0
+        q = solar.solar_position_sql(
+            f"SELECT TIMESTAMP '{t}' AS timestamp", lat, 0.0,
+            keep=("azimuth",),
+        )
+        assert duckdb.sql(f"SELECT azimuth FROM {q}").fetchone()[0] == 180.0
+
+
+def test_solar_position_rejects_column_collisions(spark):
+    """Solcast exports ship Azimuth/Zenith columns; silently overwriting
+    then dropping them would destroy user data — must raise instead."""
+    df = spark.createDataFrame(
+        [(dt.datetime(2023, 6, 21, 12, 0), 123.0)], "timestamp timestamp, Azimuth double"
+    )
+    with pytest.raises(ValueError, match="Azimuth"):
+        solar.solar_position(df, 40.0, 0.0)
