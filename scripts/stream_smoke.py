@@ -289,6 +289,80 @@ def check_ffill(spark, src: str) -> None:
     )
 
 
+def check_ffill_kill(spark, src: str) -> None:
+    """Forced mid-stream kill: stop the ffill query right after its FIRST
+    committed micro-batch (pending files remain), restart from the same
+    checkpoint, drain, and require exactly-once output — row count equal
+    to the corpus and row-for-row equality with the batch window kernel
+    (state must survive the kill)."""
+    out = os.path.join(WORK, "out_ffill_kill")
+    ckpt = os.path.join(WORK, "ckpt_ffill_kill")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def start():
+        return (
+            stream_ffill(open_stream(spark, src).drop("text"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    t0 = time.perf_counter()
+    q = start()
+    while True:  # at this scale each micro-batch takes seconds — the stop
+        p = q.lastProgress  # lands mid-stream deterministically
+        if p and p.get("numInputRows", 0) > 0:
+            q.stop()
+            q.awaitTermination()
+            break
+        if not q.isActive:  # backlog finished before we could kill
+            break
+        time.sleep(0.05)
+    partial = spark.read.parquet(out).count()
+    killed_midstream = 0 < partial < N
+    q2 = start()
+    q2.awaitTermination()
+    wall = time.perf_counter() - t0
+
+    got = spark.read.parquet(out)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("series")
+        .orderBy("timestamp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    batch = spark.read.parquet(os.path.join(src, "*.parquet")).select(
+        "series",
+        "timestamp",
+        "value",
+        F.last("value", ignorenulls=True).over(w).alias("filled"),
+    )
+    n_got = got.count()
+    cond = (
+        (got["series"] == batch["series"])
+        & (got["timestamp"] == batch["timestamp"])
+        & got["value"].eqNullSafe(batch["value"])
+        & got["filled"].eqNullSafe(batch["filled"])
+    )
+    mismatches = got.join(batch, cond, "left_anti").count()
+    report(
+        "stream_ffill_exactly_once_after_forced_kill",
+        killed_midstream and n_got == N and mismatches == 0,
+        wall,
+        {
+            "rows_at_kill": partial,
+            "rows_final": n_got,
+            "mismatches": mismatches,
+            "killed_midstream": killed_midstream,
+        },
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="stream-smoke")
     shutil.rmtree(WORK, ignore_errors=True)
@@ -318,6 +392,7 @@ def main() -> None:
     check_sessionize(spark, src, max_ts)
     check_dedup(spark, src)
     check_ffill(spark, src)
+    check_ffill_kill(spark, src)
 
     all_agree = all(r["agree"] for r in results)
     print(
