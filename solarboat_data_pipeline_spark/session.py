@@ -50,6 +50,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # write int64-µs timestamps, not legacy INT96: INT96 columns carry
+        # NO row-group min/max statistics, which silently disables both
+        # timestamp predicate pushdown and the zero-scan footer-CDF bounds
+        # path (operators/scale.py:bounds_from_parquet_metadata) on any
+        # parquet this engine writes (found by scale_smoke_asof_skew.py)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # legacy compat: TIMESTAMP(NANOS) parquet reads as long ns and the
         # scan wrappers convert to µs. (Current fixtures are naive
         # timestamp[us] → TIMESTAMP_NTZ; the wrappers cast those instead.)
