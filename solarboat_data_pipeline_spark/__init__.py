@@ -43,6 +43,7 @@ from solarboat_data_pipeline_spark.operators import (
     skew,
     text,
     timeseries,
+    wav,
 )
 from solarboat_data_pipeline_spark.functions import formatting, geo, solar
 from solarboat_data_pipeline_spark.sources import bucketed, sinks
@@ -168,9 +169,11 @@ from solarboat_data_pipeline_spark.operators.text import (
 )
 from solarboat_data_pipeline_spark.operators.multimodal import (
     binary_metadata,
+    decode_audio_stats,
     decode_image_stats,
     extract_features,
     frame_sample_plan,
+    resample_audio_stats,
     resize_image_stats,
 )
 
@@ -180,7 +183,7 @@ __all__ = [
     # module namespaces
     "catalog", "pipeline", "parse", "timeseries", "scale",
     "dedup", "similarity", "text", "sampling", "skew",
-    "multimodal", "png", "geo", "solar", "formatting",
+    "multimodal", "png", "wav", "geo", "solar", "formatting",
     "sinks", "bucketed", "streaming", "stateful",
     # sources / sinks
     "scan_candump", "extract_frames", "scan_forecast_csv", "scan_gps_csv",
@@ -214,5 +217,6 @@ __all__ = [
     "token_budget_sample",
     "two_phase_count_distinct", "salted_topk", "exact_quantile_cont",
     "binary_metadata", "extract_features", "decode_image_stats",
-    "resize_image_stats", "frame_sample_plan",
+    "resize_image_stats", "decode_audio_stats", "resample_audio_stats",
+    "frame_sample_plan",
 ]

@@ -2050,6 +2050,68 @@ def mm_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_wav_decode",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             doc_id % 480 + 16 AS n,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS ch
+      FROM documents),
+    s AS (
+      SELECT g.doc_id, g.n, g.ch,
+             (37 * i.i + 101 * c.c + 13 * g.doc_id) % 4096 - 2048 AS v
+      FROM g, generate_series(0, 495) i(i), generate_series(0, 1) c(c)
+      WHERE i.i < g.n AND c.c < g.ch)
+    SELECT doc_id AS media_id, 8000::INT AS sample_rate, ch::INT AS channels,
+           n::INT AS n_frames, CAST(SUM(v) AS BIGINT) AS sample_sum
+    FROM s GROUP BY doc_id, n, ch
+    """,
+)
+def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode (operators/wav.py + multimodal.decode_audio_stats):
+    each document id becomes a genuine 16-bit PCM RIFF/WAVE file (stdlib
+    struct encoder, cross-validated against the stdlib ``wave`` module),
+    decoded back by the stdlib decoder inside Arrow mapInPandas. The
+    oracle recomputes the decoded rate/channels/frames/sample-sum
+    ARITHMETICALLY from the generator formula — DuckDB never sees the
+    bytes, so a wrong RIFF-walk/fmt/block-align/PCM stage cannot
+    hash-match."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_wav_media(docs)
+    return mm.decode_audio_stats(media)
+
+
+@register(
+    "mm_wav_resample",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             doc_id % 480 + 16 AS n,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS ch
+      FROM documents),
+    s AS (
+      SELECT g.doc_id, g.n, g.ch,
+             (37 * ((d.d * g.n) // 32) + 101 * c.c + 13 * g.doc_id)
+               % 4096 - 2048 AS v
+      FROM g, generate_series(0, 31) d(d), generate_series(0, 1) c(c)
+      WHERE c.c < g.ch)
+    SELECT doc_id AS media_id, 8000::INT AS sample_rate, ch::INT AS channels,
+           n::INT AS n_frames, 32::INT AS target_frames,
+           CAST(SUM(v) AS BIGINT) AS sample_sum
+    FROM s GROUP BY doc_id, n, ch
+    """,
+)
+def mm_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode + nearest-frame resample (operators/wav.py): decode
+    the synthesized WAV, resample the frame axis with the exact floor
+    mapping ``src = (dst·n_src) // n_dst``, and emit resampled sample
+    stats. The oracle recomputes the same mapping arithmetically."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_wav_media(docs)
+    return mm.resample_audio_stats(media, 32, method="nearest")
+
+
+@register(
     "skew_salted_topk",
     """
     WITH ranked AS (
@@ -3578,9 +3640,10 @@ def k_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every registered query has a green driver row in some round. Round-5
 # rotation (VERDICT r04 item 3, changed-code-first):
 #   1. every query whose OPERATOR CODE changed this round — the mm
-#      family (real PNG codec in operators/png.py + multimodal.py
-#      rewrite, incl. the two NEW mm_png_* queries whose oracles check
-#      real decoded pixels), the f7 solar chain (collision guard,
+#      family (real PNG codec in operators/png.py + real WAV codec in
+#      operators/wav.py + multimodal.py rewrite, incl. the four NEW
+#      mm_png_*/mm_wav_* queries whose oracles check real decoded
+#      pixels/samples), the f7 solar chain (collision guard,
 #      polar-azimuth guard, golden-vector fixtures), the
 #      resample_interpolate tail + interval_join validation
 #      (timeseries.py), and the four parquet-WRITING queries exercised
@@ -3596,9 +3659,11 @@ def k_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver's entry() every round. r03-green queries left below the cut
 # lead the r06 window so no green row goes more than ~2 rounds stale.
 _PRIORITY = [
-    # 1. changed code this round (15)
+    # 1. changed code this round (17)
     "mm_png_decode",
     "mm_png_resize",
+    "mm_wav_decode",
+    "mm_wav_resample",
     "mm_binary_meta",
     "mm_features",
     "mm_resize",
@@ -3648,11 +3713,11 @@ _PRIORITY = [
     "j1_left_join_enrich",
     "j5_unify_chunks",
     "a2_pivot_wide",
-    "w7_asfreq_dense",
-    "w_sessionize",
     # --- below the expected driver cut: r03-green queries that lead
     # r06's window, then the r04-green block -- ALL still oracle-checked
     # by the identical pytest gate every run.
+    "w7_asfreq_dense",
+    "w_sessionize",
     "pipeline_curation",
     "dd_exact",
     "dd_incremental",

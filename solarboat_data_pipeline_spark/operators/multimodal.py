@@ -3,11 +3,14 @@
 The IMAGE path is real: ``fake=False`` decodes genuine PNG payloads with
 the pure-stdlib codec in :mod:`.png` (zlib + struct — no PIL needed) and
 resizes on the decoded pixel array, all inside Arrow-batched
-``mapInPandas``. Audio/video decode libraries are not available in this
-build container, so those kernels remain documented stubs — the
+``mapInPandas``. The AUDIO path is real too: genuine RIFF/PCM WAV
+payloads decoded and resampled by the pure-stdlib codec in :mod:`.wav`
+(struct only — no torchaudio needed, cross-validated against the stdlib
+``wave`` module). Video decode libraries are not available in this
+build container, so that kernel remains a documented stub — the
 Spark-side contract (schema, Arrow batch shape, partitioning, UDF
-signature) is real and tested; swap in torchaudio/ffmpeg on a cluster
-that has them and nothing else changes.
+signature) is real and tested; swap in ffmpeg on a cluster that has it
+and nothing else changes.
 """
 
 from __future__ import annotations
@@ -20,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from solarboat_data_pipeline_spark.operators import png as png_codec
+from solarboat_data_pipeline_spark.operators import wav as wav_codec
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -175,6 +179,134 @@ def resize_image_stats(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=RESIZE_STATS_SCHEMA)
+
+
+def synthesize_wav_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sample_rate: int = 8000,
+    max_frames: int = 480,
+) -> DataFrame:
+    """Build a media table whose payloads are GENUINE 16-bit PCM WAV
+    files, one per input row, encoded by the stdlib codec inside
+    ``mapInPandas`` (the audio twin of :func:`synthesize_png_media`).
+
+    Deterministic generator (the driver oracle recomputes decoded sample
+    statistics from this formula without ever seeing the bytes):
+
+    * ``n_frames = id % max_frames + 16``
+    * ``channels = 1`` (mono) for even ids, ``2`` (stereo) for odd
+    * ``sample(i, c) = ((37·i + 101·c + 13·id) % 4096) − 2048``
+      (int16-safe by construction)
+    """
+    import numpy as np
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, frames, chans = [], [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = mid % max_frames + 16
+                ch = 1 if mid % 2 == 0 else 2
+                i = np.arange(n, dtype=np.int64)
+                c = np.arange(ch, dtype=np.int64)
+                s = (37 * i[:, None] + 101 * c[None, :] + 13 * mid) % 4096 - 2048
+                payloads.append(
+                    wav_codec.encode_wav(
+                        s.astype(np.int16), sample_rate, ch, bits=16
+                    )
+                )
+                frames.append(n)
+                chans.append(ch)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": payloads,
+                    "media_type": "audio/wav",
+                    "n_frames": pd.array(frames, dtype="int32"),
+                    "channels": pd.array(chans, dtype="int32"),
+                }
+            )
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            "media_id long, payload binary, media_type string, "
+            "n_frames int, channels int"
+        ),
+    )
+
+
+AUDIO_STATS_SCHEMA = (
+    "media_id long, sample_rate int, channels int, n_frames int, sample_sum long"
+)
+
+
+def decode_audio_stats(df: DataFrame) -> DataFrame:
+    """REAL WAV decode via Arrow-batched ``mapInPandas``: walk the RIFF
+    chunk stream, validate fmt/block-align, and emit the decoded rate/
+    channel/frame counts plus the sample-value sum. Raises on non-PCM
+    payloads — no silent fallback."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "sample_rate": [], "channels": [],
+                "n_frames": [], "sample_sum": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, ch, _bits, n, samples = wav_codec.decode_wav(bytes(payload))
+                rows["media_id"].append(int(mid))
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(ch)
+                rows["n_frames"].append(n)
+                rows["sample_sum"].append(int(samples.sum(dtype="int64")))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
+
+
+RESAMPLE_STATS_SCHEMA = (
+    "media_id long, sample_rate int, channels int, n_frames int, "
+    "target_frames int, sample_sum long"
+)
+
+
+def resample_audio_stats(
+    df: DataFrame, target_frames: int, method: str = "nearest"
+) -> DataFrame:
+    """REAL decode + resample: WAV payloads are decoded, resampled on the
+    frame axis (``nearest`` uses the exact integer floor mapping the
+    driver oracle recomputes; ``linear`` is the half-frame-center
+    blend), and summarized as decoded stats of the RESAMPLED signal."""
+    if method not in ("nearest", "linear"):
+        raise ValueError(f"unknown resample method {method!r}")
+    kernel = (
+        wav_codec.resample_nearest
+        if method == "nearest"
+        else wav_codec.resample_linear
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "sample_rate": [], "channels": [],
+                "n_frames": [], "target_frames": [], "sample_sum": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, ch, _bits, n, samples = wav_codec.decode_wav(bytes(payload))
+                out = kernel(samples, target_frames)
+                rows["media_id"].append(int(mid))
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(ch)
+                rows["n_frames"].append(n)
+                rows["target_frames"].append(target_frames)
+                rows["sample_sum"].append(int(out.sum(dtype="int64")))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=RESAMPLE_STATS_SCHEMA)
 
 
 def binary_metadata(df: DataFrame) -> DataFrame:
