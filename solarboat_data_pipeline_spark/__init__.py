@@ -33,6 +33,7 @@ from solarboat_data_pipeline_spark.session import get_spark
 # --- module namespaces (scaled twins, catalogs, families) ----------------
 from solarboat_data_pipeline_spark import catalog, pipeline
 from solarboat_data_pipeline_spark.operators import (
+    avi,
     dedup,
     multimodal,
     parse,
@@ -171,10 +172,12 @@ from solarboat_data_pipeline_spark.operators.multimodal import (
     binary_metadata,
     decode_audio_stats,
     decode_image_stats,
+    decode_video_stats,
     extract_features,
     frame_sample_plan,
     resample_audio_stats,
     resize_image_stats,
+    sample_frame_stats,
 )
 
 __all__ = [
@@ -183,7 +186,7 @@ __all__ = [
     # module namespaces
     "catalog", "pipeline", "parse", "timeseries", "scale",
     "dedup", "similarity", "text", "sampling", "skew",
-    "multimodal", "png", "wav", "geo", "solar", "formatting",
+    "multimodal", "png", "wav", "avi", "geo", "solar", "formatting",
     "sinks", "bucketed", "streaming", "stateful",
     # sources / sinks
     "scan_candump", "extract_frames", "scan_forecast_csv", "scan_gps_csv",
@@ -218,5 +221,5 @@ __all__ = [
     "two_phase_count_distinct", "salted_topk", "exact_quantile_cont",
     "binary_metadata", "extract_features", "decode_image_stats",
     "resize_image_stats", "decode_audio_stats", "resample_audio_stats",
-    "frame_sample_plan",
+    "decode_video_stats", "sample_frame_stats", "frame_sample_plan",
 ]

@@ -2112,6 +2112,72 @@ def mm_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_avi_decode",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             doc_id % 12 + 2 AS nf,
+             doc_id % 8 + 1 AS w,
+             doc_id % 6 + 1 AS h
+      FROM documents),
+    px AS (
+      SELECT g.doc_id, g.nf, g.w, g.h,
+             (11 * f.f + 7 * x.x + 13 * y.y + 31 * c.c + g.doc_id) % 256 AS v
+      FROM g, generate_series(0, 13) f(f), generate_series(0, 7) x(x),
+           generate_series(0, 5) y(y), generate_series(0, 2) c(c)
+      WHERE f.f < g.nf AND x.x < g.w AND y.y < g.h)
+    SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
+           nf::INT AS n_frames, 25::INT AS fps,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id, w, h, nf
+    """,
+)
+def mm_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL uncompressed-video decode (operators/avi.py +
+    multimodal.decode_video_stats): each document id becomes a genuine
+    BI_RGB AVI file (stdlib struct RIFF writer), decoded back by the
+    stdlib reader inside Arrow mapInPandas — chunk-tree walk,
+    BITMAPINFOHEADER validation, DIB bottom-up/BGR/row-padding undone.
+    The oracle recomputes decoded dims/frames/pixel-sum ARITHMETICALLY
+    from the generator formula — DuckDB never sees the bytes, so a wrong
+    container/DIB stage cannot hash-match."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_avi_media(docs)
+    return mm.decode_video_stats(media)
+
+
+@register(
+    "mm_avi_frames",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             doc_id % 12 + 2 AS nf,
+             doc_id % 8 + 1 AS w,
+             doc_id % 6 + 1 AS h
+      FROM documents),
+    px AS (
+      SELECT g.doc_id, g.nf, g.w, g.h,
+             (11 * f.f + 7 * x.x + 13 * y.y + 31 * c.c + g.doc_id) % 256 AS v
+      FROM g, generate_series(0, 13) f(f), generate_series(0, 7) x(x),
+           generate_series(0, 5) y(y), generate_series(0, 2) c(c)
+      WHERE f.f < g.nf AND f.f % 2 = 0 AND x.x < g.w AND y.y < g.h)
+    SELECT doc_id AS media_id, nf::INT AS n_frames,
+           ((nf + 1) // 2)::INT AS sampled_frames,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id, nf
+    """,
+)
+def mm_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode + every-2nd-frame sampling (operators/avi.py
+    ``sample_frames``): frames 0, 2, 4, ... of the decoded AVI,
+    summarized as sampled-frame count + pixel sum. The oracle selects
+    the same frames arithmetically (``f % 2 = 0``)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_avi_media(docs)
+    return mm.sample_frame_stats(media, every_k=2)
+
+
+@register(
     "skew_salted_topk",
     """
     WITH ranked AS (
@@ -3659,11 +3725,13 @@ def k_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver's entry() every round. r03-green queries left below the cut
 # lead the r06 window so no green row goes more than ~2 rounds stale.
 _PRIORITY = [
-    # 1. changed code this round (17)
+    # 1. changed code this round (19)
     "mm_png_decode",
     "mm_png_resize",
     "mm_wav_decode",
     "mm_wav_resample",
+    "mm_avi_decode",
+    "mm_avi_frames",
     "mm_binary_meta",
     "mm_features",
     "mm_resize",
@@ -3711,11 +3779,11 @@ _PRIORITY = [
     "p13_p16_project_slice",
     "p3_p4_time_window",
     "j1_left_join_enrich",
-    "j5_unify_chunks",
-    "a2_pivot_wide",
     # --- below the expected driver cut: r03-green queries that lead
     # r06's window, then the r04-green block -- ALL still oracle-checked
     # by the identical pytest gate every run.
+    "j5_unify_chunks",
+    "a2_pivot_wide",
     "w7_asfreq_dense",
     "w_sessionize",
     "pipeline_curation",

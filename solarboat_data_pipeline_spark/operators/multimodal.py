@@ -6,11 +6,13 @@ resizes on the decoded pixel array, all inside Arrow-batched
 ``mapInPandas``. The AUDIO path is real too: genuine RIFF/PCM WAV
 payloads decoded and resampled by the pure-stdlib codec in :mod:`.wav`
 (struct only — no torchaudio needed, cross-validated against the stdlib
-``wave`` module). Video decode libraries are not available in this
-build container, so that kernel remains a documented stub — the
-Spark-side contract (schema, Arrow batch shape, partitioning, UDF
-signature) is real and tested; swap in ffmpeg on a cluster that has it
-and nothing else changes.
+``wave`` module). The VIDEO path is real for the uncompressed envelope:
+genuine BI_RGB AVI payloads decoded and frame-sampled by the pure-stdlib
+RIFF reader in :mod:`.avi`. COMPRESSED video (MJPEG/H.264) needs a real
+codec that is not in this build container — that lane stays a documented
+stub (``frame_sample_plan``/``extract_features`` byte-stream stand-ins);
+swap in ffmpeg at the same Arrow ``mapInPandas`` contract on a cluster
+that has it and nothing else changes.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from solarboat_data_pipeline_spark.operators import avi as avi_codec
 from solarboat_data_pipeline_spark.operators import png as png_codec
 from solarboat_data_pipeline_spark.operators import wav as wav_codec
 
@@ -307,6 +310,127 @@ def resample_audio_stats(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=RESAMPLE_STATS_SCHEMA)
+
+
+def synthesize_avi_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    max_frames: int = 12,
+    max_width: int = 8,
+    max_height: int = 6,
+    fps: int = 25,
+) -> DataFrame:
+    """Build a media table whose payloads are GENUINE uncompressed AVI
+    files (raw BI_RGB DIB frames), one per input row, encoded by the
+    stdlib codec inside ``mapInPandas`` (the video twin of
+    :func:`synthesize_png_media`).
+
+    Deterministic generator (the driver oracle recomputes decoded frame
+    statistics from this formula without ever seeing the bytes):
+
+    * ``n_frames = id % max_frames + 2``
+    * ``width = id % max_width + 1``, ``height = id % max_height + 1``
+    * ``pixel(f, x, y, c) = (11f + 7x + 13y + 31c + id) % 256``
+    """
+    import numpy as np
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, nfs = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                nf = mid % max_frames + 2
+                w = mid % max_width + 1
+                h = mid % max_height + 1
+                f = np.arange(nf, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                x = np.arange(w, dtype=np.int64)
+                c = np.arange(3, dtype=np.int64)
+                px = (
+                    11 * f[:, None, None, None]
+                    + 7 * x[None, None, :, None]
+                    + 13 * y[None, :, None, None]
+                    + 31 * c[None, None, None, :]
+                    + mid
+                ) % 256
+                payloads.append(avi_codec.encode_avi(px.astype(np.uint8), fps=fps))
+                nfs.append(nf)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": payloads,
+                    "media_type": "video/x-msvideo",
+                    "n_frames": pd.array(nfs, dtype="int32"),
+                }
+            )
+
+    return src.mapInPandas(
+        run,
+        schema="media_id long, payload binary, media_type string, n_frames int",
+    )
+
+
+VIDEO_STATS_SCHEMA = (
+    "media_id long, width int, height int, n_frames int, fps int, pixel_sum long"
+)
+
+
+def decode_video_stats(df: DataFrame) -> DataFrame:
+    """REAL uncompressed-AVI decode via Arrow-batched ``mapInPandas``:
+    walk the RIFF/hdrl/movi chunk tree, validate the BITMAPINFOHEADER,
+    undo the DIB bottom-up/BGR/row-padding layout, and emit decoded
+    dimensions/frame counts plus the pixel-value sum. Raises on
+    compressed streams — no silent fallback (a production cluster plugs
+    ffmpeg in at this same contract for MJPEG/H.264)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "width": [], "height": [],
+                "n_frames": [], "fps": [], "pixel_sum": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, n, fps, frames = avi_codec.decode_avi(bytes(payload))
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(n)
+                rows["fps"].append(fps)
+                rows["pixel_sum"].append(int(frames.sum(dtype="int64")))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=VIDEO_STATS_SCHEMA)
+
+
+FRAME_STATS_SCHEMA = (
+    "media_id long, n_frames int, sampled_frames int, pixel_sum long"
+)
+
+
+def sample_frame_stats(df: DataFrame, every_k: int) -> DataFrame:
+    """REAL decode + every-``k``-th frame sampling: AVI payloads are
+    decoded and frames ``0, k, 2k, ...`` selected; emits the sampled
+    frame count and their pixel sum (the real kernel the
+    :func:`frame_sample_plan` stub plans for)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "n_frames": [],
+                "sampled_frames": [], "pixel_sum": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _w, _h, n, _fps, frames = avi_codec.decode_avi(bytes(payload))
+                picked = avi_codec.sample_frames(frames, every_k)
+                rows["media_id"].append(int(mid))
+                rows["n_frames"].append(n)
+                rows["sampled_frames"].append(picked.shape[0])
+                rows["pixel_sum"].append(int(picked.sum(dtype="int64")))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=FRAME_STATS_SCHEMA)
 
 
 def binary_metadata(df: DataFrame) -> DataFrame:
