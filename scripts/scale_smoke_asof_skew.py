@@ -26,7 +26,10 @@ Checks (exit 1 unless all agree):
       of buckets) — assert the tight ``2 × target`` bound;
 4. ``asof_join_backward`` and ``asof_join_linear`` (scaled, CDF bounds)
    remain EXACTLY equal to their global-window twins on the skewed
-   corpus — skew must not change semantics, only the partition shape.
+   corpus — skew must not change semantics, only the partition shape;
+5. ``scale.interpolate_time`` (bucketed carries, CDF bounds) remains
+   exactly equal to the global-window kernel on the skewed corpus with
+   80% planted nulls (gaps span the hot/cold seam).
 
 Run from the repo root: python scripts/scale_smoke_asof_skew.py [n_rows]
 """
@@ -239,6 +242,29 @@ def main() -> None:
             n == N and mismatch == 0,
             {"rows": n, "mismatches": mismatch, "sec": round(time.perf_counter() - t0, 2)},
         )
+
+    # -- 5. bucketed interpolation == global kernel on the skewed corpus
+    holes = ev.withColumn(
+        "v",
+        F.when(
+            F.pmod(F.hash("event_id"), 5) == 0, (F.col("event_id") % 997).cast("double")
+        ),  # 80% nulls; runs cross the hot/cold seam
+    )
+    t0 = time.perf_counter()
+    g = ts.interpolate_time(holes, ts_col="ts", value_cols=["v"], limit_area="inside")
+    s = sc.interpolate_time(
+        holes, ts_col="ts", value_cols=["v"], limit_area="inside", bounds=cdf_bounds
+    )
+    n_i, mismatch_i = diverge(g, s)
+    report(
+        "interpolate_skew_exact",
+        n_i == N and mismatch_i == 0,
+        {
+            "rows": n_i,
+            "mismatches": mismatch_i,
+            "sec": round(time.perf_counter() - t0, 2),
+        },
+    )
 
     all_agree = all(r["agree"] for r in results)
     print(

@@ -3120,6 +3120,57 @@ def txt_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.model_score(_t(spark, sf_dir, "documents"))
 
 
+def _sql_model_score_real() -> str:
+    """Oracle for the REAL trained quality model: the identical feature
+    arithmetic (integer counts, count-ratio divisions — IEEE-exact, no
+    libm) and the identical fixed-order dot product, with every weight
+    literal cast ::DOUBLE (DuckDB parses bare decimal literals as
+    DECIMAL — the f7 lesson)."""
+    from solarboat_data_pipeline_spark.operators import quality_model as qm
+
+    stops = sorted({w for ws in tx.LANG_STOPWORDS.values() for w in ws})
+    feats = [
+        "(n_chars / 1000.0::DOUBLE)",
+        "(n_words / 100.0::DOUBLE)",
+        "(CASE WHEN n_words > 0 THEN (sum_len / n_words) / 10.0::DOUBLE ELSE 0.0::DOUBLE END)",
+        "(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0::DOUBLE END)",
+        "(CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0::DOUBLE END)",
+        "(CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0::DOUBLE END)",
+        "(CASE WHEN n_words > 0 THEN 1.0::DOUBLE - n_distinct / n_words ELSE 0.0::DOUBLE END)",
+    ]
+    z = f"{qm.BIAS!r}::DOUBLE"
+    for w, f in zip(qm.WEIGHTS, feats):
+        z = f"({z} + {w!r}::DOUBLE * {f})"
+    return f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+         c AS (SELECT doc_id,
+                 length(text) AS n_chars,
+                 len(toks) AS n_words,
+                 list_sum(list_transform(toks, t -> length(t))) AS sum_len,
+                 len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+                 len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+                 len(list_filter(toks, t -> list_contains({stops!r}, t))) AS n_stop,
+                 len(list_distinct(toks)) AS n_distinct
+               FROM t)
+    SELECT doc_id, {z} AS logit, {z} > 0 AS keep FROM c
+    """
+
+
+@register("txt_model_score_real", _sql_model_score_real())
+def txt_model_score_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL model inference (operators/quality_model.py via
+    text.model_score(fake=False)): the in-repo TRAINED logistic quality
+    model (gradient descent on a deterministic synthetic corpus, frozen
+    weights, heldout acc 0.9825) scoring documents through the Arrow
+    mapInPandas contract. The oracle recomputes the identical
+    feature-and-dot-product arithmetic in SQL — the logit is bit-exact
+    cross-engine (counts, count ratios, fixed-order multiply-add; the
+    sigmoid stays out of the gate because exp() is libm). ``keep`` is
+    the sign of the logit — the actual curation decision."""
+    scored = tx.model_score(_t(spark, sf_dir, "documents"), fake=False)
+    return scored.select("doc_id", "logit", "keep")
+
+
 @register(
     "dd_incremental",
     """
@@ -3732,6 +3783,8 @@ _PRIORITY = [
     "mm_wav_resample",
     "mm_avi_decode",
     "mm_avi_frames",
+    "txt_model_score_real",
+    "txt_model_score",
     "mm_binary_meta",
     "mm_features",
     "mm_resize",
@@ -3777,11 +3830,11 @@ _PRIORITY = [
     "p10_binary_decode",
     "p12_explode_tokens",
     "p13_p16_project_slice",
-    "p3_p4_time_window",
-    "j1_left_join_enrich",
     # --- below the expected driver cut: r03-green queries that lead
     # r06's window, then the r04-green block -- ALL still oracle-checked
     # by the identical pytest gate every run.
+    "p3_p4_time_window",
+    "j1_left_join_enrich",
     "j5_unify_chunks",
     "a2_pivot_wide",
     "w7_asfreq_dense",
@@ -3795,7 +3848,6 @@ _PRIORITY = [
     "sim_ann_lsh",
     "sim_ivf_topk",
     "txt_quality_filter",
-    "txt_model_score",
     "txt_decontaminate",
     "samp_stratified",
     "samp_token_budget",

@@ -197,24 +197,45 @@ def model_score(
     Arrow record batches, scores come back column-aligned, nothing leaves
     the executor — which is exactly how a small LM or fastText-style
     classifier runs at corpus scale (load the model once per task, score
-    per batch). The MODEL is the stub: ``fake=True`` scores with a
-    deterministic byte-statistic stand-in (mean byte value / 255, so the
-    SQL oracle can reproduce it exactly); ``fake=False`` raises
-    ``NotImplementedError`` at the marked integration point."""
+    per batch).
+
+    ``fake=False`` runs REAL inference: the built-in trained logistic
+    quality model (:mod:`.quality_model` — in-repo gradient-descent
+    weights over cross-engine-exact features; see its docstring for what
+    it is and is not) and returns ``(id, logit, score, keep)`` where
+    ``logit`` is bit-exact against the SQL oracle and ``keep = logit >
+    0``. ``fake=True`` (default, kept for the legacy ``txt_model_score``
+    row) scores with the deterministic byte-statistic stand-in (mean
+    byte value / 255)."""
     from collections.abc import Iterator
 
     import pandas as pd
 
+    if not fake:
+        from solarboat_data_pipeline_spark.operators import quality_model
+
+        schema_real = f"{id_col} long, logit double, {out_col} double, keep boolean"
+
+        def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # the model "loads" here, once per task — for the built-in
+            # linear model that is just the frozen weights import
+            for pdf in batches:
+                z, p = quality_model.score_texts(list(pdf[text_col]))
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "logit": z,
+                        out_col: p,
+                        "keep": z > 0,
+                    }
+                )
+
+        return df.select(id_col, text_col).mapInPandas(run_real, schema=schema_real)
+
     schema = f"{id_col} long, {out_col} double"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # a real scorer loads its model HERE, once per task
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real model scoring requires a model runtime; "
-                    "not available in this container"
-                )
             scores = []
             for t in pdf[text_col]:
                 b = t.encode("utf-8")
