@@ -3,7 +3,7 @@
 
 scale_smoke_skew.py covers hot GROUP keys (distinct/top-k/quantile);
 this smoke covers the other skew axis the verdict asked to prove: a hot
-ORDER-KEY REGION — 50% of all events packed into a 10-second timestamp
+ORDER-KEY REGION — 50% of all events packed into a 20-second timestamp
 window inside a 30-day corpus (1M events/s burst, e.g. a logger fault or
 a backfill seam). A range-bucketed kernel with EQUAL-WIDTH bounds sends
 that whole region to one bucket = one task; CDF-based bounds (what
@@ -56,7 +56,12 @@ WORK = "/tmp/asof_skew_smoke"
 COLD_BASE = 1_600_000_000_000_000  # epoch µs
 COLD_STEP = 259_000  # odd ids: one event / 259 ms → ~30 days for N/2 events
 HOT_BASE = COLD_BASE + 1_000_000_000_000  # hot burst ~11.6 days in
-# even ids: one event / µs → N/2 events inside N/2 µs (10 s at N=20M)
+# even ids: one event / 2 µs → N/2 events inside N µs (20 s at N=20M).
+# Parity keeps the two arms globally DISTINCT even where the cold span
+# crosses the hot window (hot = even offsets, cold = odd): duplicate
+# order keys are outside the interpolation contract (pandas reindex
+# raises on them; see interpolate_time docstrings), so the corpus must
+# not produce any.
 
 results: list[dict] = []
 
@@ -68,12 +73,12 @@ def report(check: str, agree: bool, extra: dict) -> None:
 
 
 def skewed_events(spark):
-    """50% of events in a (N/2) µs hot window, 50% spread over ~30 days.
-    Timestamps are all distinct (id-indexed µs offsets), so global vs
-    bucketed tie behavior cannot mask a boundary bug."""
+    """50% of events in an N µs hot window, 50% spread over ~30 days.
+    Timestamps are all distinct (hot arm even, cold arm odd), so global
+    vs bucketed tie behavior cannot mask a boundary bug."""
     half = F.col("id") / 2
-    hot = F.lit(HOT_BASE) + half.cast("long")
-    cold = F.lit(COLD_BASE) + half.cast("long") * COLD_STEP
+    hot = F.lit(HOT_BASE) + half.cast("long") * 2
+    cold = F.lit(COLD_BASE) + half.cast("long") * COLD_STEP + 1
     return spark.range(N).select(
         F.col("id").alias("event_id"),
         F.timestamp_micros(
@@ -180,7 +185,7 @@ def main() -> None:
     # 3b. row groups ≫ buckets — the 100 TB shape (a petabyte table has
     # thousands of 128 MB groups vs dozens of buckets). Force ~1 MB
     # groups so the CDF resolution matches that regime, then the tight
-    # bound must hold even with 50% of rows inside a 10 s window.
+    # bound must hold even with 50% of rows inside a 20 s window.
     path_fine = os.path.join(WORK, "events_sorted_fine.parquet")
     sorted_ev.write.mode("overwrite").option(
         "parquet.block.size", str(64 << 10)

@@ -526,7 +526,13 @@ def interpolate_time(
     interpolation partitioned by (series, ``__name``), repivot — keeping
     the carry machinery per (name, bucket) instead of fanning expressions
     out per column. ``partition_cols`` scopes every scan to independent
-    series within the same frame."""
+    series within the same frame.
+
+    Duplicate order keys are outside the contract (the reference's pandas
+    ``reindex`` raises on them; :func:`timeseries.dedup_keep_first`
+    first). The kernel never hard-fails on ties — a degenerate bracket
+    fills with ``prev_v``, same guard as the global kernel and the as-of
+    linear twins — but tie neighbor choice is plan-order-dependent."""
     pc = list(partition_cols)
     if value_cols is None:
         value_cols = [c for c in df.columns if c != ts_col and c not in pc]
@@ -622,8 +628,11 @@ def interpolate_time(
         v = F.col(c)
         prev_v, next_v = F.col(f"__p_{c}"), F.col(f"__n_{c}")
         prev_ts, next_ts = F.col(f"__pts_{c}"), F.col(f"__nts_{c}")
-        frac = (ts_us - prev_ts) / (next_ts - prev_ts)
-        blend = prev_v + (next_v - prev_v) * frac
+        # duplicate-timestamp guard — mirrors the global kernel and the
+        # as-of linear twins exactly (degenerate bracket → prev_v)
+        blend = F.when(next_ts == prev_ts, prev_v).otherwise(
+            prev_v + (next_v - prev_v) * ((ts_us - prev_ts) / (next_ts - prev_ts))
+        )
         cond = prev_v.isNotNull() & next_v.isNotNull()
         if limit is not None:
             lprn = F.col(f"__lprn_{c}")

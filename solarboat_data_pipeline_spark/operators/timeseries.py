@@ -197,6 +197,14 @@ def interpolate_time(
     window exprs per column in place; ``"long"`` unpivots, interpolates one
     value column partitioned by series name, and repivots — the scale path
     for wide telemetry tables; ``"auto"`` picks by column count.
+
+    Duplicate order keys are OUTSIDE the contract, matching the reference:
+    pandas ``reindex`` raises on a duplicate index (``lib/resampler.py``
+    dedups by timestamp first) — run :func:`dedup_keep_first` first. On
+    ties the kernel never hard-fails (a degenerate bracket with both
+    valid neighbors at one instant fills with ``prev_v`` instead of an
+    ANSI 0/0 error), but which tied row counts as the neighbor is
+    plan-order-dependent.
     """
     if value_cols is None:
         value_cols = [
@@ -245,8 +253,13 @@ def interpolate_time(
             F.when(v.isNotNull(), F.col("__rn")), ignorenulls=True
         ).over(w_prev)
         gap_pos = F.col("__rn") - last_valid_rn  # 1-based index into the null run
-        frac = (ts_us - prev_ts) / (next_ts - prev_ts)
-        blend = prev_v + (next_v - prev_v) * frac
+        # duplicate-timestamp guard (same convention as the as-of linear
+        # kernels): a degenerate bracket (both valid neighbors at the
+        # same instant) fills with prev_v instead of dividing 0/0 —
+        # under ANSI mode the unguarded division is a hard error
+        blend = F.when(next_ts == prev_ts, prev_v).otherwise(
+            prev_v + (next_v - prev_v) * ((ts_us - prev_ts) / (next_ts - prev_ts))
+        )
         fill_inside = prev_v.isNotNull() & next_v.isNotNull()
         cond = fill_inside
         if limit is not None:

@@ -177,3 +177,31 @@ def test_interval_join_rejects_unknown_chunk_string(spark):
     )
     with pytest.raises(ValueError, match="chunk_seconds"):
         tsops.interval_join(points, intervals, chunk_seconds="fast")
+
+
+def test_interpolate_duplicate_timestamps_never_divide_by_zero(spark):
+    """Duplicate order keys are outside the contract (pandas reindex
+    raises; dedup_keep_first is the documented pre-step), but the
+    kernels must NEVER hard-fail on them under ANSI mode: a degenerate
+    bracket (both valid neighbors at one instant) fills with prev_v —
+    the same guard the as-of linear kernels have always had. Found by
+    scale_smoke_asof_skew.py when its hot/cold arms accidentally
+    collided at 20M rows."""
+    from solarboat_data_pipeline_spark.operators import scale as sc
+
+    # a null strictly between two valid rows AT THE SAME instant: the
+    # unguarded blend is 0/0 for every tie order
+    rows = [(0, 0, 1.0), (1, 1000, 2.0), (2, 1000, None), (3, 1000, 3.0),
+            (4, 2000, 4.0)]
+    df = spark.createDataFrame(rows, "event_id long, us long, v double").select(
+        "event_id", F.timestamp_micros("us").alias("ts"), "v"
+    )
+    g = {r["event_id"]: r["v"]
+         for r in tsops.interpolate_time(df, ts_col="ts", value_cols=["v"]).collect()}
+    s = {r["event_id"]: r["v"]
+         for r in sc.interpolate_time(df, ts_col="ts", value_cols=["v"],
+                                      num_buckets=2).collect()}
+    assert g == s
+    assert g[2] in (2.0, 3.0)  # a neighboring valid value, never 0/0
+    # valid rows untouched
+    assert (g[0], g[1], g[3], g[4]) == (1.0, 2.0, 3.0, 4.0)
