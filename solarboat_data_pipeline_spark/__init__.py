@@ -35,6 +35,7 @@ from solarboat_data_pipeline_spark import catalog, pipeline
 from solarboat_data_pipeline_spark.operators import (
     avi,
     dedup,
+    jpeg,
     multimodal,
     parse,
     png,
@@ -175,6 +176,7 @@ from solarboat_data_pipeline_spark.operators.multimodal import (
     decode_video_stats,
     extract_features,
     frame_sample_plan,
+    mjpeg_decode_check,
     resample_audio_stats,
     resize_image_stats,
     sample_frame_stats,
@@ -186,7 +188,7 @@ __all__ = [
     # module namespaces
     "catalog", "pipeline", "parse", "timeseries", "scale",
     "dedup", "similarity", "text", "sampling", "skew",
-    "multimodal", "png", "wav", "avi", "geo", "solar", "formatting",
+    "multimodal", "png", "wav", "avi", "jpeg", "geo", "solar", "formatting",
     "sinks", "bucketed", "streaming", "stateful",
     # sources / sinks
     "scan_candump", "extract_frames", "scan_forecast_csv", "scan_gps_csv",
@@ -221,5 +223,6 @@ __all__ = [
     "two_phase_count_distinct", "salted_topk", "exact_quantile_cont",
     "binary_metadata", "extract_features", "decode_image_stats",
     "resize_image_stats", "decode_audio_stats", "resample_audio_stats",
-    "decode_video_stats", "sample_frame_stats", "frame_sample_plan",
+    "decode_video_stats", "sample_frame_stats", "mjpeg_decode_check",
+    "frame_sample_plan",
 ]

@@ -2178,6 +2178,37 @@ def mm_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_mjpeg_decode",
+    """
+    SELECT doc_id AS media_id,
+           (doc_id % 8 + 1)::INT AS width,
+           (doc_id % 6 + 1)::INT AS height,
+           (doc_id % 12 + 2)::INT AS n_frames,
+           25::INT AS fps,
+           true AS ok
+    FROM documents
+    """,
+)
+def mm_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video decode (operators/jpeg.py baseline JPEG +
+    operators/avi.py MJPEG container): each document id becomes a
+    genuine Motion-JPEG AVI (frames compressed by the in-repo T.81
+    baseline codec — FDCT, Annex K quantization, canonical Huffman,
+    byte stuffing), decoded back frame-by-frame inside Arrow
+    mapInPandas (Huffman decode, dequant, IDCT, YCbCr→RGB). JPEG is
+    LOSSY, so unlike the PNG/WAV rows the oracle checks the container
+    dimensions/frame counts arithmetically plus a per-media fidelity
+    gate: decoded-vs-truth mean absolute error < 16 (the working codec
+    measures ~2-6 on this pattern; a broken Huffman/dequant/IDCT stage
+    lands near the ~85 of unrelated noise). Exactness evidence lives in
+    tests/test_jpeg.py (round-trips, spec-golden markers, orthonormal
+    DCT, adversarial corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_mjpeg_media(docs)
+    return mm.mjpeg_decode_check(media)
+
+
+@register(
     "skew_salted_topk",
     """
     WITH ranked AS (
@@ -3783,6 +3814,7 @@ _PRIORITY = [
     "mm_wav_resample",
     "mm_avi_decode",
     "mm_avi_frames",
+    "mm_mjpeg_decode",
     "txt_model_score_real",
     "txt_model_score",
     "mm_binary_meta",
@@ -3829,10 +3861,10 @@ _PRIORITY = [
     "s5_json_dump_roundtrip",
     "p10_binary_decode",
     "p12_explode_tokens",
-    "p13_p16_project_slice",
     # --- below the expected driver cut: r03-green queries that lead
     # r06's window, then the r04-green block -- ALL still oracle-checked
     # by the identical pytest gate every run.
+    "p13_p16_project_slice",
     "p3_p4_time_window",
     "j1_left_join_enrich",
     "j5_unify_chunks",

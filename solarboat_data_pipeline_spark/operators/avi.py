@@ -1,5 +1,7 @@
-"""Pure-stdlib AVI (RIFF) reader/writer for UNCOMPRESSED video
-(``struct`` only) — the video twin of :mod:`.png` / :mod:`.wav`.
+"""Pure-stdlib AVI (RIFF) reader/writer for uncompressed AND
+Motion-JPEG video (``struct`` only; MJPEG frames via the in-repo
+baseline JPEG codec :mod:`.jpeg`) — the video twin of :mod:`.png` /
+:mod:`.wav`.
 
 The AVI container is public (Microsoft "AVI RIFF File Reference"): a
 ``RIFF``/``AVI `` form holding a ``LIST hdrl`` (``avih`` main header,
@@ -50,12 +52,19 @@ def _list(ltype: bytes, payload: bytes) -> bytes:
     return _chunk(b"LIST", ltype + payload)
 
 
+_MJPG = 0x47504A4D  # 'MJPG' fourcc, little-endian
+
+
 def encode_avi(
     frames: np.ndarray,
     fps: int = 25,
+    codec: str = "rgb",
 ) -> bytes:
     """Encode ``(n_frames, height, width, 3)`` uint8 RGB frames as an
-    uncompressed (BI_RGB) AVI."""
+    AVI: ``codec="rgb"`` = uncompressed BI_RGB DIBs, ``codec="mjpg"`` =
+    Motion-JPEG (each frame a baseline JPEG from :mod:`.jpeg`)."""
+    if codec not in ("rgb", "mjpg"):
+        raise ValueError(f"unknown codec {codec!r}; use 'rgb' or 'mjpg'")
     arr = np.asarray(frames, dtype=np.uint8)
     if arr.ndim != 4 or arr.shape[3] != 3:
         raise ValueError("frames must be (n, height, width, 3) uint8 RGB")
@@ -65,9 +74,23 @@ def encode_avi(
     row_bytes = (width * 3 + 3) & ~3  # DIB rows pad to 4 bytes
     frame_bytes = row_bytes * height
 
-    # raw DIB: bottom-up rows, BGR order, padded rows
-    dib = np.zeros((n, height, row_bytes), dtype=np.uint8)
-    dib[:, :, : width * 3] = arr[:, ::-1, :, ::-1].reshape(n, height, width * 3)
+    if codec == "mjpg":
+        from solarboat_data_pipeline_spark.operators import jpeg as jpeg_codec
+
+        payloads = [
+            jpeg_codec.encode_jpeg(arr[i].tobytes(), width, height, 3)
+            for i in range(n)
+        ]
+        frame_bytes = max(len(p) for p in payloads) if payloads else 0
+        compression = _MJPG
+        bits = 24
+    else:
+        # raw DIB: bottom-up rows, BGR order, padded rows
+        dib = np.zeros((n, height, row_bytes), dtype=np.uint8)
+        dib[:, :, : width * 3] = arr[:, ::-1, :, ::-1].reshape(n, height, width * 3)
+        payloads = [dib[i].tobytes() for i in range(n)]
+        compression = _BI_RGB
+        bits = 24
 
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
@@ -78,8 +101,9 @@ def encode_avi(
         n, 0, 1, frame_bytes,  # total frames, initial, streams, buffer
         width, height, 0, 0, 0, 0,
     )
+    handler = b"MJPG" if codec == "mjpg" else b"\x00" * 4
     strh = (
-        b"vids" + b"\x00" * 4  # handler
+        b"vids" + handler
         + struct.pack("<IHHI", 0, 0, 0, 0)  # flags, prio, lang, initialFrames
         + struct.pack("<II", 1, fps)  # scale=1, rate=fps
         + struct.pack("<III", 0, n, frame_bytes)  # start, length, bufSize
@@ -88,16 +112,15 @@ def encode_avi(
     )
     strf = struct.pack(
         "<IiiHHIIiiII",
-        40, width, height, 1, 24, _BI_RGB, frame_bytes, 0, 0, 0, 0,
+        40, width, height, 1, bits, compression, frame_bytes, 0, 0, 0, 0,
     )
     hdrl = _list(
         b"hdrl",
         _chunk(b"avih", avih)
         + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
     )
-    movi = _list(
-        b"movi", b"".join(_chunk(b"00db", dib[i].tobytes()) for i in range(n))
-    )
+    ftag = b"00dc" if codec == "mjpg" else b"00db"
+    movi = _list(b"movi", b"".join(_chunk(ftag, p) for p in payloads))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -152,17 +175,34 @@ def decode_avi(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
 
     if width < 0:
         raise ValueError("corrupt AVI: missing video strf header")
-    if compression != _BI_RGB:
+    if compression not in (_BI_RGB, _MJPG):
         raise ValueError(
-            f"unsupported AVI: biCompression {compression} (MJPEG/H.264/... "
-            "need a real codec; only uncompressed BI_RGB supported)"
+            f"unsupported AVI: biCompression 0x{compression:08X} (H.264/VP9/"
+            "... need a real codec; only BI_RGB and MJPG supported)"
         )
-    if bits != 24:
-        raise ValueError(f"unsupported AVI: {bits} bpp (only 24-bit BI_RGB)")
     top_down = height < 0  # negative biHeight = top-down DIB (also public)
     height = abs(height)
     if width <= 0 or height <= 0:
         raise ValueError("corrupt AVI: non-positive dimensions")
+    fps = (rate // scale) if (rate and scale) else 0
+
+    if compression == _MJPG:
+        from solarboat_data_pipeline_spark.operators import jpeg as jpeg_codec
+
+        frames = np.empty((len(raw_frames), height, width, 3), dtype=np.uint8)
+        for i, raw in enumerate(raw_frames):
+            w, h, ch, px = jpeg_codec.decode_jpeg(raw)
+            if (w, h) != (width, height):
+                raise ValueError(
+                    f"corrupt AVI: MJPEG frame {i} is {w}x{h}, "
+                    f"container says {width}x{height}"
+                )
+            rgb = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+            frames[i] = rgb if ch == 3 else np.repeat(rgb, 3, axis=2)
+        return width, height, len(raw_frames), fps, frames
+
+    if bits != 24:
+        raise ValueError(f"unsupported AVI: {bits} bpp (only 24-bit BI_RGB)")
     row_bytes = (width * 3 + 3) & ~3
     frames = np.empty((len(raw_frames), height, width, 3), dtype=np.uint8)
     for i, raw in enumerate(raw_frames):
@@ -174,7 +214,6 @@ def decode_avi(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
         dib = np.frombuffer(raw, dtype=np.uint8).reshape(height, row_bytes)
         rgb = dib[:, : width * 3].reshape(height, width, 3)[:, :, ::-1]
         frames[i] = rgb if top_down else rgb[::-1]
-    fps = (rate // scale) if (rate and scale) else 0
     return width, height, len(raw_frames), fps, frames
 
 

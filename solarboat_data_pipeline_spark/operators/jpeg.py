@@ -1,0 +1,532 @@
+"""Pure-stdlib+numpy baseline JPEG codec (ITU-T T.81, public spec).
+
+The last multimodal decode stub was COMPRESSED video; MJPEG — a
+sequence of baseline JPEG frames in an AVI container — is the simplest
+real compressed-video format, and baseline JPEG itself is a public
+standard: 8×8 FDCT, quantization (Annex K tables), zigzag, DC
+prediction, Huffman coding (Annex K tables), 0xFF byte stuffing.
+
+Envelope, implemented completely and honestly:
+
+* :func:`encode_jpeg` — baseline sequential DCT, 8-bit, grayscale or
+  YCbCr 4:4:4 (no chroma subsampling), single scan, no restart
+  markers, standard Annex K quantization + Huffman tables.
+* :func:`decode_jpeg` — the same envelope; raises ``ValueError`` with
+  the precise reason on progressive scans, arithmetic coding,
+  12-bit precision, subsampled chroma or restart intervals — never
+  returns garbage silently.
+
+JPEG is LOSSY, so unlike the PNG/WAV/AVI twins the driver oracle
+cannot recompute decoded pixel sums arithmetically. Correctness is
+instead proven by: (a) decode∘encode fidelity — mean absolute error
+against the pre-encode pixels bounded far below what any broken
+Huffman/dequant/IDCT stage could achieve (asserted per-media in the
+``mm_mjpeg_decode`` driver row and in ``tests/test_jpeg.py``), and
+(b) frozen-vector exactness — our codec is fully deterministic, so
+encode→decode of a fixed input pins every byte and every output pixel.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Annex K tables (ITU-T T.81 — public)
+# ---------------------------------------------------------------------------
+
+QUANT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+# (bits-per-length counts, symbol values) — T.81 Annex K.3
+DC_LUMA = (
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+DC_CHROMA = (
+    (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+AC_LUMA = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    (
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ),
+)
+AC_CHROMA = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    (
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ),
+)
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# 8x8 DCT-II basis matrix (orthonormal)
+_k = np.arange(8)
+_DCT = np.sqrt(2.0 / 8.0) * np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16.0)
+_DCT[0, :] = np.sqrt(1.0 / 8.0)
+
+
+def _huff_codes(spec) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical order per T.81 C.2."""
+    counts, symbols = spec
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+_ENC_TABLES = {
+    "dc_l": _huff_codes(DC_LUMA),
+    "dc_c": _huff_codes(DC_CHROMA),
+    "ac_l": _huff_codes(AC_LUMA),
+    "ac_c": _huff_codes(AC_CHROMA),
+}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, amplitude bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(n_blocks, 8, 8) level-shifted float blocks → quantized int32."""
+    coef = np.einsum("ij,njk,lk->nil", _DCT, plane, _DCT)
+    # round half away from zero — deterministic, matches the decoder's
+    # expectations symmetric in sign
+    scaled = coef / q
+    return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int32)
+
+
+def _blocks(plane: np.ndarray) -> np.ndarray:
+    """Pad a (h, w) plane to 8-multiples (edge replicate) and cut into
+    (n, 8, 8) blocks in raster order."""
+    h, w = plane.shape
+    H = (h + 7) & ~7
+    W = (w + 7) & ~7
+    padded = np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+    return (
+        padded.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8),
+        H // 8,
+        W // 8,
+    )
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _dht_payload(cls: int, tid: int, spec) -> bytes:
+    counts, symbols = spec
+    return bytes([cls << 4 | tid]) + bytes(counts) + bytes(symbols)
+
+
+def encode_jpeg(pixels: bytes | np.ndarray, width: int, height: int, channels: int) -> bytes:
+    """Encode 8-bit pixels (row-major, RGB or grayscale) as baseline
+    JPEG (4:4:4, Annex K tables)."""
+    if channels not in (1, 3):
+        raise ValueError("encode_jpeg supports 1 (gray) or 3 (RGB) channels")
+    arr = np.frombuffer(bytes(pixels) if not isinstance(pixels, np.ndarray) else pixels.tobytes(), dtype=np.uint8)
+    if arr.size != width * height * channels:
+        raise ValueError(
+            f"pixel buffer has {arr.size} bytes, expected {width * height * channels}"
+        )
+    img = arr.reshape(height, width, channels).astype(np.float64)
+    planes = (
+        [img[..., 0]] if channels == 1 else list(np.moveaxis(_rgb_to_ycbcr(img), -1, 0))
+    )
+
+    comp_specs = []
+    all_blocks = []
+    for ci, plane in enumerate(planes):
+        q = QUANT_LUMA if ci == 0 else QUANT_CHROMA
+        blocks, _, _ = _blocks(plane - 128.0)
+        all_blocks.append(_fdct_quant(blocks, q))
+        comp_specs.append(ci)
+
+    w = _BitWriter()
+    prev_dc = [0] * channels
+    n_blocks = all_blocks[0].shape[0]
+    for bi in range(n_blocks):
+        for ci in range(channels):
+            dc_t = _ENC_TABLES["dc_l" if ci == 0 else "dc_c"]
+            ac_t = _ENC_TABLES["ac_l" if ci == 0 else "ac_c"]
+            zz = all_blocks[ci][bi].reshape(64)[ZIGZAG]
+            diff = int(zz[0]) - prev_dc[ci]
+            prev_dc[ci] = int(zz[0])
+            size, bits = _magnitude(diff)
+            code, length = dc_t[size]
+            w.write(code, length)
+            if size:
+                w.write(bits, size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_t[0xF0]  # ZRL
+                    w.write(code, length)
+                    run -= 16
+                size, bits = _magnitude(v)
+                code, length = ac_t[run << 4 | size]
+                w.write(code, length)
+                w.write(bits, size)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_t[0x00]  # EOB
+                w.write(code, length)
+    scan = w.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    dqt = bytes([0]) + bytes(QUANT_LUMA.reshape(64)[ZIGZAG].astype(np.uint8))
+    if channels == 3:
+        dqt += bytes([1]) + bytes(QUANT_CHROMA.reshape(64)[ZIGZAG].astype(np.uint8))
+    out += _seg(0xFFDB, dqt)
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for ci in range(channels):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4, q-table id
+    out += _seg(0xFFC0, sof)
+    dht = _dht_payload(0, 0, DC_LUMA) + _dht_payload(1, 0, AC_LUMA)
+    if channels == 3:
+        dht += _dht_payload(0, 1, DC_CHROMA) + _dht_payload(1, 1, AC_CHROMA)
+    out += _seg(0xFFC4, dht)
+    sos = bytes([channels])
+    for ci in range(channels):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, tid << 4 | tid])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xFFDA, sos)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.acc = (self.acc << 8) | 0xFF  # spec: pad with 1s
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(
+                        f"unsupported JPEG: marker 0xFF{nxt:02X} inside scan "
+                        "(restart intervals are outside the envelope)"
+                    )
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _huff_decoder(spec):
+    """length -> {code: symbol} lookup for canonical codes."""
+    counts, symbols = spec
+    table: dict[int, dict[int, int]] = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        d = {}
+        for _ in range(counts[length - 1]):
+            d[code] = symbols[i]
+            code += 1
+            i += 1
+        if d:
+            table[length] = d
+        code <<= 1
+    return table
+
+
+def _read_symbol(r: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bits(1)
+        d = table.get(length)
+        if d is not None and code in d:
+            return d[code]
+    raise ValueError("corrupt JPEG: invalid Huffman code in scan")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline JPEG within the envelope to ``(width, height,
+    channels, row-major 8-bit pixel bytes)`` (RGB for 3 components)."""
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        raise ValueError("decode_jpeg expects a bytes-like payload")
+    data = bytes(data)
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI marker")
+
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], object] = {}
+    width = height = channels = -1
+    comp_q: list[int] = []
+    comp_h: list[tuple[int, int]] = []
+    scan_at = -1
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG: segment past end of data")
+        if marker == 0xDB:  # DQT
+            b = body
+            while b:
+                prec_id, b = b[0], b[1:]
+                if prec_id >> 4:
+                    raise ValueError("unsupported JPEG: 16-bit quant table")
+                q = np.array(list(b[:64]), dtype=np.int32)[UNZIGZAG].reshape(8, 8)
+                qtables[prec_id & 0xF] = q
+                b = b[64:]
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG: {prec}-bit precision")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported JPEG: {nc} components")
+            channels = nc
+            for ci in range(nc):
+                cid, sampling, qid = body[6 + ci * 3 : 9 + ci * 3]
+                if sampling != 0x11:
+                    raise ValueError(
+                        "unsupported JPEG: subsampled chroma (only 4:4:4)"
+                    )
+                comp_q.append(qid)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG: SOF{marker - 0xC0} (only baseline SOF0)"
+            )
+        elif marker == 0xC4:  # DHT
+            b = body
+            while b:
+                cls_id = b[0]
+                counts = tuple(b[1:17])
+                n = sum(counts)
+                symbols = tuple(b[17 : 17 + n])
+                htables[(cls_id >> 4, cls_id & 0xF)] = _huff_decoder((counts, symbols))
+                b = b[17 + n :]
+        elif marker == 0xDD:
+            raise ValueError("unsupported JPEG: restart interval (DRI)")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            if ns != channels:
+                raise ValueError("unsupported JPEG: multi-scan (only single scan)")
+            for si in range(ns):
+                tids = body[2 + si * 2]
+                comp_h.append((tids >> 4, tids & 0xF))
+            scan_at = pos + 2 + seglen
+            break
+        # APPn/COM and others: skipped
+        pos = pos + 2 + seglen
+
+    if width < 0 or scan_at < 0:
+        raise ValueError("corrupt JPEG: missing SOF0 or SOS")
+
+    end = data.rfind(b"\xff\xd9")
+    if end < 0:
+        raise ValueError("truncated JPEG: missing EOI")
+    r = _BitReader(data[scan_at:end])
+
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    n_blocks = bw * bh
+    coefs = [np.zeros((n_blocks, 64), dtype=np.int32) for _ in range(channels)]
+    prev_dc = [0] * channels
+    for bi in range(n_blocks):
+        for ci in range(channels):
+            dc_t = htables.get((0, comp_h[ci][0]))
+            ac_t = htables.get((1, comp_h[ci][1]))
+            if dc_t is None or ac_t is None:
+                raise ValueError("corrupt JPEG: scan references missing DHT")
+            size = _read_symbol(r, dc_t)
+            diff = _extend(r.bits(size), size)
+            prev_dc[ci] += diff
+            zz = coefs[ci][bi]
+            zz[0] = prev_dc[ci]
+            k = 1
+            while k < 64:
+                rs = _read_symbol(r, ac_t)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                if k > 63:
+                    raise ValueError("corrupt JPEG: AC run past block end")
+                zz[k] = _extend(r.bits(rs & 0xF), rs & 0xF)
+                k += 1
+
+    planes = []
+    for ci in range(channels):
+        q = qtables.get(comp_q[ci])
+        if q is None:
+            raise ValueError("corrupt JPEG: component references missing DQT")
+        blocks = (coefs[ci][:, UNZIGZAG].reshape(-1, 8, 8) * q).astype(np.float64)
+        spatial = np.einsum("ji,njk,kl->nil", _DCT, blocks, _DCT) + 128.0
+        plane = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)[:height, :width]
+        )
+        planes.append(plane)
+
+    if channels == 1:
+        out = planes[0]
+        out = np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+        return width, height, 1, out.tobytes()
+    ycc = np.stack(planes, axis=-1)
+    rgb = np.clip(np.floor(_ycbcr_to_rgb(ycc) + 0.5), 0, 255).astype(np.uint8)
+    return width, height, 3, rgb.tobytes()

@@ -312,6 +312,30 @@ def resample_audio_stats(
     return df.mapInPandas(run, schema=RESAMPLE_STATS_SCHEMA)
 
 
+def _video_pattern(mid: int, max_frames: int, max_width: int, max_height: int):
+    """The deterministic frame generator shared by the AVI/MJPEG
+    synthesizers AND the MJPEG fidelity check (which regenerates the
+    pre-encode truth from the id): ``pixel(f, x, y, c) =
+    (11f + 7x + 13y + 31c + id) % 256``."""
+    import numpy as np
+
+    nf = mid % max_frames + 2
+    w = mid % max_width + 1
+    h = mid % max_height + 1
+    f = np.arange(nf, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)
+    x = np.arange(w, dtype=np.int64)
+    c = np.arange(3, dtype=np.int64)
+    px = (
+        11 * f[:, None, None, None]
+        + 7 * x[None, None, :, None]
+        + 13 * y[None, :, None, None]
+        + 31 * c[None, None, None, :]
+        + mid
+    ) % 256
+    return px.astype(np.uint8)
+
+
 def synthesize_avi_media(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -340,23 +364,9 @@ def synthesize_avi_media(
         for pdf in batches:
             payloads, nfs = [], []
             for mid in pdf["media_id"]:
-                mid = int(mid)
-                nf = mid % max_frames + 2
-                w = mid % max_width + 1
-                h = mid % max_height + 1
-                f = np.arange(nf, dtype=np.int64)
-                y = np.arange(h, dtype=np.int64)
-                x = np.arange(w, dtype=np.int64)
-                c = np.arange(3, dtype=np.int64)
-                px = (
-                    11 * f[:, None, None, None]
-                    + 7 * x[None, None, :, None]
-                    + 13 * y[None, :, None, None]
-                    + 31 * c[None, None, None, :]
-                    + mid
-                ) % 256
-                payloads.append(avi_codec.encode_avi(px.astype(np.uint8), fps=fps))
-                nfs.append(nf)
+                px = _video_pattern(int(mid), max_frames, max_width, max_height)
+                payloads.append(avi_codec.encode_avi(px, fps=fps))
+                nfs.append(px.shape[0])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
@@ -370,6 +380,116 @@ def synthesize_avi_media(
         run,
         schema="media_id long, payload binary, media_type string, n_frames int",
     )
+
+
+def _video_pattern_smooth(mid: int, max_frames: int, max_width: int, max_height: int):
+    """Wrap-free variant of :func:`_video_pattern` for the LOSSY MJPEG
+    path: a pure linear ramp (``16 + 3x + 5y + 2f + 7c + id % 32``, no
+    mod-256 cliff), which is DCT-sparse — the working codec measures
+    MAE ~1-2 on it, while the modular pattern's 255→0 cliffs cost a
+    legitimate ~18 of Gibbs ringing that would drown the fidelity gate."""
+    import numpy as np
+
+    nf = mid % max_frames + 2
+    w = mid % max_width + 1
+    h = mid % max_height + 1
+    f = np.arange(nf, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)
+    x = np.arange(w, dtype=np.int64)
+    c = np.arange(3, dtype=np.int64)
+    px = (
+        16
+        + 2 * f[:, None, None, None]
+        + 3 * x[None, None, :, None]
+        + 5 * y[None, :, None, None]
+        + 7 * c[None, None, None, :]
+        + mid % 32
+    )
+    return px.astype(np.uint8)
+
+
+def synthesize_mjpeg_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    max_frames: int = 12,
+    max_width: int = 8,
+    max_height: int = 6,
+    fps: int = 25,
+) -> DataFrame:
+    """Media table of GENUINE Motion-JPEG AVIs: deterministic smooth
+    frames (:func:`_video_pattern_smooth`), each compressed by the
+    in-repo baseline JPEG codec (:mod:`.jpeg`) into ``00dc`` chunks
+    with biCompression = 'MJPG'."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, nfs = [], []
+            for mid in pdf["media_id"]:
+                px = _video_pattern_smooth(int(mid), max_frames, max_width, max_height)
+                payloads.append(avi_codec.encode_avi(px, fps=fps, codec="mjpg"))
+                nfs.append(px.shape[0])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": payloads,
+                    "media_type": "video/x-msvideo; codec=mjpeg",
+                    "n_frames": pd.array(nfs, dtype="int32"),
+                }
+            )
+
+    return src.mapInPandas(
+        run,
+        schema="media_id long, payload binary, media_type string, n_frames int",
+    )
+
+
+MJPEG_CHECK_SCHEMA = (
+    "media_id long, width int, height int, n_frames int, fps int, ok boolean"
+)
+
+
+def mjpeg_decode_check(
+    df: DataFrame,
+    max_frames: int = 12,
+    max_width: int = 8,
+    max_height: int = 6,
+    mae_bound: float = 8.0,
+) -> DataFrame:
+    """REAL compressed-video decode + fidelity gate: decode the MJPEG
+    AVI (container walk + per-frame baseline JPEG: Huffman, dequant,
+    IDCT, color convert), regenerate the pre-encode truth
+    (:func:`_video_pattern_smooth`) from the media id, and emit
+    ``ok = mean-absolute-error < mae_bound``. JPEG is lossy so the
+    oracle cannot recompute pixel sums; the bound is the check — the
+    working codec measures MAE ~1-2 on the smooth pattern while a
+    broken Huffman/IDCT stage lands near the ~85 of unrelated noise."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "width": [], "height": [],
+                "n_frames": [], "fps": [], "ok": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                w, h, n, fps, frames = avi_codec.decode_avi(bytes(payload))
+                truth = _video_pattern_smooth(mid, max_frames, max_width, max_height)
+                mae = float(
+                    np.abs(
+                        frames.astype(np.int64) - truth.astype(np.int64)
+                    ).mean()
+                ) if frames.shape == truth.shape else float("inf")
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(n)
+                rows["fps"].append(fps)
+                rows["ok"].append(mae < mae_bound)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=MJPEG_CHECK_SCHEMA)
 
 
 VIDEO_STATS_SCHEMA = (

@@ -1,0 +1,185 @@
+"""Baseline JPEG codec correctness (operators/jpeg.py): round-trip
+fidelity bounds, spec-golden marker structure, DCT orthonormality,
+determinism, adversarial corpus, and the MJPEG-in-AVI path."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from solarboat_data_pipeline_spark.operators import avi, jpeg
+
+
+def _gradient(h: int, w: int, ch: int, seed: int = 0) -> np.ndarray:
+    y, x = np.mgrid[0:h, 0:w]
+    base = (x * 3 + y * 5 + seed) % 256
+    px = np.stack([(base + c * 10) % 256 for c in range(ch)], axis=-1)
+    return px.astype(np.uint8)
+
+
+# --- fidelity --------------------------------------------------------------
+
+
+@pytest.mark.parametrize("h,w,ch", [(8, 8, 1), (16, 24, 3), (5, 7, 3), (13, 9, 1), (32, 32, 3)])
+def test_roundtrip_fidelity(h, w, ch):
+    px = _gradient(h, w, ch, seed=h * w)
+    W, H, C, out = jpeg.decode_jpeg(jpeg.encode_jpeg(px.tobytes(), w, h, ch))
+    assert (W, H, C) == (w, h, ch)
+    got = np.frombuffer(out, np.uint8).reshape(h, w, ch).astype(np.int32)
+    mae = np.abs(got - px.astype(np.int32)).mean()
+    assert mae < 12, f"MAE {mae} — a broken stage lands near ~85"
+
+
+def test_flat_image_is_near_exact():
+    # a constant block survives with only DC-quantization rounding:
+    # |error| <= q_dc/(2*8) = 1 for luma (137 -> DC 72 -> /16 rounds to
+    # 5 -> 138 exactly) — and the block must stay perfectly uniform
+    px = np.full((16, 16, 3), 137, dtype=np.uint8)
+    *_, out = jpeg.decode_jpeg(jpeg.encode_jpeg(px.tobytes(), 16, 16, 3))
+    got = np.frombuffer(out, np.uint8).reshape(16, 16, 3).astype(np.int32)
+    assert np.abs(got - 137).max() <= 1
+    assert len(np.unique(got)) == 1  # no block artifacts on a flat field
+
+
+def test_noise_stays_bounded_by_quant_theory():
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    *_, out = jpeg.decode_jpeg(jpeg.encode_jpeg(px.tobytes(), 24, 24, 3))
+    got = np.frombuffer(out, np.uint8).reshape(24, 24, 3).astype(np.int32)
+    mae = np.abs(got - px.astype(np.int32)).mean()
+    assert mae < 45  # worst-case content; broken codecs measure ~85
+
+
+def test_determinism():
+    px = _gradient(12, 20, 3)
+    a = jpeg.encode_jpeg(px.tobytes(), 20, 12, 3)
+    b = jpeg.encode_jpeg(px.tobytes(), 20, 12, 3)
+    assert a == b
+    assert jpeg.decode_jpeg(a) == jpeg.decode_jpeg(b)
+
+
+# --- spec-golden structure --------------------------------------------------
+
+
+def test_marker_structure_and_annex_k_tables():
+    px = _gradient(8, 8, 3)
+    d = jpeg.encode_jpeg(px.tobytes(), 8, 8, 3)
+    assert d[:2] == b"\xff\xd8" and d[-2:] == b"\xff\xd9"
+    # DQT holds the zigzagged Annex K luma table verbatim
+    at = d.index(b"\xff\xdb")
+    luma_zz = bytes(jpeg.QUANT_LUMA.reshape(64)[jpeg.ZIGZAG].astype(np.uint8))
+    assert d[at + 5 : at + 69] == luma_zz
+    # SOF0: 8-bit precision, dims, 3 components, 4:4:4 sampling
+    at = d.index(b"\xff\xc0")
+    prec, hh, ww, nc = struct.unpack(">BHHB", d[at + 4 : at + 10])
+    assert (prec, hh, ww, nc) == (8, 8, 8, 3)
+    assert d[at + 11] == 0x11  # comp 1 sampling 1x1
+
+
+def test_huffman_codes_are_canonical():
+    codes = jpeg._huff_codes(jpeg.DC_LUMA)
+    # canonical property: codes of one length are consecutive integers
+    by_len: dict[int, list[int]] = {}
+    for code, length in codes.values():
+        by_len.setdefault(length, []).append(code)
+    for length, cs in by_len.items():
+        cs = sorted(cs)
+        assert cs == list(range(cs[0], cs[0] + len(cs)))
+        assert cs[-1] < (1 << length)
+
+
+def test_dct_matrix_is_orthonormal():
+    eye = jpeg._DCT @ jpeg._DCT.T
+    np.testing.assert_allclose(eye, np.eye(8), atol=1e-12)
+
+
+# --- adversarial corpus ------------------------------------------------------
+
+
+def _valid() -> bytes:
+    return jpeg.encode_jpeg(_gradient(8, 8, 3).tobytes(), 8, 8, 3)
+
+
+@pytest.mark.parametrize(
+    "mutate, reason",
+    [
+        (lambda d: b"\x00\x00" + d[2:], "missing SOI"),
+        (lambda d: d[: d.index(b"\xff\xd9")], "missing EOI"),
+        # SOF0 -> SOF2: progressive is outside the envelope
+        (lambda d: d.replace(b"\xff\xc0", b"\xff\xc2", 1), "progressive"),
+        # sampling byte 0x11 -> 0x22 in SOF comp 1: subsampled chroma
+        (
+            lambda d: (lambda i: d[: i + 11] + b"\x22" + d[i + 12 :])(
+                d.index(b"\xff\xc0")
+            ),
+            "subsampling",
+        ),
+        # 12-bit precision
+        (
+            lambda d: (lambda i: d[: i + 4] + b"\x0c" + d[i + 5 :])(
+                d.index(b"\xff\xc0")
+            ),
+            "12-bit",
+        ),
+    ],
+)
+def test_adversarial_raises(mutate, reason):
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(mutate(_valid()))
+
+
+def test_dri_rejected():
+    d = _valid()
+    at = d.index(b"\xff\xda")
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)
+    with pytest.raises(ValueError, match="restart"):
+        jpeg.decode_jpeg(d[:at] + dri + d[at:])
+
+
+def test_grayscale_roundtrip_has_no_color_tables():
+    px = _gradient(9, 9, 1)
+    d = jpeg.encode_jpeg(px.tobytes(), 9, 9, 1)
+    # exactly one DQT table id (0) and 2 DHT specs
+    at = d.index(b"\xff\xdb")
+    (seglen,) = struct.unpack(">H", d[at + 2 : at + 4])
+    assert seglen == 2 + 65  # one table only
+    W, H, C, out = jpeg.decode_jpeg(d)
+    assert (W, H, C) == (9, 9, 1)
+
+
+# --- MJPEG in AVI -----------------------------------------------------------
+
+
+def test_mjpeg_avi_roundtrip():
+    f = np.arange(3)[:, None, None, None]
+    y = np.arange(6)[None, :, None, None]
+    x = np.arange(8)[None, None, :, None]
+    c = np.arange(3)[None, None, None, :]
+    fr = ((11 * f + 13 * y + 7 * x + 31 * c) % 256).astype(np.uint8)
+    data = avi.encode_avi(fr, fps=15, codec="mjpg")
+    W, H, N, fps, got = avi.decode_avi(data)
+    assert (W, H, N, fps) == (8, 6, 3, 15)
+    mae = np.abs(got.astype(np.int32) - fr.astype(np.int32)).mean()
+    assert mae < 8
+    # container declares the MJPG fourcc
+    at = data.index(b"strf") + 8
+    (comp,) = struct.unpack("<I", data[at + 16 : at + 20])
+    assert comp == avi._MJPG
+
+
+def test_unknown_fourcc_still_rejected():
+    data = bytearray(avi.encode_avi(np.zeros((1, 2, 2, 3), np.uint8), codec="mjpg"))
+    at = bytes(data).index(b"strf") + 8
+    data[at + 16 : at + 20] = b"H264"
+    with pytest.raises(ValueError, match="biCompression"):
+        avi.decode_avi(bytes(data))
+
+
+def test_mjpeg_frame_dims_must_match_container():
+    data = bytearray(avi.encode_avi(np.zeros((1, 4, 4, 3), np.uint8), codec="mjpg"))
+    at = bytes(data).index(b"strf") + 8
+    data[at + 4 : at + 8] = struct.pack("<i", 5)  # lie about width
+    with pytest.raises(ValueError, match="container says"):
+        avi.decode_avi(bytes(data))
