@@ -1,0 +1,83 @@
+"""Seeded randomized round-trip sweeps over the stdlib media codecs —
+cheap fuzz insurance beyond the fixed-case suites (test_png/wav/avi/
+jpeg): random shapes and contents, every filter/channel/rate lane,
+plus truncation fuzzing that must ALWAYS raise, never return garbage."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from solarboat_data_pipeline_spark.operators import avi, jpeg, png, wav
+
+RNG = np.random.default_rng(20260814)
+
+
+@pytest.mark.parametrize("trial", range(20))
+def test_png_random_roundtrip(trial):
+    h = int(RNG.integers(1, 40))
+    w = int(RNG.integers(1, 40))
+    ch = int(RNG.choice([1, 2, 3, 4]))
+    ft = RNG.choice([0, 1, 2, 3, 4, "cycle"])
+    px = RNG.integers(0, 256, size=h * w * ch, dtype=np.uint8).tobytes()
+    W, H, C, out = png.decode_png(png.encode_png(px, w, h, ch, filter_type=ft))
+    assert (W, H, C) == (w, h, ch) and out == px  # PNG is lossless
+
+
+@pytest.mark.parametrize("trial", range(20))
+def test_wav_random_roundtrip(trial):
+    n = int(RNG.integers(1, 2000))
+    ch = int(RNG.integers(1, 5))
+    bits = int(RNG.choice([8, 16]))
+    rate = int(RNG.choice([8000, 16000, 44100]))
+    if bits == 8:
+        sig = RNG.integers(0, 256, size=(n, ch)).astype(np.uint8)
+    else:
+        sig = RNG.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
+    got = wav.decode_wav(wav.encode_wav(sig, rate, ch, bits=bits))
+    assert got[:4] == (rate, ch, bits, n)
+    np.testing.assert_array_equal(got[4], sig.astype(np.int32))  # lossless
+
+
+@pytest.mark.parametrize("trial", range(10))
+def test_avi_rgb_random_roundtrip(trial):
+    n = int(RNG.integers(1, 8))
+    h = int(RNG.integers(1, 20))
+    w = int(RNG.integers(1, 20))
+    fr = RNG.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    W, H, N, _, got = avi.decode_avi(avi.encode_avi(fr))
+    assert (W, H, N) == (w, h, n)
+    np.testing.assert_array_equal(got, fr)  # BI_RGB is lossless
+
+
+@pytest.mark.parametrize("trial", range(10))
+def test_jpeg_random_bounded_error(trial):
+    h = int(RNG.integers(1, 40))
+    w = int(RNG.integers(1, 40))
+    ch = int(RNG.choice([1, 3]))
+    px = RNG.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    W, H, C, out = jpeg.decode_jpeg(jpeg.encode_jpeg(px.tobytes(), w, h, ch))
+    assert (W, H, C) == (w, h, ch)
+    got = np.frombuffer(out, np.uint8).reshape(h, w, ch).astype(np.int32)
+    mae = np.abs(got - px.astype(np.int32)).mean()
+    assert mae < 45  # random noise is JPEG's worst case; broken ≈ 85
+
+
+@pytest.mark.parametrize("codec", ["png", "wav", "avi", "jpeg"])
+@pytest.mark.parametrize("cut", [0.15, 0.5, 0.9])
+def test_truncation_always_raises_never_garbage(codec, cut):
+    px = np.arange(4 * 6 * 3, dtype=np.uint8)
+    if codec == "png":
+        data = png.encode_png(px.tobytes(), 6, 4, 3)
+        decode = png.decode_png
+    elif codec == "wav":
+        data = wav.encode_wav(px.astype(np.int16), 8000, 3, bits=16)
+        decode = wav.decode_wav
+    elif codec == "avi":
+        data = avi.encode_avi(px.reshape(1, 4, 6, 3))
+        decode = avi.decode_avi
+    else:
+        data = jpeg.encode_jpeg(px.tobytes(), 6, 4, 3)
+        decode = jpeg.decode_jpeg
+    with pytest.raises(ValueError):
+        decode(data[: int(len(data) * cut)])
