@@ -295,12 +295,7 @@ def check_ffill_kill(spark, src: str) -> None:
     checkpoint, drain, and require exactly-once output — row count equal
     to the corpus and row-for-row equality with the batch window kernel
     (state must survive the kill)."""
-    out = os.path.join(WORK, "out_ffill_kill")
-    ckpt = os.path.join(WORK, "ckpt_ffill_kill")
-    shutil.rmtree(out, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
-
-    def start():
+    def start(out, ckpt):
         return (
             stream_ffill(open_stream(spark, src).drop("text"))
             .writeStream.format("parquet")
@@ -311,20 +306,33 @@ def check_ffill_kill(spark, src: str) -> None:
             .start()
         )
 
+    # the stop only proves anything if it lands BETWEEN micro-batches
+    # with pending files; on a fast enough box the whole backlog can
+    # commit before lastProgress first reports rows, so retry the kill
+    # on a fresh checkpoint until it genuinely lands mid-stream
     t0 = time.perf_counter()
-    q = start()
-    while True:  # at this scale each micro-batch takes seconds — the stop
-        p = q.lastProgress  # lands mid-stream deterministically
-        if p and p.get("numInputRows", 0) > 0:
-            q.stop()
-            q.awaitTermination()
+    partial = -1
+    killed_midstream = False
+    for attempt in range(5):
+        out = os.path.join(WORK, f"out_ffill_kill_{attempt}")
+        ckpt = os.path.join(WORK, f"ckpt_ffill_kill_{attempt}")
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        q = start(out, ckpt)
+        while True:
+            p = q.lastProgress
+            if p and p.get("numInputRows", 0) > 0:
+                q.stop()
+                q.awaitTermination()
+                break
+            if not q.isActive:  # backlog finished before we could kill
+                break
+            time.sleep(0.05)
+        partial = spark.read.parquet(out).count()
+        killed_midstream = 0 < partial < N
+        if killed_midstream:
             break
-        if not q.isActive:  # backlog finished before we could kill
-            break
-        time.sleep(0.05)
-    partial = spark.read.parquet(out).count()
-    killed_midstream = 0 < partial < N
-    q2 = start()
+    q2 = start(out, ckpt)
     q2.awaitTermination()
     wall = time.perf_counter() - t0
 

@@ -2198,9 +2198,10 @@ def mm_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas (Huffman decode, dequant, IDCT, YCbCr→RGB). JPEG is
     LOSSY, so unlike the PNG/WAV rows the oracle checks the container
     dimensions/frame counts arithmetically plus a per-media fidelity
-    gate: decoded-vs-truth mean absolute error < 16 (the working codec
-    measures ~2-6 on this pattern; a broken Huffman/dequant/IDCT stage
-    lands near the ~85 of unrelated noise). Exactness evidence lives in
+    gate: decoded-vs-truth mean absolute error < 8 (the working codec
+    measures ~1-2 on the smooth wrap-free pattern; a broken Huffman/
+    dequant/IDCT stage lands near the ~85 of unrelated noise).
+    Exactness evidence lives in
     tests/test_jpeg.py (round-trips, spec-golden markers, orthonormal
     DCT, adversarial corpus)."""
     docs = _t(spark, sf_dir, "documents")
@@ -3156,10 +3157,16 @@ def _sql_model_score_real() -> str:
     arithmetic (integer counts, count-ratio divisions — IEEE-exact, no
     libm) and the identical fixed-order dot product, with every weight
     literal cast ::DOUBLE (DuckDB parses bare decimal literals as
-    DECIMAL — the f7 lesson)."""
+    DECIMAL — the f7 lesson). Tokenization and the punctuation class
+    use the model's EXPLICIT whitespace set (quality_model.WS_CLASS)
+    rather than ``\\s`` — RE2, Java and Python disagree on VT/NBSP, so
+    the shared explicit class is what keeps the logit bit-exact on
+    non-ASCII-whitespace text."""
     from solarboat_data_pipeline_spark.operators import quality_model as qm
 
-    stops = sorted({w for ws in tx.LANG_STOPWORDS.values() for w in ws})
+    ws = "\\t\\n\\x0b\\f\\r "  # RE2 escapes for quality_model.WS_CLASS
+    toks = rf"list_filter(string_split_regex(lower(text), '[{ws}]+'), x -> x != '')"
+    stops = sorted({w for ws_ in tx.LANG_STOPWORDS.values() for w in ws_})
     feats = [
         "(n_chars / 1000.0::DOUBLE)",
         "(n_words / 100.0::DOUBLE)",
@@ -3173,12 +3180,12 @@ def _sql_model_score_real() -> str:
     for w, f in zip(qm.WEIGHTS, feats):
         z = f"({z} + {w!r}::DOUBLE * {f})"
     return f"""
-    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents),
          c AS (SELECT doc_id,
                  length(text) AS n_chars,
                  len(toks) AS n_words,
                  list_sum(list_transform(toks, t -> length(t))) AS sum_len,
-                 len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+                 len(regexp_extract_all(text, '[^A-Za-z0-9{ws}]')) AS n_punct,
                  len(regexp_extract_all(text, '[0-9]')) AS n_digit,
                  len(list_filter(toks, t -> list_contains({stops!r}, t))) AS n_stop,
                  len(list_distinct(toks)) AS n_distinct
@@ -3807,7 +3814,10 @@ def k_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver's entry() every round. r03-green queries left below the cut
 # lead the r06 window so no green row goes more than ~2 rounds stale.
 _PRIORITY = [
-    # 1. changed code this round (19)
+    # 1. changed code this round (24): the mm/model families, the f7
+    #    solar guards, every kernel touched by the duplicate-timestamp
+    #    blend guard (w3 global + both scaled forms, a3, j6), and the
+    #    four parquet-writing queries under TIMESTAMP_MICROS
     "mm_png_decode",
     "mm_png_resize",
     "mm_wav_decode",
@@ -3824,6 +3834,8 @@ _PRIORITY = [
     "f7_solar_position",
     "f7_poa_irradiance",
     "w3_interpolate_bounded",
+    "w3_interpolate_scaled",
+    "w3_interpolate_wide_scaled",
     "a3_resample_dense",
     "j6_interval_join",
     "k_sinks_roundtrip",
@@ -3845,7 +3857,7 @@ _PRIORITY = [
     "sim_cosine_topk",
     "txt_quality",
     # 3. r03-green: scaled as-of joins (skew evidence landed this
-    #    round), streaming, then sources/parse/join/agg reps (22)
+    #    round), the six streaming queries, then the five sources (13)
     "j3_asof_linear_scaled",
     "j4_asof_backward_scaled",
     "st_stream_resample",
@@ -3859,11 +3871,11 @@ _PRIORITY = [
     "s3_forecast_csv_roundtrip",
     "s4_gpx_roundtrip",
     "s5_json_dump_roundtrip",
-    "p10_binary_decode",
-    "p12_explode_tokens",
     # --- below the expected driver cut: r03-green queries that lead
     # r06's window, then the r04-green block -- ALL still oracle-checked
     # by the identical pytest gate every run.
+    "p10_binary_decode",
+    "p12_explode_tokens",
     "p13_p16_project_slice",
     "p3_p4_time_window",
     "j1_left_join_enrich",
@@ -3909,8 +3921,6 @@ _PRIORITY = [
     "w6_sort_rank",
     "w6_rank_scaled",
     "w_sessionize_scaled",
-    "w3_interpolate_scaled",
-    "w3_interpolate_wide_scaled",
     "a3_w3_fused_grid",
     "f1_haversine",
     "f2_heading",

@@ -498,12 +498,16 @@ VIDEO_STATS_SCHEMA = (
 
 
 def decode_video_stats(df: DataFrame) -> DataFrame:
-    """REAL uncompressed-AVI decode via Arrow-batched ``mapInPandas``:
-    walk the RIFF/hdrl/movi chunk tree, validate the BITMAPINFOHEADER,
-    undo the DIB bottom-up/BGR/row-padding layout, and emit decoded
-    dimensions/frame counts plus the pixel-value sum. Raises on
-    compressed streams — no silent fallback (a production cluster plugs
-    ffmpeg in at this same contract for MJPEG/H.264)."""
+    """REAL AVI decode via Arrow-batched ``mapInPandas``: walk the
+    RIFF/hdrl/movi chunk tree, validate the BITMAPINFOHEADER, undo the
+    DIB bottom-up/BGR/row-padding layout (BI_RGB), or decode per-frame
+    baseline JPEG (MJPG fourcc), and emit decoded dimensions/frame
+    counts plus the pixel-value sum. NOTE: for MJPEG inputs the pixel
+    sum reflects the LOSSY decode — exact-sum oracles (``mm_avi_decode``)
+    feed only BI_RGB; use :func:`mjpeg_decode_check` for the
+    fidelity-gated compressed path. Codecs outside those two
+    (H.264/VP9/...) raise — no silent fallback (a production cluster
+    plugs ffmpeg in at this same contract)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

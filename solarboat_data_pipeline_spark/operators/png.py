@@ -213,15 +213,21 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             pass
         elif ft == 2:  # Up — fully vectorizable
             line += prior
-        elif ft in (1, 3, 4):
-            # Sub/Average/Paeth carry an in-row left dependency, so this
-            # lane is inherently sequential per scanline (row-level
-            # parallelism comes from the Arrow batch above this kernel)
+        elif ft == 1:
+            # Sub is a per-byte-lane prefix sum mod 256: recon[i] =
+            # filt[i] + recon[i-bpp] — cumsum each lane, wrap via uint8
+            line = (
+                np.cumsum(line.reshape(width, bpp), axis=0, dtype=np.int64)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif ft in (3, 4):
+            # Average/Paeth mix the UP input into the left recurrence,
+            # so these two lanes are inherently sequential per scanline
+            # (row-level parallelism comes from the Arrow batch above)
             for i in range(stride):
                 left = line[i - bpp] if i >= bpp else 0
-                if ft == 1:
-                    line[i] = (int(line[i]) + int(left)) & 0xFF
-                elif ft == 3:
+                if ft == 3:
                     up = prior[i]
                     line[i] = (int(line[i]) + (int(left) + int(up)) // 2) & 0xFF
                 else:

@@ -13,12 +13,17 @@ LLM scorer; swapping a heavyweight model into the same Arrow
 
 Every feature is an integer count or a ratio of integer counts
 (IEEE-754 division is exactly specified, no libm), the token/stopword/
-punctuation definitions are shared verbatim with
-:func:`text.quality_metrics` (cross-engine parity proven by the
-``txt_quality`` driver row since round 2), and the logit is a
-FIXED-ORDER dot product — so Spark's Python worker and the DuckDB
-oracle produce bit-identical doubles and the ``txt_model_score_real``
-driver row is an exact hash gate, no rounding grid needed.
+punctuation definitions mirror :func:`text.quality_metrics`, and the
+logit is a FIXED-ORDER dot product — so Spark's Python worker and the
+DuckDB oracle produce bit-identical doubles and the
+``txt_model_score_real`` driver row is an exact hash gate, no rounding
+grid needed. One deliberate difference from ``quality_metrics``: the
+whitespace class is the EXPLICIT ``[ \\t\\n\\x0b\\f\\r]`` set, not an
+engine ``\\s`` — Python's ``\\s`` (even ASCII-flagged), Java's ``\\s``
+and RE2's ``\\s`` disagree on VT and Unicode spaces (RE2 does not
+split on ``\\x0b``; none split NBSP but Python ``str.split`` does), so
+only an explicit class keeps real-world web text (NBSP is ubiquitous)
+bit-exact across all three.
 """
 
 from __future__ import annotations
@@ -29,18 +34,22 @@ import numpy as np
 
 from solarboat_data_pipeline_spark.operators.text import LANG_STOPWORDS
 
+#: the explicit cross-engine whitespace class (see module docstring)
+WS_CLASS = " \t\n\x0b\f\r"
+
 FEATURE_NAMES = (
     "n_chars_k",        # length(text) / 1000
     "n_words_h",        # token count / 100
     "avg_word_len_d",   # mean token length / 10
-    "punct_ratio",      # [^A-Za-z0-9\s] count / n_chars
+    "punct_ratio",      # non-alnum-non-ws count / n_chars
     "digit_ratio",      # [0-9] count / n_chars
     "stopword_ratio",   # stopword tokens / n_words
     "repetition",       # 1 - distinct tokens / n_words
 )
 
 _ALL_STOPS = frozenset(w for ws in LANG_STOPWORDS.values() for w in ws)
-_PUNCT = re.compile(r"[^A-Za-z0-9\s]", re.ASCII)
+_WS_SPLIT = re.compile(f"[{WS_CLASS}]+")
+_PUNCT = re.compile(f"[^A-Za-z0-9{WS_CLASS}]")
 _DIGIT = re.compile(r"[0-9]")
 
 # frozen by scripts/train_quality_model.py (seed 20260814, 8000 docs,
@@ -61,9 +70,10 @@ WEIGHTS = (
 
 def features(text: str) -> list[float]:
     """The 7 features, computed EXACTLY as the SQL oracle computes them:
-    integer counts and count ratios only, tokens = ``lower().split()``
-    (the repo-wide token definition), zero when the denominator is 0."""
-    toks = [t for t in text.lower().split() if t]
+    integer counts and count ratios only, tokens = lowercase split on
+    the explicit ``WS_CLASS`` (NOT ``str.split()`` — see module
+    docstring), zero when the denominator is 0."""
+    toks = [t for t in _WS_SPLIT.split(text.lower()) if t]
     n_chars = len(text)
     n_words = len(toks)
     sum_len = sum(len(t) for t in toks)

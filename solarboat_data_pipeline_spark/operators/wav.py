@@ -164,6 +164,8 @@ def resample_nearest(samples: np.ndarray, n_out: int) -> np.ndarray:
     if n_out <= 0:
         raise ValueError("target frame count must be positive")
     n_src = samples.shape[0]
+    if n_src == 0:
+        raise ValueError("cannot resample an empty signal (0 frames)")
     idx = (np.arange(n_out, dtype=np.int64) * n_src) // n_out
     return samples[idx]
 
@@ -176,6 +178,8 @@ def resample_linear(samples: np.ndarray, n_out: int) -> np.ndarray:
     if n_out <= 0:
         raise ValueError("target frame count must be positive")
     n_src = samples.shape[0]
+    if n_src == 0:
+        raise ValueError("cannot resample an empty signal (0 frames)")
     pos = np.clip((np.arange(n_out) + 0.5) * (n_src / n_out) - 0.5, 0.0, n_src - 1.0)
     lo = np.floor(pos).astype(np.int64)
     hi = np.minimum(lo + 1, n_src - 1)

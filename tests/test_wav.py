@@ -152,3 +152,18 @@ def test_resample_linear_is_monotone_on_ramp():
     out = wav.resample_linear(sig, 60)[:, 0]
     assert np.all(np.diff(out) >= 0)
     assert out[0] >= sig[0, 0] and out[-1] <= sig[-1, 0]
+
+
+def test_resample_empty_signal_raises_valueerror():
+    # a structurally valid WAV may carry an empty data chunk; the
+    # resamplers must fail with a precise error, not a numpy IndexError
+    empty = np.zeros((0, 2), dtype=np.int32)
+    with pytest.raises(ValueError, match="empty signal"):
+        wav.resample_nearest(empty, 32)
+    with pytest.raises(ValueError, match="empty signal"):
+        wav.resample_linear(empty, 32)
+    # and the empty WAV itself still round-trips
+    rate, ch, bits, n, got = wav.decode_wav(
+        wav.encode_wav(np.zeros((0, 2), dtype=np.int16), 8000, 2)
+    )
+    assert n == 0 and got.shape == (0, 2)
