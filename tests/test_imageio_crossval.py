@@ -1,0 +1,84 @@
+"""Independent cross-validation of the PNG and JPEG codecs against the
+JVM's ``javax.imageio`` via Spark's built-in ``image`` data source — a
+completely separate implementation (Java, not our Python): the same
+independence the WAV codec gets from the stdlib ``wave`` module.
+
+* PNG: ImageIO must decode our encoder's output PIXEL-EXACT (lossless).
+* JPEG: two independent decoders of our bitstream (ImageIO and ours)
+  must agree to sub-gray-level MAE (residual = IDCT rounding), and both
+  must sit within quantization distance of the pre-encode original — a
+  spec-invalid bitstream or an unfaithful decoder breaks one or both.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from solarboat_data_pipeline_spark.operators import jpeg, png
+
+
+def _pattern(h: int, w: int, ch: int) -> np.ndarray:
+    y, x = np.mgrid[0:h, 0:w]
+    planes = [((x * (7 + 2 * c) + y * (13 - 3 * c) + 11 * c) % 256) for c in range(ch)]
+    return np.stack(planes, axis=-1).astype(np.uint8)
+
+
+def _imageio_decode(spark, path: str):
+    """Decode one image file with javax.imageio; returns (h, w, ch, RGB
+    array) — the image source stores channels in OpenCV BGR order."""
+    r = (
+        spark.read.format("image")
+        .load(path)
+        .select("image.height", "image.width", "image.nChannels", "image.data")
+        .first()
+    )
+    arr = np.frombuffer(bytes(r["data"]), np.uint8).reshape(
+        r["height"], r["width"], r["nChannels"]
+    )
+    rgb = arr[:, :, ::-1] if r["nChannels"] == 3 else arr
+    return r["height"], r["width"], r["nChannels"], rgb
+
+
+@pytest.mark.parametrize("h,w", [(6, 9), (8, 8), (11, 5)])
+def test_imageio_decodes_our_png_pixel_exact(spark, tmp_path, h, w):
+    px = _pattern(h, w, 3)
+    p = os.path.join(str(tmp_path), "t.png")
+    with open(p, "wb") as f:
+        f.write(png.encode_png(px.tobytes(), w, h, 3, filter_type="cycle"))
+    H, W, C, rgb = _imageio_decode(spark, p)
+    assert (H, W, C) == (h, w, 3)
+    np.testing.assert_array_equal(rgb, px)
+
+
+def test_imageio_decodes_our_gray_png_pixel_exact(spark, tmp_path):
+    px = _pattern(7, 10, 1)
+    p = os.path.join(str(tmp_path), "g.png")
+    with open(p, "wb") as f:
+        f.write(png.encode_png(px.tobytes(), 10, 7, 1, filter_type=4))
+    H, W, C, got = _imageio_decode(spark, p)
+    assert (H, W) == (7, 10)
+    np.testing.assert_array_equal(got.reshape(7, 10, -1)[:, :, :1], px)
+
+
+@pytest.mark.parametrize("h,w,ch", [(6, 9, 3), (16, 16, 3), (8, 8, 1)])
+def test_imageio_agrees_with_our_jpeg_decoder(spark, tmp_path, h, w, ch):
+    px = _pattern(h, w, ch)
+    data = jpeg.encode_jpeg(px.tobytes(), w, h, ch)
+    p = os.path.join(str(tmp_path), "t.jpg")
+    with open(p, "wb") as f:
+        f.write(data)
+    H, W, C, theirs = _imageio_decode(spark, p)
+    assert (H, W) == (h, w)
+    _, _, _, ours_bytes = jpeg.decode_jpeg(data)
+    ours = np.frombuffer(ours_bytes, np.uint8).reshape(h, w, ch)
+    if C != ch:  # ImageIO may upconvert grayscale JPEG to 3 channels
+        theirs = theirs.reshape(h, w, C)[:, :, :1]
+    # independent decoders of the SAME bitstream: sub-gray-level accord
+    mae_decoders = np.abs(theirs.astype(int) - ours.astype(int)).mean()
+    assert mae_decoders < 1.5, mae_decoders
+    # and both within quantization distance of the original
+    mae_orig = np.abs(theirs.astype(int) - px.astype(int)).mean()
+    assert mae_orig < 12, mae_orig
