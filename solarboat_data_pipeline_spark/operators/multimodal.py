@@ -8,11 +8,12 @@ payloads decoded and resampled by the pure-stdlib codec in :mod:`.wav`
 (struct only — no torchaudio needed, cross-validated against the stdlib
 ``wave`` module). The VIDEO path is real for the uncompressed envelope:
 genuine BI_RGB AVI payloads decoded and frame-sampled by the pure-stdlib
-RIFF reader in :mod:`.avi`. COMPRESSED video (MJPEG/H.264) needs a real
-codec that is not in this build container — that lane stays a documented
-stub (``frame_sample_plan``/``extract_features`` byte-stream stand-ins);
-swap in ffmpeg at the same Arrow ``mapInPandas`` contract on a cluster
-that has it and nothing else changes.
+RIFF reader in :mod:`.avi`, with COMPRESSED video covered by the MJPG
+lane (per-frame baseline JPEG via :mod:`.jpeg`, 4:4:4 and 4:2:0).
+Codecs beyond that envelope (H.264/VP9/...) raise at the same Arrow
+``mapInPandas`` contract — swap in ffmpeg on a cluster that has it and
+nothing else changes (``frame_sample_plan``/``extract_features`` keep
+byte-stream stand-ins for the SQL-mirrorable legacy oracles).
 """
 
 from __future__ import annotations
@@ -66,13 +67,22 @@ def synthesize_png_media(
     input row, encoded by the stdlib codec inside ``mapInPandas``.
 
     Deterministic generator (the driver oracle recomputes decoded pixel
-    statistics from this formula without ever seeing the bytes):
+    statistics from this formula without ever seeing the bytes). With
+    ``width = id % max_width + 1``, ``height = id % max_height + 1`` the
+    image form cycles ``id % 4`` over the real-world PNG envelope:
 
-    * ``width  = id % max_width + 1``, ``height = id % max_height + 1``
-    * ``channels = 1`` (gray) for even ids, ``3`` (RGB) for odd
-    * ``pixel(x, y, c) = (7x + 13y + 31c + id) % 256``
-    * scanline filters CYCLE ``row % 5`` so every encoded image exercises
-      all five PNG filter reconstruction paths on decode.
+    * 0 — grayscale, sequential:  ``pixel(x, y) = (7x + 13y + id) % 256``
+    * 1 — RGB, sequential:  ``pixel(x, y, c) = (7x + 13y + 31c + id) % 256``
+    * 2 — PALETTE (color type 3, the most common web PNG form):
+      ``index(x, y) = (7x + 13y + id) % 256`` through the 256-entry
+      palette ``palette[i][c] = (i·(3 + 2c) + id) % 256`` — decodes to
+      3-channel RGB ``((7x+13y+id)%256 · (3+2c) + id) % 256``
+    * 3 — RGB, ADAM7-INTERLACED: same pixels as form 1 (interlace
+      changes only the wire layout, so the arithmetic oracle is shared)
+
+    Scanline filters CYCLE ``row % 5`` (per Adam7 pass for form 3) so
+    every encoded image exercises all five PNG filter reconstruction
+    paths on decode.
     """
     import numpy as np
 
@@ -85,19 +95,33 @@ def synthesize_png_media(
                 mid = int(mid)
                 w = mid % max_width + 1
                 h = mid % max_height + 1
-                ch = 1 if mid % 2 == 0 else 3
+                form = mid % 4
                 x = np.arange(w, dtype=np.int64)
                 y = np.arange(h, dtype=np.int64)
-                c = np.arange(ch, dtype=np.int64)
-                px = (
-                    7 * x[None, :, None] + 13 * y[:, None, None]
-                    + 31 * c[None, None, :] + mid
-                ) % 256
-                payloads.append(
-                    png_codec.encode_png(
-                        px.astype(np.uint8).tobytes(), w, h, ch, filter_type="cycle"
+                if form == 2:
+                    idx = (7 * x[None, :] + 13 * y[:, None] + mid) % 256
+                    i = np.arange(256, dtype=np.int64)
+                    c = np.arange(3, dtype=np.int64)
+                    pal = (i[:, None] * (3 + 2 * c[None, :]) + mid) % 256
+                    payloads.append(
+                        png_codec.encode_png_palette(
+                            idx.astype(np.uint8).tobytes(), w, h,
+                            pal.astype(np.uint8), filter_type="cycle",
+                        )
                     )
-                )
+                else:
+                    ch = 1 if form == 0 else 3
+                    c = np.arange(ch, dtype=np.int64)
+                    px = (
+                        7 * x[None, :, None] + 13 * y[:, None, None]
+                        + 31 * c[None, None, :] + mid
+                    ) % 256
+                    payloads.append(
+                        png_codec.encode_png(
+                            px.astype(np.uint8).tobytes(), w, h, ch,
+                            filter_type="cycle", interlace=(form == 3),
+                        )
+                    )
                 widths.append(w)
                 heights.append(h)
             yield pd.DataFrame(
@@ -405,6 +429,17 @@ def _video_pattern_smooth(mid: int, max_frames: int, max_width: int, max_height:
         + 7 * c[None, None, None, :]
         + mid % 32
     )
+    # the "wrap-free" promise the MJPEG MAE gate relies on: fail loudly
+    # if larger max_frames/max_width/max_height push values past 255
+    # instead of letting astype(uint8) quietly reintroduce mod-256 cliffs
+    peak = int(px.max()) if px.size else 0
+    if peak > 255:
+        raise ValueError(
+            f"_video_pattern_smooth peak {peak} exceeds uint8 for "
+            f"max_frames={max_frames}, max_width={max_width}, "
+            f"max_height={max_height}; shrink the dims to keep the "
+            "pattern wrap-free"
+        )
     return px.astype(np.uint8)
 
 

@@ -7,12 +7,18 @@ types (None/Sub/Up/Average/Paeth). This module implements enough of it —
 honestly and completely within its stated envelope — to make the
 multimodal decode kernel REAL instead of a stub:
 
-* :func:`encode_png` — 8-bit, non-interlaced, color types 0 (gray),
-  2 (RGB), 4 (gray+alpha), 6 (RGBA); per-scanline filter selection is
-  caller-controlled so tests exercise every filter's decode path.
-* :func:`decode_png` — same envelope; raises ``ValueError`` with the
-  precise reason on anything outside it (palette images, 16-bit depth,
-  Adam7 interlace, truncated/corrupt streams, CRC mismatch).
+* :func:`encode_png` — 8-bit, color types 0 (gray), 2 (RGB),
+  4 (gray+alpha), 6 (RGBA); optionally Adam7-interlaced; per-scanline
+  filter selection is caller-controlled so tests exercise every
+  filter's decode path.
+* :func:`encode_png_palette` — 8-bit color type 3 (indexed): a PLTE
+  chunk of up to 256 RGB entries plus a 1-byte-per-pixel index stream
+  (the most common web PNG form), optionally Adam7-interlaced.
+* :func:`decode_png` — the same envelope (8-bit depth, color types
+  0/2/3/4/6, interlace methods 0 and 1/Adam7; palette images are
+  expanded to 3-channel RGB); raises ``ValueError`` with the precise
+  reason on anything outside it (16-bit depth, tRNS transparency,
+  truncated/corrupt streams, CRC mismatch).
 * :func:`resize_nearest` / :func:`resize_bilinear` — resampling on the
   decoded array (numpy, vectorized — this runs inside Arrow-batched
   ``mapInPandas`` workers, so it must not be a per-pixel Python loop).
@@ -21,11 +27,11 @@ Reference parity: the reference pipeline has no image path (its media
 handling stops at opaque blobs); this kernel exists for the
 training-data-pipeline surface (multimodal decode/resize) that the
 engine adds on top. Decode correctness is proven two independent ways:
-encode→decode round-trips across all filter/color-type combinations in
-``tests/test_png.py``, and the driver oracle recomputes decoded pixel
-statistics arithmetically from the generator formula (DuckDB never sees
-the PNG bytes — if any stage of signature/IHDR/zlib/unfilter is wrong,
-the sums cannot match).
+encode→decode round-trips across all filter/color-type/interlace
+combinations in ``tests/test_png.py``, and the driver oracle recomputes
+decoded pixel statistics arithmetically from the generator formula
+(DuckDB never sees the PNG bytes — if any stage of signature/IHDR/PLTE/
+zlib/unfilter/de-interlace is wrong, the sums cannot match).
 """
 
 from __future__ import annotations
@@ -37,9 +43,22 @@ import numpy as np
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
-#: channels per color type within the supported (8-bit) envelope
+#: channels per color type within the supported (8-bit) envelope;
+#: color type 3 (palette) is handled separately — 1 byte/pixel on the
+#: wire, expanded to 3-channel RGB on decode
 _CHANNELS_BY_COLOR_TYPE = {0: 1, 2: 3, 4: 2, 6: 4}
 _COLOR_TYPE_BY_CHANNELS = {v: k for k, v in _CHANNELS_BY_COLOR_TYPE.items()}
+
+#: Adam7 pass layout (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 def _chunk(ctype: bytes, payload: bytes) -> bytes:
@@ -62,33 +81,19 @@ def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def encode_png(
-    pixels: bytes | bytearray | np.ndarray,
-    width: int,
-    height: int,
-    channels: int,
-    filter_type: int | str = 0,
-) -> bytes:
-    """Encode a row-major 8-bit pixel buffer (``height·width·channels``
-    bytes) as a non-interlaced PNG.
-
-    ``filter_type``: 0-4 applies that filter to every scanline;
-    ``"cycle"`` uses ``row % 5`` — deliberately exercising all five
-    decode paths in one image."""
-    if channels not in _COLOR_TYPE_BY_CHANNELS:
-        raise ValueError(f"unsupported channel count {channels}; use 1/2/3/4")
-    arr = np.frombuffer(bytes(pixels), dtype=np.uint8)
-    if arr.size != width * height * channels:
-        raise ValueError(
-            f"pixel buffer has {arr.size} bytes, expected "
-            f"{width}x{height}x{channels} = {width * height * channels}"
-        )
-    img = arr.reshape(height, width * channels)
-    bpp = channels  # bytes per pixel at bit depth 8
-
+def _filter_scanlines(
+    img: np.ndarray, bpp: int, filter_type: int | str
+) -> bytearray:
+    """Apply per-scanline filters to a (rows, stride) uint8 image and
+    return the filtered byte stream (1 filter-type byte + stride bytes
+    per row). ``filter_type``: 0-4 fixed, or ``"cycle"`` = ``row % 5``.
+    The prior row starts at zero — callers emitting Adam7 passes call
+    this once per pass, which resets the Up/Average/Paeth recurrence at
+    the pass boundary exactly as the spec requires."""
+    rows, stride = img.shape
     out = bytearray()
-    prior = np.zeros(width * channels, dtype=np.uint8)
-    for y in range(height):
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(rows):
         raw = img[y]
         ft = (y % 5) if filter_type == "cycle" else int(filter_type)
         left = np.concatenate([np.zeros(bpp, np.uint8), raw[:-bpp]]) if raw.size > 0 else raw
@@ -112,101 +117,18 @@ def encode_png(
         out.append(ft)
         out.extend(filt.tobytes())
         prior = raw
-
-    ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, _COLOR_TYPE_BY_CHANNELS[channels], 0, 0, 0
-    )
-    return (
-        _SIGNATURE
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(out), 6))
-        + _chunk(b"IEND", b"")
-    )
+    return out
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a PNG within the supported envelope (8-bit depth, color
-    types 0/2/4/6, no interlace) to ``(width, height, channels,
-    row-major pixel bytes)``. Raises ``ValueError`` on malformed input
-    or unsupported features — never returns garbage silently."""
-    if not isinstance(data, (bytes, bytearray, memoryview)):
-        raise ValueError("decode_png expects a bytes-like payload")
-    data = bytes(data)
-    if not data.startswith(_SIGNATURE):
-        raise ValueError("not a PNG: bad signature")
-
-    pos = len(_SIGNATURE)
-    width = height = channels = -1
-    idat = bytearray()
-    seen_ihdr = seen_iend = False
-    while pos < len(data):
-        if pos + 8 > len(data):
-            raise ValueError("truncated PNG: chunk header past end of data")
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        ctype = data[pos + 4 : pos + 8]
-        body_end = pos + 8 + length
-        if body_end + 4 > len(data):
-            raise ValueError(f"truncated PNG: {ctype!r} chunk past end of data")
-        payload = data[pos + 8 : body_end]
-        (crc,) = struct.unpack(">I", data[body_end : body_end + 4])
-        if crc != (zlib.crc32(ctype + payload) & 0xFFFFFFFF):
-            raise ValueError(f"corrupt PNG: CRC mismatch in {ctype!r} chunk")
-        pos = body_end + 4
-
-        if ctype == b"IHDR":
-            if length != 13:
-                raise ValueError("corrupt PNG: IHDR length != 13")
-            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", payload
-            )
-            if depth != 8:
-                raise ValueError(f"unsupported PNG: bit depth {depth} (only 8)")
-            if color_type not in _CHANNELS_BY_COLOR_TYPE:
-                raise ValueError(
-                    f"unsupported PNG: color type {color_type} (palette images "
-                    "need a PLTE decoder; only 0/2/4/6 supported)"
-                )
-            if comp != 0 or filt != 0:
-                raise ValueError("unsupported PNG: nonzero compression/filter method")
-            if interlace != 0:
-                raise ValueError("unsupported PNG: Adam7 interlace")
-            if width <= 0 or height <= 0:
-                raise ValueError("corrupt PNG: non-positive dimensions")
-            channels = _CHANNELS_BY_COLOR_TYPE[color_type]
-            seen_ihdr = True
-        elif ctype == b"IDAT":
-            if not seen_ihdr:
-                raise ValueError("corrupt PNG: IDAT before IHDR")
-            idat.extend(payload)
-        elif ctype == b"IEND":
-            seen_iend = True
-            break
-        # ancillary chunks (tEXt, pHYs, ...) are CRC-checked and skipped
-
-    if not seen_ihdr:
-        raise ValueError("corrupt PNG: missing IHDR")
-    if not seen_iend:
-        raise ValueError("truncated PNG: missing IEND")
-    if not idat:
-        raise ValueError("corrupt PNG: no IDAT data")
-
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as exc:
-        raise ValueError(f"corrupt PNG: zlib inflate failed ({exc})") from exc
-
-    stride = width * channels
-    if len(raw) != (stride + 1) * height:
-        raise ValueError(
-            f"corrupt PNG: inflated {len(raw)} bytes, expected "
-            f"{(stride + 1) * height} for {width}x{height}x{channels}"
-        )
-
-    bpp = channels
-    flat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
-    out = np.empty((height, stride), dtype=np.uint8)
+def _unfilter_scanlines(flat: np.ndarray, bpp: int) -> np.ndarray:
+    """Reconstruct a (rows, 1 + stride) filtered block into a
+    (rows, stride) pixel array. The inverse of :func:`_filter_scanlines`
+    — prior starts at zero, so Adam7 callers pass one block per pass."""
+    rows = flat.shape[0]
+    stride = flat.shape[1] - 1
+    out = np.empty((rows, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
+    for y in range(rows):
         ft = int(flat[y, 0])
         line = flat[y, 1:].copy()
         if ft == 0:
@@ -217,7 +139,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             # Sub is a per-byte-lane prefix sum mod 256: recon[i] =
             # filt[i] + recon[i-bpp] — cumsum each lane, wrap via uint8
             line = (
-                np.cumsum(line.reshape(width, bpp), axis=0, dtype=np.int64)
+                np.cumsum(line.reshape(stride // bpp, bpp), axis=0, dtype=np.int64)
                 .astype(np.uint8)
                 .reshape(stride)
             )
@@ -242,6 +164,256 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"corrupt PNG: unknown scanline filter {ft}")
         out[y] = line
         prior = line
+    return out
+
+
+def _adam7_dims(width: int, height: int) -> list[tuple[int, int]]:
+    """(pass_w, pass_h) for each of the 7 passes; empty passes are
+    (0, 0) and contribute zero bytes to the stream (spec §8.2)."""
+    dims = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        dims.append((pw, ph) if pw > 0 and ph > 0 else (0, 0))
+    return dims
+
+
+def _serialize_image(
+    img: np.ndarray, bpp: int, filter_type: int | str, interlace: bool
+) -> bytes:
+    """Filter a (height, width·bpp) image into the pre-compression byte
+    stream — sequentially, or as the 7 Adam7 sub-images."""
+    if not interlace:
+        return bytes(_filter_scanlines(img, bpp, filter_type))
+    height, stride = img.shape
+    width = stride // bpp
+    cube = img.reshape(height, width, bpp)
+    out = bytearray()
+    for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_dims(width, height)):
+        if pw == 0:
+            continue
+        sub = cube[y0::dy, x0::dx].reshape(ph, pw * bpp)
+        out.extend(_filter_scanlines(np.ascontiguousarray(sub), bpp, filter_type))
+    return bytes(out)
+
+
+def _ihdr(width: int, height: int, color_type: int, interlace: bool) -> bytes:
+    return struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
+
+
+def encode_png(
+    pixels: bytes | bytearray | np.ndarray,
+    width: int,
+    height: int,
+    channels: int,
+    filter_type: int | str = 0,
+    interlace: bool = False,
+) -> bytes:
+    """Encode a row-major 8-bit pixel buffer (``height·width·channels``
+    bytes) as a PNG.
+
+    ``filter_type``: 0-4 applies that filter to every scanline;
+    ``"cycle"`` uses ``row % 5`` — deliberately exercising all five
+    decode paths in one image. ``interlace=True`` emits the Adam7
+    7-pass layout (each pass filtered independently, per spec)."""
+    if channels not in _COLOR_TYPE_BY_CHANNELS:
+        raise ValueError(f"unsupported channel count {channels}; use 1/2/3/4")
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8)
+    if arr.size != width * height * channels:
+        raise ValueError(
+            f"pixel buffer has {arr.size} bytes, expected "
+            f"{width}x{height}x{channels} = {width * height * channels}"
+        )
+    img = arr.reshape(height, width * channels)
+    raw = _serialize_image(img, channels, filter_type, interlace)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", _ihdr(width, height, _COLOR_TYPE_BY_CHANNELS[channels], interlace))
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    indices: bytes | bytearray | np.ndarray,
+    width: int,
+    height: int,
+    palette: np.ndarray,
+    filter_type: int | str = 0,
+    interlace: bool = False,
+) -> bytes:
+    """Encode an indexed (color type 3) PNG: ``indices`` is one byte per
+    pixel referencing ``palette`` — an ``(n, 3)`` uint8 RGB array,
+    1 ≤ n ≤ 256. Every index must be < n (checked — a silent modulo here
+    would corrupt images undetectably)."""
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or not (1 <= pal.shape[0] <= 256):
+        raise ValueError("palette must be an (n, 3) uint8 array with 1 <= n <= 256")
+    arr = np.frombuffer(bytes(indices), dtype=np.uint8)
+    if arr.size != width * height:
+        raise ValueError(
+            f"index buffer has {arr.size} bytes, expected {width * height}"
+        )
+    if arr.size and int(arr.max()) >= pal.shape[0]:
+        raise ValueError(
+            f"palette index {int(arr.max())} out of range for "
+            f"{pal.shape[0]}-entry palette"
+        )
+    img = arr.reshape(height, width)
+    raw = _serialize_image(img, 1, filter_type, interlace)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", _ihdr(width, height, 3, interlace))
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _deserialize_image(
+    raw: bytes, width: int, height: int, bpp: int, interlace: bool
+) -> np.ndarray:
+    """Unfilter (and de-interlace) the inflated IDAT stream into a
+    (height, width·bpp) pixel array."""
+    stride = width * bpp
+    if not interlace:
+        expected = (stride + 1) * height
+        if len(raw) != expected:
+            raise ValueError(
+                f"corrupt PNG: inflated {len(raw)} bytes, expected "
+                f"{expected} for {width}x{height}x{bpp}"
+            )
+        flat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+        return _unfilter_scanlines(flat, bpp)
+
+    dims = _adam7_dims(width, height)
+    expected = sum(ph * (1 + pw * bpp) for pw, ph in dims)
+    if len(raw) != expected:
+        raise ValueError(
+            f"corrupt PNG: inflated {len(raw)} bytes, expected {expected} "
+            f"for Adam7 {width}x{height}x{bpp}"
+        )
+    out = np.empty((height, width, bpp), dtype=np.uint8)
+    pos = 0
+    for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, dims):
+        if pw == 0:
+            continue
+        nbytes = ph * (1 + pw * bpp)
+        flat = np.frombuffer(raw[pos : pos + nbytes], dtype=np.uint8).reshape(
+            ph, 1 + pw * bpp
+        )
+        pos += nbytes
+        sub = _unfilter_scanlines(flat, bpp).reshape(ph, pw, bpp)
+        out[y0::dy, x0::dx] = sub
+    return out.reshape(height, stride)
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG within the supported envelope (8-bit depth, color
+    types 0/2/3/4/6, interlace methods 0 and 1) to ``(width, height,
+    channels, row-major pixel bytes)``. Palette (type 3) images are
+    expanded through their PLTE to 3-channel RGB. Raises ``ValueError``
+    on malformed input or unsupported features — never returns garbage
+    silently."""
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        raise ValueError("decode_png expects a bytes-like payload")
+    data = bytes(data)
+    if not data.startswith(_SIGNATURE):
+        raise ValueError("not a PNG: bad signature")
+
+    pos = len(_SIGNATURE)
+    width = height = channels = -1
+    color_type = interlace = 0
+    palette: np.ndarray | None = None
+    idat = bytearray()
+    seen_ihdr = seen_iend = False
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG: chunk header past end of data")
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body_end = pos + 8 + length
+        if body_end + 4 > len(data):
+            raise ValueError(f"truncated PNG: {ctype!r} chunk past end of data")
+        payload = data[pos + 8 : body_end]
+        (crc,) = struct.unpack(">I", data[body_end : body_end + 4])
+        if crc != (zlib.crc32(ctype + payload) & 0xFFFFFFFF):
+            raise ValueError(f"corrupt PNG: CRC mismatch in {ctype!r} chunk")
+        pos = body_end + 4
+
+        if ctype == b"IHDR":
+            if seen_ihdr:
+                raise ValueError("corrupt PNG: duplicate IHDR")
+            if length != 13:
+                raise ValueError("corrupt PNG: IHDR length != 13")
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG: bit depth {depth} (only 8)")
+            if color_type != 3 and color_type not in _CHANNELS_BY_COLOR_TYPE:
+                raise ValueError(
+                    f"unsupported PNG: color type {color_type} (only 0/2/3/4/6)"
+                )
+            if comp != 0 or filt != 0:
+                raise ValueError("unsupported PNG: nonzero compression/filter method")
+            if interlace not in (0, 1):
+                raise ValueError(f"unsupported PNG: interlace method {interlace}")
+            if width <= 0 or height <= 0:
+                raise ValueError("corrupt PNG: non-positive dimensions")
+            channels = 1 if color_type == 3 else _CHANNELS_BY_COLOR_TYPE[color_type]
+            seen_ihdr = True
+        elif ctype == b"PLTE":
+            if not seen_ihdr:
+                raise ValueError("corrupt PNG: PLTE before IHDR")
+            if length == 0 or length % 3 != 0 or length > 768:
+                raise ValueError("corrupt PNG: PLTE length not a multiple of 3 in 3..768")
+            if palette is not None:
+                raise ValueError("corrupt PNG: duplicate PLTE")
+            if idat:
+                raise ValueError("corrupt PNG: PLTE after IDAT")
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            # alpha for palette/gray/RGB images — honest envelope edge:
+            # dropping it would silently decode a transparent image as
+            # opaque, so refuse instead
+            raise ValueError("unsupported PNG: tRNS transparency chunk")
+        elif ctype == b"IDAT":
+            if not seen_ihdr:
+                raise ValueError("corrupt PNG: IDAT before IHDR")
+            idat.extend(payload)
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        # ancillary chunks (tEXt, pHYs, ...) are CRC-checked and skipped
+
+    if not seen_ihdr:
+        raise ValueError("corrupt PNG: missing IHDR")
+    if not seen_iend:
+        raise ValueError("truncated PNG: missing IEND")
+    if not idat:
+        raise ValueError("corrupt PNG: no IDAT data")
+    if color_type == 3 and palette is None:
+        raise ValueError("corrupt PNG: palette image missing PLTE")
+
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG: zlib inflate failed ({exc})") from exc
+
+    out = _deserialize_image(raw, width, height, channels, interlace == 1)
+
+    if color_type == 3:
+        assert palette is not None
+        idx = out.reshape(height, width)
+        if int(idx.max()) >= palette.shape[0]:
+            raise ValueError(
+                f"corrupt PNG: palette index {int(idx.max())} out of range "
+                f"for {palette.shape[0]}-entry PLTE"
+            )
+        return width, height, 3, palette[idx].tobytes()
     return width, height, channels, out.tobytes()
 
 

@@ -63,6 +63,42 @@ def test_imageio_decodes_our_gray_png_pixel_exact(spark, tmp_path):
     np.testing.assert_array_equal(got.reshape(7, 10, -1)[:, :, :1], px)
 
 
+@pytest.mark.parametrize("h,w", [(6, 9), (8, 8), (13, 11)])
+def test_imageio_decodes_our_interlaced_png_pixel_exact(spark, tmp_path, h, w):
+    px = _pattern(h, w, 3)
+    p = os.path.join(str(tmp_path), "i.png")
+    with open(p, "wb") as f:
+        f.write(png.encode_png(px.tobytes(), w, h, 3, filter_type="cycle", interlace=True))
+    H, W, C, rgb = _imageio_decode(spark, p)
+    assert (H, W, C) == (h, w, 3)
+    np.testing.assert_array_equal(rgb, px)
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_imageio_decodes_our_palette_png_pixel_exact(spark, tmp_path, interlace):
+    h, w = 9, 14
+    rng = np.random.default_rng(17)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=h * w, dtype=np.uint8)
+    p = os.path.join(str(tmp_path), "p.png")
+    with open(p, "wb") as f:
+        f.write(
+            png.encode_png_palette(
+                idx.tobytes(), w, h, pal, filter_type="cycle", interlace=interlace
+            )
+        )
+    H, W, C, rgb = _imageio_decode(spark, p)
+    assert (H, W, C) == (h, w, 3)
+    np.testing.assert_array_equal(rgb, pal[idx.reshape(h, w)])
+    # and our own decoder expands the PLTE to the same RGB
+    with open(p, "rb") as f:
+        dw, dh, dch, ours = png.decode_png(f.read())
+    assert (dw, dh, dch) == (w, h, 3)
+    np.testing.assert_array_equal(
+        np.frombuffer(ours, np.uint8).reshape(h, w, 3), pal[idx.reshape(h, w)]
+    )
+
+
 @pytest.mark.parametrize("h,w,ch", [(6, 9, 3), (16, 16, 3), (8, 8, 1)])
 def test_imageio_agrees_with_our_jpeg_decoder(spark, tmp_path, h, w, ch):
     px = _pattern(h, w, ch)

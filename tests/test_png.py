@@ -29,6 +29,18 @@ def _gradient(w: int, h: int, ch: int, seed: int = 0) -> bytes:
     return px.astype(np.uint8).tobytes()
 
 
+# the synthesize_png_media generator contract (form = id % 4):
+# 0 gray / 1 RGB / 2 palette (decodes to RGB) / 3 Adam7-interlaced RGB
+def _expected_channels(mid: int) -> int:
+    return 1 if mid % 4 == 0 else 3
+
+
+def _expected_pixel(mid: int, x: int, y: int, c: int) -> int:
+    if mid % 4 == 2:
+        return (((7 * x + 13 * y + mid) % 256) * (3 + 2 * c) + mid) % 256
+    return (7 * x + 13 * y + 31 * c + mid) % 256
+
+
 @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4, "cycle"])
 @pytest.mark.parametrize("channels", [1, 2, 3, 4])
 def test_roundtrip_all_filters_and_color_types(filter_type, channels):
@@ -66,29 +78,102 @@ def test_decode_rejects_garbage_and_corruption():
         png.decode_png(whole[:-8])
 
 
-def test_decode_rejects_unsupported_features():
+def _chunk(ctype: bytes, payload: bytes) -> bytes:
     import struct
     import zlib
 
-    def chunk(ctype: bytes, payload: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(payload)) + ctype + payload
-            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
-        )
+    return (
+        struct.pack(">I", len(payload)) + ctype + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def test_decode_rejects_unsupported_features():
+    import struct
 
     sig = b"\x89PNG\r\n\x1a\n"
     # 16-bit depth
     ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
     with pytest.raises(ValueError, match="bit depth"):
-        png.decode_png(sig + chunk(b"IHDR", ihdr16))
-    # palette color type
-    ihdr_pal = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+        png.decode_png(sig + _chunk(b"IHDR", ihdr16))
+    # color type 5 is not a real PNG color type
+    ihdr_bad = struct.pack(">IIBBBBB", 2, 2, 8, 5, 0, 0, 0)
     with pytest.raises(ValueError, match="color type"):
-        png.decode_png(sig + chunk(b"IHDR", ihdr_pal))
-    # Adam7 interlace
-    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+        png.decode_png(sig + _chunk(b"IHDR", ihdr_bad))
+    # interlace method 2 does not exist (only 0 and 1/Adam7)
+    ihdr_i2 = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2)
     with pytest.raises(ValueError, match="interlace"):
-        png.decode_png(sig + chunk(b"IHDR", ihdr_i))
+        png.decode_png(sig + _chunk(b"IHDR", ihdr_i2))
+    # tRNS transparency: honest refusal instead of silently dropping alpha
+    data = png.encode_png(_gradient(2, 2, 3), 2, 2, 3)
+    ihdr_end = 8 + 8 + 13 + 4
+    spliced = data[:ihdr_end] + _chunk(b"tRNS", b"\x00\x00\x00\x00\x00\x00") + data[ihdr_end:]
+    with pytest.raises(ValueError, match="tRNS"):
+        png.decode_png(spliced)
+
+
+def test_decode_rejects_duplicate_ihdr():
+    data = png.encode_png(_gradient(2, 2, 1), 2, 2, 1)
+    import struct
+
+    ihdr_end = 8 + 8 + 13 + 4
+    dup = data[:ihdr_end] + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 9, 9, 8, 0, 0, 0, 0)
+    ) + data[ihdr_end:]
+    with pytest.raises(ValueError, match="duplicate IHDR"):
+        png.decode_png(dup)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4, "cycle"])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_roundtrip_adam7_interlaced(filter_type, channels):
+    for w, h in [(1, 1), (2, 3), (7, 5), (8, 8), (13, 9), (16, 12)]:
+        raw = _gradient(w, h, channels, seed=11)
+        data = png.encode_png(raw, w, h, channels, filter_type=filter_type, interlace=True)
+        dw, dh, dch, out = png.decode_png(data)
+        assert (dw, dh, dch) == (w, h, channels)
+        assert out == raw, (w, h, channels, filter_type)
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("filter_type", [0, 4, "cycle"])
+def test_roundtrip_palette(filter_type, interlace):
+    rng = np.random.default_rng(3)
+    for w, h in [(1, 1), (3, 2), (9, 7), (16, 12)]:
+        n_pal = int(rng.integers(2, 257))
+        pal = rng.integers(0, 256, size=(n_pal, 3), dtype=np.uint8)
+        idx = rng.integers(0, n_pal, size=w * h, dtype=np.uint8)
+        data = png.encode_png_palette(
+            idx.tobytes(), w, h, pal, filter_type=filter_type, interlace=interlace
+        )
+        dw, dh, dch, out = png.decode_png(data)
+        assert (dw, dh, dch) == (w, h, 3)
+        assert out == pal[idx.reshape(h, w)].tobytes()
+
+
+def test_palette_validation():
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    # index out of range at encode time
+    with pytest.raises(ValueError, match="out of range"):
+        png.encode_png_palette(bytes([0, 1, 2, 7]), 2, 2, pal)
+    # malformed palette shapes
+    with pytest.raises(ValueError, match="palette"):
+        png.encode_png_palette(bytes(4), 2, 2, np.zeros((0, 3), np.uint8))
+    with pytest.raises(ValueError, match="palette"):
+        png.encode_png_palette(bytes(4), 2, 2, np.zeros((300, 3), np.uint8))
+    # palette image whose PLTE chunk was stripped → precise error
+    data = png.encode_png_palette(bytes([0, 1, 2, 3]), 2, 2, pal)
+    ihdr_end = 8 + 8 + 13 + 4
+    plte_len = 8 + 4 * 3 + 4
+    stripped = data[:ihdr_end] + data[ihdr_end + plte_len:]
+    with pytest.raises(ValueError, match="PLTE"):
+        png.decode_png(stripped)
+    # index beyond the PLTE at decode time (craft a 2-entry palette but
+    # index 3): encode with 4 entries then truncate the PLTE payload
+    data = png.encode_png_palette(bytes([0, 1, 2, 3]), 2, 2, pal)
+    short = data[:ihdr_end] + _chunk(b"PLTE", pal[:2].tobytes()) + data[ihdr_end + plte_len:]
+    with pytest.raises(ValueError, match="out of range"):
+        png.decode_png(short)
 
 
 def test_ancillary_chunks_are_skipped():
@@ -157,13 +242,14 @@ def _doc_ids(spark, n=40):
 
 
 def test_decode_image_stats_matches_generator_formula(spark):
+    # n=40 covers all 4 generator forms (gray/RGB/palette/Adam7) 10x each
     media = mm.synthesize_png_media(_doc_ids(spark))
     got = {r["media_id"]: r for r in mm.decode_image_stats(media).collect()}
     for mid in range(40):
         w, h = mid % 16 + 1, mid % 12 + 1
-        ch = 1 if mid % 2 == 0 else 3
+        ch = _expected_channels(mid)
         expect = sum(
-            (7 * x + 13 * y + 31 * c + mid) % 256
+            _expected_pixel(mid, x, y, c)
             for x in range(w) for y in range(h) for c in range(ch)
         )
         r = got[mid]
@@ -179,9 +265,9 @@ def test_resize_image_stats_matches_floor_mapping(spark):
     }
     for mid in range(40):
         w, h = mid % 16 + 1, mid % 12 + 1
-        ch = 1 if mid % 2 == 0 else 3
+        ch = _expected_channels(mid)
         expect = sum(
-            (7 * ((x * w) // 8) + 13 * ((y * h) // 6) + 31 * c + mid) % 256
+            _expected_pixel(mid, (x * w) // 8, (y * h) // 6, c)
             for x in range(8) for y in range(6) for c in range(ch)
         )
         r = got[mid]
@@ -194,10 +280,10 @@ def test_extract_features_real_decode(spark):
     rows = {r["media_id"]: r for r in mm.extract_features(media, fake=False).collect()}
     for mid, r in rows.items():
         w, h = mid % 16 + 1, mid % 12 + 1
-        ch = 1 if mid % 2 == 0 else 3
+        ch = _expected_channels(mid)
         mean = (
             sum(
-                (7 * x + 13 * y + 31 * c + mid) % 256
+                _expected_pixel(mid, x, y, c)
                 for x in range(w) for y in range(h) for c in range(ch)
             ) / (w * h * ch)
         )
