@@ -59,10 +59,13 @@ def encode_avi(
     frames: np.ndarray,
     fps: int = 25,
     codec: str = "rgb",
+    subsampling: str = "444",
 ) -> bytes:
     """Encode ``(n_frames, height, width, 3)`` uint8 RGB frames as an
     AVI: ``codec="rgb"`` = uncompressed BI_RGB DIBs, ``codec="mjpg"`` =
-    Motion-JPEG (each frame a baseline JPEG from :mod:`.jpeg`)."""
+    Motion-JPEG (each frame a baseline JPEG from :mod:`.jpeg`;
+    ``subsampling`` — ``"444"`` or ``"420"`` — is passed through to the
+    per-frame JPEG encoder)."""
     if codec not in ("rgb", "mjpg"):
         raise ValueError(f"unknown codec {codec!r}; use 'rgb' or 'mjpg'")
     arr = np.asarray(frames, dtype=np.uint8)
@@ -71,6 +74,13 @@ def encode_avi(
     if fps <= 0:
         raise ValueError("fps must be positive")
     n, height, width, _ = arr.shape
+    if width > 32767 or height > 32767:
+        # rcFrame in strh packs signed 16-bit shorts — fail with the
+        # same clarity as the other validated parameters instead of an
+        # opaque struct.error
+        raise ValueError(
+            f"AVI dimensions {width}x{height} exceed the 32767 rcFrame limit"
+        )
     row_bytes = (width * 3 + 3) & ~3  # DIB rows pad to 4 bytes
     frame_bytes = row_bytes * height
 
@@ -78,7 +88,9 @@ def encode_avi(
         from solarboat_data_pipeline_spark.operators import jpeg as jpeg_codec
 
         payloads = [
-            jpeg_codec.encode_jpeg(arr[i].tobytes(), width, height, 3)
+            jpeg_codec.encode_jpeg(
+                arr[i].tobytes(), width, height, 3, subsampling=subsampling
+            )
             for i in range(n)
         ]
         frame_bytes = max(len(p) for p in payloads) if payloads else 0

@@ -9,11 +9,15 @@ prediction, Huffman coding (Annex K tables), 0xFF byte stuffing.
 Envelope, implemented completely and honestly:
 
 * :func:`encode_jpeg` — baseline sequential DCT, 8-bit, grayscale or
-  YCbCr 4:4:4 (no chroma subsampling), single scan, no restart
-  markers, standard Annex K quantization + Huffman tables.
-* :func:`decode_jpeg` — the same envelope; raises ``ValueError`` with
-  the precise reason on progressive scans, arithmetic coding,
-  12-bit precision, subsampled chroma or restart intervals — never
+  YCbCr with 4:4:4 or 4:2:0 chroma sampling (2×2 box-downsampled
+  chroma, interleaved MCUs — the shape every camera and libjpeg
+  default emits), single scan, no restart markers, standard Annex K
+  quantization + Huffman tables.
+* :func:`decode_jpeg` — the same envelope generalized to any integer
+  sampling-factor ratio (4:4:4, 4:2:0, 4:2:2, 4:4:0, 4:1:1; chroma
+  upsampled by sample replication); raises ``ValueError`` with the
+  precise reason on progressive scans, arithmetic coding, 12-bit
+  precision, fractional sampling ratios or restart intervals — never
   returns garbage silently.
 
 JPEG is LOSSY, so unlike the PNG/WAV/AVI twins the driver oracle
@@ -196,20 +200,6 @@ def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int32)
 
 
-def _blocks(plane: np.ndarray) -> np.ndarray:
-    """Pad a (h, w) plane to 8-multiples (edge replicate) and cut into
-    (n, 8, 8) blocks in raster order."""
-    h, w = plane.shape
-    H = (h + 7) & ~7
-    W = (w + 7) & ~7
-    padded = np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
-    return (
-        padded.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8),
-        H // 8,
-        W // 8,
-    )
-
-
 def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -235,63 +225,132 @@ def _dht_payload(cls: int, tid: int, spec) -> bytes:
     return bytes([cls << 4 | tid]) + bytes(counts) + bytes(symbols)
 
 
-def encode_jpeg(pixels: bytes | np.ndarray, width: int, height: int, channels: int) -> bytes:
+def _write_block(w: _BitWriter, zz: np.ndarray, prev_dc: int, dc_t, ac_t) -> int:
+    """Huffman-encode one zigzag-ordered quantized block; returns the new
+    DC predictor."""
+    diff = int(zz[0]) - prev_dc
+    size, bits = _magnitude(diff)
+    code, length = dc_t[size]
+    w.write(code, length)
+    if size:
+        w.write(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_t[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_t[run << 4 | size]
+        w.write(code, length)
+        w.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_t[0x00]  # EOB
+        w.write(code, length)
+    return int(zz[0])
+
+
+def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
+    h, w = plane.shape
+    H = (h + mult - 1) // mult * mult
+    W = (w + mult - 1) // mult * mult
+    return np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+
+
+def _block_grid(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Quantized zigzag coefficients of a level-shifted plane whose dims
+    are 8-multiples, as a (rows/8, cols/8, 64) grid in raster order."""
+    H, W = plane.shape
+    blocks = (
+        plane.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    zz = _fdct_quant(blocks, q).reshape(-1, 64)[:, ZIGZAG]
+    return zz.reshape(H // 8, W // 8, 64)
+
+
+def encode_jpeg(
+    pixels: bytes | np.ndarray,
+    width: int,
+    height: int,
+    channels: int,
+    subsampling: str = "444",
+) -> bytes:
     """Encode 8-bit pixels (row-major, RGB or grayscale) as baseline
-    JPEG (4:4:4, Annex K tables)."""
+    JPEG (Annex K tables). ``subsampling``: ``"444"`` (full-resolution
+    chroma) or ``"420"`` (2×2 box-downsampled chroma in interleaved
+    16×16 MCUs — the default shape libjpeg and cameras emit); ignored
+    for grayscale."""
     if channels not in (1, 3):
         raise ValueError("encode_jpeg supports 1 (gray) or 3 (RGB) channels")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}; use '444' or '420'")
     arr = np.frombuffer(bytes(pixels) if not isinstance(pixels, np.ndarray) else pixels.tobytes(), dtype=np.uint8)
     if arr.size != width * height * channels:
         raise ValueError(
             f"pixel buffer has {arr.size} bytes, expected {width * height * channels}"
         )
     img = arr.reshape(height, width, channels).astype(np.float64)
-    planes = (
-        [img[..., 0]] if channels == 1 else list(np.moveaxis(_rgb_to_ycbcr(img), -1, 0))
-    )
-
-    comp_specs = []
-    all_blocks = []
-    for ci, plane in enumerate(planes):
-        q = QUANT_LUMA if ci == 0 else QUANT_CHROMA
-        blocks, _, _ = _blocks(plane - 128.0)
-        all_blocks.append(_fdct_quant(blocks, q))
-        comp_specs.append(ci)
+    sub420 = channels == 3 and subsampling == "420"
 
     w = _BitWriter()
-    prev_dc = [0] * channels
-    n_blocks = all_blocks[0].shape[0]
-    for bi in range(n_blocks):
-        for ci in range(channels):
-            dc_t = _ENC_TABLES["dc_l" if ci == 0 else "dc_c"]
-            ac_t = _ENC_TABLES["ac_l" if ci == 0 else "ac_c"]
-            zz = all_blocks[ci][bi].reshape(64)[ZIGZAG]
-            diff = int(zz[0]) - prev_dc[ci]
-            prev_dc[ci] = int(zz[0])
-            size, bits = _magnitude(diff)
-            code, length = dc_t[size]
-            w.write(code, length)
-            if size:
-                w.write(bits, size)
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_t[0xF0]  # ZRL
-                    w.write(code, length)
-                    run -= 16
-                size, bits = _magnitude(v)
-                code, length = ac_t[run << 4 | size]
-                w.write(code, length)
-                w.write(bits, size)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_t[0x00]  # EOB
-                w.write(code, length)
+    if channels == 1:
+        grid = _block_grid(_pad_to(img[..., 0], 8) - 128.0, QUANT_LUMA)
+        prev = 0
+        for zz in grid.reshape(-1, 64):
+            prev = _write_block(w, zz, prev, _ENC_TABLES["dc_l"], _ENC_TABLES["ac_l"])
+    elif not sub420:
+        planes = list(np.moveaxis(_rgb_to_ycbcr(img), -1, 0))
+        grids = [
+            _block_grid(_pad_to(p, 8) - 128.0, QUANT_LUMA if ci == 0 else QUANT_CHROMA)
+            for ci, p in enumerate(planes)
+        ]
+        prev_dc = [0, 0, 0]
+        n_blocks = grids[0].shape[0] * grids[0].shape[1]
+        flat = [g.reshape(-1, 64) for g in grids]
+        for bi in range(n_blocks):
+            for ci in range(3):
+                lum = ci == 0
+                prev_dc[ci] = _write_block(
+                    w, flat[ci][bi], prev_dc[ci],
+                    _ENC_TABLES["dc_l" if lum else "dc_c"],
+                    _ENC_TABLES["ac_l" if lum else "ac_c"],
+                )
+    else:
+        ycc = _rgb_to_ycbcr(img)
+        # pad everything to the 16×16 MCU grid first, THEN box-average
+        # chroma 2×2 — the downsampled planes land exactly on 8-multiples
+        yp = _pad_to(ycc[..., 0], 16)
+        cb = _pad_to(ycc[..., 1], 16)
+        cr = _pad_to(ycc[..., 2], 16)
+        H, W = yp.shape
+        mcuy, mcux = H // 16, W // 16
+        cb = cb.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+        yg = _block_grid(yp - 128.0, QUANT_LUMA)
+        cbg = _block_grid(cb - 128.0, QUANT_CHROMA)
+        crg = _block_grid(cr - 128.0, QUANT_CHROMA)
+        prev_dc = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                # 4 luma blocks raster-order within the MCU, then Cb, Cr
+                for by in range(2):
+                    for bx in range(2):
+                        prev_dc[0] = _write_block(
+                            w, yg[2 * my + by, 2 * mx + bx], prev_dc[0],
+                            _ENC_TABLES["dc_l"], _ENC_TABLES["ac_l"],
+                        )
+                prev_dc[1] = _write_block(
+                    w, cbg[my, mx], prev_dc[1], _ENC_TABLES["dc_c"], _ENC_TABLES["ac_c"]
+                )
+                prev_dc[2] = _write_block(
+                    w, crg[my, mx], prev_dc[2], _ENC_TABLES["dc_c"], _ENC_TABLES["ac_c"]
+                )
     scan = w.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -301,7 +360,8 @@ def encode_jpeg(pixels: bytes | np.ndarray, width: int, height: int, channels: i
     out += _seg(0xFFDB, dqt)
     sof = struct.pack(">BHHB", 8, height, width, channels)
     for ci in range(channels):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4, q-table id
+        sampling = 0x22 if (sub420 and ci == 0) else 0x11
+        sof += bytes([ci + 1, sampling, 0 if ci == 0 else 1])  # q-table id
     out += _seg(0xFFC0, sof)
     dht = _dht_payload(0, 0, DC_LUMA) + _dht_payload(1, 0, AC_LUMA)
     if channels == 3:
@@ -408,15 +468,32 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     htables: dict[tuple[int, int], object] = {}
     width = height = channels = -1
     comp_q: list[int] = []
+    comp_s: list[tuple[int, int]] = []
     comp_h: list[tuple[int, int]] = []
     scan_at = -1
 
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at byte {pos}")
+        # any number of 0xFF fill bytes may pad between segments
+        # (T.81 B.1.1.2) — skip them before reading the marker byte
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG: fill bytes run past end of data")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: parameterless markers — legal JPEG, but
+            # outside this codec's envelope; name them precisely instead
+            # of misreading the next bytes as a segment length
+            raise ValueError(
+                f"unsupported JPEG: parameterless marker 0xFF{marker:02X} "
+                "outside a scan"
+            )
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG: segment header past end of data")
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seglen]
         if len(body) != seglen - 2:
@@ -439,10 +516,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             channels = nc
             for ci in range(nc):
                 cid, sampling, qid = body[6 + ci * 3 : 9 + ci * 3]
-                if sampling != 0x11:
+                sh, sv = sampling >> 4, sampling & 0xF
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
                     raise ValueError(
-                        "unsupported JPEG: subsampled chroma (only 4:4:4)"
+                        f"corrupt JPEG: sampling factors {sh}x{sv} outside 1..4"
                     )
+                comp_s.append((sh, sv))
                 comp_q.append(qid)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -479,49 +558,80 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("truncated JPEG: missing EOI")
     r = _BitReader(data[scan_at:end])
 
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
-    n_blocks = bw * bh
-    coefs = [np.zeros((n_blocks, 64), dtype=np.int32) for _ in range(channels)]
+    # a single-component scan is non-interleaved (one data unit per MCU,
+    # T.81 A.2.2) — its declared sampling factors do not shape the scan
+    if channels == 1:
+        comp_s = [(1, 1)]
+    max_h = max(s[0] for s in comp_s)
+    max_v = max(s[1] for s in comp_s)
+    for sh, sv in comp_s:
+        if max_h % sh or max_v % sv:
+            raise ValueError(
+                f"unsupported JPEG: fractional sampling ratio "
+                f"({sh}x{sv} vs max {max_h}x{max_v})"
+            )
+    mcux = (width + 8 * max_h - 1) // (8 * max_h)
+    mcuy = (height + 8 * max_v - 1) // (8 * max_v)
+    # per component: a (mcuy·v, mcux·h, 64) raster-ordered block grid
+    grids = [
+        np.zeros((mcuy * sv, mcux * sh, 64), dtype=np.int32) for sh, sv in comp_s
+    ]
+    dec_tables = []
+    for ci in range(channels):
+        dc_t = htables.get((0, comp_h[ci][0]))
+        ac_t = htables.get((1, comp_h[ci][1]))
+        if dc_t is None or ac_t is None:
+            raise ValueError("corrupt JPEG: scan references missing DHT")
+        dec_tables.append((dc_t, ac_t))
+
+    def read_block(zz: np.ndarray, ci: int) -> None:
+        dc_t, ac_t = dec_tables[ci]
+        size = _read_symbol(r, dc_t)
+        diff = _extend(r.bits(size), size)
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            rs = _read_symbol(r, ac_t)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            if k > 63:
+                raise ValueError("corrupt JPEG: AC run past block end")
+            zz[k] = _extend(r.bits(rs & 0xF), rs & 0xF)
+            k += 1
+
     prev_dc = [0] * channels
-    for bi in range(n_blocks):
-        for ci in range(channels):
-            dc_t = htables.get((0, comp_h[ci][0]))
-            ac_t = htables.get((1, comp_h[ci][1]))
-            if dc_t is None or ac_t is None:
-                raise ValueError("corrupt JPEG: scan references missing DHT")
-            size = _read_symbol(r, dc_t)
-            diff = _extend(r.bits(size), size)
-            prev_dc[ci] += diff
-            zz = coefs[ci][bi]
-            zz[0] = prev_dc[ci]
-            k = 1
-            while k < 64:
-                rs = _read_symbol(r, ac_t)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += rs >> 4
-                if k > 63:
-                    raise ValueError("corrupt JPEG: AC run past block end")
-                zz[k] = _extend(r.bits(rs & 0xF), rs & 0xF)
-                k += 1
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (sh, sv) in enumerate(comp_s):
+                for by in range(sv):
+                    for bx in range(sh):
+                        read_block(grids[ci][my * sv + by, mx * sh + bx], ci)
 
     planes = []
-    for ci in range(channels):
+    for ci, (sh, sv) in enumerate(comp_s):
         q = qtables.get(comp_q[ci])
         if q is None:
             raise ValueError("corrupt JPEG: component references missing DQT")
-        blocks = (coefs[ci][:, UNZIGZAG].reshape(-1, 8, 8) * q).astype(np.float64)
+        rows, cols = grids[ci].shape[:2]
+        blocks = (grids[ci].reshape(-1, 64)[:, UNZIGZAG].reshape(-1, 8, 8) * q).astype(
+            np.float64
+        )
         spatial = np.einsum("ji,njk,kl->nil", _DCT, blocks, _DCT) + 128.0
         plane = (
-            spatial.reshape(bh, bw, 8, 8)
+            spatial.reshape(rows, cols, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(bh * 8, bw * 8)[:height, :width]
+            .reshape(rows * 8, cols * 8)
         )
-        planes.append(plane)
+        # upsample subsampled components by sample replication, then
+        # crop the MCU padding to the image dims
+        if sh != max_h or sv != max_v:
+            plane = np.repeat(np.repeat(plane, max_v // sv, axis=0), max_h // sh, axis=1)
+        planes.append(plane[:height, :width])
 
     if channels == 1:
         out = planes[0]

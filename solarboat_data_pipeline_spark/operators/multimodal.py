@@ -454,15 +454,22 @@ def synthesize_mjpeg_media(
     """Media table of GENUINE Motion-JPEG AVIs: deterministic smooth
     frames (:func:`_video_pattern_smooth`), each compressed by the
     in-repo baseline JPEG codec (:mod:`.jpeg`) into ``00dc`` chunks
-    with biCompression = 'MJPG'."""
+    with biCompression = 'MJPG'. Chroma sampling alternates per id —
+    even ids 4:4:4, odd ids 4:2:0 (the default shape cameras/libjpeg
+    emit) — so the driver row exercises the subsampled MCU decode path
+    under the same fidelity gate."""
     src = df.select(F.col(id_col).cast("long").alias("media_id"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, nfs = [], []
             for mid in pdf["media_id"]:
-                px = _video_pattern_smooth(int(mid), max_frames, max_width, max_height)
-                payloads.append(avi_codec.encode_avi(px, fps=fps, codec="mjpg"))
+                mid = int(mid)
+                px = _video_pattern_smooth(mid, max_frames, max_width, max_height)
+                sub = "444" if mid % 2 == 0 else "420"
+                payloads.append(
+                    avi_codec.encode_avi(px, fps=fps, codec="mjpg", subsampling=sub)
+                )
                 nfs.append(px.shape[0])
             yield pd.DataFrame(
                 {

@@ -118,3 +118,55 @@ def test_imageio_agrees_with_our_jpeg_decoder(spark, tmp_path, h, w, ch):
     # and both within quantization distance of the original
     mae_orig = np.abs(theirs.astype(int) - px.astype(int)).mean()
     assert mae_orig < 12, mae_orig
+
+
+def _luma(rgb: np.ndarray) -> np.ndarray:
+    return (
+        0.299 * rgb[..., 0].astype(float)
+        + 0.587 * rgb[..., 1].astype(float)
+        + 0.114 * rgb[..., 2].astype(float)
+    )
+
+
+@pytest.mark.parametrize("h,w", [(16, 16), (9, 21), (32, 24)])
+def test_imageio_agrees_with_our_420_jpeg_decoder(spark, tmp_path, h, w):
+    """The 4:2:0 bitstream is what libjpeg emits by default. ImageIO
+    upsamples chroma with a triangle filter where we replicate samples —
+    a legitimate decoder choice — so the sharp cross-decoder check is
+    the LUMA plane (full resolution in 4:2:0, untouched by the chroma
+    filter): recomputed Y from both decoders' RGB must agree to IDCT/
+    rounding noise even on high-gradient content."""
+    px = _pattern(h, w, 3)
+    data = jpeg.encode_jpeg(px.tobytes(), w, h, 3, subsampling="420")
+    p = os.path.join(str(tmp_path), "t420.jpg")
+    with open(p, "wb") as f:
+        f.write(data)
+    H, W, C, theirs = _imageio_decode(spark, p)
+    assert (H, W, C) == (h, w, 3)
+    _, _, _, ours_bytes = jpeg.decode_jpeg(data)
+    ours = np.frombuffer(ours_bytes, np.uint8).reshape(h, w, 3)
+    mae_luma = np.abs(_luma(theirs) - _luma(ours)).mean()
+    assert mae_luma < 1.5, mae_luma
+
+
+@pytest.mark.parametrize("h,w", [(16, 16), (9, 21), (32, 24)])
+def test_imageio_agrees_with_our_420_jpeg_decoder_full_rgb(spark, tmp_path, h, w):
+    """On chroma-smooth content (constant Cb/Cr — the MJPEG fixture
+    family) replicate- and triangle-upsampling coincide, so full-RGB
+    cross-decoder agreement is back to sub-gray-level, and both
+    decoders track the original within quantization distance."""
+    y, x = np.mgrid[0:h, 0:w]
+    base = np.clip(16 + 3 * x + 5 * y, 0, 200)
+    px = np.stack([base, base + 7, base + 14], axis=-1).astype(np.uint8)
+    data = jpeg.encode_jpeg(px.tobytes(), w, h, 3, subsampling="420")
+    p = os.path.join(str(tmp_path), "t420s.jpg")
+    with open(p, "wb") as f:
+        f.write(data)
+    H, W, C, theirs = _imageio_decode(spark, p)
+    assert (H, W, C) == (h, w, 3)
+    _, _, _, ours_bytes = jpeg.decode_jpeg(data)
+    ours = np.frombuffer(ours_bytes, np.uint8).reshape(h, w, 3)
+    mae_decoders = np.abs(theirs.astype(int) - ours.astype(int)).mean()
+    assert mae_decoders < 1.5, mae_decoders
+    mae_orig = np.abs(theirs.astype(int) - px.astype(int)).mean()
+    assert mae_orig < 12, mae_orig

@@ -130,6 +130,64 @@ def test_adversarial_raises(mutate, reason):
         jpeg.decode_jpeg(mutate(_valid()))
 
 
+@pytest.mark.parametrize("h,w", [(1, 1), (5, 3), (8, 8), (9, 17), (16, 16), (31, 33)])
+def test_420_roundtrip_fidelity(h, w):
+    """2×2-subsampled encode→decode stays within quantization distance on
+    smooth content — same bound as the 4:4:4 lane, since box-downsample +
+    replicate-upsample is near-lossless on low-gradient chroma."""
+    px = _gradient(h, w, 3)
+    d = jpeg.encode_jpeg(px.tobytes(), w, h, 3, subsampling="420")
+    W, H, C, out = jpeg.decode_jpeg(d)
+    assert (W, H, C) == (w, h, 3)
+    got = np.frombuffer(out, np.uint8).reshape(h, w, 3)
+    mae = np.abs(got.astype(int) - px.astype(int)).mean()
+    assert mae < 4.0, mae
+
+
+def test_420_sof_declares_sampling_factors():
+    d = jpeg.encode_jpeg(_gradient(16, 16, 3).tobytes(), 16, 16, 3, subsampling="420")
+    at = d.index(b"\xff\xc0")
+    # component 1 (Y) sampling byte 0x22, components 2/3 (Cb/Cr) 0x11
+    assert d[at + 11] == 0x22
+    assert d[at + 14] == 0x11
+    assert d[at + 17] == 0x11
+
+
+def test_420_bitstream_differs_and_is_smaller_on_big_images():
+    px = _gradient(64, 64, 3)
+    d444 = jpeg.encode_jpeg(px.tobytes(), 64, 64, 3, subsampling="444")
+    d420 = jpeg.encode_jpeg(px.tobytes(), 64, 64, 3, subsampling="420")
+    assert d444 != d420
+    assert len(d420) < len(d444)  # half the chroma blocks
+
+
+def test_fractional_sampling_ratio_rejected():
+    # Y=3x1 with max 3 vs chroma 2x1 → 3/2 is fractional: precise refusal
+    d = bytearray(jpeg.encode_jpeg(_gradient(8, 8, 3).tobytes(), 8, 8, 3))
+    at = d.index(b"\xff\xc0")
+    d[at + 11] = 0x31  # Y sampling 3x1
+    d[at + 14] = 0x21  # Cb sampling 2x1
+    with pytest.raises(ValueError, match="fractional|Huffman|corrupt"):
+        jpeg.decode_jpeg(bytes(d))
+
+
+def test_fill_bytes_between_segments_tolerated():
+    """0xFF fill bytes before a marker are legal (T.81 B.1.1.2) — foreign
+    baseline files use them for alignment; decode must see through them."""
+    d = _valid()
+    at = d.index(b"\xff\xc0")
+    padded = d[:at] + b"\xff\xff\xff" + d[at:]
+    assert jpeg.decode_jpeg(padded) == jpeg.decode_jpeg(d)
+
+
+def test_parameterless_marker_named_precisely():
+    d = _valid()
+    at = d.index(b"\xff\xc0")
+    for mk in (b"\xff\x01", b"\xff\xd3"):  # TEM, stray RST3
+        with pytest.raises(ValueError, match="parameterless marker"):
+            jpeg.decode_jpeg(d[:at] + mk + d[at:])
+
+
 def test_dri_rejected():
     d = _valid()
     at = d.index(b"\xff\xda")
@@ -167,6 +225,31 @@ def test_mjpeg_avi_roundtrip():
     at = data.index(b"strf") + 8
     (comp,) = struct.unpack("<I", data[at + 16 : at + 20])
     assert comp == avi._MJPG
+
+
+def test_mjpeg_avi_roundtrip_420():
+    """The subsampled lane through the container: smooth frames (constant
+    chroma) keep the 4:2:0 decode inside the same MAE gate as 4:4:4."""
+    f = np.arange(3)[:, None, None, None]
+    y = np.arange(12)[None, :, None, None]
+    x = np.arange(18)[None, None, :, None]
+    c = np.arange(3)[None, None, None, :]
+    fr = np.clip(16 + 2 * f + 5 * y + 3 * x + 7 * c, 0, 255).astype(np.uint8)
+    d444 = avi.encode_avi(fr, fps=20, codec="mjpg", subsampling="444")
+    d420 = avi.encode_avi(fr, fps=20, codec="mjpg", subsampling="420")
+    assert d444 != d420
+    for data in (d444, d420):
+        W, H, N, fps, got = avi.decode_avi(data)
+        assert (W, H, N, fps) == (18, 12, 3, 20)
+        mae = np.abs(got.astype(np.int32) - fr.astype(np.int32)).mean()
+        assert mae < 8, mae
+
+
+def test_avi_dimension_limit_is_a_clear_error():
+    big = np.zeros((1, 1, 3, 3), np.uint8)
+    with pytest.raises(ValueError, match="32767"):
+        avi.encode_avi(np.zeros((1, 2, 40000, 3), np.uint8))
+    avi.encode_avi(big)  # in-range still fine
 
 
 def test_unknown_fourcc_still_rejected():
