@@ -2714,6 +2714,50 @@ def st_stream_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "ts", "value", "filled")
 
 
+@register(
+    "st_stream_asof",
+    """
+    WITH l AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'error')
+    SELECT l.event_id, round(r.value, 6) AS last_error_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def st_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming backward as-of join (streaming/stateful.py:
+    ``stream_asof_backward``): purchase events (left stream) enriched
+    with each user's most recent error value at-or-before their
+    timestamp, via ONE ``applyInPandasWithState`` over the tagged union
+    of two streams — the last right row per key carried across
+    micro-batches, replacing the snap-to-grid approximation as the J4
+    stream analogue (reference semantics
+    ``lib/process_gpx_data.py:158-171``). Oracle: DuckDB's native
+    keyed ASOF LEFT JOIN on the same fixture (no (user_id, ts) ties in
+    the fixture, so the match is deterministic)."""
+    from solarboat_data_pipeline_spark.streaming.stateful import (
+        stream_asof_backward,
+    )
+
+    stream = _event_stream(spark, sf_dir)
+    left = stream.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    right = stream.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("last_error_value")
+    )
+    joined = stream_asof_backward(
+        left, right, key_cols=("user_id",), ts_col="ts",
+        value_cols=("last_error_value",),
+    )
+    out = _drain_to_memory(joined, "st_stream_asof", "append")
+    return out.select(
+        "event_id", F.round("last_error_value", 6).alias("last_error_value")
+    )
+
+
 # mapInPandas feature extraction: the Spark-side plumbing is real, the
 # decode kernel is a documented deterministic stub (byte-sum moments) —
 # which makes even the stub exactly SQL-checkable on the ASCII fixtures

@@ -9,9 +9,13 @@ from solarboat_data_pipeline_spark.streaming.pipeline import (
     stream_sessionize,
     write_parquet_stream,
 )
-from solarboat_data_pipeline_spark.streaming.stateful import stream_ffill
+from solarboat_data_pipeline_spark.streaming.stateful import (
+    stream_asof_backward,
+    stream_ffill,
+)
 
 __all__ = [
+    "stream_asof_backward",
     "stream_candump",
     "stream_decode_long",
     "stream_dedup_exact",

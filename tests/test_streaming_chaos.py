@@ -196,3 +196,96 @@ def test_ffill_state_survives_midstream_kill(spark, tmp_path):
     for r in rows:
         epoch = int(r["timestamp"].timestamp())
         assert r["filled"] == expect[epoch], (epoch, r["filled"], expect[epoch])
+
+
+def test_asof_state_survives_midstream_kill(spark, tmp_path):
+    """The streaming backward as-of's carried right row must survive a
+    mid-stream kill: right rows land in early batches, the query dies,
+    and left rows drained after the restart must still match them."""
+    from solarboat_data_pipeline_spark.streaming.stateful import (
+        stream_asof_backward,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(f"{src}/l")
+    os.makedirs(f"{src}/r")
+    base = time.time() - 3600
+
+    def write_one(path, rows, schema, i):
+        spark.createDataFrame(rows, schema).selectExpr(
+            "series", "timestamp_seconds(epoch) as timestamp",
+            schema.split(",")[-1].strip().split(" ")[0],
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        mtime = base + i * 10
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(path, (mtime, mtime))
+
+    # interleaved arrival: right values appear in early files, left rows
+    # that need them arrive across batch (and kill) boundaries
+    write_one(f"{src}/r/r0.parquet", [("a", 100, 10.0)],
+              "series string, epoch long, ref double", 0)
+    left_data = [
+        ("a", 101, 1.0), ("a", 150, 2.0), ("a", 260, 3.0),
+        ("a", 300, 4.0), ("a", 400, 5.0), ("a", 500, 6.0),
+    ]
+    for i, row in enumerate(left_data):
+        write_one(f"{src}/l/b{i}.parquet", [row],
+                  "series string, epoch long, value double", 1 + i)
+    write_one(f"{src}/r/r1.parquet", [("a", 250, 20.0)],
+              "series string, epoch long, ref double", 2)
+
+    out = str(tmp_path / "out.parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    def build():
+        sl = (
+            spark.readStream.schema("series string, timestamp timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/l/*.parquet")
+        )
+        sr = (
+            spark.readStream.schema("series string, timestamp timestamp, ref double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/r/*.parquet")
+        )
+        return stream_asof_backward(
+            sl, sr, key_cols=("series",), ts_col="timestamp"
+        )
+
+    q = (
+        build()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    _stop_after_first_commit(q)
+    partial = spark.read.parquet(out).count()
+    assert 0 < partial < len(left_data), (
+        f"kill was not mid-stream: {partial} of {len(left_data)} rows at stop"
+    )
+
+    q2 = (
+        build()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == len(left_data), "duplicate or dropped rows after restart"
+    # expectation = batch backward as-of on the merged fixture; rows
+    # after the restart still need the carried (ts=100 → 10.0, then
+    # ts=250 → 20.0) right state from before the kill
+    expect = {101: 10.0, 150: 10.0, 260: 20.0, 300: 20.0, 400: 20.0, 500: 20.0}
+    for r in rows:
+        epoch = int(r["timestamp"].timestamp())
+        assert r["ref"] == expect[epoch], (epoch, r["ref"], expect[epoch])
