@@ -3223,7 +3223,18 @@ def _sql_model_score_real() -> str:
     use the model's EXPLICIT whitespace set (quality_model.WS_CLASS)
     rather than ``\\s`` — RE2, Java and Python disagree on VT/NBSP, so
     the shared explicit class is what keeps the logit bit-exact on
-    non-ASCII-whitespace text."""
+    non-ASCII-whitespace text.
+
+    CASE-FOLDING ASSUMPTION (the whitespace class's sibling): both
+    engines lowercase with their native ``lower()``, which agree on
+    ASCII and the common 1:1 Unicode mappings but can diverge on
+    full-Unicode special cases (U+0130 İ expands to two codepoints in
+    Python, Final Sigma is context-sensitive) — any divergence shifts
+    token boundaries/lengths and breaks the bit-exact gate. The fixture
+    corpus is ASCII so the gate is safe here; running this oracle on an
+    arbitrary corpus requires either verifying it is free of
+    special-case codepoints or folding only ``[A-Z]`` explicitly in
+    BOTH engines."""
     from solarboat_data_pipeline_spark.operators import quality_model as qm
 
     ws = "\\t\\n\\x0b\\f\\r "  # RE2 escapes for quality_model.WS_CLASS

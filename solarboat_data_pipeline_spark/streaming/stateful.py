@@ -198,8 +198,12 @@ def stream_asof_backward(
                 drop=True
             )
             is_right = pdf["__src"] == 0
+            # nullable Int64, not a float where(): epoch-ns at 2020
+            # magnitudes exceeds float64's 2^53 integer range, and a
+            # ~256 ns representation error could flip an exact-boundary
+            # tolerance comparison
             ts_ns = pdf[ts_col].astype("int64")
-            ref_ts = ts_ns.where(is_right).ffill()
+            ref_ts = ts_ns.astype("Int64").where(is_right).ffill()
             fills = {}
             for ci, c in enumerate(value_cols):
                 filled = pdf[c].astype("float64").where(is_right).ffill()
