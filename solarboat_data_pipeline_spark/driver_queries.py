@@ -2210,10 +2210,12 @@ def mm_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/avi.py MJPEG container): each document id becomes a
     genuine Motion-JPEG AVI (frames compressed by the in-repo T.81
     baseline codec — FDCT, Annex K quantization, canonical Huffman,
-    byte stuffing; even ids 4:4:4, odd ids 4:2:0 chroma subsampling so
-    the interleaved-MCU decode path is exercised), decoded back
-    frame-by-frame inside Arrow mapInPandas (Huffman decode, dequant,
-    IDCT, chroma upsample, YCbCr→RGB). JPEG is
+    byte stuffing; even ids 4:4:4, odd ids 4:2:0 chroma subsampling,
+    every third id a DRI/RSTn restart interval — so the
+    interleaved-MCU and restart-marker decode paths are exercised),
+    decoded back frame-by-frame inside Arrow mapInPandas (Huffman
+    decode, restart resync, dequant, IDCT, chroma upsample,
+    YCbCr→RGB). JPEG is
     LOSSY, so unlike the PNG/WAV rows the oracle checks the container
     dimensions/frame counts arithmetically plus a per-media fidelity
     gate: decoded-vs-truth mean absolute error < 8 (the working codec

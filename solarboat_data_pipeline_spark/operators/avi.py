@@ -60,12 +60,13 @@ def encode_avi(
     fps: int = 25,
     codec: str = "rgb",
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode ``(n_frames, height, width, 3)`` uint8 RGB frames as an
     AVI: ``codec="rgb"`` = uncompressed BI_RGB DIBs, ``codec="mjpg"`` =
     Motion-JPEG (each frame a baseline JPEG from :mod:`.jpeg`;
-    ``subsampling`` — ``"444"`` or ``"420"`` — is passed through to the
-    per-frame JPEG encoder)."""
+    ``subsampling`` — ``"444"`` or ``"420"`` — and ``restart_interval``
+    are passed through to the per-frame JPEG encoder)."""
     if codec not in ("rgb", "mjpg"):
         raise ValueError(f"unknown codec {codec!r}; use 'rgb' or 'mjpg'")
     arr = np.asarray(frames, dtype=np.uint8)
@@ -89,7 +90,8 @@ def encode_avi(
 
         payloads = [
             jpeg_codec.encode_jpeg(
-                arr[i].tobytes(), width, height, 3, subsampling=subsampling
+                arr[i].tobytes(), width, height, 3,
+                subsampling=subsampling, restart_interval=restart_interval,
             )
             for i in range(n)
         ]

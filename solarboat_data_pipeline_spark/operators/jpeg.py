@@ -15,10 +15,11 @@ Envelope, implemented completely and honestly:
   quantization + Huffman tables.
 * :func:`decode_jpeg` — the same envelope generalized to any integer
   sampling-factor ratio (4:4:4, 4:2:0, 4:2:2, 4:4:0, 4:1:1; chroma
-  upsampled by sample replication); raises ``ValueError`` with the
-  precise reason on progressive scans, arithmetic coding, 12-bit
-  precision, fractional sampling ratios or restart intervals — never
-  returns garbage silently.
+  upsampled by sample replication) plus restart intervals (DRI/RSTn
+  with sequence verification and DC-predictor resets); raises
+  ``ValueError`` with the precise reason on progressive scans,
+  arithmetic coding, 12-bit precision or fractional sampling ratios —
+  never returns garbage silently.
 
 JPEG is LOSSY, so unlike the PNG/WAV/AVI twins the driver oracle
 cannot recompute decoded pixel sums arithmetically. Correctness is
@@ -180,6 +181,15 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-fill per spec
         return bytes(self.buf)
 
+    def restart_marker(self, seq: int) -> None:
+        """1-pad to a byte boundary and emit RST(seq) — markers are not
+        byte-stuffed (the padding byte, if it lands on 0xFF, is)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf.append(0xFF)
+        self.buf.append(0xD0 + (seq % 8))
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """(size, amplitude bits) per T.81 F.1.2.1."""
@@ -280,16 +290,21 @@ def encode_jpeg(
     height: int,
     channels: int,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode 8-bit pixels (row-major, RGB or grayscale) as baseline
     JPEG (Annex K tables). ``subsampling``: ``"444"`` (full-resolution
     chroma) or ``"420"`` (2×2 box-downsampled chroma in interleaved
     16×16 MCUs — the default shape libjpeg and cameras emit); ignored
-    for grayscale."""
+    for grayscale. ``restart_interval`` > 0 emits a DRI segment and an
+    RSTn marker (DC predictors reset) every that many MCUs — the
+    error-resilience feature many camera files carry."""
     if channels not in (1, 3):
         raise ValueError("encode_jpeg supports 1 (gray) or 3 (RGB) channels")
     if subsampling not in ("444", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}; use '444' or '420'")
+    if not (0 <= restart_interval <= 65535):
+        raise ValueError("restart_interval must be in 0..65535")
     arr = np.frombuffer(bytes(pixels) if not isinstance(pixels, np.ndarray) else pixels.tobytes(), dtype=np.uint8)
     if arr.size != width * height * channels:
         raise ValueError(
@@ -299,11 +314,25 @@ def encode_jpeg(
     sub420 = channels == 3 and subsampling == "420"
 
     w = _BitWriter()
+    mcu_i = 0
+    rst_seq = 0
+
+    def maybe_restart(prev_dc: list[int]) -> None:
+        nonlocal mcu_i, rst_seq
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            w.restart_marker(rst_seq)
+            rst_seq = (rst_seq + 1) % 8
+            prev_dc[:] = [0] * len(prev_dc)
+        mcu_i += 1
+
     if channels == 1:
         grid = _block_grid(_pad_to(img[..., 0], 8) - 128.0, QUANT_LUMA)
-        prev = 0
+        prev = [0]
         for zz in grid.reshape(-1, 64):
-            prev = _write_block(w, zz, prev, _ENC_TABLES["dc_l"], _ENC_TABLES["ac_l"])
+            maybe_restart(prev)  # non-interleaved: MCU = one data unit
+            prev[0] = _write_block(
+                w, zz, prev[0], _ENC_TABLES["dc_l"], _ENC_TABLES["ac_l"]
+            )
     elif not sub420:
         planes = list(np.moveaxis(_rgb_to_ycbcr(img), -1, 0))
         grids = [
@@ -314,6 +343,7 @@ def encode_jpeg(
         n_blocks = grids[0].shape[0] * grids[0].shape[1]
         flat = [g.reshape(-1, 64) for g in grids]
         for bi in range(n_blocks):
+            maybe_restart(prev_dc)
             for ci in range(3):
                 lum = ci == 0
                 prev_dc[ci] = _write_block(
@@ -338,6 +368,7 @@ def encode_jpeg(
         prev_dc = [0, 0, 0]
         for my in range(mcuy):
             for mx in range(mcux):
+                maybe_restart(prev_dc)
                 # 4 luma blocks raster-order within the MCU, then Cb, Cr
                 for by in range(2):
                     for bx in range(2):
@@ -358,6 +389,8 @@ def encode_jpeg(
     if channels == 3:
         dqt += bytes([1]) + bytes(QUANT_CHROMA.reshape(64)[ZIGZAG].astype(np.uint8))
     out += _seg(0xFFDB, dqt)
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     sof = struct.pack(">BHHB", 8, height, width, channels)
     for ci in range(channels):
         sampling = 0x22 if (sub420 and ci == 0) else 0x11
@@ -384,15 +417,21 @@ def encode_jpeg(
 
 
 class _BitReader:
+    """Entropy-coded-segment reader: undoes 0xFF00 byte stuffing, stops
+    (without consuming) at RSTn markers so :meth:`restart` can byte-align
+    and resume the next restart interval, and refuses any other in-scan
+    marker."""
+
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0
         self.acc = 0
         self.nbits = 0
+        self.pending_rst: int | None = None  # 0-7 when parked at a RSTn
 
     def _fill(self) -> None:
         while self.nbits <= 24:
-            if self.pos >= len(self.data):
+            if self.pending_rst is not None or self.pos >= len(self.data):
                 self.acc = (self.acc << 8) | 0xFF  # spec: pad with 1s
                 self.nbits += 8
                 continue
@@ -402,10 +441,17 @@ class _BitReader:
                 nxt = self.data[self.pos] if self.pos < len(self.data) else 0
                 if nxt == 0x00:
                     self.pos += 1  # stuffed byte
+                elif 0xD0 <= nxt <= 0xD7:
+                    # park at the restart marker: remaining buffered bits
+                    # are the interval's 1-padding; pad from here on
+                    self.pending_rst = nxt - 0xD0
+                    self.pos += 1  # past the marker byte
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
                 else:
                     raise ValueError(
-                        f"unsupported JPEG: marker 0xFF{nxt:02X} inside scan "
-                        "(restart intervals are outside the envelope)"
+                        f"unsupported JPEG: marker 0xFF{nxt:02X} inside scan"
                     )
             self.acc = (self.acc << 8) | b
             self.nbits += 8
@@ -418,6 +464,33 @@ class _BitReader:
         self.nbits -= n
         self.acc &= (1 << self.nbits) - 1
         return v
+
+    def restart(self, expected: int) -> None:
+        """Byte-align at a restart boundary and consume the RSTn marker,
+        verifying its modulo-8 sequence number (T.81 E.1.4)."""
+        # discard the interval's padding bits (and the 1-fill _fill may
+        # have synthesized after parking at the marker)
+        self.acc = 0
+        self.nbits = 0
+        if self.pending_rst is None:
+            # the reader never needed to fill past the padding: the
+            # marker bytes are still unread at pos
+            if (
+                self.pos + 1 >= len(self.data)
+                or self.data[self.pos] != 0xFF
+                or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+            ):
+                raise ValueError(
+                    "corrupt JPEG: expected RST marker at restart boundary"
+                )
+            self.pending_rst = self.data[self.pos + 1] - 0xD0
+            self.pos += 2
+        if self.pending_rst != expected:
+            raise ValueError(
+                f"corrupt JPEG: restart marker out of sequence "
+                f"(got RST{self.pending_rst}, expected RST{expected})"
+            )
+        self.pending_rst = None
 
 
 def _huff_decoder(spec):
@@ -467,6 +540,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], object] = {}
     width = height = channels = -1
+    restart_interval = 0
     comp_q: list[int] = []
     comp_s: list[tuple[int, int]] = []
     comp_h: list[tuple[int, int]] = []
@@ -536,8 +610,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 symbols = tuple(b[17 : 17 + n])
                 htables[(cls_id >> 4, cls_id & 0xF)] = _huff_decoder((counts, symbols))
                 b = b[17 + n :]
-        elif marker == 0xDD:
-            raise ValueError("unsupported JPEG: restart interval (DRI)")
+        elif marker == 0xDD:  # DRI: restart every Ri MCUs
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             ns = body[0]
             if ns != channels:
@@ -605,8 +679,17 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             k += 1
 
     prev_dc = [0] * channels
+    mcu_i = 0
+    rst_seq = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                # byte-align, consume RSTn (sequence checked), reset the
+                # DC predictors — T.81 E.1.4 / F.2.1.3.1
+                r.restart(rst_seq)
+                rst_seq = (rst_seq + 1) % 8
+                prev_dc = [0] * channels
+            mcu_i += 1
             for ci, (sh, sv) in enumerate(comp_s):
                 for by in range(sv):
                     for bx in range(sh):

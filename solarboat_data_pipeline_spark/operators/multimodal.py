@@ -454,10 +454,12 @@ def synthesize_mjpeg_media(
     """Media table of GENUINE Motion-JPEG AVIs: deterministic smooth
     frames (:func:`_video_pattern_smooth`), each compressed by the
     in-repo baseline JPEG codec (:mod:`.jpeg`) into ``00dc`` chunks
-    with biCompression = 'MJPG'. Chroma sampling alternates per id —
-    even ids 4:4:4, odd ids 4:2:0 (the default shape cameras/libjpeg
-    emit) — so the driver row exercises the subsampled MCU decode path
-    under the same fidelity gate."""
+    with biCompression = 'MJPG'. The per-frame JPEG shape cycles the
+    real-world envelope per id — even ids 4:4:4, odd ids 4:2:0 (the
+    default shape cameras/libjpeg emit), and every third id adds a
+    DRI/RSTn restart interval — so the driver row exercises the
+    subsampled-MCU and restart-marker decode paths under the same
+    fidelity gate."""
     src = df.select(F.col(id_col).cast("long").alias("media_id"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -467,8 +469,12 @@ def synthesize_mjpeg_media(
                 mid = int(mid)
                 px = _video_pattern_smooth(mid, max_frames, max_width, max_height)
                 sub = "444" if mid % 2 == 0 else "420"
+                ri = 2 if mid % 3 == 0 else 0
                 payloads.append(
-                    avi_codec.encode_avi(px, fps=fps, codec="mjpg", subsampling=sub)
+                    avi_codec.encode_avi(
+                        px, fps=fps, codec="mjpg", subsampling=sub,
+                        restart_interval=ri,
+                    )
                 )
                 nfs.append(px.shape[0])
             yield pd.DataFrame(

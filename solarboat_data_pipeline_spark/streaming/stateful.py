@@ -235,7 +235,13 @@ def stream_asof_backward(
             state.update(carried)
         if ttl_ms is not None and chunks:
             batch_max_ms = int(max(p[ts_col].max() for p in chunks).value // 1_000_000)
-            state.setTimeoutTimestamp(batch_max_ms + ttl_ms)
+            # a timeout at-or-before the current watermark is an engine
+            # error — a batch arriving entirely behind the watermark
+            # (late data the caller chose not to drop) must not crash
+            # the query, so clamp to watermark + 1 ms (= expire at the
+            # next opportunity, which is what a lapsed TTL means)
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(batch_max_ms + ttl_ms, wm + 1))
 
     timeout = (
         GroupStateTimeout.EventTimeTimeout

@@ -63,6 +63,47 @@ def test_jpeg_random_bounded_error(trial):
     assert mae < 45  # random noise is JPEG's worst case; broken ≈ 85
 
 
+@pytest.mark.parametrize("trial", range(12))
+def test_png_palette_interlace_random_roundtrip(trial):
+    h = int(RNG.integers(1, 30))
+    w = int(RNG.integers(1, 30))
+    ft = RNG.choice([0, 1, 2, 3, 4, "cycle"])
+    interlace = bool(RNG.integers(0, 2))
+    if trial % 2 == 0:  # palette lane
+        n_pal = int(RNG.integers(1, 257))
+        pal = RNG.integers(0, 256, size=(n_pal, 3), dtype=np.uint8)
+        idx = RNG.integers(0, n_pal, size=h * w, dtype=np.uint8)
+        data = png.encode_png_palette(
+            idx.tobytes(), w, h, pal, filter_type=ft, interlace=interlace
+        )
+        W, H, C, out = png.decode_png(data)
+        assert (W, H, C) == (w, h, 3)
+        assert out == pal[idx.reshape(h, w)].tobytes()
+    else:  # truecolor Adam7 lane
+        ch = int(RNG.choice([1, 2, 3, 4]))
+        px = RNG.integers(0, 256, size=h * w * ch, dtype=np.uint8).tobytes()
+        W, H, C, out = png.decode_png(
+            png.encode_png(px, w, h, ch, filter_type=ft, interlace=interlace)
+        )
+        assert (W, H, C) == (w, h, ch) and out == px
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_jpeg_420_random_bounded_error(trial):
+    h = int(RNG.integers(1, 40))
+    w = int(RNG.integers(1, 40))
+    px = RNG.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    W, H, C, out = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(px.tobytes(), w, h, 3, subsampling="420")
+    )
+    assert (W, H, C) == (w, h, 3)
+    got = np.frombuffer(out, np.uint8).reshape(h, w, 3).astype(np.int32)
+    mae = np.abs(got - px.astype(np.int32)).mean()
+    # random chroma noise additionally loses the 2x2 box-average detail;
+    # broken Huffman/MCU interleave lands near 85
+    assert mae < 60, mae
+
+
 @pytest.mark.parametrize("codec", ["png", "wav", "avi", "jpeg"])
 @pytest.mark.parametrize("cut", [0.15, 0.5, 0.9])
 def test_truncation_always_raises_never_garbage(codec, cut):

@@ -120,6 +120,26 @@ def test_imageio_agrees_with_our_jpeg_decoder(spark, tmp_path, h, w, ch):
     assert mae_orig < 12, mae_orig
 
 
+@pytest.mark.parametrize("ri", [2, 5])
+def test_imageio_agrees_with_our_dri_jpeg(spark, tmp_path, ri):
+    """Restart-interval bitstreams: javax.imageio (libjpeg lineage) must
+    decode our DRI/RSTn stream in sub-gray-level agreement with our own
+    decoder — wrong predictor resets or misaligned restarts would
+    diverge wildly."""
+    h, w = 24, 32
+    px = _pattern(h, w, 3)
+    data = jpeg.encode_jpeg(px.tobytes(), w, h, 3, restart_interval=ri)
+    p = os.path.join(str(tmp_path), f"dri{ri}.jpg")
+    with open(p, "wb") as f:
+        f.write(data)
+    H, W, C, theirs = _imageio_decode(spark, p)
+    assert (H, W, C) == (h, w, 3)
+    _, _, _, ours_bytes = jpeg.decode_jpeg(data)
+    ours = np.frombuffer(ours_bytes, np.uint8).reshape(h, w, 3)
+    mae = np.abs(theirs.astype(int) - ours.astype(int)).mean()
+    assert mae < 1.5, mae
+
+
 def _luma(rgb: np.ndarray) -> np.ndarray:
     return (
         0.299 * rgb[..., 0].astype(float)

@@ -188,12 +188,36 @@ def test_parameterless_marker_named_precisely():
             jpeg.decode_jpeg(d[:at] + mk + d[at:])
 
 
-def test_dri_rejected():
-    d = _valid()
-    at = d.index(b"\xff\xda")
-    dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)
-    with pytest.raises(ValueError, match="restart"):
-        jpeg.decode_jpeg(d[:at] + dri + d[at:])
+@pytest.mark.parametrize("ri", [1, 2, 3, 5, 100])
+@pytest.mark.parametrize("h,w,ch,sub", [
+    (16, 16, 3, "444"), (17, 23, 3, "444"), (32, 48, 3, "420"), (40, 40, 1, "444"),
+])
+def test_restart_interval_roundtrip_identical(h, w, ch, sub, ri):
+    """DRI/RSTn (the error-resilience markers many camera files carry):
+    a restart-interval stream must decode IDENTICALLY to the no-DRI
+    stream of the same image — predictor resets and byte alignment are
+    exact, not approximate."""
+    px = _gradient(h, w, ch)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(px.tobytes(), w, h, ch, subsampling=sub))
+    d = jpeg.encode_jpeg(
+        px.tobytes(), w, h, ch, subsampling=sub, restart_interval=ri
+    )
+    assert b"\xff\xdd" in d  # DRI segment present
+    assert jpeg.decode_jpeg(d) == base
+
+
+def test_restart_markers_emitted_and_sequenced():
+    px = _gradient(40, 40, 1)
+    d = jpeg.encode_jpeg(px.tobytes(), 40, 40, 1, restart_interval=1)
+    # 25 MCUs at ri=1 → 24 markers, sequence numbers cycling 0-7
+    counts = [d.count(bytes([0xFF, 0xD0 + i])) for i in range(8)]
+    assert sum(counts) == 24 and counts[0] == 3
+    # out-of-sequence RST is a precise corruption error
+    mut = bytearray(d)
+    i = mut.index(b"\xff\xd0")
+    mut[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="out of sequence"):
+        jpeg.decode_jpeg(bytes(mut))
 
 
 def test_grayscale_roundtrip_has_no_color_tables():
