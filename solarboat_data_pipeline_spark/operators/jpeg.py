@@ -8,18 +8,22 @@ prediction, Huffman coding (Annex K tables), 0xFF byte stuffing.
 
 Envelope, implemented completely and honestly:
 
-* :func:`encode_jpeg` — baseline sequential DCT, 8-bit, grayscale or
-  YCbCr with 4:4:4 or 4:2:0 chroma sampling (2×2 box-downsampled
-  chroma, interleaved MCUs — the shape every camera and libjpeg
-  default emits), single scan, no restart markers, standard Annex K
-  quantization + Huffman tables.
+* :func:`encode_jpeg` — baseline sequential DCT (SOF0) or progressive
+  (SOF2, spectral-selection + successive-approximation scan script),
+  8-bit, grayscale or YCbCr with 4:4:4 or 4:2:0 chroma sampling (2×2
+  box-downsampled chroma, interleaved MCUs — the shape every camera
+  and libjpeg default emits), optional DRI/RSTn restart markers
+  (baseline), standard Annex K quantization + Huffman tables.
 * :func:`decode_jpeg` — the same envelope generalized to any integer
   sampling-factor ratio (4:4:4, 4:2:0, 4:2:2, 4:4:0, 4:1:1; chroma
-  upsampled by sample replication) plus restart intervals (DRI/RSTn
-  with sequence verification and DC-predictor resets); raises
-  ``ValueError`` with the precise reason on progressive scans,
-  arithmetic coding, 12-bit precision or fractional sampling ratios —
-  never returns garbage silently.
+  upsampled by sample replication), restart intervals (DRI/RSTn with
+  sequence verification and DC-predictor resets) and ARBITRARY
+  progressive scan scripts (DC/AC first and refinement passes, EOB
+  runs — validated against ``javax.imageio``-written streams with
+  optimized Huffman tables); raises ``ValueError`` with the precise
+  reason on arithmetic coding, hierarchical/lossless SOFs, 12-bit
+  precision or fractional sampling ratios — never returns garbage
+  silently.
 
 JPEG is LOSSY, so unlike the PNG/WAV/AVI twins the driver oracle
 cannot recompute decoded pixel sums arithmetically. Correctness is
@@ -291,6 +295,7 @@ def encode_jpeg(
     channels: int,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode 8-bit pixels (row-major, RGB or grayscale) as baseline
     JPEG (Annex K tables). ``subsampling``: ``"444"`` (full-resolution
@@ -298,13 +303,23 @@ def encode_jpeg(
     16×16 MCUs — the default shape libjpeg and cameras emit); ignored
     for grayscale. ``restart_interval`` > 0 emits a DRI segment and an
     RSTn marker (DC predictors reset) every that many MCUs — the
-    error-resilience feature many camera files carry."""
+    error-resilience feature many camera files carry.
+    ``progressive=True`` emits an SOF2 stream via the spectral-selection
+    + successive-approximation scan script in
+    :func:`_encode_progressive` — the common web JPEG shape; quantized
+    coefficients are identical to the baseline encoder's, so the decode
+    is bit-identical."""
     if channels not in (1, 3):
         raise ValueError("encode_jpeg supports 1 (gray) or 3 (RGB) channels")
     if subsampling not in ("444", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}; use '444' or '420'")
     if not (0 <= restart_interval <= 65535):
         raise ValueError("restart_interval must be in 0..65535")
+    if progressive and restart_interval:
+        raise ValueError(
+            "restart_interval is not supported with progressive encode "
+            "(the decoder handles foreign DRI progressive streams)"
+        )
     arr = np.frombuffer(bytes(pixels) if not isinstance(pixels, np.ndarray) else pixels.tobytes(), dtype=np.uint8)
     if arr.size != width * height * channels:
         raise ValueError(
@@ -312,6 +327,8 @@ def encode_jpeg(
         )
     img = arr.reshape(height, width, channels).astype(np.float64)
     sub420 = channels == 3 and subsampling == "420"
+    if progressive:
+        return _encode_progressive(img, width, height, channels, sub420)
 
     w = _BitWriter()
     mcu_i = 0
@@ -408,6 +425,211 @@ def encode_jpeg(
     out += _seg(0xFFDA, sos)
     out += scan
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _enc_ac_first_block(w: _BitWriter, blk: np.ndarray, ss: int, se: int,
+                        al: int, ac_t) -> None:
+    """Progressive AC first pass for one block's band (G.1.2.2): the
+    point-transformed magnitudes ``|v| >> Al``, run-length + size coded.
+    EOBs are never merged across blocks (EOBRUN ≤ 1), so the standard
+    Annex K tables suffice — EOBn>0 symbols are decode-only."""
+    k = ss
+    run = 0
+    while k <= se:
+        v = int(blk[k])
+        mag = (v if v >= 0 else -v) >> al
+        if mag == 0:
+            run += 1
+            k += 1
+            continue
+        while run > 15:
+            c, length = ac_t[0xF0]
+            w.write(c, length)
+            run -= 16
+        sv = mag if v >= 0 else -mag
+        size, bits_ = _magnitude(sv)
+        c, length = ac_t[run << 4 | size]
+        w.write(c, length)
+        w.write(bits_, size)
+        run = 0
+        k += 1
+    if run > 0:
+        c, length = ac_t[0x00]  # EOB (run length 1)
+        w.write(c, length)
+
+
+def _enc_ac_refine_block(w: _BitWriter, blk: np.ndarray, ss: int, se: int,
+                         al: int, ac_t) -> None:
+    """Progressive AC refinement for one block's band (G.1.2.3):
+    newly-significant coefficients (``|v| >> Al == 1``) are coded as
+    run+sign; already-nonzero coefficients buffer one correction bit,
+    flushed after the next symbol. ZRLs flush at EVERY nonzero
+    coefficient (not only newly-significant ones) so buffered bits stay
+    within the decoder's 16-zero skip window — the subtle alignment
+    requirement of figure G.7."""
+    # last newly-significant position: everything after it folds into EOB
+    eob_pos = ss - 1
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        if ((v if v >= 0 else -v) >> al) == 1:
+            eob_pos = k
+    run = 0
+    pending: list[int] = []
+    for k in range(ss, eob_pos + 1):
+        v = int(blk[k])
+        mag = (v if v >= 0 else -v) >> al
+        if mag == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, length = ac_t[0xF0]
+            w.write(c, length)
+            for b in pending:
+                w.write(b, 1)
+            pending = []
+            run -= 16
+        if mag > 1:  # history coefficient: correction bit only
+            pending.append(mag & 1)
+            continue
+        c, length = ac_t[run << 4 | 1]
+        w.write(c, length)
+        w.write(1 if v >= 0 else 0, 1)
+        for b in pending:
+            w.write(b, 1)
+        pending = []
+        run = 0
+    if eob_pos < se:  # tail: zeros + history coefficients → one EOB
+        for k in range(eob_pos + 1, se + 1):
+            v = int(blk[k])
+            mag = (v if v >= 0 else -v) >> al
+            if mag > 1:
+                pending.append(mag & 1)
+        c, length = ac_t[0x00]
+        w.write(c, length)
+        for b in pending:
+            w.write(b, 1)
+
+
+def _encode_progressive(
+    img: np.ndarray, width: int, height: int, channels: int, sub420: bool
+) -> bytes:
+    """Emit a progressive (SOF2) stream with a scan script exercising
+    both progression modes: DC first at Al=1 (interleaved) → per-comp
+    AC bands 1-5 and 6-63 at Al=1 (spectral selection) → per-comp AC
+    refinement 1-63 to Al=0 → DC refinement (successive approximation).
+    The quantized coefficients are IDENTICAL to the baseline encoder's,
+    so decode(progressive) must equal decode(baseline) bit-for-bit —
+    the round-trip exactness test."""
+    if channels == 1:
+        comp_s = [(1, 1)]
+        grids = [_block_grid(_pad_to(img[..., 0], 8) - 128.0, QUANT_LUMA)]
+    elif not sub420:
+        comp_s = [(1, 1)] * 3
+        planes = list(np.moveaxis(_rgb_to_ycbcr(img), -1, 0))
+        grids = [
+            _block_grid(_pad_to(p, 8) - 128.0, QUANT_LUMA if ci == 0 else QUANT_CHROMA)
+            for ci, p in enumerate(planes)
+        ]
+    else:
+        comp_s = [(2, 2), (1, 1), (1, 1)]
+        ycc = _rgb_to_ycbcr(img)
+        yp = _pad_to(ycc[..., 0], 16)
+        cb = _pad_to(ycc[..., 1], 16)
+        cr = _pad_to(ycc[..., 2], 16)
+        H, W = yp.shape
+        cb = cb.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+        grids = [
+            _block_grid(yp - 128.0, QUANT_LUMA),
+            _block_grid(cb - 128.0, QUANT_CHROMA),
+            _block_grid(cr - 128.0, QUANT_CHROMA),
+        ]
+    max_h = max(s[0] for s in comp_s)
+    max_v = max(s[1] for s in comp_s)
+    mcux = (width + 8 * max_h - 1) // (8 * max_h)
+    mcuy = (height + 8 * max_v - 1) // (8 * max_v)
+
+    def comp_bdims(ci: int) -> tuple[int, int]:
+        sh, sv = comp_s[ci]
+        cw = (width * sh + max_h - 1) // max_h
+        chh = (height * sv + max_v - 1) // max_v
+        return (chh + 7) // 8, (cw + 7) // 8
+
+    def sos(comps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        b = bytes([len(comps)])
+        for ci in comps:
+            tid = 0 if ci == 0 else 1
+            b += bytes([ci + 1, tid << 4 | tid])
+        b += bytes([ss, se, ah << 4 | al])
+        return _seg(0xFFDA, b)
+
+    def dc_units(fn) -> None:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(channels):
+                    sh, sv = comp_s[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            fn(ci, grids[ci][my * sv + by, mx * sh + bx])
+
+    scans = bytearray()
+    # 1. DC first (Al=1), interleaved
+    w = _BitWriter()
+    prev = [0] * channels
+
+    def dc_first(ci: int, blk: np.ndarray) -> None:
+        v = int(blk[0]) >> 1
+        size, bits_ = _magnitude(v - prev[ci])
+        prev[ci] = v
+        dt = _ENC_TABLES["dc_l" if ci == 0 else "dc_c"]
+        c, length = dt[size]
+        w.write(c, length)
+        if size:
+            w.write(bits_, size)
+
+    dc_units(dc_first)
+    scans += sos(list(range(channels)), 0, 0, 0, 1) + w.flush()
+    # 2. AC first passes (Al=1), spectral bands 1-5 then 6-63, per comp
+    for bs, be in ((1, 5), (6, 63)):
+        for ci in range(channels):
+            at = _ENC_TABLES["ac_l" if ci == 0 else "ac_c"]
+            bh, bw = comp_bdims(ci)
+            w = _BitWriter()
+            for row in range(bh):
+                for col in range(bw):
+                    _enc_ac_first_block(w, grids[ci][row, col], bs, be, 1, at)
+            scans += sos([ci], bs, be, 0, 1) + w.flush()
+    # 3. AC refinement to Al=0, full band, per comp
+    for ci in range(channels):
+        at = _ENC_TABLES["ac_l" if ci == 0 else "ac_c"]
+        bh, bw = comp_bdims(ci)
+        w = _BitWriter()
+        for row in range(bh):
+            for col in range(bw):
+                _enc_ac_refine_block(w, grids[ci][row, col], 1, 63, 0, at)
+        scans += sos([ci], 1, 63, 1, 0) + w.flush()
+    # 4. DC refinement to Al=0, interleaved: one raw bit per data unit
+    w = _BitWriter()
+    dc_units(lambda ci, blk: w.write(int(blk[0]) & 1, 1))
+    scans += sos(list(range(channels)), 0, 0, 1, 0) + w.flush()
+
+    out = bytearray(b"\xff\xd8")
+    dqt = bytes([0]) + bytes(QUANT_LUMA.reshape(64)[ZIGZAG].astype(np.uint8))
+    if channels == 3:
+        dqt += bytes([1]) + bytes(QUANT_CHROMA.reshape(64)[ZIGZAG].astype(np.uint8))
+    out += _seg(0xFFDB, dqt)
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for ci in range(channels):
+        sampling = (comp_s[ci][0] << 4) | comp_s[ci][1]
+        sof += bytes([ci + 1, sampling, 0 if ci == 0 else 1])
+    out += _seg(0xFFC2, sof)
+    dht = _dht_payload(0, 0, DC_LUMA) + _dht_payload(1, 0, AC_LUMA)
+    if channels == 3:
+        dht += _dht_payload(0, 1, DC_CHROMA) + _dht_payload(1, 1, AC_CHROMA)
+    out += _seg(0xFFC4, dht)
+    out += scans
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -527,9 +749,271 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+def _entropy_end(data: bytes, start: int) -> int:
+    """Index of the first marker that terminates an entropy-coded
+    segment starting at ``start`` — skips stuffed 0xFF00 pairs and
+    in-scan RSTn markers."""
+    i = start
+    n = len(data)
+    while i < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        if i + 1 >= n:
+            return n
+        nxt = data[i + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i += 2
+            continue
+        return i
+    return n
+
+
+def _ac_first(r: _BitReader, ac_t, blk: np.ndarray, ss: int, se: int, al: int,
+              eobrun: int) -> int:
+    """Progressive AC first pass for one block's band (T.81 G.1.2.2);
+    returns the updated end-of-band run counter."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_symbol(r, ac_t)
+        rr, s = rs >> 4, rs & 15
+        if s == 0:
+            if rr != 15:  # EOBn: run of 2^rr (+ ext bits) end-of-bands
+                eobrun = (1 << rr) - 1
+                if rr:
+                    eobrun += r.bits(rr)
+                break
+            k += 16  # ZRL
+            continue
+        k += rr
+        if k > se:
+            raise ValueError("corrupt JPEG: AC run past band end")
+        blk[k] = _extend(r.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(r: _BitReader, ac_t, blk: np.ndarray, ss: int, se: int, al: int,
+               eobrun: int) -> int:
+    """Progressive AC refinement for one block's band (T.81 G.1.2.3):
+    newly-significant coefficients arrive as ±1·2^Al; already-nonzero
+    coefficients receive one correction bit each."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+
+    def correct(k: int) -> None:
+        z = int(blk[k])
+        if r.bits(1) and (z & p1) == 0:
+            blk[k] = z + (p1 if z >= 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_symbol(r, ac_t)
+            rr, s = rs >> 4, rs & 15
+            if s == 0:
+                if rr != 15:
+                    eobrun = 1 << rr
+                    if rr:
+                        eobrun += r.bits(rr)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "corrupt JPEG: refinement magnitude != 1"
+                    )
+                val = p1 if r.bits(1) else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(
+    data: bytes,
+    scan_start: int,
+    scan_cis: list[int],
+    scan_tables: list[tuple[object, object]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    progressive: bool,
+    grids: list[np.ndarray],
+    comp_s: list[tuple[int, int]],
+    max_h: int,
+    max_v: int,
+    width: int,
+    height: int,
+    mcux: int,
+    mcuy: int,
+    restart_interval: int,
+    channels: int,
+) -> int:
+    """Decode one entropy-coded scan into the coefficient grids; returns
+    the byte offset just past the scan's entropy data."""
+    scan_end = _entropy_end(data, scan_start)
+    r = _BitReader(data[scan_start:scan_end])
+    interleaved = len(scan_cis) > 1
+
+    def comp_block_dims(ci: int) -> tuple[int, int]:
+        # non-interleaved scans cover the component's OWN block grid
+        # (T.81 A.2.2), not the MCU-padded one
+        sh, sv = comp_s[ci]
+        cw = (width * sh + max_h - 1) // max_h
+        chh = (height * sv + max_v - 1) // max_v
+        return (chh + 7) // 8, (cw + 7) // 8
+
+    rst_state = {"i": 0, "seq": 0}
+
+    def maybe_restart(reset) -> None:
+        if restart_interval and rst_state["i"] and rst_state["i"] % restart_interval == 0:
+            r.restart(rst_state["seq"])
+            rst_state["seq"] = (rst_state["seq"] + 1) % 8
+            reset()
+        rst_state["i"] += 1
+
+    if not progressive:
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError("corrupt JPEG: baseline scan with progression parameters")
+        if len(scan_cis) != channels:
+            raise ValueError(
+                "unsupported JPEG: baseline partial-component scan"
+            )
+        prev_dc = [0] * len(scan_cis)
+        for si, (dc_t, ac_t) in enumerate(scan_tables):
+            if dc_t is None or ac_t is None:
+                raise ValueError("corrupt JPEG: scan references missing DHT")
+
+        def reset_base() -> None:
+            prev_dc[:] = [0] * len(prev_dc)
+
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(reset_base)
+                for si, ci in enumerate(scan_cis):
+                    sh, sv = comp_s[ci]
+                    dc_t, ac_t = scan_tables[si]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            blk = grids[ci][my * sv + by, mx * sh + bx]
+                            size = _read_symbol(r, dc_t)
+                            prev_dc[si] += _extend(r.bits(size), size)
+                            blk[0] = prev_dc[si]
+                            k = 1
+                            while k < 64:
+                                rs = _read_symbol(r, ac_t)
+                                if rs == 0x00:  # EOB
+                                    break
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k += rs >> 4
+                                if k > 63:
+                                    raise ValueError(
+                                        "corrupt JPEG: AC run past block end"
+                                    )
+                                blk[k] = _extend(r.bits(rs & 0xF), rs & 0xF)
+                                k += 1
+        return scan_end
+
+    if ss == 0:
+        # DC scan (first or refinement) — interleaved or single-component
+        if se != 0:
+            raise ValueError("corrupt JPEG: progressive DC scan with Se != 0")
+        prev_dc = [0] * len(scan_cis)
+        if ah == 0:
+            for si, (dc_t, _a) in enumerate(scan_tables):
+                if dc_t is None:
+                    raise ValueError("corrupt JPEG: scan references missing DHT")
+
+        def dc_unit(blk: np.ndarray, si: int) -> None:
+            if ah == 0:
+                dc_t = scan_tables[si][0]
+                size = _read_symbol(r, dc_t)
+                prev_dc[si] += _extend(r.bits(size), size)
+                blk[0] = prev_dc[si] << al
+            elif r.bits(1):
+                blk[0] = int(blk[0]) | (1 << al)
+
+        def reset_dc() -> None:
+            prev_dc[:] = [0] * len(prev_dc)
+
+        if interleaved:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart(reset_dc)
+                    for si, ci in enumerate(scan_cis):
+                        sh, sv = comp_s[ci]
+                        for by in range(sv):
+                            for bx in range(sh):
+                                dc_unit(grids[ci][my * sv + by, mx * sh + bx], si)
+        else:
+            ci = scan_cis[0]
+            bh, bw = comp_block_dims(ci)
+            for row in range(bh):
+                for col in range(bw):
+                    maybe_restart(reset_dc)
+                    dc_unit(grids[ci][row, col], 0)
+        return scan_end
+
+    # AC scan — always single-component (T.81 B.2.3)
+    if interleaved:
+        raise ValueError("corrupt JPEG: progressive AC scan with multiple components")
+    if not (1 <= ss <= se <= 63):
+        raise ValueError("corrupt JPEG: bad spectral band")
+    ci = scan_cis[0]
+    ac_t = scan_tables[0][1]
+    if ah == 0 and ac_t is None:
+        raise ValueError("corrupt JPEG: scan references missing DHT")
+    if ah != 0 and ac_t is None:
+        raise ValueError("corrupt JPEG: scan references missing DHT")
+    bh, bw = comp_block_dims(ci)
+    state = {"eobrun": 0}
+
+    def reset_ac() -> None:
+        state["eobrun"] = 0
+
+    for row in range(bh):
+        for col in range(bw):
+            maybe_restart(reset_ac)
+            blk = grids[ci][row, col]
+            if ah == 0:
+                state["eobrun"] = _ac_first(
+                    r, ac_t, blk, ss, se, al, state["eobrun"]
+                )
+            else:
+                state["eobrun"] = _ac_refine(
+                    r, ac_t, blk, ss, se, al, state["eobrun"]
+                )
+    return scan_end
+
+
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline JPEG within the envelope to ``(width, height,
-    channels, row-major 8-bit pixel bytes)`` (RGB for 3 components)."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG within the
+    envelope to ``(width, height, channels, row-major 8-bit pixel
+    bytes)`` (RGB for 3 components). Progressive streams may carry any
+    legal scan script — spectral selection, successive approximation
+    (DC and AC first/refinement passes, EOB runs) and restart
+    intervals; each scan is decoded with the Huffman/DRI state current
+    at its position in the stream."""
     if not isinstance(data, (bytes, bytearray, memoryview)):
         raise ValueError("decode_jpeg expects a bytes-like payload")
     data = bytes(data)
@@ -541,10 +1025,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     htables: dict[tuple[int, int], object] = {}
     width = height = channels = -1
     restart_interval = 0
+    progressive = False
+    sof_ids: list[int] = []
     comp_q: list[int] = []
     comp_s: list[tuple[int, int]] = []
-    comp_h: list[tuple[int, int]] = []
-    scan_at = -1
+    grids: list[np.ndarray] | None = None
+    max_h = max_v = mcux = mcuy = 0
+    got_scan = False
 
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
@@ -581,7 +1068,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 q = np.array(list(b[:64]), dtype=np.int32)[UNZIGZAG].reshape(8, 8)
                 qtables[prec_id & 0xF] = q
                 b = b[64:]
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if grids is not None:
+                raise ValueError("corrupt JPEG: multiple SOF segments")
+            progressive = marker == 0xC2
             prec, height, width, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"unsupported JPEG: {prec}-bit precision")
@@ -595,11 +1085,32 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError(
                         f"corrupt JPEG: sampling factors {sh}x{sv} outside 1..4"
                     )
+                sof_ids.append(cid)
                 comp_s.append((sh, sv))
                 comp_q.append(qid)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            # a single-component image is always effectively 1x1 (its
+            # only scans are non-interleaved, T.81 A.2.2)
+            if channels == 1:
+                comp_s = [(1, 1)]
+            max_h = max(s[0] for s in comp_s)
+            max_v = max(s[1] for s in comp_s)
+            for sh, sv in comp_s:
+                if max_h % sh or max_v % sv:
+                    raise ValueError(
+                        f"unsupported JPEG: fractional sampling ratio "
+                        f"({sh}x{sv} vs max {max_h}x{max_v})"
+                    )
+            mcux = (width + 8 * max_h - 1) // (8 * max_h)
+            mcuy = (height + 8 * max_v - 1) // (8 * max_v)
+            # per component: (mcuy·v, mcux·h, 64) zigzag-order block grid
+            grids = [
+                np.zeros((mcuy * sv, mcux * sh, 64), dtype=np.int32)
+                for sh, sv in comp_s
+            ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"unsupported JPEG: SOF{marker - 0xC0} (only baseline SOF0)"
+                f"unsupported JPEG: SOF{marker - 0xC0} (only baseline SOF0 "
+                "and progressive SOF2)"
             )
         elif marker == 0xC4:  # DHT
             b = body
@@ -612,88 +1123,42 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 b = b[17 + n :]
         elif marker == 0xDD:  # DRI: restart every Ri MCUs
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS: decode the scan eagerly (tables and
+            # DRI state must be the ones current at this position)
+            if grids is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
             ns = body[0]
-            if ns != channels:
-                raise ValueError("unsupported JPEG: multi-scan (only single scan)")
+            scan_cis: list[int] = []
+            scan_tables: list[tuple[object, object]] = []
             for si in range(ns):
+                cs = body[1 + si * 2]
                 tids = body[2 + si * 2]
-                comp_h.append((tids >> 4, tids & 0xF))
-            scan_at = pos + 2 + seglen
-            break
+                try:
+                    ci = sof_ids.index(cs)
+                except ValueError:
+                    raise ValueError(
+                        f"corrupt JPEG: scan references unknown component {cs}"
+                    ) from None
+                scan_cis.append(ci)
+                scan_tables.append(
+                    (htables.get((0, tids >> 4)), htables.get((1, tids & 0xF)))
+                )
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            pos = _decode_scan(
+                data, pos + 2 + seglen, scan_cis, scan_tables,
+                ss, se, ahal >> 4, ahal & 0xF, progressive,
+                grids, comp_s, max_h, max_v, width, height,
+                mcux, mcuy, restart_interval, channels,
+            )
+            got_scan = True
+            continue
         # APPn/COM and others: skipped
         pos = pos + 2 + seglen
 
-    if width < 0 or scan_at < 0:
+    if width < 0 or not got_scan:
         raise ValueError("corrupt JPEG: missing SOF0 or SOS")
-
-    end = data.rfind(b"\xff\xd9")
-    if end < 0:
+    if data.rfind(b"\xff\xd9") < 0:
         raise ValueError("truncated JPEG: missing EOI")
-    r = _BitReader(data[scan_at:end])
-
-    # a single-component scan is non-interleaved (one data unit per MCU,
-    # T.81 A.2.2) — its declared sampling factors do not shape the scan
-    if channels == 1:
-        comp_s = [(1, 1)]
-    max_h = max(s[0] for s in comp_s)
-    max_v = max(s[1] for s in comp_s)
-    for sh, sv in comp_s:
-        if max_h % sh or max_v % sv:
-            raise ValueError(
-                f"unsupported JPEG: fractional sampling ratio "
-                f"({sh}x{sv} vs max {max_h}x{max_v})"
-            )
-    mcux = (width + 8 * max_h - 1) // (8 * max_h)
-    mcuy = (height + 8 * max_v - 1) // (8 * max_v)
-    # per component: a (mcuy·v, mcux·h, 64) raster-ordered block grid
-    grids = [
-        np.zeros((mcuy * sv, mcux * sh, 64), dtype=np.int32) for sh, sv in comp_s
-    ]
-    dec_tables = []
-    for ci in range(channels):
-        dc_t = htables.get((0, comp_h[ci][0]))
-        ac_t = htables.get((1, comp_h[ci][1]))
-        if dc_t is None or ac_t is None:
-            raise ValueError("corrupt JPEG: scan references missing DHT")
-        dec_tables.append((dc_t, ac_t))
-
-    def read_block(zz: np.ndarray, ci: int) -> None:
-        dc_t, ac_t = dec_tables[ci]
-        size = _read_symbol(r, dc_t)
-        diff = _extend(r.bits(size), size)
-        prev_dc[ci] += diff
-        zz[0] = prev_dc[ci]
-        k = 1
-        while k < 64:
-            rs = _read_symbol(r, ac_t)
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += rs >> 4
-            if k > 63:
-                raise ValueError("corrupt JPEG: AC run past block end")
-            zz[k] = _extend(r.bits(rs & 0xF), rs & 0xF)
-            k += 1
-
-    prev_dc = [0] * channels
-    mcu_i = 0
-    rst_seq = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                # byte-align, consume RSTn (sequence checked), reset the
-                # DC predictors — T.81 E.1.4 / F.2.1.3.1
-                r.restart(rst_seq)
-                rst_seq = (rst_seq + 1) % 8
-                prev_dc = [0] * channels
-            mcu_i += 1
-            for ci, (sh, sv) in enumerate(comp_s):
-                for by in range(sv):
-                    for bx in range(sh):
-                        read_block(grids[ci][my * sv + by, mx * sh + bx], ci)
 
     planes = []
     for ci, (sh, sv) in enumerate(comp_s):

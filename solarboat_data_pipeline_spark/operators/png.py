@@ -16,9 +16,10 @@ multimodal decode kernel REAL instead of a stub:
   (the most common web PNG form), optionally Adam7-interlaced.
 * :func:`decode_png` — the same envelope (8-bit depth, color types
   0/2/3/4/6, interlace methods 0 and 1/Adam7; palette images are
-  expanded to 3-channel RGB); raises ``ValueError`` with the precise
-  reason on anything outside it (16-bit depth, tRNS transparency,
-  truncated/corrupt streams, CRC mismatch).
+  expanded to 3-channel RGB, or 4-channel RGBA when a palette tRNS
+  chunk supplies per-entry alpha); raises ``ValueError`` with the
+  precise reason on anything outside it (16-bit depth, gray/RGB
+  transparent-color tRNS, truncated/corrupt streams, CRC mismatch).
 * :func:`resize_nearest` / :func:`resize_bilinear` — resampling on the
   decoded array (numpy, vectorized — this runs inside Arrow-batched
   ``mapInPandas`` workers, so it must not be a per-pixel Python loop).
@@ -243,11 +244,14 @@ def encode_png_palette(
     palette: np.ndarray,
     filter_type: int | str = 0,
     interlace: bool = False,
+    trns: np.ndarray | bytes | None = None,
 ) -> bytes:
     """Encode an indexed (color type 3) PNG: ``indices`` is one byte per
     pixel referencing ``palette`` — an ``(n, 3)`` uint8 RGB array,
     1 ≤ n ≤ 256. Every index must be < n (checked — a silent modulo here
-    would corrupt images undetectably)."""
+    would corrupt images undetectably). ``trns`` optionally supplies
+    per-palette-entry alpha bytes (≤ n entries; omitted entries are
+    opaque per spec) — the common web form of transparent PNGs."""
     pal = np.asarray(palette, dtype=np.uint8)
     if pal.ndim != 2 or pal.shape[1] != 3 or not (1 <= pal.shape[0] <= 256):
         raise ValueError("palette must be an (n, 3) uint8 array with 1 <= n <= 256")
@@ -261,12 +265,21 @@ def encode_png_palette(
             f"palette index {int(arr.max())} out of range for "
             f"{pal.shape[0]}-entry palette"
         )
+    trns_chunk = b""
+    if trns is not None:
+        ta = np.frombuffer(bytes(trns) if not isinstance(trns, np.ndarray) else trns.astype(np.uint8).tobytes(), dtype=np.uint8)
+        if not (1 <= ta.size <= pal.shape[0]):
+            raise ValueError(
+                f"tRNS must have 1..{pal.shape[0]} entries, got {ta.size}"
+            )
+        trns_chunk = _chunk(b"tRNS", ta.tobytes())
     img = arr.reshape(height, width)
     raw = _serialize_image(img, 1, filter_type, interlace)
     return (
         _SIGNATURE
         + _chunk(b"IHDR", _ihdr(width, height, 3, interlace))
         + _chunk(b"PLTE", pal.tobytes())
+        + trns_chunk
         + _chunk(b"IDAT", zlib.compress(raw, 6))
         + _chunk(b"IEND", b"")
     )
@@ -327,6 +340,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     width = height = channels = -1
     color_type = interlace = 0
     palette: np.ndarray | None = None
+    trns: np.ndarray | None = None
     idat = bytearray()
     seen_ihdr = seen_iend = False
     while pos < len(data):
@@ -376,10 +390,27 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("corrupt PNG: PLTE after IDAT")
             palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"tRNS":
-            # alpha for palette/gray/RGB images — honest envelope edge:
-            # dropping it would silently decode a transparent image as
-            # opaque, so refuse instead
-            raise ValueError("unsupported PNG: tRNS transparency chunk")
+            if not seen_ihdr:
+                raise ValueError("corrupt PNG: tRNS before IHDR")
+            if color_type == 3:
+                # palette transparency: one alpha byte per palette entry
+                # (short tables imply 255 for the rest) — decoded below
+                # by expanding to RGBA
+                if palette is None:
+                    raise ValueError("corrupt PNG: tRNS before PLTE")
+                if length > palette.shape[0]:
+                    raise ValueError(
+                        "corrupt PNG: tRNS longer than the palette"
+                    )
+                trns = np.frombuffer(payload, dtype=np.uint8)
+            else:
+                # single transparent-color tRNS for gray/RGB: dropping it
+                # would silently decode a transparent image as opaque —
+                # honest envelope edge, refuse instead
+                raise ValueError(
+                    "unsupported PNG: tRNS transparency for color type "
+                    f"{color_type} (only palette tRNS supported)"
+                )
         elif ctype == b"IDAT":
             if not seen_ihdr:
                 raise ValueError("corrupt PNG: IDAT before IHDR")
@@ -413,6 +444,13 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 f"corrupt PNG: palette index {int(idx.max())} out of range "
                 f"for {palette.shape[0]}-entry PLTE"
             )
+        if trns is not None:
+            # expand through an RGBA palette: tRNS alphas for the first
+            # len(trns) entries, 255 (opaque) for the rest (PNG §11.3.2)
+            alphas = np.full(palette.shape[0], 255, dtype=np.uint8)
+            alphas[: trns.shape[0]] = trns
+            rgba = np.concatenate([palette, alphas[:, None]], axis=1)
+            return width, height, 4, rgba[idx].tobytes()
         return width, height, 3, palette[idx].tobytes()
     return width, height, channels, out.tobytes()
 

@@ -104,6 +104,23 @@ def test_jpeg_420_random_bounded_error(trial):
     assert mae < 60, mae
 
 
+@pytest.mark.parametrize("trial", range(10))
+def test_jpeg_progressive_random_equals_baseline(trial):
+    """Random shapes/content: progressive decode must equal baseline
+    decode EXACTLY (same quantized coefficients, different entropy
+    layout) — the sharpest possible check of the SOF2 machinery."""
+    h = int(RNG.integers(1, 40))
+    w = int(RNG.integers(1, 40))
+    ch = int(RNG.choice([1, 3]))
+    sub = str(RNG.choice(["444", "420"])) if ch == 3 else "444"
+    px = RNG.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(px.tobytes(), w, h, ch, subsampling=sub))
+    prog = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(px.tobytes(), w, h, ch, subsampling=sub, progressive=True)
+    )
+    assert prog == base
+
+
 @pytest.mark.parametrize("codec", ["png", "wav", "avi", "jpeg"])
 @pytest.mark.parametrize("cut", [0.15, 0.5, 0.9])
 def test_truncation_always_raises_never_garbage(codec, cut):

@@ -38,7 +38,12 @@ def _imageio_decode(spark, path: str):
     arr = np.frombuffer(bytes(r["data"]), np.uint8).reshape(
         r["height"], r["width"], r["nChannels"]
     )
-    rgb = arr[:, :, ::-1] if r["nChannels"] == 3 else arr
+    if r["nChannels"] == 3:  # OpenCV BGR → RGB
+        rgb = arr[:, :, ::-1]
+    elif r["nChannels"] == 4:  # OpenCV BGRA → RGBA
+        rgb = arr[:, :, [2, 1, 0, 3]]
+    else:
+        rgb = arr
     return r["height"], r["width"], r["nChannels"], rgb
 
 
@@ -118,6 +123,98 @@ def test_imageio_agrees_with_our_jpeg_decoder(spark, tmp_path, h, w, ch):
     # and both within quantization distance of the original
     mae_orig = np.abs(theirs.astype(int) - px.astype(int)).mean()
     assert mae_orig < 12, mae_orig
+
+
+def test_imageio_decodes_our_palette_trns_png_pixel_exact(spark, tmp_path):
+    h, w = 7, 12
+    rng = np.random.default_rng(29)
+    pal = rng.integers(0, 256, size=(32, 3), dtype=np.uint8)
+    alphas = rng.integers(0, 256, size=20, dtype=np.uint8)
+    idx = rng.integers(0, 32, size=h * w, dtype=np.uint8)
+    p = os.path.join(str(tmp_path), "pt.png")
+    with open(p, "wb") as f:
+        f.write(
+            png.encode_png_palette(
+                idx.tobytes(), w, h, pal, filter_type="cycle", trns=alphas
+            )
+        )
+    H, W, C, rgba = _imageio_decode(spark, p)
+    assert (H, W, C) == (h, w, 4)
+    full_a = np.full(32, 255, np.uint8)
+    full_a[:20] = alphas
+    expect = np.concatenate([pal, full_a[:, None]], axis=1)[idx.reshape(h, w)]
+    np.testing.assert_array_equal(rgba, expect)
+    # and our own decoder agrees byte-for-byte
+    with open(p, "rb") as f:
+        dw, dh, dch, ours = png.decode_png(f.read())
+    assert (dw, dh, dch) == (w, h, 4)
+    np.testing.assert_array_equal(
+        np.frombuffer(ours, np.uint8).reshape(h, w, 4), expect
+    )
+
+
+@pytest.mark.parametrize("h,w,sub", [(16, 16, "444"), (9, 21, "444"), (24, 32, "420")])
+def test_imageio_decodes_our_progressive_jpeg(spark, tmp_path, h, w, sub):
+    """Our SOF2 streams (spectral selection + successive approximation)
+    through an independent decoder: full-RGB agreement for 4:4:4, luma
+    agreement for 4:2:0 (chroma upsample filters legitimately differ)."""
+    px = _pattern(h, w, 3)
+    data = jpeg.encode_jpeg(px.tobytes(), w, h, 3, subsampling=sub, progressive=True)
+    assert b"\xff\xc2" in data  # SOF2
+    p = os.path.join(str(tmp_path), f"prog{sub}.jpg")
+    with open(p, "wb") as f:
+        f.write(data)
+    H, W, C, theirs = _imageio_decode(spark, p)
+    assert (H, W, C) == (h, w, 3)
+    _, _, _, ours_bytes = jpeg.decode_jpeg(data)
+    ours = np.frombuffer(ours_bytes, np.uint8).reshape(h, w, 3)
+    if sub == "444":
+        mae = np.abs(theirs.astype(int) - ours.astype(int)).mean()
+        assert mae < 1.5, mae
+    else:
+        mae = np.abs(_luma(theirs) - _luma(ours)).mean()
+        assert mae < 1.5, mae
+
+
+def test_our_decoder_handles_imageio_written_progressive(spark, tmp_path):
+    """The full-independence check: javax.imageio WRITES a progressive
+    JPEG (its own scan script, optimized Huffman tables — nothing shared
+    with our encoder) and our decoder must read it in luma agreement
+    with ImageIO's own decode of the same stream."""
+    jvm = spark._jvm
+    h, w = 24, 32
+    y, x = np.mgrid[0:h, 0:w]
+    base = np.clip(16 + 3 * x + 5 * y, 0, 200)
+    px = np.stack([base, base + 7, base + 14], axis=-1).astype(np.uint8)
+    bi = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+    )
+    for yy in range(h):
+        for xx in range(w):
+            r_, g_, b_ = (int(px[yy, xx, c]) for c in range(3))
+            bi.setRGB(xx, yy, (r_ << 16) | (g_ << 8) | b_)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    p = os.path.join(str(tmp_path), "foreign_prog.jpg")
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(jvm.java.io.File(p))
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    ios.close()
+    writer.dispose()
+    with open(p, "rb") as f:
+        data = f.read()
+    assert b"\xff\xc2" in data  # genuinely progressive
+    W, H, C, out = jpeg.decode_jpeg(data)
+    assert (W, H, C) == (w, h, 3)
+    ours = np.frombuffer(out, np.uint8).reshape(h, w, 3)
+    _, _, _, theirs = _imageio_decode(spark, p)
+    # chroma-smooth fixture: full-RGB agreement within upsample-filter
+    # distance, luma at IDCT-noise level
+    assert np.abs(_luma(theirs) - _luma(ours)).mean() < 1.5
+    assert np.abs(theirs.astype(int) - ours.astype(int)).mean() < 4.0
+    # and both track the original within quantization distance
+    assert np.abs(ours.astype(int) - px.astype(int)).mean() < 12
 
 
 @pytest.mark.parametrize("ri", [2, 5])

@@ -206,6 +206,40 @@ def test_restart_interval_roundtrip_identical(h, w, ch, sub, ri):
     assert jpeg.decode_jpeg(d) == base
 
 
+@pytest.mark.parametrize("h,w,ch,sub", [
+    (1, 1, 1, "444"), (8, 8, 3, "444"), (17, 23, 3, "444"),
+    (9, 7, 1, "444"), (32, 48, 3, "420"), (21, 9, 3, "420"),
+])
+def test_progressive_decode_identical_to_baseline(h, w, ch, sub):
+    """SOF2 exactness: the progressive scan script (DC/AC successive
+    approximation + spectral selection) codes the SAME quantized
+    coefficients as baseline, so the decodes must match bit-for-bit —
+    any error in EOB runs, correction bits or predictor resets breaks
+    this equality."""
+    px = _gradient(h, w, ch)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(px.tobytes(), w, h, ch, subsampling=sub))
+    d = jpeg.encode_jpeg(px.tobytes(), w, h, ch, subsampling=sub, progressive=True)
+    assert b"\xff\xc2" in d and b"\xff\xc0" not in d
+    assert d.count(b"\xff\xda") >= 4  # genuinely multi-scan
+    assert jpeg.decode_jpeg(d) == base
+
+
+def test_progressive_truncation_raises():
+    px = _gradient(16, 16, 3)
+    d = jpeg.encode_jpeg(px.tobytes(), 16, 16, 3, progressive=True)
+    for cut in (0.3, 0.6, 0.95):
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(d[: int(len(d) * cut)])
+
+
+def test_progressive_rejects_restart_interval_encode():
+    with pytest.raises(ValueError, match="restart_interval"):
+        jpeg.encode_jpeg(
+            _gradient(8, 8, 3).tobytes(), 8, 8, 3,
+            progressive=True, restart_interval=2,
+        )
+
+
 def test_restart_markers_emitted_and_sequenced():
     px = _gradient(40, 40, 1)
     d = jpeg.encode_jpeg(px.tobytes(), 40, 40, 1, restart_interval=1)

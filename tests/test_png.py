@@ -151,6 +151,45 @@ def test_roundtrip_palette(filter_type, interlace):
         assert out == pal[idx.reshape(h, w)].tobytes()
 
 
+@pytest.mark.parametrize("interlace", [False, True])
+def test_roundtrip_palette_trns_rgba(interlace):
+    """Palette tRNS (the common web transparent PNG): decode expands to
+    RGBA; entries beyond the tRNS table are opaque per spec §11.3.2."""
+    rng = np.random.default_rng(23)
+    w, h = 11, 6
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    alphas = rng.integers(0, 256, size=10, dtype=np.uint8)  # short table
+    idx = rng.integers(0, 16, size=w * h, dtype=np.uint8)
+    data = png.encode_png_palette(
+        idx.tobytes(), w, h, pal, filter_type="cycle",
+        interlace=interlace, trns=alphas,
+    )
+    dw, dh, dch, out = png.decode_png(data)
+    assert (dw, dh, dch) == (w, h, 4)
+    full_a = np.full(16, 255, np.uint8)
+    full_a[:10] = alphas
+    expect = np.concatenate([pal, full_a[:, None]], axis=1)[idx.reshape(h, w)]
+    assert out == expect.tobytes()
+
+
+def test_trns_validation():
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="tRNS"):
+        png.encode_png_palette(bytes(4), 2, 2, pal, trns=np.zeros(5, np.uint8))
+    # gray/RGB transparent-color tRNS stays an honest refusal
+    data = png.encode_png(_gradient(2, 2, 3), 2, 2, 3)
+    ihdr_end = 8 + 8 + 13 + 4
+    spliced = data[:ihdr_end] + _chunk(b"tRNS", bytes(6)) + data[ihdr_end:]
+    with pytest.raises(ValueError, match="tRNS"):
+        png.decode_png(spliced)
+    # tRNS longer than the palette is corruption
+    d = bytearray(png.encode_png_palette(bytes([0, 1, 2, 3]), 2, 2, pal))
+    plte_end = ihdr_end + 8 + 12 + 4
+    bad = bytes(d[:plte_end]) + _chunk(b"tRNS", bytes(7)) + bytes(d[plte_end:])
+    with pytest.raises(ValueError, match="longer than the palette"):
+        png.decode_png(bad)
+
+
 def test_palette_validation():
     pal = np.zeros((4, 3), dtype=np.uint8)
     # index out of range at encode time
