@@ -7,19 +7,23 @@ types (None/Sub/Up/Average/Paeth). This module implements enough of it —
 honestly and completely within its stated envelope — to make the
 multimodal decode kernel REAL instead of a stub:
 
-* :func:`encode_png` — 8-bit, color types 0 (gray), 2 (RGB),
-  4 (gray+alpha), 6 (RGBA); optionally Adam7-interlaced; per-scanline
-  filter selection is caller-controlled so tests exercise every
-  filter's decode path.
+* :func:`encode_png` — 8- or 16-bit, color types 0 (gray), 2 (RGB),
+  4 (gray+alpha), 6 (RGBA); optionally Adam7-interlaced; optional
+  single-transparent-color tRNS (depth 8); per-scanline filter
+  selection is caller-controlled so tests exercise every filter's
+  decode path.
 * :func:`encode_png_palette` — 8-bit color type 3 (indexed): a PLTE
   chunk of up to 256 RGB entries plus a 1-byte-per-pixel index stream
-  (the most common web PNG form), optionally Adam7-interlaced.
-* :func:`decode_png` — the same envelope (8-bit depth, color types
-  0/2/3/4/6, interlace methods 0 and 1/Adam7; palette images are
-  expanded to 3-channel RGB, or 4-channel RGBA when a palette tRNS
-  chunk supplies per-entry alpha); raises ``ValueError`` with the
-  precise reason on anything outside it (16-bit depth, gray/RGB
-  transparent-color tRNS, truncated/corrupt streams, CRC mismatch).
+  (the most common web PNG form), optional per-entry tRNS alpha,
+  optionally Adam7-interlaced.
+* :func:`decode_png` — 8-bit, color types 0/2/3/4/6, interlace methods
+  0 and 1/Adam7; palette images are expanded to 3-channel RGB, or
+  4-channel RGBA when a palette tRNS chunk supplies per-entry alpha;
+  gray/RGB single-transparent-color tRNS decodes to an extra alpha
+  channel. :func:`decode_png16` — the 16-bit sibling (big-endian
+  uint16 samples out). Both raise ``ValueError`` with the precise
+  reason on anything outside the envelope (sub-8-bit depths,
+  truncated/corrupt streams, CRC mismatch) — never garbage silently.
 * :func:`resize_nearest` / :func:`resize_bilinear` — resampling on the
   decoded array (numpy, vectorized — this runs inside Arrow-batched
   ``mapInPandas`` workers, so it must not be a per-pixel Python loop).
@@ -198,9 +202,11 @@ def _serialize_image(
     return bytes(out)
 
 
-def _ihdr(width: int, height: int, color_type: int, interlace: bool) -> bytes:
+def _ihdr(
+    width: int, height: int, color_type: int, interlace: bool, depth: int = 8
+) -> bytes:
     return struct.pack(
-        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", width, height, depth, color_type, 0, 0, 1 if interlace else 0
     )
 
 
@@ -211,27 +217,57 @@ def encode_png(
     channels: int,
     filter_type: int | str = 0,
     interlace: bool = False,
+    transparent: int | tuple[int, ...] | None = None,
+    depth: int = 8,
 ) -> bytes:
-    """Encode a row-major 8-bit pixel buffer (``height·width·channels``
-    bytes) as a PNG.
+    """Encode a row-major pixel buffer as a PNG — ``depth=8`` expects
+    ``height·width·channels`` bytes, ``depth=16`` expects big-endian
+    uint16 samples (``2·height·width·channels`` bytes, the layout
+    ``np.ndarray(dtype=">u2").tobytes()`` produces).
 
     ``filter_type``: 0-4 applies that filter to every scanline;
     ``"cycle"`` uses ``row % 5`` — deliberately exercising all five
     decode paths in one image. ``interlace=True`` emits the Adam7
-    7-pass layout (each pass filtered independently, per spec)."""
+    7-pass layout (each pass filtered independently, per spec).
+    ``transparent`` (gray value, or an (r, g, b) tuple; channels 1/3,
+    depth 8 only) emits a tRNS chunk marking that exact color fully
+    transparent — decode returns it as an extra alpha channel."""
     if channels not in _COLOR_TYPE_BY_CHANNELS:
         raise ValueError(f"unsupported channel count {channels}; use 1/2/3/4")
+    if depth not in (8, 16):
+        raise ValueError(f"unsupported bit depth {depth}; use 8 or 16")
+    nbytes = depth // 8
     arr = np.frombuffer(bytes(pixels), dtype=np.uint8)
-    if arr.size != width * height * channels:
+    if arr.size != width * height * channels * nbytes:
         raise ValueError(
             f"pixel buffer has {arr.size} bytes, expected "
-            f"{width}x{height}x{channels} = {width * height * channels}"
+            f"{width}x{height}x{channels}x{nbytes} = "
+            f"{width * height * channels * nbytes}"
         )
-    img = arr.reshape(height, width * channels)
-    raw = _serialize_image(img, channels, filter_type, interlace)
+    trns_chunk = b""
+    if transparent is not None:
+        if depth != 8:
+            raise ValueError("transparent color is supported at depth 8 only")
+        if channels == 1:
+            color = (int(transparent),) if np.isscalar(transparent) else tuple(transparent)
+        else:
+            color = tuple(transparent)
+        if channels not in (1, 3) or len(color) != channels:
+            raise ValueError(
+                "transparent color requires channels 1 (gray value) or "
+                "3 ((r, g, b)) matching the image"
+            )
+        trns_chunk = _chunk(b"tRNS", b"".join(struct.pack(">H", c) for c in color))
+    bpp = channels * nbytes
+    img = arr.reshape(height, width * bpp)
+    raw = _serialize_image(img, bpp, filter_type, interlace)
     return (
         _SIGNATURE
-        + _chunk(b"IHDR", _ihdr(width, height, _COLOR_TYPE_BY_CHANNELS[channels], interlace))
+        + _chunk(
+            b"IHDR",
+            _ihdr(width, height, _COLOR_TYPE_BY_CHANNELS[channels], interlace, depth),
+        )
+        + trns_chunk
         + _chunk(b"IDAT", zlib.compress(raw, 6))
         + _chunk(b"IEND", b"")
     )
@@ -324,12 +360,37 @@ def _deserialize_image(
 
 
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a PNG within the supported envelope (8-bit depth, color
-    types 0/2/3/4/6, interlace methods 0 and 1) to ``(width, height,
+    """Decode an 8-bit PNG within the supported envelope (color types
+    0/2/3/4/6, interlace methods 0 and 1) to ``(width, height,
     channels, row-major pixel bytes)``. Palette (type 3) images are
-    expanded through their PLTE to 3-channel RGB. Raises ``ValueError``
-    on malformed input or unsupported features — never returns garbage
-    silently."""
+    expanded through their PLTE to 3-channel RGB (4-channel RGBA with
+    palette tRNS); gray/RGB single-transparent-color tRNS adds an alpha
+    channel. 16-bit images are routed to :func:`decode_png16` — the
+    8-bit byte contract here never silently reinterprets them. Raises
+    ``ValueError`` on malformed input or unsupported features — never
+    returns garbage silently."""
+    width, height, channels, depth, out = _decode_any(data)
+    if depth != 8:
+        raise ValueError(
+            "unsupported PNG: bit depth 16 in decode_png — use decode_png16"
+        )
+    return width, height, channels, out
+
+
+def decode_png16(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a 16-bit PNG (color types 0/2/4/6, interlace 0/1) to
+    ``(width, height, channels, big-endian uint16 pixel bytes)`` —
+    ``np.frombuffer(out, dtype=">u2")`` recovers the samples exactly.
+    8-bit inputs are routed back to :func:`decode_png`'s contract."""
+    width, height, channels, depth, out = _decode_any(data)
+    if depth != 16:
+        raise ValueError(
+            f"decode_png16 expects bit depth 16, got {depth} — use decode_png"
+        )
+    return width, height, channels, out
+
+
+def _decode_any(data: bytes) -> tuple[int, int, int, int, bytes]:
     if not isinstance(data, (bytes, bytearray, memoryview)):
         raise ValueError("decode_png expects a bytes-like payload")
     data = bytes(data)
@@ -339,6 +400,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     pos = len(_SIGNATURE)
     width = height = channels = -1
     color_type = interlace = 0
+    depth = 8
     palette: np.ndarray | None = None
     trns: np.ndarray | None = None
     idat = bytearray()
@@ -365,12 +427,16 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             width, height, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if depth != 8:
-                raise ValueError(f"unsupported PNG: bit depth {depth} (only 8)")
+            if depth not in (8, 16):
+                raise ValueError(
+                    f"unsupported PNG: bit depth {depth} (only 8 and 16)"
+                )
             if color_type != 3 and color_type not in _CHANNELS_BY_COLOR_TYPE:
                 raise ValueError(
                     f"unsupported PNG: color type {color_type} (only 0/2/3/4/6)"
                 )
+            if depth == 16 and color_type == 3:
+                raise ValueError("corrupt PNG: 16-bit palette images are not legal")
             if comp != 0 or filt != 0:
                 raise ValueError("unsupported PNG: nonzero compression/filter method")
             if interlace not in (0, 1):
@@ -403,13 +469,24 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                         "corrupt PNG: tRNS longer than the palette"
                     )
                 trns = np.frombuffer(payload, dtype=np.uint8)
+            elif color_type in (0, 2):
+                # single transparent-color tRNS: 2 bytes per sample
+                # (16-bit fields even at depth 8 — low byte significant)
+                want = 2 if color_type == 0 else 6
+                if length != want:
+                    raise ValueError(
+                        f"corrupt PNG: tRNS length {length} for color "
+                        f"type {color_type} (expected {want})"
+                    )
+                # keep the full 16-bit field: a value > 255 is legal in
+                # the chunk but can never match a depth-8 pixel — a u8
+                # truncation here would create spurious transparency
+                trns = np.frombuffer(payload, dtype=">u2").astype(np.int32)
             else:
-                # single transparent-color tRNS for gray/RGB: dropping it
-                # would silently decode a transparent image as opaque —
-                # honest envelope edge, refuse instead
+                # gray+alpha / RGBA already carry alpha; a tRNS chunk on
+                # them is spec-invalid
                 raise ValueError(
-                    "unsupported PNG: tRNS transparency for color type "
-                    f"{color_type} (only palette tRNS supported)"
+                    f"corrupt PNG: tRNS chunk on color type {color_type}"
                 )
         elif ctype == b"IDAT":
             if not seen_ihdr:
@@ -429,12 +506,20 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if color_type == 3 and palette is None:
         raise ValueError("corrupt PNG: palette image missing PLTE")
 
+    if depth == 16 and trns is not None:
+        raise ValueError("unsupported PNG: tRNS at 16-bit depth")
+
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG: zlib inflate failed ({exc})") from exc
 
-    out = _deserialize_image(raw, width, height, channels, interlace == 1)
+    # PNG filters operate on BYTES at every depth (spec §7.3): at 16-bit
+    # the per-pixel byte count simply doubles
+    bpp = channels * (depth // 8)
+    out = _deserialize_image(raw, width, height, bpp, interlace == 1)
+    if depth == 16:
+        return width, height, channels, 16, out.tobytes()
 
     if color_type == 3:
         assert palette is not None
@@ -450,9 +535,24 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             alphas = np.full(palette.shape[0], 255, dtype=np.uint8)
             alphas[: trns.shape[0]] = trns
             rgba = np.concatenate([palette, alphas[:, None]], axis=1)
-            return width, height, 4, rgba[idx].tobytes()
-        return width, height, 3, palette[idx].tobytes()
-    return width, height, channels, out.tobytes()
+            return width, height, 4, 8, rgba[idx].tobytes()
+        return width, height, 3, 8, palette[idx].tobytes()
+    if trns is not None:
+        # gray/RGB single-transparent-color: pixels matching the tRNS
+        # color get alpha 0, everything else 255 — output grows one
+        # alpha channel (silently dropping it would decode a
+        # transparent image as opaque)
+        px = out.reshape(height, width, channels)
+        match = (px.astype(np.int32) == trns[None, None, :]).all(axis=2)
+        alpha = np.where(match, 0, 255).astype(np.uint8)
+        return (
+            width,
+            height,
+            channels + 1,
+            8,
+            np.concatenate([px, alpha[:, :, None]], axis=2).tobytes(),
+        )
+    return width, height, channels, 8, out.tobytes()
 
 
 def resize_nearest(

@@ -125,6 +125,32 @@ def test_imageio_agrees_with_our_jpeg_decoder(spark, tmp_path, h, w, ch):
     assert mae_orig < 12, mae_orig
 
 
+def test_imageio_decodes_our_16bit_gray_png_sample_exact(spark, tmp_path):
+    """16-bit gray PNGs through javax.imageio's raster API (the Spark
+    image source is 8-bit-only, so read samples via py4j): every 16-bit
+    sample must match our encoder's input exactly."""
+    jvm = spark._jvm
+    h, w = 6, 9
+    rng = np.random.default_rng(43)
+    px = rng.integers(0, 65536, size=(h, w, 1)).astype(">u2")
+    p = os.path.join(str(tmp_path), "g16.png")
+    with open(p, "wb") as f:
+        f.write(png.encode_png(px.tobytes(), w, h, 1, filter_type="cycle", depth=16))
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(p))
+    raster = img.getRaster()
+    assert img.getWidth() == w and img.getHeight() == h
+    got = np.array(
+        [[raster.getSample(x, y, 0) for x in range(w)] for y in range(h)]
+    )
+    np.testing.assert_array_equal(got, px[:, :, 0].astype(np.int64))
+    # and our own decoder round-trips the same file
+    with open(p, "rb") as f:
+        W, H, C, out = png.decode_png16(f.read())
+    np.testing.assert_array_equal(
+        np.frombuffer(out, dtype=">u2").reshape(h, w, 1), px
+    )
+
+
 def test_imageio_decodes_our_palette_trns_png_pixel_exact(spark, tmp_path):
     h, w = 7, 12
     rng = np.random.default_rng(29)

@@ -92,10 +92,10 @@ def test_decode_rejects_unsupported_features():
     import struct
 
     sig = b"\x89PNG\r\n\x1a\n"
-    # 16-bit depth
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    # depth 4 is outside the envelope (8 and 16 are supported)
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
     with pytest.raises(ValueError, match="bit depth"):
-        png.decode_png(sig + _chunk(b"IHDR", ihdr16))
+        png.decode_png(sig + _chunk(b"IHDR", ihdr4))
     # color type 5 is not a real PNG color type
     ihdr_bad = struct.pack(">IIBBBBB", 2, 2, 8, 5, 0, 0, 0)
     with pytest.raises(ValueError, match="color type"):
@@ -104,11 +104,13 @@ def test_decode_rejects_unsupported_features():
     ihdr_i2 = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2)
     with pytest.raises(ValueError, match="interlace"):
         png.decode_png(sig + _chunk(b"IHDR", ihdr_i2))
-    # tRNS transparency: honest refusal instead of silently dropping alpha
-    data = png.encode_png(_gradient(2, 2, 3), 2, 2, 3)
+    # tRNS is supported for types 0/2/3 (see test_trns_validation /
+    # test_roundtrip_transparent_color_trns); on alpha-carrying types
+    # it is spec-invalid and refused
+    data = png.encode_png(_gradient(2, 2, 2), 2, 2, 2)
     ihdr_end = 8 + 8 + 13 + 4
-    spliced = data[:ihdr_end] + _chunk(b"tRNS", b"\x00\x00\x00\x00\x00\x00") + data[ihdr_end:]
-    with pytest.raises(ValueError, match="tRNS"):
+    spliced = data[:ihdr_end] + _chunk(b"tRNS", b"\x00\x00") + data[ihdr_end:]
+    with pytest.raises(ValueError, match="tRNS chunk on color type"):
         png.decode_png(spliced)
 
 
@@ -176,11 +178,16 @@ def test_trns_validation():
     pal = np.zeros((4, 3), dtype=np.uint8)
     with pytest.raises(ValueError, match="tRNS"):
         png.encode_png_palette(bytes(4), 2, 2, pal, trns=np.zeros(5, np.uint8))
-    # gray/RGB transparent-color tRNS stays an honest refusal
+    # wrong-length gray/RGB tRNS is corruption (type 2 needs 6 bytes)
     data = png.encode_png(_gradient(2, 2, 3), 2, 2, 3)
     ihdr_end = 8 + 8 + 13 + 4
+    spliced = data[:ihdr_end] + _chunk(b"tRNS", bytes(4)) + data[ihdr_end:]
+    with pytest.raises(ValueError, match="tRNS length"):
+        png.decode_png(spliced)
+    # tRNS on an alpha-carrying color type is spec-invalid
+    data = png.encode_png(_gradient(2, 2, 4), 2, 2, 4)
     spliced = data[:ihdr_end] + _chunk(b"tRNS", bytes(6)) + data[ihdr_end:]
-    with pytest.raises(ValueError, match="tRNS"):
+    with pytest.raises(ValueError, match="tRNS chunk on color type"):
         png.decode_png(spliced)
     # tRNS longer than the palette is corruption
     d = bytearray(png.encode_png_palette(bytes([0, 1, 2, 3]), 2, 2, pal))
@@ -188,6 +195,28 @@ def test_trns_validation():
     bad = bytes(d[:plte_end]) + _chunk(b"tRNS", bytes(7)) + bytes(d[plte_end:])
     with pytest.raises(ValueError, match="longer than the palette"):
         png.decode_png(bad)
+
+
+@pytest.mark.parametrize("channels", [1, 3])
+def test_roundtrip_transparent_color_trns(channels):
+    """Gray/RGB single-transparent-color tRNS: the marked color decodes
+    with alpha 0, everything else opaque — output grows one channel."""
+    w, h = 9, 5
+    raw = np.frombuffer(_gradient(w, h, channels), np.uint8).reshape(h, w, channels)
+    key = tuple(int(v) for v in raw[2, 3])  # an actually-present color
+    data = png.encode_png(
+        raw.tobytes(), w, h, channels, filter_type="cycle",
+        transparent=key if channels == 3 else key[0],
+    )
+    dw, dh, dch, out = png.decode_png(data)
+    assert (dw, dh, dch) == (w, h, channels + 1)
+    got = np.frombuffer(out, np.uint8).reshape(h, w, channels + 1)
+    np.testing.assert_array_equal(got[:, :, :channels], raw)
+    expect_alpha = np.where(
+        (raw == np.array(key, np.uint8)).all(axis=2), 0, 255
+    )
+    np.testing.assert_array_equal(got[:, :, channels], expect_alpha)
+    assert (expect_alpha == 0).any()  # the key color really occurs
 
 
 def test_palette_validation():
@@ -354,3 +383,48 @@ def test_resize_plan_real_roundtrips(spark):
         # and the emitted file is itself a valid decodable PNG
         dw, dh, dch, dpx = png.decode_png(blob)
         assert (dw, dh, dch, dpx) == (5, 4, ch, resized)
+
+
+# --- 16-bit depth ------------------------------------------------------------
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4, "cycle"])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_roundtrip_16bit(filter_type, interlace):
+    """depth-16 PNGs (scientific/depth imagery): byte-wise filters with
+    doubled bpp, big-endian samples, exact round-trip via decode_png16."""
+    rng = np.random.default_rng(37)
+    for w, h, ch in [(1, 1, 1), (9, 7, 3), (16, 12, 4), (13, 5, 2)]:
+        px = rng.integers(0, 65536, size=(h, w, ch)).astype(">u2")
+        d = png.encode_png(
+            px.tobytes(), w, h, ch, filter_type=filter_type,
+            interlace=interlace, depth=16,
+        )
+        W, H, C, out = png.decode_png16(d)
+        assert (W, H, C) == (w, h, ch)
+        np.testing.assert_array_equal(
+            np.frombuffer(out, dtype=">u2").reshape(h, w, ch), px
+        )
+
+
+def test_16bit_contract_routing():
+    """The 8-bit byte contract never silently reinterprets 16-bit data:
+    each front raises with a pointer to the other."""
+    rng = np.random.default_rng(41)
+    d16 = png.encode_png(
+        rng.integers(0, 65536, size=(4, 4, 3)).astype(">u2").tobytes(),
+        4, 4, 3, depth=16,
+    )
+    with pytest.raises(ValueError, match="decode_png16"):
+        png.decode_png(d16)
+    d8 = png.encode_png(_gradient(4, 4, 3), 4, 4, 3)
+    with pytest.raises(ValueError, match="use decode_png"):
+        png.decode_png16(d8)
+    # 16-bit + tRNS and 16-bit palette are refused precisely
+    with pytest.raises(ValueError, match="depth 8 only"):
+        png.encode_png(bytes(4 * 4 * 2), 4, 4, 1, transparent=3, depth=16)
+    import struct as _s
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    with pytest.raises(ValueError, match="16-bit palette"):
+        png.decode_png(sig + _chunk(b"IHDR", ihdr))
