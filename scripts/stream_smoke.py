@@ -43,6 +43,7 @@ from solarboat_data_pipeline_spark.streaming.pipeline import (  # noqa: E402
     stream_sessionize,
 )
 from solarboat_data_pipeline_spark.streaming.stateful import (  # noqa: E402
+    stream_asof_backward,
     stream_ffill,
 )
 
@@ -289,6 +290,54 @@ def check_ffill(spark, src: str) -> None:
     )
 
 
+def check_asof(spark, src: str) -> None:
+    """True streaming backward as-of (round 6) at corpus scale: 80% of
+    rows form the left stream, 20% the right reference stream (both
+    branches of the same in-order file source, per-series keys); output
+    must equal the batch asof_join_backward EXACTLY row for row."""
+    from solarboat_data_pipeline_spark.operators import timeseries as tsops
+
+    base = open_stream(spark, src).withColumn(
+        "bucket", F.pmod(F.hash("series", "timestamp"), F.lit(5))
+    )
+    left = base.where("bucket != 0").select("series", "timestamp", "value")
+    right = base.where("bucket = 0").select(
+        "series", "timestamp", F.col("value").alias("ref")
+    )
+    stream = stream_asof_backward(
+        left, right, key_cols=("series",), ts_col="timestamp",
+        value_cols=("ref",),
+    )
+    wall = run_stream(stream, "asof")
+    got = spark.read.parquet(os.path.join(WORK, "out_asof"))
+
+    b = spark.read.parquet(os.path.join(src, "*.parquet")).withColumn(
+        "bucket", F.pmod(F.hash("series", "timestamp"), F.lit(5))
+    )
+    bl = b.where("bucket != 0").select("series", "timestamp", "value")
+    br = b.where("bucket = 0").select(
+        "series", "timestamp", F.col("value").alias("ref")
+    )
+    batch = tsops.asof_join_backward(
+        bl, br, on="timestamp", value_cols=["ref"], partition_cols=("series",)
+    )
+    n_left = bl.count()
+    n_got = got.count()
+    cond = (
+        (got["series"] == batch["series"])
+        & (got["timestamp"] == batch["timestamp"])
+        & got["value"].eqNullSafe(batch["value"])
+        & got["ref"].eqNullSafe(batch["ref"])
+    )
+    mismatches = got.join(batch, cond, "left_anti").count()
+    report(
+        "stream_asof_backward_vs_batch_kernel",
+        n_got == n_left and mismatches == 0,
+        wall,
+        {"left_rows": n_left, "rows": n_got, "mismatches": mismatches},
+    )
+
+
 def check_ffill_kill(spark, src: str) -> None:
     """Forced mid-stream kill: stop the ffill query right after its FIRST
     committed micro-batch (pending files remain), restart from the same
@@ -398,6 +447,7 @@ def main() -> None:
 
     check_resample(spark, src, max_ts)
     check_sessionize(spark, src, max_ts)
+    check_asof(spark, src)
     check_dedup(spark, src)
     check_ffill(spark, src)
     check_ffill_kill(spark, src)

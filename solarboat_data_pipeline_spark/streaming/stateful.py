@@ -220,16 +220,24 @@ def stream_asof_backward(
                     stale = (ts_ns[left_mask] - ref_ts[left_mask]) > tol_ns
                     v = v.mask(stale.fillna(True))
                 out[c] = v
+            # carry matches the batch kernel's semantics exactly: the
+            # staleness reference is the last right ROW's timestamp, but
+            # each value column carries its last NON-NULL value
+            # (``last(c, ignorenulls=True)``) — storing the last row's
+            # values verbatim loses an earlier non-null when the final
+            # right row of a batch is null (measured: 20 boundary
+            # mismatches at 1 M events in scripts/stream_smoke.py)
             r_rows = pdf[is_right]
-            if len(r_rows):
-                last = r_rows.iloc[-1]
-                carried = (
-                    int(last[ts_col].value // 1000),
-                    *[
-                        None if pd.isna(last[c]) else float(last[c])
-                        for c in value_cols
-                    ],
-                )
+            if len(r_rows) or carried is not None:
+                if len(r_rows):
+                    new_ts = int(r_rows.iloc[-1][ts_col].value // 1000)
+                else:
+                    new_ts = carried[0] if carried is not None else None
+                new_vals = []
+                for c in value_cols:
+                    tail = fills[c].iloc[-1] if len(fills[c]) else None
+                    new_vals.append(None if pd.isna(tail) else float(tail))
+                carried = (new_ts, *new_vals)
             yield out
         if carried is not None:
             state.update(carried)

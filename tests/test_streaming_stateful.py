@@ -282,3 +282,57 @@ def test_asof_event_time_ttl_expires_idle_keys(spark, tmp_path):
     got = {r["value"]: r["ref"] for r in _drain(joined, "asof_ttl").collect()}
     assert got[3.0] is None, "expired state must not match"
     assert got[1.0] is None and got[2.0] is None  # key b never had right rows
+
+
+def test_asof_carry_skips_trailing_null_right_value(spark, tmp_path):
+    """Regression (caught by stream_smoke at 1 M events): when the LAST
+    right row of a micro-batch has a null value, the carried state must
+    keep the earlier non-null value per column — matching the batch
+    kernel's last(ignorenulls=True) — while the staleness reference
+    still advances to the last right ROW's timestamp."""
+    from solarboat_data_pipeline_spark.streaming.stateful import (
+        stream_asof_backward,
+    )
+
+    src = str(tmp_path / "nsrc")
+    os.makedirs(f"{src}/l")
+    os.makedirs(f"{src}/r")
+    rdf = spark.createDataFrame(
+        [("a", 100, 5.0), ("a", 110, None)],  # trailing NULL right row
+        "series string, epoch long, ref double",
+    )
+    rdf.select(
+        "series", F.timestamp_seconds("epoch").alias("timestamp"), "ref"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/r/b1.parquet")
+    time.sleep(1.1)
+    _write_batch(spark, f"{src}/l/b2.parquet", [("a", 200, 1.0), ("a", 300, 2.0)])
+
+    sl = spark.readStream.schema(
+        "series string, timestamp timestamp, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src}/l/*.parquet")
+    sr = spark.readStream.schema(
+        "series string, timestamp timestamp, ref double"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src}/r/*.parquet")
+    got = {
+        r["value"]: r["ref"]
+        for r in _drain(
+            stream_asof_backward(sl, sr, key_cols=("series",), ts_col="timestamp"),
+            "asof_nullcarry",
+        ).collect()
+    }
+    # left rows in the NEXT batch must still see 5.0, not null
+    assert got[1.0] == 5.0 and got[2.0] == 5.0
+    # and with a tolerance anchored at the LAST right row (t=110), a
+    # left row 95s later is within a 100s bound (vs 100s after t=100)
+    got2 = {
+        r["value"]: r["ref"]
+        for r in _drain(
+            stream_asof_backward(
+                sl, sr, key_cols=("series",), ts_col="timestamp",
+                tolerance_seconds=100.0,
+            ),
+            "asof_nullcarry_tol",
+        ).collect()
+    }
+    assert got2[1.0] == 5.0   # 200-110=90s stale — within bound
+    assert got2[2.0] is None  # 300-110=190s stale — nulled
