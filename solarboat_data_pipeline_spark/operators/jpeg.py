@@ -552,9 +552,7 @@ def _encode_progressive(
 
     def comp_bdims(ci: int) -> tuple[int, int]:
         sh, sv = comp_s[ci]
-        cw = (width * sh + max_h - 1) // max_h
-        chh = (height * sv + max_v - 1) // max_v
-        return (chh + 7) // 8, (cw + 7) // 8
+        return _component_block_dims(width, height, sh, sv, max_h, max_v)
 
     def sos(comps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
         b = bytes([len(comps)])
@@ -749,6 +747,17 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+def _component_block_dims(
+    width: int, height: int, sh: int, sv: int, max_h: int, max_v: int
+) -> tuple[int, int]:
+    """(block rows, block cols) of a component's OWN grid for
+    non-interleaved scans (T.81 A.2.2) — shared by the progressive
+    encoder and decoder so the two can never disagree on coverage."""
+    cw = (width * sh + max_h - 1) // max_h
+    ch = (height * sv + max_v - 1) // max_v
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
 def _entropy_end(data: bytes, start: int) -> int:
     """Index of the first marker that terminates an entropy-coded
     segment starting at ``start`` — skips stuffed 0xFF00 pairs and
@@ -874,12 +883,10 @@ def _decode_scan(
     interleaved = len(scan_cis) > 1
 
     def comp_block_dims(ci: int) -> tuple[int, int]:
-        # non-interleaved scans cover the component's OWN block grid
-        # (T.81 A.2.2), not the MCU-padded one
+        # non-interleaved scans cover the component's OWN block grid,
+        # not the MCU-padded one
         sh, sv = comp_s[ci]
-        cw = (width * sh + max_h - 1) // max_h
-        chh = (height * sv + max_v - 1) // max_v
-        return (chh + 7) // 8, (cw + 7) // 8
+        return _component_block_dims(width, height, sh, sv, max_h, max_v)
 
     rst_state = {"i": 0, "seq": 0}
 
@@ -981,9 +988,7 @@ def _decode_scan(
         raise ValueError("corrupt JPEG: bad spectral band")
     ci = scan_cis[0]
     ac_t = scan_tables[0][1]
-    if ah == 0 and ac_t is None:
-        raise ValueError("corrupt JPEG: scan references missing DHT")
-    if ah != 0 and ac_t is None:
+    if ac_t is None:
         raise ValueError("corrupt JPEG: scan references missing DHT")
     bh, bw = comp_block_dims(ci)
     state = {"eobrun": 0}
@@ -1065,6 +1070,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 prec_id, b = b[0], b[1:]
                 if prec_id >> 4:
                     raise ValueError("unsupported JPEG: 16-bit quant table")
+                if len(b) < 64:
+                    raise ValueError("corrupt JPEG: DQT table shorter than 64")
                 q = np.array(list(b[:64]), dtype=np.int32)[UNZIGZAG].reshape(8, 8)
                 qtables[prec_id & 0xF] = q
                 b = b[64:]
@@ -1072,12 +1079,16 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             if grids is not None:
                 raise ValueError("corrupt JPEG: multiple SOF segments")
             progressive = marker == 0xC2
+            if len(body) < 6:
+                raise ValueError("corrupt JPEG: SOF segment shorter than its header")
             prec, height, width, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"unsupported JPEG: {prec}-bit precision")
             if nc not in (1, 3):
                 raise ValueError(f"unsupported JPEG: {nc} components")
             channels = nc
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("corrupt JPEG: SOF component list truncated")
             for ci in range(nc):
                 cid, sampling, qid = body[6 + ci * 3 : 9 + ci * 3]
                 sh, sv = sampling >> 4, sampling & 0xF
@@ -1115,19 +1126,29 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xC4:  # DHT
             b = body
             while b:
+                if len(b) < 17:
+                    raise ValueError("corrupt JPEG: DHT header truncated")
                 cls_id = b[0]
                 counts = tuple(b[1:17])
                 n = sum(counts)
+                if len(b) < 17 + n:
+                    raise ValueError("corrupt JPEG: DHT symbol list truncated")
                 symbols = tuple(b[17 : 17 + n])
                 htables[(cls_id >> 4, cls_id & 0xF)] = _huff_decoder((counts, symbols))
                 b = b[17 + n :]
         elif marker == 0xDD:  # DRI: restart every Ri MCUs
+            if len(body) < 2:
+                raise ValueError("corrupt JPEG: DRI segment shorter than 2 bytes")
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS: decode the scan eagerly (tables and
             # DRI state must be the ones current at this position)
             if grids is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
+            if not body:
+                raise ValueError("corrupt JPEG: empty SOS segment")
             ns = body[0]
+            if len(body) < 4 + 2 * ns:
+                raise ValueError("corrupt JPEG: SOS header truncated")
             scan_cis: list[int] = []
             scan_tables: list[tuple[object, object]] = []
             for si in range(ns):

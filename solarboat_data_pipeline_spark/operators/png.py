@@ -248,10 +248,11 @@ def encode_png(
     if transparent is not None:
         if depth != 8:
             raise ValueError("transparent color is supported at depth 8 only")
-        if channels == 1:
-            color = (int(transparent),) if np.isscalar(transparent) else tuple(transparent)
-        else:
-            color = tuple(transparent)
+        color = (
+            (int(transparent),)
+            if np.isscalar(transparent)
+            else tuple(int(c) for c in transparent)
+        )
         if channels not in (1, 3) or len(color) != channels:
             raise ValueError(
                 "transparent color requires channels 1 (gray value) or "
@@ -458,6 +459,10 @@ def _decode_any(data: bytes) -> tuple[int, int, int, int, bytes]:
         elif ctype == b"tRNS":
             if not seen_ihdr:
                 raise ValueError("corrupt PNG: tRNS before IHDR")
+            if trns is not None:
+                raise ValueError("corrupt PNG: duplicate tRNS")
+            if idat:
+                raise ValueError("corrupt PNG: tRNS after IDAT")
             if color_type == 3:
                 # palette transparency: one alpha byte per palette entry
                 # (short tables imply 255 for the rest) — decoded below

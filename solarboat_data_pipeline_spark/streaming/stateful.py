@@ -142,6 +142,19 @@ def stream_asof_backward(
         raise ValueError(
             f"left payload and right value columns overlap: {sorted(overlap)}"
         )
+    from pyspark.sql.types import NumericType
+
+    bad_types = [
+        c for c in value_cols
+        if not isinstance(right.schema[c].dataType, NumericType)
+    ]
+    if bad_types:
+        # a silent cast("double") would turn every non-numeric value
+        # into null — every left row would "match" null with no error
+        raise ValueError(
+            "stream_asof_backward value columns must be numeric (they "
+            f"ride the state tuple as doubles); non-numeric: {bad_types}"
+        )
 
     lhs = left.select(
         *key_cols,
