@@ -139,6 +139,7 @@ from solarboat_data_pipeline_spark.operators.dedup import (
     decontaminate,
     embedding_lsh_dedup_pairs,
     exact_dedup,
+    paragraph_dedup,
     lsh_candidate_pairs,
     near_dup_dedup,
     ngram_jaccard_pairs,
@@ -212,7 +213,7 @@ __all__ = [
     "solcast_preprocess", "solar_position", "poa_irradiance",
     "candump_line", "epoch_seconds",
     # dedup / similarity / text / sampling / skew / multimodal
-    "exact_dedup", "with_minhash", "lsh_candidate_pairs", "with_simhash",
+    "exact_dedup", "paragraph_dedup", "with_minhash", "lsh_candidate_pairs", "with_simhash",
     "simhash_near_dup_pairs", "ngram_jaccard_pairs",
     "embedding_lsh_dedup_pairs", "near_dup_dedup", "decontaminate",
     "cosine_topk", "ivf_topk", "lsh_ann_topk",

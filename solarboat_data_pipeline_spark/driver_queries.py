@@ -2230,6 +2230,45 @@ def mm_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_paragraph_dedup",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    p AS (
+      SELECT t.doc_id, u.pos,
+             array_to_string(t.toks[u.pos * 10 + 1 : u.pos * 10 + 10], ' ') AS para
+      FROM t, UNNEST(generate_series(0, CAST(ceil(len(t.toks) / 10.0) AS INT) - 1)) AS u(pos)),
+    w AS (SELECT para, min(doc_id * 100000 + pos) AS first_key
+          FROM p GROUP BY para),
+    k AS (SELECT p.doc_id, p.pos, p.para
+          FROM p JOIN w
+            ON p.para = w.para AND p.doc_id * 100000 + p.pos = w.first_key)
+    SELECT doc_id,
+           string_agg(para, ' ' ORDER BY pos) AS cleaned_text,
+           count(*)::BIGINT AS kept_paragraphs
+    FROM k GROUP BY doc_id
+    """,
+)
+def dd_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact PARAGRAPH dedup (operators/dedup.py
+    ``paragraph_dedup``) — the sub-document curation pass that removes
+    boilerplate paragraphs repeating across non-duplicate documents:
+    split each document into disjoint 10-word chunks, keep each chunk's
+    first corpus occurrence by (doc_id, position), reassemble documents
+    from their surviving chunks in order. Spark picks winners with a
+    map-side-combining ``min(struct)`` hash aggregate on the paragraph
+    digest (a corpus-wide boilerplate paragraph — the skew case —
+    collapses to one row per mapper) and joins back digest-keyed; the
+    oracle replays the identical first-occurrence rule with the
+    ``doc_id·100000 + pos`` encoding (positions are far below 100000)."""
+    from solarboat_data_pipeline_spark.operators.dedup import paragraph_dedup
+
+    out = paragraph_dedup(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "cleaned_text", F.col("kept_paragraphs").cast("long").alias("kept_paragraphs")
+    )
+
+
+@register(
     "skew_salted_topk",
     """
     WITH ranked AS (
@@ -3878,9 +3917,10 @@ def k_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q1_pricing_summary is additionally smoke-run by the driver's entry()
 # every round.
 _PRIORITY = [
-    # 1. never-green: the new streaming as-of row must get its first
-    #    driver row this round (1)
+    # 1. never-green: the two queries NEW this round must get their
+    #    first driver rows (2)
     "st_stream_asof",
+    "dd_paragraph_dedup",
     # 2. r03-stale rotation (VERDICT r05 item 5): every query whose last
     #    green driver row is r3 — nothing in the registry goes more than
     #    ~2 rounds without a fresh row (27)
@@ -3920,8 +3960,10 @@ _PRIORITY = [
     "mm_avi_decode",
     "mm_avi_frames",
     "st_stream_ffill",
-    # 4. oldest r04-green queries fill the window to 50; the rest of the
-    #    r04 block leads the r07 rotation (16)
+    # 4. oldest r04-green queries fill the window to 50 (the 16th,
+    #    w5_dedup_keep_first, sits just below the cut after the second
+    #    new query entered the window); the rest of the r04 block leads
+    #    the r07 rotation (15)
     "q1_pricing_summary",
     "p1_regex_extract",
     "p3_time_offset",

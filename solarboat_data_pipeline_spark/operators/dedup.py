@@ -702,3 +702,65 @@ def decontaminate(
         .groupBy(F.col(id_col).alias("id"))
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_para: int = 10,
+    sep: str = " ",
+) -> DataFrame:
+    """Corpus-level EXACT PARAGRAPH dedup — the sub-document curation
+    pass large training-data pipelines run after document-level dedup
+    (boilerplate paragraphs repeat across pages that are not document
+    duplicates). Documents are split into "paragraphs" (disjoint
+    ``words_per_para``-word chunks on ``sep`` — a deterministic stand-in
+    for the newline split real corpora use, since the fixtures carry no
+    newlines), each paragraph's FIRST corpus occurrence (ordered by
+    ``(doc id, position)``) is kept, every later copy anywhere in the
+    corpus is dropped, and each document is reassembled from its
+    surviving paragraphs in original order.
+
+    Returns ``(id_col, cleaned_text, kept_paragraphs)`` for documents
+    with at least one surviving paragraph.
+
+    100 TB shape: the explode is shuffle-free; the winner pick is a
+    ``min(struct(id, pos))`` HASH AGGREGATE on the paragraph digest —
+    map-side partial aggregation collapses even a corpus-wide
+    boilerplate paragraph (the skew case) to one row per mapper before
+    the shuffle; the join back is digest-keyed (narrow build side: one
+    row per distinct paragraph); reassembly is a per-document hash agg.
+    Paragraph text crosses the wire exactly once, digests everywhere
+    else.
+    """
+    toks = F.split(F.col(text_col), sep)
+    n_para = F.ceil(F.size(toks) / F.lit(words_per_para)).cast("int")
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_para - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * words_per_para + 1, words_per_para), sep
+                ),
+            )
+        ).alias("pos", "para"),
+    ).withColumn("__digest", F.sha2(F.col("para"), 256))
+    first = paras.groupBy("__digest").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first")
+    )
+    kept = paras.join(first, "__digest").where(
+        (F.col(id_col) == F.col(f"__first.{id_col}"))
+        & (F.col("pos") == F.col("__first.pos"))
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("kept_paragraphs"),
+    )

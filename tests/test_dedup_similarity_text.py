@@ -470,3 +470,45 @@ def test_frame_sample_plan_counts(spark, docs):
             assert vids[doc_id] == (n_frames + 1) // 2
         else:
             assert doc_id not in vids
+
+
+def test_paragraph_dedup_matches_python_reference(spark):
+    """Corpus-level exact paragraph dedup vs a direct Python replay of
+    the contract: disjoint 10-word chunks, first occurrence by
+    (doc_id, pos) wins corpus-wide, docs reassembled in order; a doc
+    whose every paragraph lost disappears."""
+    from solarboat_data_pipeline_spark.operators.dedup import paragraph_dedup
+
+    texts = {
+        0: "a b c d e f g h i j k l m n o p q r s t",      # 2 paras
+        1: "a b c d e f g h i j x y z",                    # para0 dups doc0's
+        2: "k l m n o p q r s t",                          # dups doc0's para1
+        3: "fresh words only here nothing repeats at all ok fine",
+        4: "a b c d e f g h i j",                          # fully duplicate
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["kept_paragraphs"])
+        for r in paragraph_dedup(df).collect()
+    }
+
+    # python replay
+    seen: set[str] = set()
+    expect: dict[int, tuple[str, int]] = {}
+    for did in sorted(texts):
+        toks = texts[did].split(" ")
+        kept = []
+        for p in range((len(toks) + 9) // 10):
+            para = " ".join(toks[p * 10 : p * 10 + 10])
+            if para not in seen:
+                seen.add(para)
+                kept.append(para)
+        if kept:
+            expect[did] = (" ".join(kept), len(kept))
+
+    assert got == expect
+    assert 4 not in got            # fully-duplicate doc disappears
+    assert got[1][0] == "x y z"    # only the fresh tail survives
+    assert got[0][1] == 2          # the first doc keeps everything
