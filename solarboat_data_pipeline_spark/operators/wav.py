@@ -12,9 +12,13 @@ decode kernel REAL instead of a stub (the image twin is
 * :func:`encode_wav` — integer PCM, 8-bit unsigned or 16-bit signed
   little-endian, any channel count / sample rate.
 * :func:`decode_wav` — same envelope; raises ``ValueError`` with the
-  precise reason on anything outside it (float/ADPCM/extensible format
-  tags, truncated chunks, block-align mismatches) — never returns
-  garbage silently.
+  precise reason on anything outside it (ADPCM/extensible format tags,
+  truncated chunks, block-align mismatches) — never returns garbage
+  silently. IEEE-float files (format tag 3, the DSP interchange form)
+  are routed to the explicit :func:`decode_wav_float` /
+  :func:`encode_wav_float` pair — 32/64-bit little-endian floats with
+  the spec's ``fact`` chunk, same chunk walk, float64 samples out —
+  so the integer contract never silently reinterprets float data.
 * :func:`resample_nearest` — exact integer floor mapping
   ``src = (dst · n_src) // n_dst`` (the driver oracle recomputes it
   arithmetically); :func:`resample_linear` — half-frame-center linear
@@ -37,6 +41,7 @@ import struct
 import numpy as np
 
 _PCM_TAG = 1
+_FLOAT_TAG = 3
 
 
 def encode_wav(
@@ -86,11 +91,10 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
-    """Decode a PCM WAV within the supported envelope to
-    ``(sample_rate, channels, bits, n_frames, samples)`` where
-    ``samples`` is an ``(n_frames, channels)`` int32 array (8-bit values
-    kept unsigned 0..255, 16-bit signed — exactly as stored)."""
+def _parse_wav(data: bytes) -> tuple[tuple, bytes]:
+    """Shared RIFF/WAVE chunk walk → (fmt 6-tuple, data payload), with
+    the container-level validation both the integer and float fronts
+    need."""
     if not isinstance(data, (bytes, bytearray, memoryview)):
         raise ValueError("decode_wav expects a bytes-like payload")
     data = bytes(data)
@@ -127,14 +131,20 @@ def decode_wav(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
 
     if fmt is None:
         raise ValueError("corrupt WAV: missing fmt chunk")
-    tag, channels, sample_rate, byte_rate, block_align, bits = fmt
-    if tag != _PCM_TAG:
+    if pcm is None:
+        raise ValueError("corrupt WAV: missing data chunk")
+    return fmt, pcm
+
+
+def _check_fmt(
+    fmt: tuple, pcm: bytes, allowed_bits: tuple[int, ...]
+) -> None:
+    _tag, channels, sample_rate, byte_rate, block_align, bits = fmt
+    if bits not in allowed_bits:
         raise ValueError(
-            f"unsupported WAV: format tag {tag} (float/ADPCM/extensible "
-            "need their own decoders; only integer PCM supported)"
+            f"unsupported WAV: {bits} bits per sample "
+            f"(only {'/'.join(map(str, allowed_bits))})"
         )
-    if bits not in (8, 16):
-        raise ValueError(f"unsupported WAV: {bits} bits per sample (only 8/16)")
     if channels <= 0 or sample_rate <= 0:
         raise ValueError("corrupt WAV: non-positive channels or sample rate")
     expect_align = channels * (bits // 8)
@@ -144,15 +154,111 @@ def decode_wav(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
         )
     if byte_rate != sample_rate * expect_align:
         raise ValueError("corrupt WAV: byte rate inconsistent with rate*align")
-    if pcm is None:
-        raise ValueError("corrupt WAV: missing data chunk")
     if len(pcm) % block_align:
         raise ValueError(
             f"corrupt WAV: data length {len(pcm)} is not a whole number of frames"
         )
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
+    """Decode a PCM WAV within the supported envelope to
+    ``(sample_rate, channels, bits, n_frames, samples)`` where
+    ``samples`` is an ``(n_frames, channels)`` int32 array (8-bit values
+    kept unsigned 0..255, 16-bit signed — exactly as stored). IEEE-float
+    files are routed to :func:`decode_wav_float` — the int32 contract
+    never silently reinterprets them."""
+    fmt, pcm = _parse_wav(data)
+    tag = fmt[0]
+    if tag == _FLOAT_TAG:
+        raise ValueError(
+            "unsupported WAV: IEEE-float format tag in decode_wav — use "
+            "decode_wav_float"
+        )
+    if tag != _PCM_TAG:
+        raise ValueError(
+            f"unsupported WAV: format tag {tag} (ADPCM/extensible need "
+            "their own decoders; integer PCM here, IEEE float via "
+            "decode_wav_float)"
+        )
+    _check_fmt(fmt, pcm, (8, 16))
+    _tag, channels, sample_rate, _br, _ba, bits = fmt
     dtype = np.uint8 if bits == 8 else np.dtype("<i2")
     samples = (
         np.frombuffer(pcm, dtype=dtype).astype(np.int32).reshape(-1, channels)
+    )
+    return sample_rate, channels, bits, samples.shape[0], samples
+
+
+def encode_wav_float(
+    samples: bytes | bytearray | np.ndarray,
+    sample_rate: int,
+    channels: int,
+    bits: int = 32,
+) -> bytes:
+    """Encode interleaved IEEE-float frames (format tag 3 — the DSP
+    interchange form) as a canonical RIFF/WAVE file: little-endian
+    float32 (``bits=32``) or float64 (``bits=64``), with the ``fact``
+    chunk the spec requires for non-PCM formats."""
+    if bits not in (32, 64):
+        raise ValueError(f"unsupported float bits per sample {bits}; use 32 or 64")
+    if channels <= 0:
+        raise ValueError("channels must be positive")
+    if sample_rate <= 0:
+        raise ValueError("sample_rate must be positive")
+    if isinstance(samples, np.ndarray):
+        want = np.dtype("<f4") if bits == 32 else np.dtype("<f8")
+        raw = samples.astype(want, copy=False).tobytes()
+    else:
+        raw = bytes(samples)
+    bytes_per_sample = bits // 8
+    block_align = channels * bytes_per_sample
+    if len(raw) % block_align:
+        raise ValueError(
+            f"sample buffer of {len(raw)} bytes is not a whole number of "
+            f"{channels}-channel frames ({block_align} bytes each)"
+        )
+    n_frames = len(raw) // block_align
+    fmt = struct.pack(
+        "<HHIIHH",
+        _FLOAT_TAG,
+        channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits,
+    ) + struct.pack("<H", 0)  # cbSize = 0 (fmt extension, required tag != 1)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_frames)
+        + b"data" + struct.pack("<I", len(raw)) + raw
+        + (b"\x00" if len(raw) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_float(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
+    """Decode an IEEE-float WAV (format tag 3, 32/64-bit little-endian)
+    to ``(sample_rate, channels, bits, n_frames, samples)`` with
+    ``samples`` an ``(n_frames, channels)`` float64 array (float32 input
+    widens exactly). Integer-PCM files are routed back to
+    :func:`decode_wav`."""
+    fmt, pcm = _parse_wav(data)
+    tag = fmt[0]
+    if tag == _PCM_TAG:
+        raise ValueError(
+            "decode_wav_float expects IEEE-float format tag 3, got integer "
+            "PCM — use decode_wav"
+        )
+    if tag != _FLOAT_TAG:
+        raise ValueError(
+            f"unsupported WAV: format tag {tag} (only IEEE float here)"
+        )
+    _check_fmt(fmt, pcm, (32, 64))
+    _tag, channels, sample_rate, _br, _ba, bits = fmt
+    dtype = np.dtype("<f4") if bits == 32 else np.dtype("<f8")
+    samples = (
+        np.frombuffer(pcm, dtype=dtype).astype(np.float64).reshape(-1, channels)
     )
     return sample_rate, channels, bits, samples.shape[0], samples
 

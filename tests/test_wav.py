@@ -167,3 +167,75 @@ def test_resample_empty_signal_raises_valueerror():
         wav.encode_wav(np.zeros((0, 2), dtype=np.int16), 8000, 2)
     )
     assert n == 0 and got.shape == (0, 2)
+
+
+# --- IEEE-float lane ---------------------------------------------------------
+
+
+@pytest.mark.parametrize("bits", [32, 64])
+def test_float_roundtrip_exact(bits):
+    """IEEE-float WAV (format tag 3): bit-exact sample round-trip
+    through the explicit float front (float32 widens exactly)."""
+    rng = np.random.default_rng(53)
+    for n, ch in [(1, 1), (17, 2), (480, 4)]:
+        dt = "<f4" if bits == 32 else "<f8"
+        sig = rng.standard_normal((n, ch)).astype(dt)
+        d = wav.encode_wav_float(sig, 44100, ch, bits=bits)
+        rate, C, B, N, out = wav.decode_wav_float(d)
+        assert (rate, C, B, N) == (44100, ch, bits, n)
+        np.testing.assert_array_equal(out, sig.astype(np.float64))
+
+
+def test_float_contract_routing_and_fact_chunk():
+    d16 = wav.encode_wav(np.zeros((4, 1), np.int16), 8000, 1)
+    df = wav.encode_wav_float(np.zeros((5, 2), np.float32), 8000, 2)
+    with pytest.raises(ValueError, match="decode_wav_float"):
+        wav.decode_wav(df)
+    with pytest.raises(ValueError, match="use decode_wav"):
+        wav.decode_wav_float(d16)
+    # the spec-required fact chunk carries the frame count
+    at = df.index(b"fact")
+    import struct as _s
+    ln, nf = _s.unpack("<II", df[at + 4 : at + 12])
+    assert (ln, nf) == (4, 5)
+    with pytest.raises(ValueError, match="float bits"):
+        wav.encode_wav_float(np.zeros((2, 1), np.float32), 8000, 1, bits=16)
+
+
+def test_float_truncation_raises():
+    d = wav.encode_wav_float(np.ones((64, 2), np.float32), 16000, 2)
+    for cut in (0.2, 0.6, 0.95):
+        with pytest.raises(ValueError):
+            wav.decode_wav_float(d[: int(len(d) * cut)])
+
+
+def test_javasound_reads_our_float_wav(spark, tmp_path):
+    """Independent container check: javax.sound.sampled (a completely
+    separate RIFF implementation) must parse our float WAV's header —
+    PCM_FLOAT encoding, rate, channels, 32-bit — and hand back the
+    identical raw frame bytes."""
+    import os
+
+    rng = np.random.default_rng(59)
+    sig = rng.standard_normal((37, 2)).astype("<f4")
+    p = os.path.join(str(tmp_path), "f.wav")
+    with open(p, "wb") as f:
+        f.write(wav.encode_wav_float(sig, 22050, 2, bits=32))
+    jvm = spark._jvm
+    ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+        jvm.java.io.File(p)
+    )
+    fmt = ais.getFormat()
+    assert fmt.getEncoding().toString() == "PCM_FLOAT"
+    assert fmt.getSampleRate() == 22050.0
+    assert fmt.getChannels() == 2
+    assert fmt.getSampleSizeInBits() == 32
+    assert not fmt.isBigEndian()
+    assert ais.getFrameLength() == 37
+    data = bytearray()
+    while True:
+        b = ais.readNBytes(4096)
+        if not b:
+            break
+        data.extend(b)
+    assert bytes(data) == sig.tobytes()
