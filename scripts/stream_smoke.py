@@ -44,6 +44,7 @@ from solarboat_data_pipeline_spark.streaming.pipeline import (  # noqa: E402
 )
 from solarboat_data_pipeline_spark.streaming.stateful import (  # noqa: E402
     stream_asof_backward,
+    stream_asof_linear,
     stream_ffill,
 )
 
@@ -338,6 +339,171 @@ def check_asof(spark, src: str) -> None:
     )
 
 
+def check_asof_disorder(spark, src: str) -> None:
+    """Round-7: the watermark-buffered kernel's raison d'être. Right rows
+    are re-packed into files ordered by (ts + bounded jitter) — a bounded
+    cross-batch DISORDER delivery (jitter up to 600 s, well under the
+    ~3400 s file span, so disorder crosses batch boundaries but stays
+    inside the watermark delay). The in-order kernel measurably
+    mismatches the batch kernel on this stream (the round-6 semantics
+    cliff, demonstrated); the buffered kernel must match EXACTLY on
+    every left row at-or-below the final watermark."""
+    from solarboat_data_pipeline_spark.operators import timeseries as tsops
+
+    D_S = 600
+    b = spark.read.parquet(os.path.join(src, "*.parquet")).withColumn(
+        "bucket", F.pmod(F.hash("series", "timestamp"), F.lit(5))
+    )
+    br = b.where("bucket = 0").select(
+        "series", "timestamp", F.col("value").alias("ref")
+    )
+    jit = F.pmod(F.hash("series", "timestamp", F.lit(11)), F.lit(D_S * 1_000_000))
+    key = F.unix_micros("timestamp") + jit
+    lo, hi = br.agg(F.min(key), F.max(key)).first()
+    span = (hi - lo) // N_FILES + 1
+    rsrc = os.path.join(WORK, "right_disordered")
+    shutil.rmtree(rsrc, ignore_errors=True)
+    os.makedirs(rsrc)
+    tmp = os.path.join(WORK, "_rtmp")
+    base_mtime = time.time() - 7200
+    withf = br.withColumn("rf", ((key - lo) / span).cast("int"))
+    for f in range(N_FILES):
+        withf.where(F.col("rf") == f).drop("rf").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(rsrc, f"r_{f:03d}.parquet")
+        os.replace(part, dst)
+        os.utime(dst, (base_mtime + f, base_mtime + f))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def streams(delay):
+        left = (
+            open_stream(spark, src)
+            .withColumn(
+                "bucket", F.pmod(F.hash("series", "timestamp"), F.lit(5))
+            )
+            .where("bucket != 0")
+            .select("series", "timestamp", "value")
+        )
+        if delay is not None:
+            left = left.withWatermark("timestamp", delay)
+        right = (
+            spark.readStream.schema("series string, timestamp timestamp, ref double")
+            .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+            .parquet(os.path.join(rsrc, "*.parquet"))
+        )
+        return left, right
+
+    bl = b.where("bucket != 0").select("series", "timestamp", "value")
+    batch = tsops.asof_join_backward(
+        bl, br, on="timestamp", value_cols=["ref"], partition_cols=("series",)
+    )
+
+    def mismatches(got, expect):
+        cond = (
+            (got["series"] == expect["series"])
+            & (got["timestamp"] == expect["timestamp"])
+            & got["value"].eqNullSafe(expect["value"])
+            & got["ref"].eqNullSafe(expect["ref"])
+        )
+        return got.join(expect, cond, "left_anti").count()
+
+    # 1. the in-order kernel on the disordered stream: the cliff, measured
+    l, r = streams(None)
+    wall_u = run_stream(
+        stream_asof_backward(
+            l, r, key_cols=("series",), ts_col="timestamp", value_cols=("ref",)
+        ),
+        "asof_disorder_unbuf",
+    )
+    got_u = spark.read.parquet(os.path.join(WORK, "out_asof_disorder_unbuf"))
+    mis_u = mismatches(got_u, batch)
+
+    # 2. the buffered kernel: exact on the emitted set
+    l, r = streams(f"{D_S} seconds")
+    wall_b = run_stream(
+        stream_asof_backward(
+            l, r, key_cols=("series",), ts_col="timestamp",
+            value_cols=("ref",), buffered=True,
+        ),
+        "asof_disorder_buf",
+    )
+    got_b = spark.read.parquet(os.path.join(WORK, "out_asof_disorder_buf"))
+    max_left_us = bl.agg(F.max(F.unix_micros("timestamp"))).first()[0]
+    cut_ms = max_left_us // 1000 - D_S * 1000  # the engine's ms-floored wm
+    expect_b = batch.where(
+        (F.unix_micros("timestamp") / 1000).cast("long") <= cut_ms
+    )
+    n_expect, n_got = expect_b.count(), got_b.count()
+    mis_b = mismatches(got_b, expect_b)
+    report(
+        "stream_asof_buffered_vs_batch_under_disorder",
+        mis_b == 0 and n_got == n_expect and mis_u > 0,
+        wall_b,
+        {
+            "unbuffered_mismatches_on_disordered_stream": mis_u,
+            "unbuffered_wall_sec": round(wall_u, 2),
+            "buffered_rows": n_got,
+            "expected_rows": n_expect,
+            "buffered_mismatches": mis_b,
+        },
+    )
+
+
+def check_asof_linear(spark, src: str) -> None:
+    """Round-7 streaming linear-interpolate as-of (the J3 analogue) at
+    corpus scale, in-order delivery: the emitted output must equal the
+    batch asof_join_linear EXACTLY on every left row — including blends
+    whose next right sample lies in a later micro-batch (the buffered
+    kernel holds those lefts until the watermark passes them)."""
+    from solarboat_data_pipeline_spark.operators import timeseries as tsops
+
+    base = open_stream(spark, src).withColumn(
+        "bucket", F.pmod(F.hash("series", "timestamp"), F.lit(5))
+    )
+    left = (
+        base.where("bucket != 0")
+        .select("series", "timestamp", "value")
+        .withWatermark("timestamp", "0 seconds")
+    )
+    right = base.where("bucket = 0").select(
+        "series", "timestamp", F.col("value").alias("ref")
+    )
+    stream = stream_asof_linear(
+        left, right, key_cols=("series",), ts_col="timestamp",
+        value_cols=("ref",),
+    )
+    wall = run_stream(stream, "asof_linear")
+    got = spark.read.parquet(os.path.join(WORK, "out_asof_linear"))
+
+    b = spark.read.parquet(os.path.join(src, "*.parquet")).withColumn(
+        "bucket", F.pmod(F.hash("series", "timestamp"), F.lit(5))
+    )
+    bl = b.where("bucket != 0").select("series", "timestamp", "value")
+    br = b.where("bucket = 0").select(
+        "series", "timestamp", F.col("value").alias("ref")
+    )
+    batch = tsops.asof_join_linear(
+        bl, br, on="timestamp", value_cols=["ref"], partition_cols=("series",)
+    )
+    n_left = bl.count()
+    n_got = got.count()
+    cond = (
+        (got["series"] == batch["series"])
+        & (got["timestamp"] == batch["timestamp"])
+        & got["value"].eqNullSafe(batch["value"])
+        & got["ref"].eqNullSafe(batch["ref"])
+    )
+    mis = got.join(batch, cond, "left_anti").count()
+    report(
+        "stream_asof_linear_vs_batch_kernel",
+        n_got == n_left and mis == 0,
+        wall,
+        {"left_rows": n_left, "rows": n_got, "mismatches": mis},
+    )
+
+
 def check_ffill_kill(spark, src: str) -> None:
     """Forced mid-stream kill: stop the ffill query right after its FIRST
     committed micro-batch (pending files remain), restart from the same
@@ -448,6 +614,8 @@ def main() -> None:
     check_resample(spark, src, max_ts)
     check_sessionize(spark, src, max_ts)
     check_asof(spark, src)
+    check_asof_disorder(spark, src)
+    check_asof_linear(spark, src)
     check_dedup(spark, src)
     check_ffill(spark, src)
     check_ffill_kill(spark, src)

@@ -289,3 +289,94 @@ def test_asof_state_survives_midstream_kill(spark, tmp_path):
     for r in rows:
         epoch = int(r["timestamp"].timestamp())
         assert r["ref"] == expect[epoch], (epoch, r["ref"], expect[epoch])
+
+
+def test_buffered_asof_state_survives_midstream_kill(spark, tmp_path):
+    """The watermark-buffered as-of carries ARRAY-typed state (right-row
+    buffer + pending lefts). Kill the query between micro-batches and
+    restart from the checkpoint: the buffers must survive and the final
+    output must be exactly-once and batch-exact."""
+    from solarboat_data_pipeline_spark.streaming.stateful import (
+        stream_asof_backward,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(f"{src}/l")
+    os.makedirs(f"{src}/r")
+    base = time.time() - 3600
+
+    def write_one(path, rows, schema, i):
+        spark.createDataFrame(rows, schema).selectExpr(
+            "series", "timestamp_seconds(epoch) as timestamp",
+            schema.split(",")[-1].strip().split(" ")[0],
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        mtime = base + i * 10
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(path, (mtime, mtime))
+
+    write_one(f"{src}/r/r0.parquet", [("a", 100, 10.0)],
+              "series string, epoch long, ref double", 0)
+    left_data = [
+        ("a", 101, 1.0), ("a", 150, 2.0), ("a", 260, 3.0),
+        ("a", 300, 4.0), ("a", 400, 5.0), ("a", 500, 6.0),
+    ]
+    for i, row in enumerate(left_data):
+        write_one(f"{src}/l/b{i}.parquet", [row],
+                  "series string, epoch long, value double", 1 + i)
+    # the t=250 right lands in a LATER file than the t=260 left's batch
+    # position would suggest — the buffered kernel must reorder it
+    write_one(f"{src}/r/r1.parquet", [("a", 250, 20.0)],
+              "series string, epoch long, ref double", 4)
+
+    out = str(tmp_path / "out.parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    def build():
+        sl = (
+            spark.readStream.schema(
+                "series string, timestamp timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/l/*.parquet")
+            .withWatermark("timestamp", "100 seconds")
+        )
+        sr = (
+            spark.readStream.schema(
+                "series string, timestamp timestamp, ref double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/r/*.parquet")
+        )
+        return stream_asof_backward(
+            sl, sr, key_cols=("series",), ts_col="timestamp", buffered=True,
+        )
+
+    q = (
+        build()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    _stop_after_first_commit(q)
+    q2 = (
+        build()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    # final watermark = 500 - 100 = 400: the t=500 left stays pending on
+    # this finite stream; everything at-or-below 400 must be exactly once
+    expect = {101: 10.0, 150: 10.0, 260: 20.0, 300: 20.0, 400: 20.0}
+    assert len(rows) == len(expect), "duplicate or dropped rows after restart"
+    for r in rows:
+        epoch = int(r["timestamp"].timestamp())
+        assert r["ref"] == expect[epoch], (epoch, r["ref"], expect[epoch])

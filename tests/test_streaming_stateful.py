@@ -336,3 +336,358 @@ def test_asof_carry_skips_trailing_null_right_value(spark, tmp_path):
     }
     assert got2[1.0] == 5.0   # 200-110=90s stale — within bound
     assert got2[2.0] is None  # 300-110=190s stale — nulled
+
+
+# --- watermark-buffered as-of (backward + linear) ---------------------------
+
+
+def test_asof_buffered_resolves_cross_batch_disorder(spark, tmp_path):
+    """The round-6 kernel's semantics cliff: a right row arriving one
+    micro-batch late with an EARLIER timestamp. The unbuffered kernel
+    consumes it as if newest (stale match for already-processed lefts);
+    the buffered kernel holds the left row until the watermark passes it
+    and matches exactly."""
+    from solarboat_data_pipeline_spark.streaming.stateful import (
+        stream_asof_backward,
+    )
+
+    src = str(tmp_path / "dsrc")
+    os.makedirs(f"{src}/l")
+    os.makedirs(f"{src}/r")
+
+    rdf = spark.createDataFrame(
+        [("a", 100, 5.0)], "series string, epoch long, ref double"
+    )
+    rdf.select(
+        "series", F.timestamp_seconds("epoch").alias("timestamp"), "ref"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/r/b1.parquet")
+    _write_batch(spark, f"{src}/l/b1.parquet", [("a", 150, 1.0)])
+    time.sleep(1.1)
+    # batch 2: a DISORDERED right row — ts=120 is EARLIER than the left
+    # row already seen, plus a left far ahead to advance the watermark
+    rdf2 = spark.createDataFrame(
+        [("a", 120, 7.0)], "series string, epoch long, ref double"
+    )
+    rdf2.select(
+        "series", F.timestamp_seconds("epoch").alias("timestamp"), "ref"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/r/b2.parquet")
+    _write_batch(spark, f"{src}/l/b2.parquet", [("a", 400, 2.0)])
+
+    def build(buffered):
+        sl = spark.readStream.schema(
+            "series string, timestamp timestamp, value double"
+        ).option("maxFilesPerTrigger", 1).parquet(f"{src}/l/*.parquet")
+        sr = spark.readStream.schema(
+            "series string, timestamp timestamp, ref double"
+        ).option("maxFilesPerTrigger", 1).parquet(f"{src}/r/*.parquet")
+        if buffered:
+            sl = sl.withWatermark("timestamp", "60 seconds")
+        return stream_asof_backward(
+            sl, sr, key_cols=("series",), ts_col="timestamp",
+            buffered=buffered,
+        )
+
+    unbuf = {
+        r["value"]: r["ref"]
+        for r in _drain(build(False), "asof_unbuf_disorder").collect()
+    }
+    # the cliff, demonstrated: the left at t=150 was already emitted with
+    # 5.0 when the t=120 right arrived
+    assert unbuf[1.0] == 5.0
+
+    buf = {
+        r["value"]: r["ref"]
+        for r in _drain(build(True), "asof_buf_disorder").collect()
+    }
+    # buffered: held until the watermark passed t=150, by which time the
+    # late t=120 right had arrived — exact batch-kernel answer
+    assert buf[1.0] == 7.0
+    # the t=400 left sits inside the 60 s watermark-delay tail of the
+    # finite stream: never passed by the final watermark, not emitted
+    # (on an unbounded stream it would emit on the next advance)
+    assert 2.0 not in buf
+
+
+def _disordered_fixture(spark, root, n=600, n_series=5, n_files=6):
+    """Multi-key corpus split into time-ordered files, with right rows
+    displaced forward by a hash-bounded jitter of ONE file — bounded
+    cross-batch disorder. Written straight from Spark so nulls stay
+    genuine nulls. Returns (src_dir, batch_df)."""
+    per = n // n_files
+    base = spark.range(n).select(
+        F.concat(F.lit("s"), F.pmod("id", F.lit(n_series))).alias("series"),
+        F.timestamp_seconds(F.lit(1000) + F.col("id")).alias("timestamp"),
+        F.when(F.pmod(F.hash("id"), 9) != 0, F.col("id").cast("double"))
+        .alias("value"),
+        (F.pmod(F.hash("id", F.lit(3)), 4) == 0).alias("is_right"),
+        F.col("id"),
+    )
+    disp = F.when(
+        F.col("is_right"), F.pmod(F.hash("id", F.lit(7)), 2)
+    ).otherwise(F.lit(0))
+    withf = base.withColumn(
+        "fidx",
+        F.least((F.col("id") / per).cast("int") + disp, F.lit(n_files - 1)),
+    )
+    os.makedirs(root)
+    import glob as _glob
+    import shutil as _shutil
+
+    for f in range(n_files):
+        tmp = f"{root}__tmp"
+        withf.where(F.col("fidx") == f).drop("fidx").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        os.replace(part, f"{root}/f{f}.parquet")
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return root, spark.read.parquet(f"{root}/*.parquet")
+
+
+def _split_streams(spark, src, delay):
+    st = spark.readStream.schema(
+        "series string, timestamp timestamp, value double, "
+        "is_right boolean, id long"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src}/*.parquet")
+    left = st.where(~F.col("is_right")).select(
+        "series", "timestamp", "id"
+    ).withWatermark("timestamp", delay)
+    right = st.where("is_right").select(
+        "series", "timestamp", F.col("value").alias("ref")
+    )
+    return left, right
+
+
+def test_asof_buffered_matches_batch_kernel_under_disorder(spark, tmp_path):
+    """Randomized multi-key parity: buffered backward as-of on a
+    disordered multi-file stream equals the batch kernel EXACTLY on the
+    emitted set (every left at-or-below the final watermark)."""
+    from solarboat_data_pipeline_spark.operators import timeseries as ts
+    from solarboat_data_pipeline_spark.streaming.stateful import (
+        stream_asof_backward,
+    )
+
+    src, b = _disordered_fixture(spark, str(tmp_path / "mix"))
+    delay_s = 2 * (600 // 6)  # twice the file span covers the jitter
+    left, right = _split_streams(spark, src, f"{delay_s} seconds")
+    got = _drain(
+        stream_asof_backward(
+            left, right, key_cols=("series",), ts_col="timestamp",
+            value_cols=("ref",), buffered=True,
+        ),
+        "asof_buf_parity",
+    )
+    bl = b.where(~F.col("is_right")).select("series", "timestamp", "id")
+    br = b.where("is_right").select(
+        "series", "timestamp", F.col("value").alias("ref")
+    )
+    expect = ts.asof_join_backward(
+        bl, br, on="timestamp", value_cols=["ref"], partition_cols=("series",)
+    )
+    max_left = bl.agg(F.max("timestamp")).collect()[0][0].timestamp()
+    cut = max_left - delay_s
+    expect = expect.where(F.unix_timestamp("timestamp") <= cut)
+    g = sorted(map(tuple, got.select("id", "ref").collect()))
+    e = sorted(map(tuple, expect.select("id", "ref").collect()))
+    assert len(g) == len(e) > 0
+    assert g == e
+
+
+def test_asof_linear_matches_batch_kernel_full(spark, tmp_path):
+    """Single-batch streaming linear as-of equals the batch
+    asof_join_linear on every row — null head, skipped-null blends and
+    clamp-forward tail included (the final no-data flush sees complete
+    data)."""
+    from solarboat_data_pipeline_spark.operators import timeseries as ts
+    from solarboat_data_pipeline_spark.streaming.stateful import (
+        stream_asof_linear,
+    )
+
+    src, b = _disordered_fixture(
+        spark, str(tmp_path / "lin"), n_files=1
+    )
+    st = spark.readStream.schema(
+        "series string, timestamp timestamp, value double, "
+        "is_right boolean, id long"
+    ).parquet(f"{src}/*.parquet")
+    left = st.where(~F.col("is_right")).select(
+        "series", "timestamp", "id"
+    ).withWatermark("timestamp", "0 seconds")
+    right = st.where("is_right").select(
+        "series", "timestamp", F.col("value").alias("ref")
+    )
+    got = _drain(
+        stream_asof_linear(
+            left, right, key_cols=("series",), ts_col="timestamp",
+            value_cols=("ref",),
+        ),
+        "asof_lin_parity",
+    )
+    bl = b.where(~F.col("is_right")).select("series", "timestamp", "id")
+    br = b.where("is_right").select(
+        "series", "timestamp", F.col("value").alias("ref")
+    )
+    expect = ts.asof_join_linear(
+        bl, br, on="timestamp", value_cols=["ref"], partition_cols=("series",)
+    )
+    g = sorted(map(tuple, got.select("id", "ref").collect()))
+    e = sorted(map(tuple, expect.select("id", "ref").collect()))
+    assert len(g) == len(e) == bl.count()
+    assert g == e
+
+
+def test_asof_linear_semantics(spark, tmp_path):
+    """Hand-computed blend table: head null, exact-ts pass-through,
+    interior blend, null right rows skipped per column, clamp-forward
+    tail (and null tail with clamp_forward=False)."""
+    from solarboat_data_pipeline_spark.streaming.stateful import (
+        stream_asof_linear,
+    )
+
+    src = str(tmp_path / "sem")
+    os.makedirs(src)
+    rdf = spark.createDataFrame(
+        [("a", 100, 10.0), ("a", 200, 30.0), ("a", 300, None),
+         ("a", 400, 50.0)],
+        "series string, epoch long, ref double",
+    )
+    rdf.select(
+        "series", F.timestamp_seconds("epoch").alias("timestamp"), "ref"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/r.parquet")
+    _write_batch(
+        spark, f"{src}/l.parquet",
+        [("a", 50, 0.0), ("a", 100, 1.0), ("a", 150, 2.0), ("a", 250, 3.0),
+         ("a", 450, 4.0)],
+    )
+
+    def build(clamp):
+        sl = spark.readStream.schema(
+            "series string, timestamp timestamp, value double"
+        ).parquet(f"{src}/l.parquet").withWatermark("timestamp", "0 seconds")
+        sr = spark.readStream.schema(
+            "series string, timestamp timestamp, ref double"
+        ).parquet(f"{src}/r.parquet")
+        return stream_asof_linear(
+            sl, sr, key_cols=("series",), ts_col="timestamp",
+            clamp_forward=clamp,
+        )
+
+    got = {
+        r["value"]: r["ref"] for r in _drain(build(True), "lin_sem").collect()
+    }
+    assert got[0.0] is None          # before the first right sample
+    assert got[1.0] == 10.0          # exact-ts match passes through
+    assert got[2.0] == 20.0          # midpoint of 10..30
+    # t=250 blends 30@200 .. 50@400 — the null right at 300 is skipped
+    assert got[3.0] == 35.0
+    assert got[4.0] == 50.0          # clamp-forward past the last sample
+
+    got2 = {
+        r["value"]: r["ref"]
+        for r in _drain(build(False), "lin_sem_noclamp").collect()
+    }
+    assert got2[4.0] is None         # no extrapolation without clamp
+
+
+def test_asof_buffered_tolerance_and_ttl(spark, tmp_path):
+    """Buffered backward: tolerance nulls stale matches (anchored at the
+    last right ROW, per the batch contract) and state_ttl_seconds still
+    expires idle keys."""
+    from solarboat_data_pipeline_spark.streaming.stateful import (
+        stream_asof_backward,
+    )
+
+    src = str(tmp_path / "btl")
+    os.makedirs(f"{src}/l")
+    os.makedirs(f"{src}/r")
+    rdf = spark.createDataFrame(
+        [("a", 90, 9.0)], "series string, epoch long, ref double"
+    )
+    rdf.select(
+        "series", F.timestamp_seconds("epoch").alias("timestamp"), "ref"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/r/b1.parquet")
+    _write_batch(
+        spark, f"{src}/l/b1.parquet", [("a", 100, 1.0), ("a", 500, 2.0)]
+    )
+
+    sl = spark.readStream.schema(
+        "series string, timestamp timestamp, value double"
+    ).parquet(f"{src}/l/*.parquet").withWatermark("timestamp", "0 seconds")
+    sr = spark.readStream.schema(
+        "series string, timestamp timestamp, ref double"
+    ).parquet(f"{src}/r/*.parquet")
+    got = {
+        r["value"]: r["ref"]
+        for r in _drain(
+            stream_asof_backward(
+                sl, sr, key_cols=("series",), ts_col="timestamp",
+                tolerance_seconds=60.0, buffered=True,
+            ),
+            "asof_buf_tol",
+        ).collect()
+    }
+    assert got[1.0] == 9.0   # 10 s stale — within tolerance
+    assert got[2.0] is None  # 410 s stale — nulled
+
+    # TTL: traffic on key b pushes the watermark far past key a's TTL;
+    # a reappears and must NOT match the expired carried row
+    src2 = str(tmp_path / "bttl")
+    os.makedirs(f"{src2}/l")
+    os.makedirs(f"{src2}/r")
+    rdf = spark.createDataFrame(
+        [("a", 100, 5.0)], "series string, epoch long, ref double"
+    )
+    rdf.select(
+        "series", F.timestamp_seconds("epoch").alias("timestamp"), "ref"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src2}/r/b1.parquet")
+    _write_batch(spark, f"{src2}/l/b1.parquet", [("a", 101, 1.0)])
+    time.sleep(1.1)
+    _write_batch(spark, f"{src2}/l/b2.parquet", [("b", 100000, 2.0)])
+    time.sleep(1.1)
+    _write_batch(spark, f"{src2}/l/b3.parquet", [("b", 100001, 3.0)])
+    time.sleep(1.1)
+    _write_batch(spark, f"{src2}/l/b4.parquet", [("a", 100100, 4.0)])
+
+    sl = spark.readStream.schema(
+        "series string, timestamp timestamp, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(
+        f"{src2}/l/*.parquet"
+    ).withWatermark("timestamp", "0 seconds")
+    sr = spark.readStream.schema(
+        "series string, timestamp timestamp, ref double"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src2}/r/*.parquet")
+    got = {
+        r["value"]: r["ref"]
+        for r in _drain(
+            stream_asof_backward(
+                sl, sr, key_cols=("series",), ts_col="timestamp",
+                state_ttl_seconds=60.0, buffered=True,
+            ),
+            "asof_buf_ttl",
+        ).collect()
+    }
+    assert got[1.0] == 5.0           # before expiry: normal match
+    assert got[4.0] is None, "expired state must not match"
+
+
+def test_asof_buffered_rejects_nested_left_payload(spark):
+    """Left payload columns ride array-typed state — nested or timestamp
+    payloads are refused loudly instead of corrupting silently."""
+    import pytest
+
+    from solarboat_data_pipeline_spark.streaming.stateful import (
+        stream_asof_backward,
+    )
+
+    left = spark.createDataFrame(
+        [("a", 1, [1, 2])], "series string, epoch int, payload array<int>"
+    ).select("series", F.timestamp_seconds("epoch").alias("timestamp"),
+             "payload")
+    right = spark.createDataFrame(
+        [("a", 1, 1.0)], "series string, epoch int, ref double"
+    ).select("series", F.timestamp_seconds("epoch").alias("timestamp"), "ref")
+    with pytest.raises(ValueError, match="atomic"):
+        stream_asof_backward(
+            left, right, key_cols=("series",), ts_col="timestamp",
+            buffered=True,
+        )
