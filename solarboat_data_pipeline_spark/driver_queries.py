@@ -1991,13 +1991,16 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              doc_id % 16 + 1 AS w,
              doc_id % 12 + 1 AS h,
-             doc_id % 4 AS form,
-             CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS ch
+             doc_id % 5 AS form,
+             CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS ch
       FROM documents),
     px AS (
       SELECT g.doc_id, g.w, g.h, g.ch,
              CASE WHEN g.form = 2
                   THEN (((x.x * 7 + y.y * 13 + g.doc_id) % 256)
+                        * (3 + 2 * c.c) + g.doc_id) % 256
+                  WHEN g.form = 4
+                  THEN (((x.x * 7 + y.y * 13 + g.doc_id) % 16)
                         * (3 + 2 * c.c) + g.doc_id) % 256
                   ELSE (x.x * 7 + y.y * 13 + c.c * 31 + g.doc_id) % 256
              END AS v
@@ -2012,15 +2015,17 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode (operators/png.py + multimodal.decode_image_stats):
     each document id becomes a genuine PNG file (stdlib zlib+struct
-    encoder, scanline filters cycling 0-4), cycling ``id % 4`` over the
+    encoder, scanline filters cycling 0-4), cycling ``id % 5`` over the
     real-world envelope — grayscale, RGB, PALETTE (color type 3, PLTE
-    expanded to RGB on decode) and ADAM7-INTERLACED RGB — decoded back
-    by the stdlib decoder inside Arrow mapInPandas. The oracle recomputes
-    the decoded width/height/channels/pixel-sum ARITHMETICALLY from the
-    generator formula (interlace shares the sequential-RGB formula: it
-    changes only the wire layout) — DuckDB never sees the bytes, so a
-    wrong signature/IHDR/PLTE/inflate/unfilter/de-interlace stage cannot
-    hash-match."""
+    expanded to RGB on decode), ADAM7-INTERLACED RGB, and (round 7)
+    4-BIT PALETTE with packed sub-byte scanlines, alternating
+    sequential/Adam7 — decoded back by the stdlib decoder inside Arrow
+    mapInPandas. The oracle recomputes the decoded
+    width/height/channels/pixel-sum ARITHMETICALLY from the generator
+    formula (interlace shares its form's formula: it changes only the
+    wire layout) — DuckDB never sees the bytes, so a wrong
+    signature/IHDR/PLTE/inflate/unfilter/bit-unpack/de-interlace stage
+    cannot hash-match."""
     docs = _t(spark, sf_dir, "documents")
     media = mm.synthesize_png_media(docs)
     return mm.decode_image_stats(media)
@@ -2033,14 +2038,17 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              doc_id % 16 + 1 AS w,
              doc_id % 12 + 1 AS h,
-             doc_id % 4 AS form,
-             CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS ch
+             doc_id % 5 AS form,
+             CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS ch
       FROM documents),
     px AS (
       SELECT g.doc_id, g.w, g.h, g.ch,
              CASE WHEN g.form = 2
                   THEN (((((x.x * g.w) // 8) * 7 + ((y.y * g.h) // 6) * 13
                           + g.doc_id) % 256) * (3 + 2 * c.c) + g.doc_id) % 256
+                  WHEN g.form = 4
+                  THEN (((((x.x * g.w) // 8) * 7 + ((y.y * g.h) // 6) * 13
+                          + g.doc_id) % 16) * (3 + 2 * c.c) + g.doc_id) % 256
                   ELSE (((x.x * g.w) // 8) * 7 + ((y.y * g.h) // 6) * 13
                         + c.c * 31 + g.doc_id) % 256
              END AS v
@@ -2055,11 +2063,12 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode + nearest-neighbor resize (operators/png.py): decode
-    the synthesized PNG (grayscale/RGB/palette/Adam7 forms, ``id % 4``),
-    resample with the exact floor mapping ``src = (dst·src_dim) //
-    dst_dim``, and emit resized pixel stats. The oracle recomputes the
-    same mapping arithmetically (palette rows through the PLTE formula;
-    the interlaced form shares the sequential-RGB formula)."""
+    the synthesized PNG (grayscale/RGB/palette/Adam7/4-bit-palette
+    forms, ``id % 5``), resample with the exact floor mapping ``src =
+    (dst·src_dim) // dst_dim``, and emit resized pixel stats. The
+    oracle recomputes the same mapping arithmetically (palette rows
+    through the PLTE formula at the form's palette size; interlaced
+    forms share their sequential formulas)."""
     docs = _t(spark, sf_dir, "documents")
     media = mm.synthesize_png_media(docs)
     return mm.resize_image_stats(media, 8, 6, method="nearest")

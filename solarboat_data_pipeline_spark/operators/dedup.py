@@ -734,7 +734,13 @@ def paragraph_dedup(
     Paragraph text crosses the wire exactly once, digests everywhere
     else.
     """
-    toks = F.split(F.col(text_col), sep)
+    # F.split interprets its pattern as a Java regex while array_join
+    # (reassembly) and the DuckDB oracle's string_split are literal — an
+    # unescaped sep='.' or '|' would silently split on every character.
+    # re.escape's backslash-quoting of punctuation is valid Java regex.
+    import re as _re
+
+    toks = F.split(F.col(text_col), _re.escape(sep))
     n_para = F.ceil(F.size(toks) / F.lit(words_per_para)).cast("int")
     paras = df.select(
         F.col(id_col),

@@ -1011,14 +1011,53 @@ def _decode_scan(
     return scan_end
 
 
-def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+def _upsample_triangle(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Center-aligned separable linear (triangle) upsample by integer
+    factors — output sample j interpolates the input at position
+    ``(j + 0.5)/f − 0.5`` with edge clamp, which at f=2 reduces to
+    libjpeg's fancy-upsampling 3/4·near + 1/4·far weights."""
+
+    def axis(p: np.ndarray, f: int, ax: int) -> np.ndarray:
+        if f == 1:
+            return p
+        n = p.shape[ax]
+        pos = (np.arange(n * f) + 0.5) / f - 0.5
+        lo_raw = np.floor(pos).astype(np.int64)
+        frac = pos - lo_raw
+        lo = np.clip(lo_raw, 0, n - 1)
+        hi = np.clip(lo_raw + 1, 0, n - 1)
+        shape = [1, 1]
+        shape[ax] = n * f
+        w = frac.reshape(shape)
+        return p.take(lo, axis=ax) * (1.0 - w) + p.take(hi, axis=ax) * w
+
+    return axis(axis(plane, fy, 0), fx, 1)
+
+
+def decode_jpeg(
+    data: bytes, chroma_upsample: str = "replicate"
+) -> tuple[int, int, int, bytes]:
     """Decode a baseline (SOF0) or progressive (SOF2) JPEG within the
     envelope to ``(width, height, channels, row-major 8-bit pixel
     bytes)`` (RGB for 3 components). Progressive streams may carry any
     legal scan script — spectral selection, successive approximation
     (DC and AC first/refinement passes, EOB runs) and restart
     intervals; each scan is decoded with the Huffman/DRI state current
-    at its position in the stream."""
+    at its position in the stream.
+
+    ``chroma_upsample`` selects how subsampled chroma planes are brought
+    back to full resolution: ``"replicate"`` (default — pixel
+    duplication, T.81's minimal reading) or ``"triangle"`` — the
+    center-aligned separable linear filter (libjpeg's "fancy
+    upsampling", the 3/4·near + 1/4·far weighting at 2×), which is what
+    ``javax.imageio``/libjpeg produce, so triangle mode cross-validates
+    full-RGB against them on subsampled streams. Both modes decode the
+    identical coefficient data — the choice is interpolation only."""
+    if chroma_upsample not in ("replicate", "triangle"):
+        raise ValueError(
+            f"unsupported chroma_upsample {chroma_upsample!r}; "
+            "use 'replicate' or 'triangle'"
+        )
     if not isinstance(data, (bytes, bytearray, memoryview)):
         raise ValueError("decode_jpeg expects a bytes-like payload")
     data = bytes(data)
@@ -1196,10 +1235,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             .transpose(0, 2, 1, 3)
             .reshape(rows * 8, cols * 8)
         )
-        # upsample subsampled components by sample replication, then
+        # upsample subsampled components (replicate or triangle), then
         # crop the MCU padding to the image dims
         if sh != max_h or sv != max_v:
-            plane = np.repeat(np.repeat(plane, max_v // sv, axis=0), max_h // sh, axis=1)
+            fy, fx = max_v // sv, max_h // sh
+            if chroma_upsample == "triangle":
+                plane = _upsample_triangle(plane, fy, fx)
+            else:
+                plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         planes.append(plane[:height, :width])
 
     if channels == 1:

@@ -69,7 +69,7 @@ def synthesize_png_media(
     Deterministic generator (the driver oracle recomputes decoded pixel
     statistics from this formula without ever seeing the bytes). With
     ``width = id % max_width + 1``, ``height = id % max_height + 1`` the
-    image form cycles ``id % 4`` over the real-world PNG envelope:
+    image form cycles ``id % 5`` over the real-world PNG envelope:
 
     * 0 — grayscale, sequential:  ``pixel(x, y) = (7x + 13y + id) % 256``
     * 1 — RGB, sequential:  ``pixel(x, y, c) = (7x + 13y + 31c + id) % 256``
@@ -79,9 +79,14 @@ def synthesize_png_media(
       3-channel RGB ``((7x+13y+id)%256 · (3+2c) + id) % 256``
     * 3 — RGB, ADAM7-INTERLACED: same pixels as form 1 (interlace
       changes only the wire layout, so the arithmetic oracle is shared)
+    * 4 — 4-BIT PALETTE (the legacy icon/favicon form, round 7):
+      ``index(x, y) = (7x + 13y + id) % 16`` packed two-per-byte
+      through the 16-entry palette of the form-2 formula — decodes to
+      ``((7x+13y+id)%16 · (3+2c) + id) % 256``; every other form-4
+      image is additionally Adam7-interlaced (wire layout only)
 
-    Scanline filters CYCLE ``row % 5`` (per Adam7 pass for form 3) so
-    every encoded image exercises all five PNG filter reconstruction
+    Scanline filters CYCLE ``row % 5`` (per Adam7 pass for forms 3/4)
+    so every encoded image exercises all five PNG filter reconstruction
     paths on decode.
     """
     import numpy as np
@@ -95,18 +100,21 @@ def synthesize_png_media(
                 mid = int(mid)
                 w = mid % max_width + 1
                 h = mid % max_height + 1
-                form = mid % 4
+                form = mid % 5
                 x = np.arange(w, dtype=np.int64)
                 y = np.arange(h, dtype=np.int64)
-                if form == 2:
-                    idx = (7 * x[None, :] + 13 * y[:, None] + mid) % 256
-                    i = np.arange(256, dtype=np.int64)
+                if form in (2, 4):
+                    n_pal = 256 if form == 2 else 16
+                    idx = (7 * x[None, :] + 13 * y[:, None] + mid) % n_pal
+                    i = np.arange(n_pal, dtype=np.int64)
                     c = np.arange(3, dtype=np.int64)
                     pal = (i[:, None] * (3 + 2 * c[None, :]) + mid) % 256
                     payloads.append(
                         png_codec.encode_png_palette(
                             idx.astype(np.uint8).tobytes(), w, h,
                             pal.astype(np.uint8), filter_type="cycle",
+                            depth=8 if form == 2 else 4,
+                            interlace=(form == 4 and (mid // 5) % 2 == 1),
                         )
                     )
                 else:

@@ -172,6 +172,36 @@ def _unfilter_scanlines(flat: np.ndarray, bpp: int) -> np.ndarray:
     return out
 
 
+def _pack_rows(samples: np.ndarray, depth: int) -> np.ndarray:
+    """(rows, width) samples (each < 2**depth) → (rows,
+    ceil(width·depth/8)) packed bytes, MSB-first within each byte with
+    zero padding at row end (PNG spec §7.2: sub-8-bit scanlines pack
+    left-to-right into bytes high-bit-first)."""
+    if depth == 8:
+        return samples
+    rows, width = samples.shape
+    per = 8 // depth
+    pad = (-width) % per
+    if pad:
+        samples = np.concatenate(
+            [samples, np.zeros((rows, pad), np.uint8)], axis=1
+        )
+    bits = np.unpackbits(samples[:, :, None], axis=2)[:, :, 8 - depth:]
+    return np.packbits(bits.reshape(rows, -1), axis=1)
+
+
+def _unpack_rows(packed: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """Inverse of :func:`_pack_rows`: (rows, stride_bytes) → (rows,
+    width) one-byte-per-sample, discarding row-end padding bits."""
+    if depth == 8:
+        return packed
+    rows = packed.shape[0]
+    bits = np.unpackbits(packed, axis=1)[:, : width * depth]
+    bits = bits.reshape(rows, width, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights[None, None, :]).sum(axis=2).astype(np.uint8)
+
+
 def _adam7_dims(width: int, height: int) -> list[tuple[int, int]]:
     """(pass_w, pass_h) for each of the 7 passes; empty passes are
     (0, 0) and contribute zero bytes to the stream (spec §8.2)."""
@@ -184,10 +214,27 @@ def _adam7_dims(width: int, height: int) -> list[tuple[int, int]]:
 
 
 def _serialize_image(
-    img: np.ndarray, bpp: int, filter_type: int | str, interlace: bool
+    img: np.ndarray, bpp: int, filter_type: int | str, interlace: bool,
+    depth: int = 8,
 ) -> bytes:
     """Filter a (height, width·bpp) image into the pre-compression byte
-    stream — sequentially, or as the 7 Adam7 sub-images."""
+    stream — sequentially, or as the 7 Adam7 sub-images. For sub-8-bit
+    depths ``img`` is (height, width) one byte per SAMPLE; each scanline
+    (each pass scanline, under Adam7) packs to bits independently before
+    filtering — filters stay byte-wise at every depth (spec §7.3)."""
+    if depth < 8:
+        if not interlace:
+            return bytes(_filter_scanlines(_pack_rows(img, depth), 1, filter_type))
+        height, width = img.shape
+        out = bytearray()
+        for (x0, y0, dx, dy), (pw, ph) in zip(
+            _ADAM7, _adam7_dims(width, height)
+        ):
+            if pw == 0:
+                continue
+            sub = np.ascontiguousarray(img[y0::dy, x0::dx])
+            out.extend(_filter_scanlines(_pack_rows(sub, depth), 1, filter_type))
+        return bytes(out)
     if not interlace:
         return bytes(_filter_scanlines(img, bpp, filter_type))
     height, stride = img.shape
@@ -223,7 +270,11 @@ def encode_png(
     """Encode a row-major pixel buffer as a PNG — ``depth=8`` expects
     ``height·width·channels`` bytes, ``depth=16`` expects big-endian
     uint16 samples (``2·height·width·channels`` bytes, the layout
-    ``np.ndarray(dtype=">u2").tobytes()`` produces).
+    ``np.ndarray(dtype=">u2").tobytes()`` produces), and the sub-8-bit
+    depths 1/2/4 (grayscale only, per spec) expect ONE BYTE PER SAMPLE
+    with values below ``2**depth`` — the encoder packs them MSB-first
+    per scanline (decoding expands them back to 8-bit by exact bit
+    replication).
 
     ``filter_type``: 0-4 applies that filter to every scanline;
     ``"cycle"`` uses ``row % 5`` — deliberately exercising all five
@@ -234,9 +285,13 @@ def encode_png(
     transparent — decode returns it as an extra alpha channel."""
     if channels not in _COLOR_TYPE_BY_CHANNELS:
         raise ValueError(f"unsupported channel count {channels}; use 1/2/3/4")
-    if depth not in (8, 16):
-        raise ValueError(f"unsupported bit depth {depth}; use 8 or 16")
-    nbytes = depth // 8
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"unsupported bit depth {depth}; use 1/2/4/8/16")
+    if depth < 8 and channels != 1:
+        raise ValueError(
+            f"bit depth {depth} is legal for grayscale (channels=1) only"
+        )
+    nbytes = max(1, depth // 8)
     arr = np.frombuffer(bytes(pixels), dtype=np.uint8)
     if arr.size != width * height * channels * nbytes:
         raise ValueError(
@@ -244,10 +299,15 @@ def encode_png(
             f"{width}x{height}x{channels}x{nbytes} = "
             f"{width * height * channels * nbytes}"
         )
+    if depth < 8 and arr.size and int(arr.max()) >= (1 << depth):
+        raise ValueError(
+            f"sample {int(arr.max())} out of range for depth {depth} "
+            f"(one byte per sample, values 0..{(1 << depth) - 1})"
+        )
     trns_chunk = b""
     if transparent is not None:
-        if depth != 8:
-            raise ValueError("transparent color is supported at depth 8 only")
+        if depth == 16:
+            raise ValueError("transparent color is supported at depth <= 8 only")
         color = (
             (int(transparent),)
             if np.isscalar(transparent)
@@ -258,10 +318,17 @@ def encode_png(
                 "transparent color requires channels 1 (gray value) or "
                 "3 ((r, g, b)) matching the image"
             )
+        if depth < 8 and color[0] >= (1 << depth):
+            raise ValueError(
+                f"transparent sample {color[0]} out of range for depth {depth}"
+            )
         trns_chunk = _chunk(b"tRNS", b"".join(struct.pack(">H", c) for c in color))
     bpp = channels * nbytes
-    img = arr.reshape(height, width * bpp)
-    raw = _serialize_image(img, bpp, filter_type, interlace)
+    if depth < 8:
+        img = arr.reshape(height, width)
+    else:
+        img = arr.reshape(height, width * bpp)
+    raw = _serialize_image(img, bpp, filter_type, interlace, depth)
     return (
         _SIGNATURE
         + _chunk(
@@ -282,39 +349,64 @@ def encode_png_palette(
     filter_type: int | str = 0,
     interlace: bool = False,
     trns: np.ndarray | bytes | None = None,
+    depth: int = 8,
 ) -> bytes:
     """Encode an indexed (color type 3) PNG: ``indices`` is one byte per
     pixel referencing ``palette`` — an ``(n, 3)`` uint8 RGB array,
     1 ≤ n ≤ 256. Every index must be < n (checked — a silent modulo here
     would corrupt images undetectably). ``trns`` optionally supplies
     per-palette-entry alpha bytes (≤ n entries; omitted entries are
-    opaque per spec) — the common web form of transparent PNGs."""
+    opaque per spec) — the common web form of transparent PNGs.
+    ``depth`` of 1/2/4 packs the indices into sub-byte scanlines — the
+    legacy icon/favicon form (every index must also be < 2**depth)."""
     pal = np.asarray(palette, dtype=np.uint8)
     if pal.ndim != 2 or pal.shape[1] != 3 or not (1 <= pal.shape[0] <= 256):
         raise ValueError("palette must be an (n, 3) uint8 array with 1 <= n <= 256")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(
+            f"unsupported palette bit depth {depth}; use 1/2/4/8"
+        )
     arr = np.frombuffer(bytes(indices), dtype=np.uint8)
     if arr.size != width * height:
         raise ValueError(
             f"index buffer has {arr.size} bytes, expected {width * height}"
         )
-    if arr.size and int(arr.max()) >= pal.shape[0]:
+    if arr.size and int(arr.max()) >= min(pal.shape[0], 1 << depth):
         raise ValueError(
             f"palette index {int(arr.max())} out of range for "
-            f"{pal.shape[0]}-entry palette"
+            f"{pal.shape[0]}-entry palette at depth {depth}"
         )
     trns_chunk = b""
     if trns is not None:
-        ta = np.frombuffer(bytes(trns) if not isinstance(trns, np.ndarray) else trns.astype(np.uint8).tobytes(), dtype=np.uint8)
+        if isinstance(trns, np.ndarray):
+            # astype(uint8) would silently wrap out-of-range alphas
+            # (256 -> 0, fully transparent) — validate like the palette
+            # index check above instead of corrupting quietly
+            if trns.dtype != np.uint8:
+                t64 = np.asarray(trns)
+                if (not np.issubdtype(t64.dtype, np.integer)
+                        or t64.size and (int(t64.min()) < 0
+                                         or int(t64.max()) > 255)):
+                    raise ValueError(
+                        "tRNS alphas must be integers in 0..255 "
+                        f"(got dtype {t64.dtype}"
+                        + (f", range {int(t64.min())}..{int(t64.max())})"
+                           if t64.size else ")")
+                    )
+                trns = t64.astype(np.uint8)
+            ta = np.frombuffer(trns.tobytes(), dtype=np.uint8)
+        else:
+            ta = np.frombuffer(bytes(trns), dtype=np.uint8)
         if not (1 <= ta.size <= pal.shape[0]):
             raise ValueError(
                 f"tRNS must have 1..{pal.shape[0]} entries, got {ta.size}"
             )
         trns_chunk = _chunk(b"tRNS", ta.tobytes())
     img = arr.reshape(height, width)
-    raw = _serialize_image(img, 1, filter_type, interlace)
+    raw = _serialize_image(img, 1, filter_type, interlace, depth)
     return (
         _SIGNATURE
-        + _chunk(b"IHDR", _ihdr(width, height, 3, interlace))
+        + _chunk(b"IHDR", _ihdr(width, height, 3, interlace, depth))
         + _chunk(b"PLTE", pal.tobytes())
         + trns_chunk
         + _chunk(b"IDAT", zlib.compress(raw, 6))
@@ -323,10 +415,49 @@ def encode_png_palette(
 
 
 def _deserialize_image(
-    raw: bytes, width: int, height: int, bpp: int, interlace: bool
+    raw: bytes, width: int, height: int, bpp: int, interlace: bool,
+    depth: int = 8,
 ) -> np.ndarray:
     """Unfilter (and de-interlace) the inflated IDAT stream into a
-    (height, width·bpp) pixel array."""
+    (height, width·bpp) pixel array — or, for sub-8-bit depths, a
+    (height, width) one-byte-per-sample array (each scanline's packed
+    bits unpack after the byte-wise unfilter; under Adam7 each pass
+    unpacks at its own width)."""
+    if depth < 8:
+        if not interlace:
+            sb = (width * depth + 7) // 8
+            expected = (sb + 1) * height
+            if len(raw) != expected:
+                raise ValueError(
+                    f"corrupt PNG: inflated {len(raw)} bytes, expected "
+                    f"{expected} for {width}x{height}@{depth}bit"
+                )
+            flat = np.frombuffer(raw, dtype=np.uint8).reshape(height, sb + 1)
+            return _unpack_rows(_unfilter_scanlines(flat, 1), width, depth)
+        dims = _adam7_dims(width, height)
+        expected = sum(
+            ph * (1 + (pw * depth + 7) // 8) for pw, ph in dims
+        )
+        if len(raw) != expected:
+            raise ValueError(
+                f"corrupt PNG: inflated {len(raw)} bytes, expected "
+                f"{expected} for Adam7 {width}x{height}@{depth}bit"
+            )
+        out = np.empty((height, width), dtype=np.uint8)
+        pos = 0
+        for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, dims):
+            if pw == 0:
+                continue
+            sb = (pw * depth + 7) // 8
+            nbytes = ph * (1 + sb)
+            flat = np.frombuffer(
+                raw[pos : pos + nbytes], dtype=np.uint8
+            ).reshape(ph, 1 + sb)
+            pos += nbytes
+            out[y0::dy, x0::dx] = _unpack_rows(
+                _unfilter_scanlines(flat, 1), pw, depth
+            )
+        return out
     stride = width * bpp
     if not interlace:
         expected = (stride + 1) * height
@@ -361,15 +492,17 @@ def _deserialize_image(
 
 
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode an 8-bit PNG within the supported envelope (color types
-    0/2/3/4/6, interlace methods 0 and 1) to ``(width, height,
-    channels, row-major pixel bytes)``. Palette (type 3) images are
-    expanded through their PLTE to 3-channel RGB (4-channel RGBA with
-    palette tRNS); gray/RGB single-transparent-color tRNS adds an alpha
-    channel. 16-bit images are routed to :func:`decode_png16` — the
-    8-bit byte contract here never silently reinterprets them. Raises
-    ``ValueError`` on malformed input or unsupported features — never
-    returns garbage silently."""
+    """Decode a PNG of depth ≤ 8 within the supported envelope (color
+    types 0/2/3/4/6, depths 1/2/4 for gray/palette plus 8 everywhere,
+    interlace methods 0 and 1) to ``(width, height, channels, row-major
+    8-bit pixel bytes)``. Palette (type 3) images are expanded through
+    their PLTE to 3-channel RGB (4-channel RGBA with palette tRNS);
+    sub-8-bit gray levels expand by exact bit replication; gray/RGB
+    single-transparent-color tRNS adds an alpha channel. 16-bit images
+    are routed to :func:`decode_png16` — the 8-bit byte contract here
+    never silently reinterprets them. Raises ``ValueError`` on
+    malformed input or unsupported features — never returns garbage
+    silently."""
     width, height, channels, depth, out = _decode_any(data)
     if depth != 8:
         raise ValueError(
@@ -428,9 +561,9 @@ def _decode_any(data: bytes) -> tuple[int, int, int, int, bytes]:
             width, height, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if depth not in (8, 16):
+            if depth not in (1, 2, 4, 8, 16):
                 raise ValueError(
-                    f"unsupported PNG: bit depth {depth} (only 8 and 16)"
+                    f"unsupported PNG: bit depth {depth} (only 1/2/4/8/16)"
                 )
             if color_type != 3 and color_type not in _CHANNELS_BY_COLOR_TYPE:
                 raise ValueError(
@@ -438,6 +571,13 @@ def _decode_any(data: bytes) -> tuple[int, int, int, int, bytes]:
                 )
             if depth == 16 and color_type == 3:
                 raise ValueError("corrupt PNG: 16-bit palette images are not legal")
+            if depth < 8 and color_type not in (0, 3):
+                # spec §11.2.2: sub-8 depths exist only for grayscale
+                # and palette images
+                raise ValueError(
+                    f"corrupt PNG: bit depth {depth} is not legal for "
+                    f"color type {color_type}"
+                )
             if comp != 0 or filt != 0:
                 raise ValueError("unsupported PNG: nonzero compression/filter method")
             if interlace not in (0, 1):
@@ -520,11 +660,18 @@ def _decode_any(data: bytes) -> tuple[int, int, int, int, bytes]:
         raise ValueError(f"corrupt PNG: zlib inflate failed ({exc})") from exc
 
     # PNG filters operate on BYTES at every depth (spec §7.3): at 16-bit
-    # the per-pixel byte count simply doubles
-    bpp = channels * (depth // 8)
-    out = _deserialize_image(raw, width, height, bpp, interlace == 1)
+    # the per-pixel byte count simply doubles; below 8 bits the samples
+    # pack into bits and the filter stride is the packed byte count
+    bpp = max(1, channels * (depth // 8))
+    out = _deserialize_image(raw, width, height, bpp, interlace == 1, depth)
     if depth == 16:
         return width, height, channels, 16, out.tobytes()
+    raw_samples = out
+    if depth < 8 and color_type == 0:
+        # expand sub-8 gray levels to the 8-bit output contract by exact
+        # bit replication (1-bit ×255, 2-bit ×85, 4-bit ×17); tRNS below
+        # compares the RAW sample value per spec
+        out = (out * (255 // ((1 << depth) - 1))).astype(np.uint8)
 
     if color_type == 3:
         assert palette is not None
@@ -546,9 +693,11 @@ def _decode_any(data: bytes) -> tuple[int, int, int, int, bytes]:
         # gray/RGB single-transparent-color: pixels matching the tRNS
         # color get alpha 0, everything else 255 — output grows one
         # alpha channel (silently dropping it would decode a
-        # transparent image as opaque)
+        # transparent image as opaque). The match runs on the RAW
+        # samples (pre-expansion at sub-8 depths, per spec §11.3.2)
         px = out.reshape(height, width, channels)
-        match = (px.astype(np.int32) == trns[None, None, :]).all(axis=2)
+        px_raw = raw_samples.reshape(height, width, channels)
+        match = (px_raw.astype(np.int32) == trns[None, None, :]).all(axis=2)
         alpha = np.where(match, 0, 255).astype(np.uint8)
         return (
             width,

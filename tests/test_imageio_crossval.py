@@ -313,3 +313,89 @@ def test_imageio_agrees_with_our_420_jpeg_decoder_full_rgb(spark, tmp_path, h, w
     assert mae_decoders < 1.5, mae_decoders
     mae_orig = np.abs(theirs.astype(int) - px.astype(int)).mean()
     assert mae_orig < 12, mae_orig
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_imageio_decodes_our_sub8_palette_png_pixel_exact(
+    spark, tmp_path, depth, interlace
+):
+    """Sub-8-bit palette PNGs — the legacy icon/favicon form. ImageIO's
+    independent implementation must expand our packed-index scanlines to
+    the identical RGB image, and our own decoder must agree."""
+    h, w = 11, 13  # odd width: scanlines carry padding bits
+    rng = np.random.default_rng(23 + depth)
+    n = 1 << depth
+    pal = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+    idx = rng.integers(0, n, size=h * w, dtype=np.uint8)
+    p = os.path.join(str(tmp_path), f"p{depth}.png")
+    with open(p, "wb") as f:
+        f.write(
+            png.encode_png_palette(
+                idx.tobytes(), w, h, pal, filter_type="cycle",
+                interlace=interlace, depth=depth,
+            )
+        )
+    H, W, C, rgb = _imageio_decode(spark, p)
+    assert (H, W, C) == (h, w, 3)
+    np.testing.assert_array_equal(rgb, pal[idx.reshape(h, w)])
+    with open(p, "rb") as f:
+        dw, dh, dch, ours = png.decode_png(f.read())
+    assert (dw, dh, dch) == (w, h, 3)
+    np.testing.assert_array_equal(
+        np.frombuffer(ours, np.uint8).reshape(h, w, 3), pal[idx.reshape(h, w)]
+    )
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_imageio_decodes_our_sub8_gray_png_pixel_exact(spark, tmp_path, depth):
+    """Sub-8-bit grayscale: ImageIO expands the packed levels with the
+    same bit-replication our decoder uses (1-bit x255, 2-bit x85,
+    4-bit x17), so both must agree pixel-exact."""
+    h, w = 7, 11
+    rng = np.random.default_rng(31 + depth)
+    s = rng.integers(0, 1 << depth, size=(h, w), dtype=np.uint8)
+    p = os.path.join(str(tmp_path), f"g{depth}.png")
+    with open(p, "wb") as f:
+        f.write(
+            png.encode_png(
+                s.tobytes(), w, h, 1, filter_type="cycle", depth=depth
+            )
+        )
+    H, W, C, got = _imageio_decode(spark, p)
+    assert (H, W) == (h, w)
+    want = (s * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    np.testing.assert_array_equal(got.reshape(h, w, -1)[:, :, 0], want)
+    with open(p, "rb") as f:
+        dw, dh, dch, ours = png.decode_png(f.read())
+    assert (dw, dh, dch) == (w, h, 1)
+    np.testing.assert_array_equal(
+        np.frombuffer(ours, np.uint8).reshape(h, w), want
+    )
+
+
+@pytest.mark.parametrize("h,w", [(16, 16), (9, 21), (32, 24)])
+def test_imageio_agrees_with_our_triangle_420_decoder_full_rgb_gradient(
+    spark, tmp_path, h, w
+):
+    """Round-7: with chroma_upsample='triangle' our decoder uses the
+    same center-aligned linear filter libjpeg/ImageIO apply, so the
+    4:2:0 cross-decoder check tightens from luma-only to FULL-RGB MAE
+    on high-gradient content — chroma included. The replicate decode of
+    the same stream measurably disagrees more, proving the filter (not
+    the gate width) closed the gap."""
+    px = _pattern(h, w, 3)  # high-gradient in every channel
+    data = jpeg.encode_jpeg(px.tobytes(), w, h, 3, subsampling="420")
+    p = os.path.join(str(tmp_path), "t420t.jpg")
+    with open(p, "wb") as f:
+        f.write(data)
+    H, W, C, theirs = _imageio_decode(spark, p)
+    assert (H, W, C) == (h, w, 3)
+    _, _, _, tri_bytes = jpeg.decode_jpeg(data, chroma_upsample="triangle")
+    tri = np.frombuffer(tri_bytes, np.uint8).reshape(h, w, 3)
+    mae_tri = np.abs(theirs.astype(int) - tri.astype(int)).mean()
+    assert mae_tri < 2.0, mae_tri
+    _, _, _, rep_bytes = jpeg.decode_jpeg(data)
+    rep = np.frombuffer(rep_bytes, np.uint8).reshape(h, w, 3)
+    mae_rep = np.abs(theirs.astype(int) - rep.astype(int)).mean()
+    assert mae_rep > mae_tri, (mae_rep, mae_tri)

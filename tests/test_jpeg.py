@@ -324,3 +324,36 @@ def test_mjpeg_frame_dims_must_match_container():
     data[at + 4 : at + 8] = struct.pack("<i", 5)  # lie about width
     with pytest.raises(ValueError, match="container says"):
         avi.decode_avi(bytes(data))
+
+
+def test_triangle_upsample_mode():
+    """chroma_upsample='triangle' changes interpolation only: identical
+    output on a 4:4:4 stream (nothing to upsample), a measurable chroma
+    difference from replicate on 4:2:0 gradients, an identical luma
+    plane in both modes (Y is never filtered), and a loud error for an
+    unknown mode."""
+    import numpy as np
+
+    from solarboat_data_pipeline_spark.operators import jpeg
+
+    y, x = np.mgrid[0:16, 0:24]
+    px = np.stack(
+        [(7 * x + 13 * y) % 256, (11 * x + 3 * y) % 256, (5 * x + 17 * y) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    d444 = jpeg.encode_jpeg(px.tobytes(), 24, 16, 3, subsampling="444")
+    assert jpeg.decode_jpeg(d444) == jpeg.decode_jpeg(
+        d444, chroma_upsample="triangle"
+    )
+    d420 = jpeg.encode_jpeg(px.tobytes(), 24, 16, 3, subsampling="420")
+    _, _, _, rep = jpeg.decode_jpeg(d420)
+    _, _, _, tri = jpeg.decode_jpeg(d420, chroma_upsample="triangle")
+    rep = np.frombuffer(rep, np.uint8).reshape(16, 24, 3).astype(int)
+    tri = np.frombuffer(tri, np.uint8).reshape(16, 24, 3).astype(int)
+    assert np.abs(rep - tri).max() > 0
+    luma = lambda a: 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]  # noqa: E731
+    assert np.abs(luma(rep) - luma(tri)).mean() < 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="chroma_upsample"):
+        jpeg.decode_jpeg(d420, chroma_upsample="fancy")

@@ -29,15 +29,18 @@ def _gradient(w: int, h: int, ch: int, seed: int = 0) -> bytes:
     return px.astype(np.uint8).tobytes()
 
 
-# the synthesize_png_media generator contract (form = id % 4):
-# 0 gray / 1 RGB / 2 palette (decodes to RGB) / 3 Adam7-interlaced RGB
+# the synthesize_png_media generator contract (form = id % 5): 0 gray /
+# 1 RGB / 2 palette (decodes to RGB) / 3 Adam7-interlaced RGB /
+# 4 four-bit palette (round 7; every other one Adam7)
 def _expected_channels(mid: int) -> int:
-    return 1 if mid % 4 == 0 else 3
+    return 1 if mid % 5 == 0 else 3
 
 
 def _expected_pixel(mid: int, x: int, y: int, c: int) -> int:
-    if mid % 4 == 2:
+    if mid % 5 == 2:
         return (((7 * x + 13 * y + mid) % 256) * (3 + 2 * c) + mid) % 256
+    if mid % 5 == 4:
+        return (((7 * x + 13 * y + mid) % 16) * (3 + 2 * c) + mid) % 256
     return (7 * x + 13 * y + 31 * c + mid) % 256
 
 
@@ -92,10 +95,11 @@ def test_decode_rejects_unsupported_features():
     import struct
 
     sig = b"\x89PNG\r\n\x1a\n"
-    # depth 4 is outside the envelope (8 and 16 are supported)
-    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    # depth 3 is not a legal PNG depth (1/2/4/8/16 are; 4-bit gray and
+    # palette are supported since round 7)
+    ihdr3 = struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0)
     with pytest.raises(ValueError, match="bit depth"):
-        png.decode_png(sig + _chunk(b"IHDR", ihdr4))
+        png.decode_png(sig + _chunk(b"IHDR", ihdr3))
     # color type 5 is not a real PNG color type
     ihdr_bad = struct.pack(">IIBBBBB", 2, 2, 8, 5, 0, 0, 0)
     with pytest.raises(ValueError, match="color type"):
@@ -310,7 +314,7 @@ def _doc_ids(spark, n=40):
 
 
 def test_decode_image_stats_matches_generator_formula(spark):
-    # n=40 covers all 4 generator forms (gray/RGB/palette/Adam7) 10x each
+    # n=40 covers all 5 generator forms (gray/RGB/palette/Adam7/4-bit) 8x each
     media = mm.synthesize_png_media(_doc_ids(spark))
     got = {r["media_id"]: r for r in mm.decode_image_stats(media).collect()}
     for mid in range(40):
@@ -421,10 +425,108 @@ def test_16bit_contract_routing():
     with pytest.raises(ValueError, match="use decode_png"):
         png.decode_png16(d8)
     # 16-bit + tRNS and 16-bit palette are refused precisely
-    with pytest.raises(ValueError, match="depth 8 only"):
+    with pytest.raises(ValueError, match="depth <= 8 only"):
         png.encode_png(bytes(4 * 4 * 2), 4, 4, 1, transparent=3, depth=16)
     import struct as _s
     sig = b"\x89PNG\r\n\x1a\n"
     ihdr = _s.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
     with pytest.raises(ValueError, match="16-bit palette"):
+        png.decode_png(sig + _chunk(b"IHDR", ihdr))
+
+
+# --- sub-8-bit depths (round 7) ---------------------------------------------
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_sub8_gray_roundtrip_all_filters(depth, interlace):
+    """Sub-8-bit grayscale: one byte per sample in, packed scanlines on
+    the wire, bit-replicated 8-bit expansion out — across every filter
+    (cycling) and both interlace layouts, at widths that force padding
+    bits in the final byte of each scanline."""
+    rng = np.random.default_rng(100 + depth)
+    for w, h in [(1, 1), (7, 3), (8, 8), (13, 5), (31, 17)]:
+        s = rng.integers(0, 1 << depth, size=(h, w)).astype(np.uint8)
+        data = png.encode_png(
+            s.tobytes(), w, h, 1, filter_type="cycle",
+            interlace=interlace, depth=depth,
+        )
+        W, H, C, out = png.decode_png(data)
+        assert (W, H, C) == (w, h, 1)
+        want = s * (255 // ((1 << depth) - 1))
+        np.testing.assert_array_equal(
+            np.frombuffer(out, np.uint8).reshape(h, w), want
+        )
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_sub8_palette_roundtrip_with_trns(depth):
+    """Sub-8-bit palette (the favicon form): indices pack to bits, PLTE
+    expands on decode; palette tRNS yields RGBA with short-table
+    entries opaque."""
+    rng = np.random.default_rng(200 + depth)
+    n = 1 << depth
+    pal = rng.integers(0, 256, size=(n, 3)).astype(np.uint8)
+    for w, h, il in [(5, 4, False), (16, 9, True), (23, 11, False)]:
+        idx = rng.integers(0, n, size=(h, w)).astype(np.uint8)
+        data = png.encode_png_palette(
+            idx.tobytes(), w, h, pal, filter_type="cycle",
+            interlace=il, depth=depth,
+        )
+        W, H, C, out = png.decode_png(data)
+        assert (W, H, C) == (w, h, 3)
+        np.testing.assert_array_equal(
+            np.frombuffer(out, np.uint8).reshape(h, w, 3), pal[idx]
+        )
+        trns = rng.integers(0, 256, size=n // 2 + 1).astype(np.uint8)
+        data = png.encode_png_palette(
+            idx.tobytes(), w, h, pal, trns=trns, depth=depth
+        )
+        W, H, C, out = png.decode_png(data)
+        assert C == 4
+        alphas = np.full(n, 255, np.uint8)
+        alphas[: trns.size] = trns
+        want = np.concatenate([pal, alphas[:, None]], axis=1)[idx]
+        np.testing.assert_array_equal(
+            np.frombuffer(out, np.uint8).reshape(h, w, 4), want
+        )
+
+
+def test_sub8_gray_transparent_sample_matches_raw_level():
+    """Gray tRNS at sub-8 depth compares the RAW sample value (pre
+    bit-replication, spec §11.3.2): level 2 at depth 2 becomes
+    transparent, its expanded gray value is 2·85."""
+    s = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], np.uint8)
+    data = png.encode_png(s.tobytes(), 4, 2, 1, depth=2, transparent=2)
+    W, H, C, out = png.decode_png(data)
+    assert C == 2
+    ga = np.frombuffer(out, np.uint8).reshape(2, 4, 2)
+    np.testing.assert_array_equal(ga[..., 0], s * 85)
+    np.testing.assert_array_equal(ga[..., 1], np.where(s == 2, 0, 255))
+
+
+def test_sub8_validation_errors():
+    """Out-of-range samples/indices, illegal depth/color-type combos and
+    non-uint8 tRNS arrays are refused loudly, never truncated."""
+    with pytest.raises(ValueError, match="out of range"):
+        png.encode_png(bytes([4]), 1, 1, 1, depth=2)
+    with pytest.raises(ValueError, match="grayscale"):
+        png.encode_png(bytes(3), 1, 1, 3, depth=4)
+    with pytest.raises(ValueError, match="out of range"):
+        png.encode_png_palette(
+            bytes([3]), 1, 1, np.zeros((8, 3), np.uint8), depth=1
+        )
+    with pytest.raises(ValueError, match="out of range"):
+        png.encode_png(bytes([1]), 1, 1, 1, depth=2, transparent=5)
+    # ADVICE r6: a non-uint8 tRNS ndarray must raise, not wrap 256 -> 0
+    with pytest.raises(ValueError, match="0..255"):
+        png.encode_png_palette(
+            bytes([0]), 1, 1, np.zeros((1, 3), np.uint8),
+            trns=np.array([256]),
+        )
+    # decode side: sub-8 on a truecolor type is spec-illegal
+    import struct as _s
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    with pytest.raises(ValueError, match="not legal"):
         png.decode_png(sig + _chunk(b"IHDR", ihdr))
