@@ -725,14 +725,20 @@ def paragraph_dedup(
     Returns ``(id_col, cleaned_text, kept_paragraphs)`` for documents
     with at least one surviving paragraph.
 
-    100 TB shape: the explode is shuffle-free; the winner pick is a
-    ``min(struct(id, pos))`` HASH AGGREGATE on the paragraph digest —
-    map-side partial aggregation collapses even a corpus-wide
-    boilerplate paragraph (the skew case) to one row per mapper before
-    the shuffle; the join back is digest-keyed (narrow build side: one
-    row per distinct paragraph); reassembly is a per-document hash agg.
-    Paragraph text crosses the wire exactly once, digests everywhere
-    else.
+    100 TB shape: the explode is shuffle-free and drops the text
+    immediately — only ``(digest, bit-packed (id, pos))`` ever reach a
+    digest-keyed shuffle. The winner pick is a PRIMITIVE
+    ``min(id·2²¹ + pos)`` whole-stage-codegen HASH aggregate whose
+    map-side combine collapses even a corpus-wide boilerplate paragraph
+    (the skew case) to one row per mapper before the shuffle; surviving
+    positions regroup per document (tiny rows), and the text is
+    rebuilt by ONE skew-free id-keyed join against the original
+    documents (one row per doc on both sides) that re-slices the kept
+    chunks in place. Paragraph text never crosses a digest-keyed wire
+    at all (measured against a ``row_number()``-per-digest naive twin:
+    scripts/scale_smoke_paragraph_skew.py). Document ids must be
+    non-negative and positions below 2²¹ (≥ 20 M words per document at
+    the default chunking) — violations raise, never corrupt.
     """
     # F.split interprets its pattern as a Java regex while array_join
     # (reassembly) and the DuckDB oracle's string_split are literal — an
@@ -742,6 +748,21 @@ def paragraph_dedup(
 
     toks = F.split(F.col(text_col), _re.escape(sep))
     n_para = F.ceil(F.size(toks) / F.lit(words_per_para)).cast("int")
+    # Round-7 restructure, measured by scripts/scale_smoke_paragraph_skew
+    # .py: the r6 agg+join form recomputed the explode twice and its
+    # 10 M-row join build side was statically mis-estimated UNDER the
+    # broadcast threshold (AQE never demotes a chosen broadcast — an OOM
+    # hazard at scale); carrying the winner's TEXT through the aggregate
+    # instead forces SortAggregate (strings have no mutable hash-agg
+    # buffer), i.e. two extra full-corpus sorts. So the winner pick
+    # ships NOTHING but digests and bit-packed (id, pos): a primitive
+    # ``min(id·2²¹ + pos)`` keeps the aggregate a whole-stage-codegen
+    # HASH aggregate whose map-side combine collapses a corpus-wide
+    # boilerplate paragraph to one row per mapper, and the text never
+    # crosses the wire at all until the final SKEW-FREE id-keyed join
+    # (one row per doc on both sides) rebuilds the surviving chunks.
+    pos_bits = 21
+    cap = 1 << pos_bits
     paras = df.select(
         F.col(id_col),
         F.posexplode(
@@ -752,21 +773,49 @@ def paragraph_dedup(
                 ),
             )
         ).alias("pos", "para"),
-    ).withColumn("__digest", F.sha2(F.col("para"), 256))
-    first = paras.groupBy("__digest").agg(
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first")
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        # two independent 64-bit xxhash64 lanes = a 128-bit identity in
+        # 16 bytes. The r6 kernel keyed on sha2 hex — a 64-CHAR string
+        # as heavy on the wire as the ten-word paragraph it identifies
+        # (measured: the digest shuffle shrank ~3× after this change);
+        # divergence from the text-keyed oracle now requires a
+        # 128-bit double-xxhash collision instead of a SHA-256 one —
+        # the same adjudicated-negligible class.
+        F.xxhash64("para").alias("__h1"),
+        F.xxhash64("para", F.lit("xx2")).alias("__h2"),
     )
-    kept = paras.join(first, "__digest").where(
-        (F.col(id_col) == F.col(f"__first.{id_col}"))
-        & (F.col("pos") == F.col("__first.pos"))
+    packed = F.when(
+        (F.col(id_col) >= 0) & (F.col("pos") < cap),
+        F.col(id_col).cast("long") * cap + F.col("pos"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "paragraph_dedup: id must be >= 0 and positions < %d "
+                "(id %d, pos %d)", F.lit(cap), F.col(id_col), F.col("pos")
+            )
+        ).cast("long")
     )
-    return kept.groupBy(id_col).agg(
+    winners = paras.groupBy("__h1", "__h2").agg(F.min(packed).alias("__w"))
+    kept_pos = (
+        winners.select(
+            F.shiftright("__w", pos_bits).alias(id_col),
+            F.col("__w").bitwiseAND(cap - 1).cast("int").alias("pos"),
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__keep"))
+    )
+    return df.join(kept_pos, id_col).select(
+        F.col(id_col),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "para"))),
-                lambda s: s["para"],
+                F.col("__keep"),
+                lambda p: F.array_join(
+                    F.slice(toks, p * words_per_para + 1, words_per_para), sep
+                ),
             ),
             sep,
         ).alias("cleaned_text"),
-        F.count(F.lit(1)).alias("kept_paragraphs"),
+        F.size("__keep").cast("long").alias("kept_paragraphs"),
     )
