@@ -7,23 +7,27 @@ types (None/Sub/Up/Average/Paeth). This module implements enough of it —
 honestly and completely within its stated envelope — to make the
 multimodal decode kernel REAL instead of a stub:
 
-* :func:`encode_png` — 8- or 16-bit, color types 0 (gray), 2 (RGB),
+* :func:`encode_png` — 1/2/4-bit grayscale (packed sub-byte
+  scanlines), 8- or 16-bit color types 0 (gray), 2 (RGB),
   4 (gray+alpha), 6 (RGBA); optionally Adam7-interlaced; optional
-  single-transparent-color tRNS (depth 8); per-scanline filter
+  single-transparent-color tRNS at every depth; per-scanline filter
   selection is caller-controlled so tests exercise every filter's
   decode path.
-* :func:`encode_png_palette` — 8-bit color type 3 (indexed): a PLTE
-  chunk of up to 256 RGB entries plus a 1-byte-per-pixel index stream
-  (the most common web PNG form), optional per-entry tRNS alpha,
-  optionally Adam7-interlaced.
-* :func:`decode_png` — 8-bit, color types 0/2/3/4/6, interlace methods
-  0 and 1/Adam7; palette images are expanded to 3-channel RGB, or
-  4-channel RGBA when a palette tRNS chunk supplies per-entry alpha;
-  gray/RGB single-transparent-color tRNS decodes to an extra alpha
-  channel. :func:`decode_png16` — the 16-bit sibling (big-endian
-  uint16 samples out). Both raise ``ValueError`` with the precise
-  reason on anything outside the envelope (sub-8-bit depths,
-  truncated/corrupt streams, CRC mismatch) — never garbage silently.
+* :func:`encode_png_palette` — color type 3 (indexed) at depths
+  1/2/4/8: a PLTE chunk of up to 256 RGB entries plus an index stream
+  (the most common web PNG form, sub-byte depths being the legacy
+  icon/favicon layout), optional per-entry tRNS alpha, optionally
+  Adam7-interlaced.
+* :func:`decode_png` — depths 1/2/4 (gray/palette) and 8 (all color
+  types 0/2/3/4/6), interlace methods 0 and 1/Adam7; palette images
+  are expanded to 3-channel RGB, or 4-channel RGBA when a palette tRNS
+  chunk supplies per-entry alpha; sub-8-bit gray expands by exact bit
+  replication; gray/RGB single-transparent-color tRNS decodes to an
+  extra alpha channel. :func:`decode_png16` — the 16-bit sibling
+  (big-endian uint16 samples out, 16-bit tRNS included). Both raise
+  ``ValueError`` with the precise reason on anything outside the
+  envelope (truncated/corrupt streams, CRC mismatch, illegal
+  depth/color-type combinations) — never garbage silently.
 * :func:`resize_nearest` / :func:`resize_bilinear` — resampling on the
   decoded array (numpy, vectorized — this runs inside Arrow-batched
   ``mapInPandas`` workers, so it must not be a per-pixel Python loop).
@@ -306,8 +310,6 @@ def encode_png(
         )
     trns_chunk = b""
     if transparent is not None:
-        if depth == 16:
-            raise ValueError("transparent color is supported at depth <= 8 only")
         color = (
             (int(transparent),)
             if np.isscalar(transparent)
@@ -318,9 +320,10 @@ def encode_png(
                 "transparent color requires channels 1 (gray value) or "
                 "3 ((r, g, b)) matching the image"
             )
-        if depth < 8 and color[0] >= (1 << depth):
+        lim = 1 << min(depth, 16)
+        if any(not (0 <= c < lim) for c in color):
             raise ValueError(
-                f"transparent sample {color[0]} out of range for depth {depth}"
+                f"transparent sample {color} out of range for depth {depth}"
             )
         trns_chunk = _chunk(b"tRNS", b"".join(struct.pack(">H", c) for c in color))
     bpp = channels * nbytes
@@ -651,9 +654,6 @@ def _decode_any(data: bytes) -> tuple[int, int, int, int, bytes]:
     if color_type == 3 and palette is None:
         raise ValueError("corrupt PNG: palette image missing PLTE")
 
-    if depth == 16 and trns is not None:
-        raise ValueError("unsupported PNG: tRNS at 16-bit depth")
-
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
@@ -665,6 +665,24 @@ def _decode_any(data: bytes) -> tuple[int, int, int, int, bytes]:
     bpp = max(1, channels * (depth // 8))
     out = _deserialize_image(raw, width, height, bpp, interlace == 1, depth)
     if depth == 16:
+        if trns is not None:
+            # 16-bit gray/RGB single-transparent-color (round 7 — the
+            # last tRNS form): the chunk's 16-bit fields compare against
+            # the full-precision samples; matching pixels get alpha 0,
+            # the rest 65535, output grows one big-endian u16 channel
+            px = np.frombuffer(out.tobytes(), dtype=">u2").reshape(
+                height, width, channels
+            )
+            match = (px.astype(np.int64) == trns[None, None, :]).all(axis=2)
+            alpha = np.where(match, 0, 65535).astype(">u2")
+            # concatenate PROMOTES byte-swapped dtypes to native order
+            # (values kept, wire order lost) — pin big-endian before
+            # serializing
+            return (
+                width, height, channels + 1, 16,
+                np.concatenate([px, alpha[:, :, None]], axis=2)
+                .astype(">u2").tobytes(),
+            )
         return width, height, channels, 16, out.tobytes()
     raw_samples = out
     if depth < 8 and color_type == 0:

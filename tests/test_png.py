@@ -424,9 +424,7 @@ def test_16bit_contract_routing():
     d8 = png.encode_png(_gradient(4, 4, 3), 4, 4, 3)
     with pytest.raises(ValueError, match="use decode_png"):
         png.decode_png16(d8)
-    # 16-bit + tRNS and 16-bit palette are refused precisely
-    with pytest.raises(ValueError, match="depth <= 8 only"):
-        png.encode_png(bytes(4 * 4 * 2), 4, 4, 1, transparent=3, depth=16)
+    # 16-bit palette is refused precisely
     import struct as _s
     sig = b"\x89PNG\r\n\x1a\n"
     ihdr = _s.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
@@ -530,3 +528,38 @@ def test_sub8_validation_errors():
     ihdr = _s.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
     with pytest.raises(ValueError, match="not legal"):
         png.decode_png(sig + _chunk(b"IHDR", ihdr))
+
+
+def test_16bit_trns_transparent_color():
+    """16-bit gray/RGB single-transparent-color tRNS (round 7 — the last
+    tRNS form): the chunk's full-precision fields match 16-bit samples
+    exactly; output grows a big-endian u16 alpha channel."""
+    rng = np.random.default_rng(77)
+    g = rng.integers(0, 65536, size=(3, 5)).astype(">u2")
+    g[1, 2] = 40000
+    data = png.encode_png(g.tobytes(), 5, 3, 1, depth=16, transparent=40000)
+    W, H, C, out = png.decode_png16(data)
+    assert (W, H, C) == (5, 3, 2)
+    ga = np.frombuffer(out, ">u2").reshape(3, 5, 2)
+    np.testing.assert_array_equal(ga[..., 0], g)
+    np.testing.assert_array_equal(
+        ga[..., 1], np.where(g == 40000, 0, 65535)
+    )
+    # RGB form
+    px = rng.integers(0, 65536, size=(2, 4, 3)).astype(">u2")
+    px[0, 1] = (1, 2, 3)
+    data = png.encode_png(
+        px.tobytes(), 4, 2, 3, depth=16, transparent=(1, 2, 3)
+    )
+    W, H, C, out = png.decode_png16(data)
+    assert (W, H, C) == (4, 2, 4)
+    rgba = np.frombuffer(out, ">u2").reshape(2, 4, 4)
+    np.testing.assert_array_equal(rgba[..., :3], px)
+    match = (px.astype(int) == np.array([1, 2, 3])).all(axis=2)
+    np.testing.assert_array_equal(
+        rgba[..., 3], np.where(match, 0, 65535)
+    )
+    # out-of-range transparent sample still refused at every depth
+    with pytest.raises(ValueError, match="out of range"):
+        png.encode_png(bytes(4 * 4 * 2), 4, 4, 1, depth=16,
+                       transparent=70000)
