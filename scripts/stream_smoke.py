@@ -450,6 +450,34 @@ def check_asof_disorder(spark, src: str) -> None:
         },
     )
 
+    # 3. the LINEAR kernel on the same disordered stream: prev-side
+    # exactness is watermark-guaranteed; any emitted left's next right
+    # sample lies within the delay window the jitter stays inside, so
+    # the blend too must be exact on the emitted set
+    l, r = streams(f"{D_S} seconds")
+    wall_l = run_stream(
+        stream_asof_linear(
+            l, r, key_cols=("series",), ts_col="timestamp",
+            value_cols=("ref",),
+        ),
+        "asof_disorder_linear",
+    )
+    got_l = spark.read.parquet(os.path.join(WORK, "out_asof_disorder_linear"))
+    batch_lin = tsops.asof_join_linear(
+        bl, br, on="timestamp", value_cols=["ref"], partition_cols=("series",)
+    )
+    expect_l = batch_lin.where(
+        (F.unix_micros("timestamp") / 1000).cast("long") <= cut_ms
+    )
+    n_expect_l, n_got_l = expect_l.count(), got_l.count()
+    mis_l = mismatches(got_l, expect_l)
+    report(
+        "stream_asof_linear_vs_batch_under_disorder",
+        mis_l == 0 and n_got_l == n_expect_l,
+        wall_l,
+        {"rows": n_got_l, "expected_rows": n_expect_l, "mismatches": mis_l},
+    )
+
 
 def check_asof_linear(spark, src: str) -> None:
     """Round-7 streaming linear-interpolate as-of (the J3 analogue) at
