@@ -459,9 +459,12 @@ def _stream_asof_buffered(
         wm_us = wm_ms * 1000
 
         if state.hasTimedOut and len(lb_ts) == 0 and len(rb_ts) == 0:
-            # TTL expiry: the key was silent past the TTL — drop the
-            # carried right row so state stays bounded
-            state.remove()
+            if ttl_ms is not None:
+                # TTL expiry: the key was silent past the TTL — drop the
+                # carried right row so state stays bounded
+                state.remove()
+            # without a TTL, a timeout with empty buffers carries no
+            # work: keep the carried row (NoTimeout-equivalent contract)
             return
 
         if chunks:

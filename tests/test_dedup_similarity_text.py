@@ -512,3 +512,27 @@ def test_paragraph_dedup_matches_python_reference(spark):
     assert 4 not in got            # fully-duplicate doc disappears
     assert got[1][0] == "x y z"    # only the fresh tail survives
     assert got[0][1] == 2          # the first doc keeps everything
+
+
+def test_paragraph_dedup_guard_rails(spark):
+    """Round-7 kernel contract guards: negative doc ids break the
+    bit-packed winner ordering and must raise (never mis-rank
+    silently); a regex-metacharacter separator splits literally
+    (ADVICE r6 — F.split takes a Java regex, so '.' must be escaped)."""
+    import pytest as _pytest
+
+    from solarboat_data_pipeline_spark.operators.dedup import paragraph_dedup
+
+    bad = spark.createDataFrame(
+        [(-1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception, match="id must be >= 0"):
+        paragraph_dedup(bad).collect()
+
+    docs = spark.createDataFrame(
+        [(0, "a.b.c.d.e.f.g.h.i.j.a.b.c.d.e.f.g.h.i.j")],
+        "doc_id long, text string",
+    )
+    row = paragraph_dedup(docs, sep=".").collect()[0]
+    assert row["cleaned_text"] == "a.b.c.d.e.f.g.h.i.j"
+    assert row["kept_paragraphs"] == 1
