@@ -260,10 +260,20 @@ def main() -> None:
         "Join" in ln and ("__digest" in ln or "__h1" in ln)
         for ln in plan.splitlines()
     )
+    join_kinds = [
+        ln.strip().split("[")[0].split()[-1]
+        for ln in plan.splitlines()
+        if "Join" in ln and "Exec" not in ln
+    ]
     report(
         "kernel_plan_hash_agg_one_idkeyed_join",
         sort_aggs == 0 and joins == 1 and not digest_join,
-        {"sort_aggregates": sort_aggs, "joins_in_plan": joins},
+        {"sort_aggregates": sort_aggs, "joins_in_plan": joins,
+         # at corpus scale the static estimator must NOT broadcast the
+         # one-row-per-doc position table (measured at 10 M docs:
+         # SortMergeJoin — the safe direction, since AQE may upgrade a
+         # small run to broadcast but can never demote a mis-estimate)
+         "join_kinds": join_kinds},
     )
 
     all_agree = all(r["agree"] for r in results)
