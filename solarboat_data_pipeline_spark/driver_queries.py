@@ -3935,6 +3935,55 @@ def dd_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_near_dup_incremental",
+    f"""
+    WITH {_sql_lsh_pairs()},
+         m_seen AS (SELECT doc_id, mins FROM m WHERE doc_id % 5 != 0),
+         m_inc  AS (SELECT doc_id, mins FROM m WHERE doc_id % 5 = 0),
+         b_seen AS (SELECT doc_id, band, band_hash FROM b WHERE doc_id % 5 != 0),
+         b_inc  AS (SELECT doc_id, band, band_hash FROM b WHERE doc_id % 5 = 0),
+         cand AS (SELECT DISTINCT i.doc_id AS inc_id, s2.doc_id AS seen_id
+                  FROM b_inc i JOIN b_seen s2 USING (band, band_hash)),
+         dropped AS (
+           SELECT DISTINCT c.inc_id FROM cand c
+           JOIN m_inc mi ON mi.doc_id = c.inc_id
+           JOIN m_seen ms ON ms.doc_id = c.seen_id
+           WHERE list_sum(list_transform(generate_series(1, {dd.NUM_HASHES}),
+                   k -> CASE WHEN mi.mins[k] = ms.mins[k] THEN 1 ELSE 0 END))
+                 / {dd.NUM_HASHES}.0 >= 0.5)
+    SELECT doc_id FROM documents
+    WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT inc_id FROM dropped)
+    """,
+)
+def dd_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest NEAR-dup dedup in its 100 TB shape
+    (operators/dedup.py:near_dup_against — round 7): the existing corpus
+    is represented ONLY by its persisted LSH band index + MinHash
+    signature index (parquet, digests and 16 longs per doc — the fuzzy
+    siblings of dd_incremental_index's digest table); the new increment
+    is hashed once, band-bucket candidates form against the index, each
+    candidate is VERIFIED by the signature Jaccard estimate (≥ 0.5),
+    and only verified near-dups drop. The corpus text is never re-read
+    or re-shuffled. The oracle replays the identical shingle → h32 →
+    affine-permutation minima → banded-md5 pipeline and the estimate
+    verification in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 5 != 0)
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+    bp = _io_dir(sf_dir, "dd_band_index")
+    sp = _io_dir(sf_dir, "dd_sig_index")
+    dd.band_index(seen).write.mode("overwrite").parquet(bp)
+    dd.signature_index(seen).write.mode("overwrite").parquet(sp)
+    out = dd.near_dup_against(
+        incoming,
+        spark.read.parquet(bp),
+        seen_signatures=spark.read.parquet(sp),
+        threshold=0.5,
+    )
+    return out.select("doc_id")
+
+
+@register(
     "k_bucketed_join",
     """
     SELECT c_mktsegment,
@@ -3995,8 +4044,9 @@ def k_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gate every run; the flagship q1_pricing_summary is additionally
 # smoke-run by the driver's entry() every round.
 _PRIORITY = [
-    # 1. never-green: the streaming linear as-of is NEW this round (1)
+    # 1. never-green: the two queries NEW this round (2)
     "st_stream_asof_linear",
+    "dd_near_dup_incremental",
     # 2. operator code changed this round: the stateful module gained
     #    the watermark-buffered kernels (st_stream_asof now runs
     #    buffered; st_stream_ffill shares the module), paragraph dedup
@@ -4040,7 +4090,7 @@ _PRIORITY = [
     "w6_sort_rank",
     "w_sessionize_scaled",
     # 4. oldest r05-green queries fill the window to 50; the r5
-    #    remainder below the cut leads the r8 rotation (16)
+    #    remainder below the cut leads the r8 rotation (15)
     "s1_candump_parse",
     "s2_scan_pushdown",
     "s3_forecast_csv_roundtrip",
@@ -4056,11 +4106,13 @@ _PRIORITY = [
     "p8_dict_lookup",
     "p17_float_downcast",
     "f4_tz_convert",
-    "f5_candump_format",
-    # --- below the expected driver cut: the r05-green remainder (leads
+    # --- below the expected driver cut: f5_candump_format slid just
+    # under when the second new query entered; it leads block 4's
+    # remainder: the r05-green remainder (leads
     # the r8 window), then everything r6-green in registry order via the
     # _ordered() fallback -- ALL still oracle-checked by the identical
     # pytest gate every run.
+    "f5_candump_format",
     "a3_resample_dense",
     "a5_quantile_iqr",
     "dd_incremental_index",

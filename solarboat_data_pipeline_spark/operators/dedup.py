@@ -268,6 +268,118 @@ def lsh_candidate_pairs(
     )
 
 
+def band_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The persistable LSH index of a corpus: one ``(id, band,
+    band_hash)`` row per document band — digests only, no text. An
+    ingest pipeline writes this once per corpus state and appends each
+    accepted increment's rows; :func:`near_dup_against` probes it. At
+    100 TB the index is a small fraction of the corpus (BANDS rows ×
+    one md5 per doc) and the corpus text is never re-read."""
+    sig = minhash_table(df, text_col, id_col)
+    return sig.where(F.col("mh0").isNotNull()).select(
+        id_col, F.posexplode(_band_hash_array()).alias("band", "band_hash")
+    )
+
+
+def signature_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The verification companion to :func:`band_index`: one
+    ``(id, minhash array<long>)`` row per document with ≥ 1 shingle —
+    what :func:`near_dup_against` needs to turn band-bucket candidates
+    into estimated-Jaccard verdicts without touching text."""
+    sig = minhash_table(df, text_col, id_col)
+    return sig.where(F.col("mh0").isNotNull()).select(
+        id_col,
+        F.array(*[F.col(f"mh{j}") for j in range(NUM_HASHES)]).alias("minhash"),
+    )
+
+
+def near_dup_against(
+    incoming: DataFrame,
+    seen_bands: DataFrame,
+    seen_signatures: DataFrame | None = None,
+    threshold: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest NEAR-duplicate dedup — the fuzzy sibling of
+    :func:`dedup_against`, the shape a daily crawl increment actually
+    needs (new pages that near-duplicate pages ALREADY IN the corpus
+    must be dropped, not just byte-exact copies).
+
+    ``seen_bands`` is the existing corpus's :func:`band_index` (read
+    back from its persisted parquet between increments). Candidates are
+    incoming docs sharing ≥ 1 LSH band bucket with any indexed doc —
+    the same sub-quadratic banded join as :func:`lsh_candidate_pairs`,
+    but incoming×index instead of a self-join. With ``threshold`` (and
+    ``seen_signatures``, the :func:`signature_index`), each candidate
+    pair is VERIFIED by the MinHash Jaccard estimate (fraction of equal
+    signature components) and only incoming docs with a verified match
+    ≥ ``threshold`` are dropped — band collisions alone over-drop at
+    the ~r^(rows-per-band) false-positive rate of the banding.
+
+    Returns the surviving ``incoming`` rows (original columns).
+
+    100 TB shape: the corpus is represented ONLY by its band + signature
+    indexes (digests and 16 longs per doc); the increment is hashed
+    once; the candidate join shuffles band digests; verification is
+    candidate-restricted; corpus text is never re-read or re-shuffled.
+    """
+    if (threshold is None) != (seen_signatures is None):
+        raise ValueError(
+            "threshold and seen_signatures must be passed together "
+            "(band-only candidates over-drop; signatures without a "
+            "threshold are unused)"
+        )
+    inc_sig = minhash_table(incoming, text_col, id_col)
+    inc_bands = inc_sig.where(F.col("mh0").isNotNull()).select(
+        F.col(id_col).alias("__inc_id"),
+        F.posexplode(_band_hash_array()).alias("band", "band_hash"),
+    )
+    seen_b = seen_bands.select(
+        F.col(id_col).alias("__seen_id"), "band", "band_hash"
+    )
+    cand = (
+        inc_bands.join(seen_b, ["band", "band_hash"])
+        .select("__inc_id", "__seen_id")
+        .distinct()
+    )
+    if threshold is not None:
+        inc_arr = inc_sig.where(F.col("mh0").isNotNull()).select(
+            F.col(id_col).alias("__inc_id"),
+            F.array(*[F.col(f"mh{j}") for j in range(NUM_HASHES)]).alias("__a"),
+        )
+        seen_arr = seen_signatures.select(
+            F.col(id_col).alias("__seen_id"), F.col("minhash").alias("__b")
+        )
+        est = (
+            F.aggregate(
+                F.zip_with(
+                    F.col("__a"), F.col("__b"),
+                    lambda x, y: F.when(x == y, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(NUM_HASHES)
+        )
+        drops = (
+            cand.join(inc_arr, "__inc_id")
+            .join(seen_arr, "__seen_id")
+            .where(est >= F.lit(threshold))
+            .select("__inc_id")
+            .distinct()
+        )
+    else:
+        drops = cand.select("__inc_id").distinct()
+    return incoming.join(
+        drops.withColumnRenamed("__inc_id", id_col), id_col, "anti"
+    )
+
+
 def simhash_table(
     df: DataFrame,
     text_col: str = "text",

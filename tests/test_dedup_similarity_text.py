@@ -536,3 +536,70 @@ def test_paragraph_dedup_guard_rails(spark):
     row = paragraph_dedup(docs, sep=".").collect()[0]
     assert row["cleaned_text"] == "a.b.c.d.e.f.g.h.i.j"
     assert row["kept_paragraphs"] == 1
+
+
+def test_near_dup_against_incremental_semantics(spark):
+    """Incremental NEAR-dup dedup (round 7): an incoming doc drops when
+    it band-collides with an indexed doc AND the signature Jaccard
+    estimate clears the threshold; exact copies drop; unrelated docs
+    and shingle-less docs survive; the verification step genuinely
+    gates (a high threshold rescues a weak collision)."""
+    import pytest as _pytest
+
+    from solarboat_data_pipeline_spark.operators.dedup import (
+        band_index,
+        near_dup_against,
+        signature_index,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight")
+    seen = spark.createDataFrame(
+        [(1, base),
+         (2, "completely unrelated corpus text about solar boats and "
+             "battery telemetry decoding pipelines at scale")],
+        "doc_id long, text string",
+    )
+    inc = spark.createDataFrame(
+        [(10, base),                                     # exact copy
+         (11, base.replace("tonight", "tomorrow")),      # near-dup
+         (12, "nothing in common with anything indexed "
+              "whatsoever in this entire corpus of words today"),
+         (13, "tiny")],                                  # shingle-less
+        "doc_id long, text string",
+    )
+    bands = band_index(seen)
+    sigs = signature_index(seen)
+    survivors = {
+        r["doc_id"]
+        for r in near_dup_against(
+            inc, bands, seen_signatures=sigs, threshold=0.5
+        ).collect()
+    }
+    assert 10 not in survivors          # exact copy dropped
+    assert 11 not in survivors          # near-dup dropped
+    assert {12, 13} <= survivors        # unrelated + shingle-less live
+
+    # threshold gating is monotone: raising it can only rescue docs
+    # (a one-word change CAN still estimate 1.0 with 16 hashes, so no
+    # exact-value assumption here), and the exact copy never survives
+    survivors_hi = {
+        r["doc_id"]
+        for r in near_dup_against(
+            inc, bands, seen_signatures=sigs, threshold=1.0
+        ).collect()
+    }
+    assert survivors <= survivors_hi
+    assert 10 not in survivors_hi
+
+    # band-only mode (no verification) must drop at least as much
+    survivors_bands = {
+        r["doc_id"] for r in near_dup_against(inc, bands).collect()
+    }
+    assert survivors_bands <= survivors
+
+    # the two verification args travel together
+    with _pytest.raises(ValueError, match="together"):
+        near_dup_against(inc, bands, threshold=0.5)
+    with _pytest.raises(ValueError, match="together"):
+        near_dup_against(inc, bands, seen_signatures=sigs)
