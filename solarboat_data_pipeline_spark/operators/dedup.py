@@ -20,6 +20,8 @@ oracle.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -789,31 +791,144 @@ def ngram_jaccard_pairs(
     )
 
 
+def _bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: m = -n·ln p / ln²2 bits, k = (m/n)·ln 2
+    probes; m rounded up to a whole number of 64-bit words, k clamped to
+    [1, 8] (beyond 8 probes the per-row cost outweighs the fpp gain)."""
+    import math
+
+    m = max(64, math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
+    k = min(8, max(1, round(m / n_items * math.log(2))))
+    return m, k
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    strategy: str = "broadcast",
+    fpp: float = 0.01,
+    expected_items: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: per training document, the number of
     distinct word n-grams it shares with a benchmark/eval corpus (the
     standard pretraining hygiene check — docs with overlap > 0 get dropped
     or quarantined). Returns (id, n_contaminated) for overlap > 0 only.
+    The result is EXACT under every strategy; ``strategy`` picks the
+    physical plan for the regime the benchmark side is in:
 
-    Scale design: the benchmark side is the distinct shingle-hash set of
-    the (small) eval corpus — broadcast it, so the 100 TB train side
-    streams through a broadcast hash join inside its scan stage with no
-    shuffle of train data; the only exchange is the final per-doc count
-    aggregate (map-side combined)."""
-    bench_sh = F.broadcast(
-        _shingle_hashes(benchmark, text_col, id_col).select("__h").distinct()
-    )
+    * ``"broadcast"`` (default) — the eval corpus's distinct shingle-hash
+      set fits the broadcast threshold: the 100 TB train side streams
+      through a broadcast hash join inside its scan stage with no shuffle
+      of train data; the only exchange is the per-doc count aggregate
+      (map-side combined).
+    * ``"bloom"`` — the hash set is too large to broadcast-join but its
+      Bloom filter (~10 bits/item at the default ``fpp=0.01`` — 20–50×
+      smaller than the hashed-relation build of the set itself) still
+      fits executor memory. The filter is built DISTRIBUTED (k probe
+      positions per hash via seeded ``xxhash64``, OR-folded into 64-bit
+      words by a ``bit_or`` hash aggregate — map-side combined, so the
+      collect moves ≈ m/64 longs once), broadcast as one binary blob, and
+      applied map-side by an Arrow-batched vectorized probe BEFORE the
+      train side's exchange: the verify join's shuffle then carries only
+      bloom survivors (true matches + ~fpp of the corpus) instead of
+      every shingle of the 100 TB corpus. Exactness does not depend on
+      ``fpp`` — a Bloom filter has no false negatives and the survivors
+      are re-verified by the equi-join; ``fpp`` only sizes the verify
+      shuffle. ``expected_items`` skips the sizing ``count()`` pass when
+      the caller already knows the benchmark's distinct-shingle count.
+    * ``"shuffle"`` — both sides genuinely large: co-partitioned shuffled
+      hash join on the shingle hash (the bench ``distinct`` already
+      hash-partitions on the join key, so the bench side reuses that
+      exchange; the hint builds the per-partition map from the bench side
+      and STREAMS the train side, avoiding sort-merge's full sort of the
+      larger relation).
+    """
+    bench_sh = _shingle_hashes(benchmark, text_col, id_col).select("__h").distinct()
     train_sh = _shingle_hashes(train, text_col, id_col)
-    return (
-        train_sh.join(bench_sh, "__h")
-        .groupBy(F.col(id_col).alias("id"))
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    if strategy == "broadcast":
+        joined = train_sh.join(F.broadcast(bench_sh), "__h")
+    elif strategy == "shuffle":
+        joined = train_sh.join(bench_sh.hint("shuffle_hash"), "__h")
+    elif strategy == "bloom":
+        joined = _bloom_prefiltered_join(train_sh, bench_sh, fpp, expected_items)
+    else:
+        raise ValueError(
+            f"unknown decontaminate strategy {strategy!r}: "
+            "expected 'broadcast', 'bloom' or 'shuffle'"
+        )
+    return joined.groupBy(F.col(id_col).alias("id")).agg(
+        F.count(F.lit(1)).alias("n_contaminated")
     )
+
+
+def _bloom_prefiltered_join(
+    train_sh: DataFrame,
+    bench_sh: DataFrame,
+    fpp: float,
+    expected_items: int | None,
+) -> DataFrame:
+    """Inner-join ``train_sh`` to ``bench_sh`` on ``__h`` with a
+    broadcast-Bloom map-side prefilter on the train side (see
+    ``decontaminate(strategy="bloom")``). PySpark exposes no public Bloom
+    API (``DataFrameStatFunctions.bloomFilter`` is gone in 4.x and
+    ``bloom_filter_agg``/``might_contain`` are unregistered internals), so
+    the filter is built from public primitives; the probe is the one
+    Python step, Arrow-batched and numpy-vectorized."""
+    from pyspark.sql.functions import pandas_udf
+
+    spark = train_sh.sparkSession
+    n = expected_items if expected_items is not None else bench_sh.count()
+    if n <= 0:
+        # empty benchmark ⇒ nothing can be contaminated
+        return train_sh.join(bench_sh, "__h")
+    m, k = _bloom_params(n, fpp)
+
+    def positions(col: Column) -> list[Column]:
+        # k independent probe positions; the seed literal participates in
+        # the xxhash64 input tuple, giving k distinct hash functions
+        return [F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m)) for seed in range(k)]
+
+    # build: (word index, bit) per probe position, OR-folded per word by a
+    # primitive hash aggregate (map-side combined); the collect is the
+    # folded bitmap, ≈ m/64 longs, NOT the hash set
+    pos = bench_sh.select(
+        F.explode(F.array(*positions(F.col("__h")))).alias("__p")
+    )
+    words = (
+        pos.select(
+            F.shiftright(F.col("__p"), 6).alias("__w"),
+            # F.shiftleft only takes a literal shift count; the column-
+            # valued count needs the SQL form
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT))").alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__b").alias("__bits"))
+        .collect()
+    )
+    # int64 throughout: numpy silently promotes uint64⊕int64 to float64
+    bitmap = np.zeros(m // 64, dtype=np.int64)
+    for r in words:
+        bitmap[r["__w"]] = r["__bits"]
+    bc = spark.sparkContext.broadcast(bitmap.tobytes())
+
+    @pandas_udf("boolean")
+    def might_contain(pos: pd.Series) -> pd.Series:
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        bm = np.frombuffer(bc.value, dtype=np.int64)
+        mat = np.vstack(pos.to_numpy())  # (rows, k) int64 probe positions
+        # arithmetic right shift then &1 reads bit s exactly for s∈[0,63]
+        bits = (bm[mat >> 6] >> (mat & 63)) & 1
+        return pd.Series(bits.all(axis=1))
+
+    survivors = train_sh.filter(
+        might_contain(F.array(*positions(F.col("__h"))))
+    )
+    # exact verify: fpp sized the survivor set, not the result
+    return survivors.join(bench_sh, "__h")
 
 
 def paragraph_dedup(

@@ -163,6 +163,100 @@ def test_decontaminate_counts_shared_distinct_shingles(spark):
     assert 2 not in got  # clean docs don't appear
 
 
+def _decon_fixture(spark, n_train=60, n_bench=4):
+    # every 7th train doc shares a 3-gram run with some bench doc
+    bench_rows = [
+        (1000 + b, f"mark{b} alpha{b} beta{b} gamma{b} delta{b}")
+        for b in range(n_bench)
+    ]
+    train_rows = []
+    for i in range(n_train):
+        if i % 7 == 0:
+            b = i % n_bench
+            train_rows.append((i, f"pre{i} alpha{b} beta{b} gamma{b} post{i}"))
+        else:
+            train_rows.append((i, f"clean{i} words{i} only{i} here{i} now{i}"))
+    bench = spark.createDataFrame(bench_rows, ["doc_id", "text"])
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    bench_sh = set().union(*(py_shingles(t) for _, t in bench_rows))
+    want = {
+        i: len(py_shingles(t) & bench_sh)
+        for i, t in train_rows
+        if py_shingles(t) & bench_sh
+    }
+    return train, bench, want
+
+
+def test_decontaminate_strategies_agree_and_match_spec(spark):
+    train, bench, want = _decon_fixture(spark)
+    for strategy in ("broadcast", "shuffle", "bloom"):
+        got = {
+            r["id"]: r["n_contaminated"]
+            for r in dd.decontaminate(train, bench, strategy=strategy).collect()
+        }
+        assert got == want, strategy
+
+
+def test_decontaminate_bloom_exact_even_at_terrible_fpp(spark):
+    # a near-saturated filter (fpp→1) passes almost everything through to
+    # the verify join; the RESULT must not change — fpp sizes the shuffle,
+    # never the answer
+    train, bench, want = _decon_fixture(spark)
+    got = {
+        r["id"]: r["n_contaminated"]
+        for r in dd.decontaminate(
+            train, bench, strategy="bloom", fpp=0.99
+        ).collect()
+    }
+    assert got == want
+    # and with expected_items wildly understated (undersized bitmap)
+    got2 = {
+        r["id"]: r["n_contaminated"]
+        for r in dd.decontaminate(
+            train, bench, strategy="bloom", expected_items=1
+        ).collect()
+    }
+    assert got2 == want
+
+
+def test_decontaminate_bloom_empty_benchmark(spark):
+    train = spark.createDataFrame([(1, "some words here again")], ["doc_id", "text"])
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    assert dd.decontaminate(train, bench, strategy="bloom").count() == 0
+
+
+def test_decontaminate_unknown_strategy_raises(spark):
+    train = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown decontaminate strategy"):
+        dd.decontaminate(train, train, strategy="sort")
+
+
+def test_decontaminate_strategy_plan_shapes(spark):
+    from solarboat_data_pipeline_spark.plans.audit import audit
+
+    train, bench, _ = _decon_fixture(spark)
+    a_b = audit(dd.decontaminate(train, bench, strategy="broadcast"))
+    assert a_b.broadcast_join
+    a_s = audit(dd.decontaminate(train, bench, strategy="shuffle"))
+    assert "ShuffledHashJoin" in a_s.plan, a_s.plan
+    assert not a_s.broadcast_join
+    a_f = audit(dd.decontaminate(train, bench, strategy="bloom"))
+    # the probe is the sanctioned Arrow path and sits BEFORE the join
+    assert "ArrowEvalPython" in a_f.plan, a_f.plan
+    assert "BatchEvalPython" not in a_f.plan
+
+
+def test_bloom_params_standard_sizing():
+    m, k = dd._bloom_params(1_000_000, 0.01)
+    assert 9_585_000 < m < 9_600_000  # ≈ 9.59 bits/item
+    assert k == 7
+    assert m % 64 == 0
+    m2, k2 = dd._bloom_params(1, 0.5)
+    assert m2 == 64 and 1 <= k2 <= 8
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------
