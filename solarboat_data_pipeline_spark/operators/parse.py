@@ -161,13 +161,14 @@ def decode_indexed(frames: DataFrame, catalog: CanCatalog) -> DataFrame:
     matched = _matched_frames(frames, catalog)
     s = matched.select(
         "timestamp",
-        "payload_hex",
+        "__w0",
+        "__w1",
         F.explode("_spec.fields").alias("f"),
     )
     return s.select(
         "timestamp",
         F.col("f.idx").alias("idx"),
-        _decode_field(F.col("payload_hex"), F.col("f")).alias("value"),
+        _decode_field(F.col("__w0"), F.col("__w1"), F.col("f")).alias("value"),
     )
 
 
@@ -206,30 +207,61 @@ def _matched_frames(frames: DataFrame, catalog: CanCatalog) -> DataFrame:
         F.create_map(*entries),
         (F.col("signature") * 4096 + F.col("topic_id")).cast("int"),
     )
+    # the hex payload is parsed ONCE per frame into two big-endian-text
+    # 4-byte words (zero right-padding is harmless: the size guard keeps
+    # every field inside the real payload) — the per-field decode is then
+    # pure long arithmetic instead of two string F.conv parses per signal
+    # row (same-session A/B at 6 M lines / 187 columns: best pass
+    # 7.4 → 6.3 s, medians within noise — the explode + pivot shuffle
+    # dominate this stage; the word form also keeps the explode payload
+    # fixed-width)
+    ph = F.rpad(F.col("payload_hex"), 16, "0")
     return frames.select(
-        "timestamp", "payload_hex", spec.alias("_spec")
+        "timestamp",
+        F.conv(ph.substr(1, 8), 16, 10).cast("long").alias("__w0"),
+        F.conv(ph.substr(9, 8), 16, 10).cast("long").alias("__w1"),
+        spec.alias("_spec"),
     ).where(F.col("_spec").isNotNull() & (F.col("payload_len") == F.col("_spec.size")))
 
 
-def _decode_field(payload_hex: Column, f: Column) -> Column:
-    """Generic field decode over the hex payload given one field-spec
-    struct ``(idx, off, bit, width, scale)`` — small fixed codegen.
-    Semantics of the reference's ctypes ``LittleEndianStructure`` access
+def _byte_at(w0: Column, w1: Column, off: Column) -> Column:
+    """Payload byte ``off`` (0-based) out of the two pre-parsed 4-byte
+    words. shiftright() only takes a literal shift count, so the
+    per-frame word position dispatches through a 4-arm literal-shift
+    CASE — still one codegen expression, no string work."""
+    w = F.when(off < 4, w0).otherwise(w1)
+    p = off % 4
+    return (
+        F.when(p == 0, F.shiftright(w, 24))
+        .when(p == 1, F.shiftright(w, 16))
+        .when(p == 2, F.shiftright(w, 8))
+        .otherwise(w)
+    ).bitwiseAND(255)
+
+
+def _decode_field(w0: Column, w1: Column, f: Column) -> Column:
+    """Generic field decode over the pre-parsed payload words given one
+    field-spec struct ``(idx, off, bit, width, scale)`` — small fixed
+    codegen. Semantics of the reference's ctypes
+    ``LittleEndianStructure`` access
     (``lib/canparser_generator.py:29-54``): LE u16 fuse, LSB-run
     bitfields, unit scaling folded into ``scale``."""
-    lo = F.conv(payload_hex.substr(f["off"] * 2 + 1, F.lit(2)), 16, 10).cast(
-        "long"
-    )
-    hi = F.conv(payload_hex.substr(f["off"] * 2 + 3, F.lit(2)), 16, 10).cast(
-        "long"
-    )
+    lo = _byte_at(w0, w1, f["off"])
     raw = (
-        F.when(f["width"] == 16, lo + hi * 256)
+        F.when(f["width"] == 16, lo + _byte_at(w0, w1, f["off"] + 1) * 256)
         .when(f["width"] == 8, lo)
-        # shiftright() only takes a literal shift; the arithmetic form
-        # (exact for byte-range values) accepts the per-field column
+        # bitfield: the shift count is a per-field COLUMN, so divide by
+        # the power-of-two literal instead (exact for byte-range values)
         .otherwise(
-            F.floor(lo / F.pow(F.lit(2.0), f["bit"])).cast("long").bitwiseAND(1)
+            F.floor(
+                lo
+                / F.element_at(
+                    F.array(*[F.lit(1 << b) for b in range(8)]),
+                    f["bit"].cast("int") + 1,
+                )
+            )
+            .cast("long")
+            .bitwiseAND(1)
         )
     )
     return raw.cast("double") * f["scale"]
@@ -253,7 +285,7 @@ def _decode_frame_entries(frames: DataFrame, catalog: CanCatalog) -> DataFrame:
         slots.append(
             F.struct(
                 f["idx"].alias("idx"),
-                _decode_field(F.col("payload_hex"), f).alias("value"),
+                _decode_field(F.col("__w0"), F.col("__w1"), f).alias("value"),
             )
         )
     entries = F.filter(
