@@ -177,3 +177,96 @@ def test_crop_bounds_multi_file_order(spark, tmp_path):
     # the corrupt early row (50) is cropped; everything in-range survives
     assert 1700000050.0 not in ts
     assert len(ts) == 2 + 3000 + 1  # a.log keeps 2 of 3; all of b.log
+
+
+def test_randomized_decode_parity_vs_python_reference(spark, tmp_path):
+    """Seeded-random catalogs + payloads, decoded cell-for-cell three
+    ways: the index-keyed long path (word-arithmetic `_decode_field`),
+    the fused conditional-aggregate path (`CanSignal.decode` over the
+    hex string — an independent Spark expression), and a pure-Python
+    byte decoder implementing the ctypes LittleEndianStructure
+    semantics directly. Duplicate-timestamp frames exercise the A1
+    mean; wrong-length payloads and unknown signatures must drop."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    type_pool = ["u8", "u16", "bitfield"]
+    modules = []
+    for m in range(2):
+        topics = []
+        for t in range(3):
+            n_fields = rng.randint(1, 6)
+            fields = [{"name": "sig", "type": "u8", "units": ""}] + [
+                {"name": f"f{k}", "type": rng.choice(type_pool), "units": ""}
+                for k in range(n_fields)
+            ]
+            topics.append({"name": f"T{t}", "id": 0x20 + 16 * m + t, "bytes": fields})
+        modules.append({"name": f"MOD{m}", "signature": 0xA0 + m, "topics": topics})
+    catalog = CanCatalog.from_dict({"modules": modules})
+
+    def py_decode(payload: bytes, s) -> float:
+        if s.bit_width == 16:
+            raw = payload[s.byte_offset] + payload[s.byte_offset + 1] * 256
+        elif s.bit_width == 8:
+            raw = payload[s.byte_offset]
+        else:
+            raw = (payload[s.byte_offset] >> s.bit_offset) & 1
+        return raw * s.scale
+
+    lines, expected = [], {}  # expected[(ts_us, col)] = [values to mean]
+    cols = catalog.wide_columns()
+    ts_base = 1_700_000_000_000_000
+    for i in range(300):
+        mod, top = rng.choice(list(catalog.iter_topics()))
+        # ~1 in 6 lines reuses the previous timestamp (A1 mean case)
+        ts_us = ts_base + (i - (1 if i and rng.random() < 0.18 else 0)) * 1000
+        kind = rng.random()
+        if kind < 0.08:  # wrong-length payload: size guard must drop it
+            payload = bytes([mod.signature]) + bytes(
+                rng.randrange(256) for _ in range(top.size + rng.choice([-1, 1]) - 1)
+            )
+        elif kind < 0.14:  # unknown signature: spec probe must drop it
+            payload = bytes([0x55]) + bytes(
+                rng.randrange(256) for _ in range(top.size - 1)
+            )
+        else:
+            payload = bytes([mod.signature]) + bytes(
+                rng.randrange(256) for _ in range(top.size - 1)
+            )
+            from solarboat_data_pipeline_spark.catalog import SEPARATOR
+
+            for s in top.signals:
+                col = SEPARATOR.join([mod.name, top.name, s.name])
+                expected.setdefault((ts_us, col), []).append(
+                    py_decode(payload, s)
+                )
+        lines.append(
+            f"({ts_us // 1_000_000}.{ts_us % 1_000_000:06d}) can0 "
+            f"{top.topic_id:03x}#{payload.hex()}"
+        )
+    f = tmp_path / "rand.candump"
+    f.write_text("\n".join(lines) + "\n")
+
+    frames = with_frame_meta(
+        with_timestamp(extract_frames(scan_candump(spark, str(f))))
+    )
+    want = {}  # (ts_us, col) -> mean
+    for (ts_us, col), vals in expected.items():
+        want[(ts_us, col)] = sum(vals) / len(vals)
+    want_ts = {ts for ts, _ in want}
+
+    for strategy in ("long", "fused"):
+        wide = decode_wide(frames, catalog, downcast=False, strategy=strategy)
+        got = {}
+        for r in wide.collect():
+            ts_us = int(r["timestamp"].timestamp() * 1_000_000)
+            for c in cols:
+                if r[c] is not None:
+                    got[(ts_us, c)] = r[c]
+        assert set(got) == set(want), strategy
+        for k, v in want.items():
+            assert got[k] == pytest.approx(v, abs=1e-9), (strategy, k)
+        # every rejected line produced no row at all
+        got_ts = {int(r["timestamp"].timestamp() * 1_000_000)
+                  for r in wide.collect()}
+        assert got_ts == want_ts, strategy
