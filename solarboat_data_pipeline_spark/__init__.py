@@ -154,8 +154,10 @@ from solarboat_data_pipeline_spark.operators.sampling import (
     weighted_mix,
 )
 from solarboat_data_pipeline_spark.operators.similarity import (
+    build_ivf_index,
     cosine_topk,
     ivf_topk,
+    ivf_topk_indexed,
     lsh_ann_topk,
 )
 from solarboat_data_pipeline_spark.operators.skew import (
@@ -217,6 +219,7 @@ __all__ = [
     "simhash_near_dup_pairs", "ngram_jaccard_pairs",
     "embedding_lsh_dedup_pairs", "near_dup_dedup", "decontaminate",
     "cosine_topk", "ivf_topk", "lsh_ann_topk",
+    "build_ivf_index", "ivf_topk_indexed",
     "quality_metrics", "quality_filter", "lang_id", "token_count",
     "redact_pii",
     "hash_sample", "weighted_mix", "stratified_sample",

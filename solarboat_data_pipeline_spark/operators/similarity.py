@@ -181,6 +181,89 @@ def ivf_topk(
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF structure: the corpus assignments land under
+    ``<path>/cells`` PARTITIONED BY the cell id and the centroid table
+    under ``<path>/centroids``. Partitioning by cell is the point — a
+    probe against the stored index becomes directory-level PARTITION
+    PRUNING, so a search reads ~``nprobe/n_centroids`` of the corpus
+    bytes from storage instead of scanning it (the property that makes
+    IVF an INDEX at 100 TB rather than a filter)."""
+    assigned = ivf_assign(df, n_centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/cells")
+    df.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec")
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    query_vecs: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against a PERSISTED IVF index
+    (:func:`build_ivf_index`) — identical results to :func:`ivf_topk` on
+    the indexed corpus, but the corpus is never rebuilt or re-assigned:
+    queries rank against the stored centroids (tiny read), and the cell
+    join's broadcast of the probed (query, cell) pairs lets Spark's
+    dynamic partition pruning drop every unprobed cell directory AT THE
+    SCAN (`PartitionFilters: dynamicpruning#...` — asserted in
+    tests/test_dedup_similarity_text.py), so storage reads scale with
+    ``nprobe/n_centroids``, not corpus size."""
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    cells = spark.read.parquet(f"{index_path}/cells")
+    w_probe = Window.partitionBy(id_col).orderBy(
+        F.col("__ccos").desc(), F.col("cid").asc()
+    )
+    queries = (
+        query_vecs.crossJoin(F.broadcast(cent))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cid"),
+            cosine(F.col(vec_col), F.col("c_vec")).alias("__ccos"),
+        )
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .where(F.col("__rn") <= nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("cid").alias("q_cid"),
+        )
+    )
+    corpus = cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("cid").alias("c_cid"),
+    )
+    sims = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("c_cid") == F.col("q_cid"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     """Random-hyperplane bucket id: bit p = sign of ⟨vec, plane_p⟩."""
     acc = F.lit(0).cast("long")

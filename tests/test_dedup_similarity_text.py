@@ -346,6 +346,47 @@ def test_ivf_nprobe_only_adds_candidates(vecs):
     assert sum(map(len, two.values())) > sum(map(len, one.values()))
 
 
+def test_ivf_index_matches_in_memory_ivf(spark, vecs, tmp_path):
+    """The persisted-index search must return EXACTLY what the in-memory
+    ivf_topk returns on the same corpus — the index is a materialization,
+    never an approximation change."""
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "ivf_idx")
+    sim.build_ivf_index(vecs, idx, n_centroids=4)
+    qv = vecs.where(F.col("vec_id") < 4)
+    got = sorted(
+        tuple(r)
+        for r in sim.ivf_topk_indexed(spark, idx, qv, k=3, nprobe=2).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in sim.ivf_topk(
+            vecs, query_ids=range(4), k=3, n_centroids=4, nprobe=2
+        ).collect()
+    )
+    assert got == want and got
+
+
+def test_ivf_index_probe_uses_dynamic_partition_pruning(spark, vecs, tmp_path):
+    """The scale contract of the stored index: the cells scan must carry a
+    dynamic-pruning partition filter on cid (probe reads ~nprobe/n_cells
+    of the stored bytes), and the cells directory must actually be
+    partitioned by cell."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "ivf_idx")
+    sim.build_ivf_index(vecs, idx, n_centroids=4)
+    parts = [d for d in os.listdir(f"{idx}/cells") if d.startswith("cid=")]
+    assert parts, os.listdir(f"{idx}/cells")
+    qv = vecs.where(F.col("vec_id") < 4)
+    out = sim.ivf_topk_indexed(spark, idx, qv, k=3, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan
+
+
 def test_lsh_ann_cosine_values_exact_and_same_bucket(vecs):
     hp = sim.hyperplanes(4)
 
