@@ -136,13 +136,17 @@ from solarboat_data_pipeline_spark.functions.solar import (
 
 # --- LLM-data-pipeline operators ------------------------------------------
 from solarboat_data_pipeline_spark.operators.dedup import (
+    band_index,
     decontaminate,
+    dedup_against,
     embedding_lsh_dedup_pairs,
     exact_dedup,
     paragraph_dedup,
     lsh_candidate_pairs,
+    near_dup_against,
     near_dup_dedup,
     ngram_jaccard_pairs,
+    signature_index,
     simhash_near_dup_pairs,
     with_minhash,
     with_simhash,
@@ -156,6 +160,7 @@ from solarboat_data_pipeline_spark.operators.sampling import (
 from solarboat_data_pipeline_spark.operators.similarity import (
     build_ivf_index,
     cosine_topk,
+    extend_ivf_index,
     ivf_topk,
     ivf_topk_indexed,
     lsh_ann_topk,
@@ -218,8 +223,9 @@ __all__ = [
     "exact_dedup", "paragraph_dedup", "with_minhash", "lsh_candidate_pairs", "with_simhash",
     "simhash_near_dup_pairs", "ngram_jaccard_pairs",
     "embedding_lsh_dedup_pairs", "near_dup_dedup", "decontaminate",
+    "dedup_against", "band_index", "signature_index", "near_dup_against",
     "cosine_topk", "ivf_topk", "lsh_ann_topk",
-    "build_ivf_index", "ivf_topk_indexed",
+    "build_ivf_index", "ivf_topk_indexed", "extend_ivf_index",
     "quality_metrics", "quality_filter", "lang_id", "token_count",
     "redact_pii",
     "hash_sample", "weighted_mix", "stratified_sample",

@@ -105,6 +105,14 @@ def ivf_assign(
     cent = df.where(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec")
     )
+    return _assign_to(df, cent, id_col, vec_col)
+
+
+def _assign_to(
+    df: DataFrame, cent: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment against an explicit centroid table
+    ``(cid, c_vec)`` — broadcast of the tiny set, O(N·C) in codegen."""
     scored = df.crossJoin(F.broadcast(cent)).select(
         F.col(id_col),
         F.col(vec_col),
@@ -200,6 +208,26 @@ def build_ivf_index(
     df.where(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec")
     ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def extend_ivf_index(
+    df_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign ONLY the new vectors
+    against the STORED centroids and append their rows into the
+    existing cell partitions — the corpus already indexed is never
+    re-read or re-assigned. Because assignment is a pure function of
+    (vector, centroid table), an extended index is row-identical to
+    rebuilding on the union as long as the centroid seeds (ids <
+    n_centroids) were in the original corpus — the equivalence
+    ``tests/test_dedup_similarity_text.py`` locks."""
+    spark = df_new.sparkSession
+    cent = spark.read.parquet(f"{path}/centroids")
+    assigned = _assign_to(df_new, cent, id_col, vec_col)
+    assigned.write.mode("append").partitionBy("cid").parquet(f"{path}/cells")
 
 
 def ivf_topk_indexed(

@@ -387,6 +387,30 @@ def test_ivf_index_probe_uses_dynamic_partition_pruning(spark, vecs, tmp_path):
     assert "dynamicpruning" in plan, plan
 
 
+def test_ivf_index_extend_equals_rebuild_on_union(spark, vecs, tmp_path):
+    """Appending an increment's assignments against the STORED centroids
+    must yield an index row-identical to rebuilding on the union (the
+    centroid seeds live in the original corpus), and searches against
+    either must agree."""
+    from pyspark.sql import functions as F
+
+    # the centroid seeds (ids < 4) must be in the original corpus
+    seen = vecs.where((F.col("vec_id") < 4) | (F.col("vec_id") % 3 != 2))
+    inc = vecs.where((F.col("vec_id") >= 4) & (F.col("vec_id") % 3 == 2))
+    a, b = str(tmp_path / "ext"), str(tmp_path / "full")
+    sim.build_ivf_index(seen, a, n_centroids=4)
+    sim.extend_ivf_index(inc, a)
+    sim.build_ivf_index(vecs, b, n_centroids=4)
+    rows = lambda p: sorted(  # noqa: E731
+        (r["vec_id"], r["cid"]) for r in spark.read.parquet(f"{p}/cells").collect()
+    )
+    assert rows(a) == rows(b) and len(rows(a)) == vecs.count()
+    qv = vecs.where(F.col("vec_id") < 4)
+    ra = sorted(tuple(r) for r in sim.ivf_topk_indexed(spark, a, qv, k=3, nprobe=2).collect())
+    rb = sorted(tuple(r) for r in sim.ivf_topk_indexed(spark, b, qv, k=3, nprobe=2).collect())
+    assert ra == rb and ra
+
+
 def test_lsh_ann_cosine_values_exact_and_same_bucket(vecs):
     hp = sim.hyperplanes(4)
 
