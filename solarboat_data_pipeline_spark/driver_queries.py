@@ -3247,6 +3247,30 @@ def samp_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "samp_shard_shuffle",
+    f"""
+    WITH h AS (SELECT doc_id, {sql_h32("doc_id", salt="ep0")} AS hh
+               FROM documents)
+    SELECT doc_id,
+           (hh % 8)::INT AS shard,
+           (row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id)
+             - 1)::BIGINT AS shard_pos
+    FROM h
+    """,
+)
+def samp_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into dataloader shards
+    (operators/sampling.py:shard_corpus — round 7): shard =
+    h32('ep0' || doc_id) % 8, shard_pos = the pseudorandom-but-
+    reproducible order within the shard. One exchange on the shard id;
+    every task sorts only its shard — no RNG, no global sort, identical
+    output at any cluster size. The salt reshuffles between epochs."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sp.shard_corpus(docs, n_shards=8, key_col="doc_id", salt="ep0")
+    return out.select("doc_id", "shard", "shard_pos")
+
+
+@register(
     "samp_weighted_mix",
     f"""
     SELECT doc_id, source FROM documents
@@ -4095,11 +4119,12 @@ def k_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gate every run; the flagship q1_pricing_summary is additionally
 # smoke-run by the driver's entry() every round.
 _PRIORITY = [
-    # 1. never-green: the four queries NEW this round (4)
+    # 1. never-green: the five queries NEW this round (5)
     "st_stream_asof_linear",
     "dd_near_dup_incremental",
     "txt_decontaminate_scaled",
     "sim_ivf_index_topk",
+    "samp_shard_shuffle",
     # 2. operator code changed this round: the stateful module gained
     #    the watermark-buffered kernels (st_stream_asof now runs
     #    buffered; st_stream_ffill shares the module), paragraph dedup

@@ -169,3 +169,39 @@ def token_budget_sample_bucketed(
     return b.filter(
         (F.col("__cum_local") + F.col("__pre")) <= budget_tokens
     ).drop("__sb", "__hbkt", "__cum_local", "__pre")
+
+
+def shard_corpus(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the last step of
+    training-data prep, where the curated corpus becomes N dataloader
+    shards in a pseudorandom but REPRODUCIBLE order (no RNG: a task
+    retry, a different cluster size, or a re-run from scratch produces
+    byte-identical shards). Each row gets
+
+    * ``shard``     — ``h32(salt ‖ key) % n_shards``, and
+    * ``shard_pos`` — its 0-based position within the shard under the
+      hash order (ties broken by key), i.e. the global pseudorandom
+      order restricted to the shard.
+
+    100 TB shape: ONE exchange on the shard id, then each task sorts
+    only its own shard — pick ``n_shards`` so a shard fits a task (the
+    standard corpus-shuffle layout; more shards = more parallelism AND
+    smaller sorts, never a global sort). Writing the result with
+    ``partitionBy("shard")`` + ``sortWithinPartitions("shard",
+    "shard_pos")`` persists exactly what a dataloader consumes.
+    ``salt`` reshuffles between epochs without touching the data."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    h = h32(F.col(key_col).cast("string"), salt=salt)
+    w = Window.partitionBy("shard").orderBy("__h", key_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+        .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__h")
+    )

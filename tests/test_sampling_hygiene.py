@@ -135,6 +135,45 @@ def test_token_budget_bucketed_matches_global(spark):
     assert got_g == want_g
 
 
+def test_shard_corpus_matches_python_spec_and_is_layout_invariant(spark):
+    df = spark.range(400).select(F.col("id").alias("doc_id"))
+    want = {}
+    per_shard = {}
+    for i in range(400):
+        h = py_h32("sX" + str(i))
+        per_shard.setdefault(h % 8, []).append((h, i))
+    for s, rows in per_shard.items():
+        for pos, (_, i) in enumerate(sorted(rows)):
+            want[i] = (s, pos)
+    for n_parts in (1, 7, 32):
+        out = sp.shard_corpus(
+            df.repartition(n_parts), n_shards=8, key_col="doc_id", salt="sX"
+        )
+        got = {r["doc_id"]: (r["shard"], r["shard_pos"]) for r in out.collect()}
+        assert got == want, n_parts  # exact, every row once, layout-proof
+    # positions are dense 0..len-1 per shard
+    sizes = {}
+    for s, _ in want.values():
+        sizes[s] = sizes.get(s, 0) + 1
+    for s, rows in per_shard.items():
+        assert sorted(p for sh, p in want.values() if sh == s) == list(
+            range(sizes[s])
+        )
+
+
+def test_shard_corpus_salt_reshuffles_and_guards(spark):
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: (r["shard"], r["shard_pos"])
+         for r in sp.shard_corpus(df, 8, salt="ep0").collect()}
+    b = {r["doc_id"]: (r["shard"], r["shard_pos"])
+         for r in sp.shard_corpus(df, 8, salt="ep1").collect()}
+    assert a != b and set(a) == set(b)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        sp.shard_corpus(df, 0)
+
+
 # ---------------------------------------------------------------------------
 # decontamination
 # ---------------------------------------------------------------------------
