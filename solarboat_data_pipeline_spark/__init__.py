@@ -153,6 +153,7 @@ from solarboat_data_pipeline_spark.operators.dedup import (
 )
 from solarboat_data_pipeline_spark.operators.sampling import (
     hash_sample,
+    pack_sequences,
     shard_corpus,
     stratified_sample,
     token_budget_sample,

@@ -3271,6 +3271,46 @@ def samp_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "samp_pack_sequences",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      len({SQL_TOKENS.format(t="text")})::BIGINT AS n_tok,
+                      {sql_h32("doc_id", salt="pk")} AS hh
+               FROM documents),
+         c AS (SELECT doc_id, n_tok,
+                      coalesce(sum(n_tok) OVER (
+                        ORDER BY hh, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0)::BIGINT AS start_tok
+               FROM t)
+    SELECT doc_id, n_tok, start_tok,
+           (start_tok // 512)::BIGINT AS block_first,
+           (CASE WHEN n_tok > 0 THEN (start_tok + n_tok - 1) // 512
+                 ELSE start_tok // 512 END)::BIGINT AS block_last,
+           (start_tok % 512)::BIGINT AS block_offset
+    FROM c
+    """,
+)
+def samp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing
+    (operators/sampling.py:pack_sequences — round 7): the corpus laid
+    end to end as one deterministic pseudorandom token stream and split
+    into 512-token training sequences; each document gets its exact
+    global slice and block coordinates. The running sum is the
+    bucketed two-level form (contiguous hash ranges → bucket-local
+    cumsums + an exclusive prefix over the tiny bucket totals), never
+    one global sort; the oracle replays the identical order and
+    arithmetic with a single SQL window."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    out = sp.pack_sequences(docs, 512, "n_tok", key_col="doc_id", salt="pk")
+    return out.select(
+        "doc_id", "n_tok", "start_tok", "block_first", "block_last", "block_offset"
+    )
+
+
+@register(
     "samp_weighted_mix",
     f"""
     SELECT doc_id, source FROM documents
@@ -4119,12 +4159,13 @@ def k_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gate every run; the flagship q1_pricing_summary is additionally
 # smoke-run by the driver's entry() every round.
 _PRIORITY = [
-    # 1. never-green: the five queries NEW this round (5)
+    # 1. never-green: the six queries NEW this round (6)
     "st_stream_asof_linear",
     "dd_near_dup_incremental",
     "txt_decontaminate_scaled",
     "sim_ivf_index_topk",
     "samp_shard_shuffle",
+    "samp_pack_sequences",
     # 2. operator code changed this round: the stateful module gained
     #    the watermark-buffered kernels (st_stream_asof now runs
     #    buffered; st_stream_ffill shares the module), paragraph dedup

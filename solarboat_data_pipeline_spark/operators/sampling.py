@@ -205,3 +205,71 @@ def shard_corpus(
         .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("long"))
         .drop("__h")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    block_tokens: int,
+    size_col: str | Column,
+    key_col: str = "doc_id",
+    salt: str = "",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    layout where the corpus is laid end to end as ONE deterministic
+    pseudorandom token stream and split into fixed-``block_tokens``
+    training sequences. Each row gets its exact slice of that stream:
+
+    * ``start_tok``    — global 0-based position of the document's first
+      token under the hash order (``h32(salt ‖ key)``, ties by key);
+    * ``block_first`` / ``block_last`` — the training sequences the
+      document lands in (a document spanning a boundary is split by the
+      loader; zero-token documents sit degenerately at ``block_first``);
+    * ``block_offset`` — ``start_tok % block_tokens``, where inside
+      ``block_first`` its tokens begin.
+
+    Deterministic like everything in this module: re-runs, retries and
+    different cluster layouts produce the identical packing, and
+    ``salt`` re-packs between epochs.
+
+    Scale: the global running sum uses the same two-level structure as
+    :func:`token_budget_sample_bucketed` — ``num_buckets`` CONTIGUOUS
+    hash ranges make the bucket id non-decreasing in the global order,
+    so bucket-local cumsums (N parallel sorts of corpus/N rows) plus an
+    exclusive prefix over the ≤``num_buckets`` bucket totals (a window
+    over a tiny broadcast summary) reconstruct exact global positions —
+    never one global sort."""
+    if block_tokens <= 0:
+        raise ValueError(f"block_tokens must be positive, got {block_tokens}")
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    h = h32(F.col(key_col).cast("string"), salt=salt)
+    width = -(-(1 << 32) // num_buckets)  # ceil: covers the full h32 range
+    b = df.withColumn("__h", h).withColumn(
+        "__hbkt", (F.col("__h") / width).cast("int")
+    )
+    w_local = (
+        Window.partitionBy("__hbkt")
+        .orderBy("__h", key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = b.withColumn("__pre_local", F.coalesce(F.sum(size).over(w_local), F.lit(0)))
+    totals = b.groupBy("__hbkt").agg(F.sum(size).alias("__tot"))
+    w_pre = Window.orderBy("__hbkt").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.select(
+        "__hbkt", F.coalesce(F.sum("__tot").over(w_pre), F.lit(0)).alias("__pre")
+    )
+    b = b.join(F.broadcast(prefix), "__hbkt", "left")
+    start = (F.col("__pre") + F.col("__pre_local")).cast("long")
+    bf = F.floor(start / block_tokens).cast("long")
+    return (
+        b.withColumn("start_tok", start)
+        .withColumn("block_first", bf)
+        .withColumn(
+            "block_last",
+            F.when(size > 0, F.floor((start + size - 1) / block_tokens))
+            .otherwise(bf)
+            .cast("long"),
+        )
+        .withColumn("block_offset", F.pmod(start, F.lit(block_tokens)).cast("long"))
+        .drop("__h", "__hbkt", "__pre_local", "__pre")
+    )

@@ -161,6 +161,43 @@ def test_shard_corpus_matches_python_spec_and_is_layout_invariant(spark):
         )
 
 
+def test_pack_sequences_matches_python_spec(spark):
+    sizes = {i: (i * 7) % 11 for i in range(200)}  # includes 0-token docs
+    df = spark.createDataFrame(
+        [(i, n) for i, n in sizes.items()], ["doc_id", "n_tok"]
+    )
+    order = sorted(sizes, key=lambda i: (py_h32("pk" + str(i)), i))
+    want, cum = {}, 0
+    B = 16
+    for i in order:
+        n = sizes[i]
+        last = (cum + n - 1) // B if n > 0 else cum // B
+        want[i] = (cum, cum // B, last, cum % B)
+        cum += n
+    for n_parts in (1, 13):
+        out = sp.pack_sequences(
+            df.repartition(n_parts), B, "n_tok", key_col="doc_id", salt="pk",
+            num_buckets=8,
+        )
+        got = {
+            r["doc_id"]: (r["start_tok"], r["block_first"],
+                          r["block_last"], r["block_offset"])
+            for r in out.collect()
+        }
+        assert got == want, n_parts
+    # the stream is gapless: total tokens == sum of sizes; consecutive
+    # docs' slices tile it exactly (implied by start == python cumsum)
+    assert cum == sum(sizes.values())
+
+
+def test_pack_sequences_guards(spark):
+    df = spark.createDataFrame([(1, 5)], ["doc_id", "n_tok"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="block_tokens"):
+        sp.pack_sequences(df, 0, "n_tok")
+
+
 def test_shard_corpus_salt_reshuffles_and_guards(spark):
     df = spark.range(100).select(F.col("id").alias("doc_id"))
     a = {r["doc_id"]: (r["shard"], r["shard_pos"])
