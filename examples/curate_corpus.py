@@ -10,7 +10,11 @@ job would run it:
 4. benchmark decontamination (broadcast eval-shingle overlap)
 5. PII redaction             (chained regexp_replace)
 6. token-budget sample       (deterministic hash-order prefix per source)
-7. parquet sink              (idempotent mode="ignore" restartability)
+7. shard + pack              (deterministic global shuffle into dataloader
+                              shards; concat-and-chunk block coordinates)
+8. parquet sink              (idempotent mode="ignore" restartability;
+                              partitioned + sorted exactly as a
+                              dataloader consumes it)
 
 Every stage is a verified operator with a DuckDB oracle in the driver
 contract; this script just chains them, the same way
@@ -34,6 +38,8 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/curated_corpus")
     ap.add_argument("--budget-tokens", type=int, default=2000)
     ap.add_argument("--near-dup-threshold", type=float, default=0.5)
+    ap.add_argument("--n-shards", type=int, default=4)
+    ap.add_argument("--block-tokens", type=int, default=512)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -82,14 +88,29 @@ def main() -> None:
         strata_col="source", salt="curate",
     )
 
-    # 7. idempotent sink: a rerun with the same out dir is a no-op
-    write_parquet(sampled, args.out, mode="ignore")
+    # 7. deterministic global shuffle into dataloader shards + the
+    # concat-and-chunk block coordinates each shard's loader consumes
+    sharded = sp.shard_corpus(sampled, args.n_shards, salt="ep0")
+    packed = sp.pack_sequences(
+        sharded, args.block_tokens, "n_tokens", salt="ep0"
+    )
+
+    # 8. idempotent sink in dataloader layout: one directory per shard,
+    # rows in shard order (a rerun with the same out dir is a no-op)
+    write_parquet(
+        packed.repartition("shard").sortWithinPartitions("shard", "shard_pos"),
+        args.out,
+        mode="ignore",
+        partition_by=["shard"],
+    )
 
     kept = spark.read.parquet(args.out)
     stats = kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("tokens")
     )
+    n_blocks = kept.agg((F.max("block_last") + 1).alias("b")).first()["b"]
     print(f"curation: {n0} docs in -> {kept.count()} out at {args.out}")
+    print(f"  {args.n_shards} shards, {n_blocks} x {args.block_tokens}-token blocks")
     for r in stats.orderBy("source").collect():
         print(f"  {r['source']}: {r['docs']} docs, {r['tokens']} tokens")
 
