@@ -89,10 +89,15 @@ def main() -> None:
     )
 
     # 7. deterministic global shuffle into dataloader shards + the
-    # concat-and-chunk block coordinates each shard's loader consumes
+    # concat-and-chunk block coordinates each shard's loader consumes.
+    # partition_col="shard" makes every shard its OWN 0-based token
+    # stream, so each shard directory is self-contained — packing the
+    # global stream here would scatter each block's documents across
+    # all shard directories.
     sharded = sp.shard_corpus(sampled, args.n_shards, salt="ep0")
     packed = sp.pack_sequences(
-        sharded, args.block_tokens, "n_tokens", salt="ep0"
+        sharded, args.block_tokens, "n_tokens", salt="ep0",
+        partition_col="shard",
     )
 
     # 8. idempotent sink in dataloader layout: one directory per shard,
@@ -108,9 +113,13 @@ def main() -> None:
     stats = kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("tokens")
     )
-    n_blocks = kept.agg((F.max("block_last") + 1).alias("b")).first()["b"]
+    blocks_per_shard = (
+        kept.groupBy("shard").agg((F.max("block_last") + 1).alias("b"))
+        .agg(F.sum("b").alias("t")).first()["t"]
+    )
     print(f"curation: {n0} docs in -> {kept.count()} out at {args.out}")
-    print(f"  {args.n_shards} shards, {n_blocks} x {args.block_tokens}-token blocks")
+    print(f"  {args.n_shards} shards, {blocks_per_shard} x "
+          f"{args.block_tokens}-token blocks across them (per-shard streams)")
     for r in stats.orderBy("source").collect():
         print(f"  {r['source']}: {r['docs']} docs, {r['tokens']} tokens")
 

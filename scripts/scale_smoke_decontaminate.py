@@ -69,12 +69,18 @@ def _stage_ids(spark) -> set[int]:
     return {s["stageId"] for s in _api(spark, f"/{app}/stages?status=complete")}
 
 
-def _run_measured(spark, df):
-    """count() the frame; return (rows, wall_sec, total shuffle write B,
-    peak single-task shuffle read B) over the stages the action created."""
+def _run_measured(spark, make_df):
+    """Build the frame via ``make_df()`` INSIDE the measured window and
+    count() it; return (df, rows, wall_sec, total shuffle write B, peak
+    single-task shuffle read B) over every stage either step created.
+    Construction must be inside the window because the bloom strategy
+    runs its sizing/bitmap-build jobs eagerly at DataFrame-construction
+    time — snapshotting after construction would silently exclude the
+    filter build from the bloom side's wire accounting."""
     app = spark.sparkContext.applicationId
     before = _stage_ids(spark)
     t0 = time.perf_counter()
+    df = make_df()
     rows = df.count()
     wall = time.perf_counter() - t0
     new = [
@@ -96,7 +102,7 @@ def _run_measured(spark, df):
             peak_read = max(peak_read, int(q["shuffleReadMetrics"]["readBytes"][0]))
         except Exception:
             pass
-    return rows, wall, shuffle_write, peak_read
+    return df, rows, wall, shuffle_write, peak_read
 
 
 def generate(spark):
@@ -149,12 +155,15 @@ def main() -> None:
     # globally distinct by construction); the count() path is covered by
     # the driver row and unit tests
     expected_items = N_BENCH * 6
-    shuffle_df = decontaminate(train, bench, strategy="shuffle")
-    s_rows, s_wall, s_shw, s_peak = _run_measured(spark, shuffle_df)
-    bloom_df = decontaminate(
-        train, bench, strategy="bloom", expected_items=expected_items
+    shuffle_df, s_rows, s_wall, s_shw, s_peak = _run_measured(
+        spark, lambda: decontaminate(train, bench, strategy="shuffle")
     )
-    b_rows, b_wall, b_shw, b_peak = _run_measured(spark, bloom_df)
+    bloom_df, b_rows, b_wall, b_shw, b_peak = _run_measured(
+        spark,
+        lambda: decontaminate(
+            train, bench, strategy="bloom", expected_items=expected_items
+        ),
+    )
 
     # 1. strategy parity, all three
     bcast_df = decontaminate(train, bench, strategy="broadcast")

@@ -876,10 +876,20 @@ def _bloom_prefiltered_join(
     API (``DataFrameStatFunctions.bloomFilter`` is gone in 4.x and
     ``bloom_filter_agg``/``might_contain`` are unregistered internals), so
     the filter is built from public primitives; the probe is the one
-    Python step, Arrow-batched and numpy-vectorized."""
+    Python step, Arrow-batched and numpy-vectorized.
+
+    The bench shingle chain (tokenize → shingle → md5) is the most
+    expensive expression here and is consumed by up to three jobs (the
+    sizing count, the bitmap build, the verify join), so it is
+    localCheckpointed once instead of recomputed per job. The bitmap
+    broadcast lives until the application ends (Spark broadcasts have
+    no scoped lifetime while the returned plan may still execute) —
+    reuse the returned DataFrame rather than calling repeatedly when
+    the filter is large."""
     from pyspark.sql.functions import pandas_udf
 
     spark = train_sh.sparkSession
+    bench_sh = bench_sh.localCheckpoint(eager=False)
     n = expected_items if expected_items is not None else bench_sh.count()
     if n <= 0:
         # empty benchmark ⇒ nothing can be contaminated

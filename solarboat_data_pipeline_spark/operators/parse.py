@@ -161,14 +161,13 @@ def decode_indexed(frames: DataFrame, catalog: CanCatalog) -> DataFrame:
     matched = _matched_frames(frames, catalog)
     s = matched.select(
         "timestamp",
-        "__w0",
-        "__w1",
+        "__w",
         F.explode("_spec.fields").alias("f"),
     )
     return s.select(
         "timestamp",
         F.col("f.idx").alias("idx"),
-        _decode_field(F.col("__w0"), F.col("__w1"), F.col("f")).alias("value"),
+        _decode_field(F.col("__w"), F.col("f")).alias("value"),
     )
 
 
@@ -207,29 +206,38 @@ def _matched_frames(frames: DataFrame, catalog: CanCatalog) -> DataFrame:
         F.create_map(*entries),
         (F.col("signature") * 4096 + F.col("topic_id")).cast("int"),
     )
-    # the hex payload is parsed ONCE per frame into two big-endian-text
+    # the hex payload is parsed ONCE per frame into big-endian-text
     # 4-byte words (zero right-padding is harmless: the size guard keeps
     # every field inside the real payload) — the per-field decode is then
     # pure long arithmetic instead of two string F.conv parses per signal
     # row (same-session A/B at 6 M lines / 187 columns: best pass
     # 7.4 → 6.3 s, medians within noise — the explode + pivot shuffle
     # dominate this stage; the word form also keeps the explode payload
-    # fixed-width)
-    ph = F.rpad(F.col("payload_hex"), 16, "0")
+    # fixed-width). The word count comes from the catalog's LARGEST
+    # topic, so payloads beyond classic CAN's 8 bytes (CAN FD, synthetic
+    # frames) decode at any offset the catalog can declare — the packed
+    # layout guarantees every field ends at or before the topic size.
+    n_words = max(2, -(-max(t.size for _, t in catalog.iter_topics()) // 4))
+    ph = F.rpad(F.col("payload_hex"), 8 * n_words, "0")
+    words = F.array(
+        *[
+            F.conv(ph.substr(8 * w + 1, 8), 16, 10).cast("long")
+            for w in range(n_words)
+        ]
+    )
     return frames.select(
         "timestamp",
-        F.conv(ph.substr(1, 8), 16, 10).cast("long").alias("__w0"),
-        F.conv(ph.substr(9, 8), 16, 10).cast("long").alias("__w1"),
+        words.alias("__w"),
         spec.alias("_spec"),
     ).where(F.col("_spec").isNotNull() & (F.col("payload_len") == F.col("_spec.size")))
 
 
-def _byte_at(w0: Column, w1: Column, off: Column) -> Column:
-    """Payload byte ``off`` (0-based) out of the two pre-parsed 4-byte
-    words. shiftright() only takes a literal shift count, so the
-    per-frame word position dispatches through a 4-arm literal-shift
-    CASE — still one codegen expression, no string work."""
-    w = F.when(off < 4, w0).otherwise(w1)
+def _byte_at(words: Column, off: Column) -> Column:
+    """Payload byte ``off`` (0-based) out of the pre-parsed 4-byte word
+    array. shiftright() only takes a literal shift count, so the
+    within-word position dispatches through a 4-arm literal-shift CASE —
+    still one codegen expression, no string work."""
+    w = F.element_at(words, (off / 4).cast("int") + 1)
     p = off % 4
     return (
         F.when(p == 0, F.shiftright(w, 24))
@@ -239,16 +247,16 @@ def _byte_at(w0: Column, w1: Column, off: Column) -> Column:
     ).bitwiseAND(255)
 
 
-def _decode_field(w0: Column, w1: Column, f: Column) -> Column:
+def _decode_field(words: Column, f: Column) -> Column:
     """Generic field decode over the pre-parsed payload words given one
     field-spec struct ``(idx, off, bit, width, scale)`` — small fixed
     codegen. Semantics of the reference's ctypes
     ``LittleEndianStructure`` access
     (``lib/canparser_generator.py:29-54``): LE u16 fuse, LSB-run
     bitfields, unit scaling folded into ``scale``."""
-    lo = _byte_at(w0, w1, f["off"])
+    lo = _byte_at(words, f["off"])
     raw = (
-        F.when(f["width"] == 16, lo + _byte_at(w0, w1, f["off"] + 1) * 256)
+        F.when(f["width"] == 16, lo + _byte_at(words, f["off"] + 1) * 256)
         .when(f["width"] == 8, lo)
         # bitfield: the shift count is a per-field COLUMN, so divide by
         # the power-of-two literal instead (exact for byte-range values)
@@ -285,7 +293,7 @@ def _decode_frame_entries(frames: DataFrame, catalog: CanCatalog) -> DataFrame:
         slots.append(
             F.struct(
                 f["idx"].alias("idx"),
-                _decode_field(F.col("__w0"), F.col("__w1"), f).alias("value"),
+                _decode_field(F.col("__w"), f).alias("value"),
             )
         )
     entries = F.filter(

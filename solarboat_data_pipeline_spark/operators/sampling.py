@@ -214,6 +214,7 @@ def pack_sequences(
     key_col: str = "doc_id",
     salt: str = "",
     num_buckets: int = 32,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing — the standard LLM-pretraining
     layout where the corpus is laid end to end as ONE deterministic
@@ -232,6 +233,14 @@ def pack_sequences(
     different cluster layouts produce the identical packing, and
     ``salt`` re-packs between epochs.
 
+    ``partition_col`` scopes the token stream: with e.g.
+    ``partition_col="shard"`` (the :func:`shard_corpus` output) every
+    shard is its OWN 0-based stream, so each shard directory is
+    self-contained — exactly what a per-shard dataloader consumes.
+    Without it the stream (and the block ids) are corpus-global, which
+    is the right shape when the blocks themselves are what gets
+    sharded downstream.
+
     Scale: the global running sum uses the same two-level structure as
     :func:`token_budget_sample_bucketed` — ``num_buckets`` CONTIGUOUS
     hash ranges make the bucket id non-decreasing in the global order,
@@ -242,23 +251,30 @@ def pack_sequences(
     if block_tokens <= 0:
         raise ValueError(f"block_tokens must be positive, got {block_tokens}")
     size = F.col(size_col) if isinstance(size_col, str) else size_col
+    parts = [partition_col] if partition_col else []
     h = h32(F.col(key_col).cast("string"), salt=salt)
     width = -(-(1 << 32) // num_buckets)  # ceil: covers the full h32 range
     b = df.withColumn("__h", h).withColumn(
         "__hbkt", (F.col("__h") / width).cast("int")
     )
     w_local = (
-        Window.partitionBy("__hbkt")
+        Window.partitionBy(*parts, "__hbkt")
         .orderBy("__h", key_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     b = b.withColumn("__pre_local", F.coalesce(F.sum(size).over(w_local), F.lit(0)))
-    totals = b.groupBy("__hbkt").agg(F.sum(size).alias("__tot"))
-    w_pre = Window.orderBy("__hbkt").rowsBetween(Window.unboundedPreceding, -1)
-    prefix = totals.select(
-        "__hbkt", F.coalesce(F.sum("__tot").over(w_pre), F.lit(0)).alias("__pre")
+    totals = b.groupBy(*parts, "__hbkt").agg(F.sum(size).alias("__tot"))
+    w_pre = (
+        Window.partitionBy(*parts)
+        .orderBy("__hbkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    b = b.join(F.broadcast(prefix), "__hbkt", "left")
+    prefix = totals.select(
+        *parts,
+        "__hbkt",
+        F.coalesce(F.sum("__tot").over(w_pre), F.lit(0)).alias("__pre"),
+    )
+    b = b.join(F.broadcast(prefix), [*parts, "__hbkt"], "left")
     start = (F.col("__pre") + F.col("__pre_local")).cast("long")
     bf = F.floor(start / block_tokens).cast("long")
     return (

@@ -102,10 +102,19 @@ def ivf_assign(
     probe path are identical, and seeding keeps the exact SQL oracle).
     Assignment is a broadcast of the tiny centroid set against the corpus:
     no shuffle of the big side, O(N·C) fully in codegen."""
-    cent = df.where(F.col(id_col) < n_centroids).select(
+    return _assign_to(df, _seed_centroids(df, n_centroids, id_col, vec_col),
+                      id_col, vec_col)
+
+
+def _seed_centroids(
+    df: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """The ONE definition of seed-centroid selection (the first
+    ``n_centroids`` vectors by id) — shared by assignment, the stored
+    index build, and the in-memory probe path so they can never drift."""
+    return df.where(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec")
     )
-    return _assign_to(df, cent, id_col, vec_col)
 
 
 def _assign_to(
@@ -143,9 +152,7 @@ def ivf_topk(
     IVF recall/cost dial — probing multiplies only the tiny query side,
     never the corpus scan)."""
     assigned = ivf_assign(df, n_centroids, id_col, vec_col)
-    cent = df.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec")
-    )
+    cent = _seed_centroids(df, n_centroids, id_col, vec_col)
     qvecs = df.where(F.col(id_col).isin(list(query_ids)))
     w_probe = Window.partitionBy(id_col).orderBy(
         F.col("__ccos").desc(), F.col("cid").asc()
@@ -205,29 +212,58 @@ def build_ivf_index(
     IVF an INDEX at 100 TB rather than a filter)."""
     assigned = ivf_assign(df, n_centroids, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/cells")
-    df.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec")
-    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    _seed_centroids(df, n_centroids, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
 
 
 def extend_ivf_index(
     df_new: DataFrame,
     path: str,
+    increment_id: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
     """Incremental index maintenance: assign ONLY the new vectors
-    against the STORED centroids and append their rows into the
-    existing cell partitions — the corpus already indexed is never
-    re-read or re-assigned. Because assignment is a pure function of
-    (vector, centroid table), an extended index is row-identical to
-    rebuilding on the union as long as the centroid seeds (ids <
-    n_centroids) were in the original corpus — the equivalence
-    ``tests/test_dedup_similarity_text.py`` locks."""
+    against the STORED centroids and store them as the increment
+    ``<path>/cells_inc/<increment_id>`` (cell-partitioned like the
+    base) — the corpus already indexed is never re-read or re-assigned,
+    and :func:`ivf_topk_indexed` reads base + increments as one corpus.
+    Because assignment is a pure function of (vector, centroid table),
+    an extended index is row-identical to rebuilding on the union as
+    long as the centroid seeds (ids < n_centroids) were in the original
+    corpus — the equivalence ``tests/test_dedup_similarity_text.py``
+    locks.
+
+    ``increment_id`` names the ingest batch and makes RETRIES safe: the
+    write uses ``mode="ignore"``, so re-running a COMPLETED increment is
+    a no-op instead of silently duplicating index rows (the same K5
+    idempotent-restart semantics as ``sinks.write_parquet``, with the
+    same caveat — a crash mid-write leaves a partial directory that
+    must be deleted before the retry)."""
     spark = df_new.sparkSession
     cent = spark.read.parquet(f"{path}/centroids")
     assigned = _assign_to(df_new, cent, id_col, vec_col)
-    assigned.write.mode("append").partitionBy("cid").parquet(f"{path}/cells")
+    assigned.write.mode("ignore").partitionBy("cid").parquet(
+        f"{path}/cells_inc/{increment_id}"
+    )
+
+
+def _index_cells(spark, index_path: str) -> DataFrame:
+    """The full indexed corpus: the base cells plus every completed
+    increment directory (FS-agnostic listing via the Hadoop FileSystem,
+    so the index can live on HDFS/S3A as well as local disk)."""
+    cells = spark.read.parquet(f"{index_path}/cells")
+    jvm = spark._jvm
+    inc_root = jvm.org.apache.hadoop.fs.Path(f"{index_path}/cells_inc")
+    fs = inc_root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(inc_root):
+        for st in fs.listStatus(inc_root):
+            if st.isDirectory():
+                cells = cells.unionByName(
+                    spark.read.parquet(st.getPath().toString())
+                )
+    return cells
 
 
 def ivf_topk_indexed(
@@ -249,7 +285,7 @@ def ivf_topk_indexed(
     tests/test_dedup_similarity_text.py), so storage reads scale with
     ``nprobe/n_centroids``, not corpus size."""
     cent = spark.read.parquet(f"{index_path}/centroids")
-    cells = spark.read.parquet(f"{index_path}/cells")
+    cells = _index_cells(spark, index_path)
     w_probe = Window.partitionBy(id_col).orderBy(
         F.col("__ccos").desc(), F.col("cid").asc()
     )

@@ -399,10 +399,13 @@ def test_ivf_index_extend_equals_rebuild_on_union(spark, vecs, tmp_path):
     inc = vecs.where((F.col("vec_id") >= 4) & (F.col("vec_id") % 3 == 2))
     a, b = str(tmp_path / "ext"), str(tmp_path / "full")
     sim.build_ivf_index(seen, a, n_centroids=4)
-    sim.extend_ivf_index(inc, a)
+    sim.extend_ivf_index(inc, a, increment_id="inc1")
+    # a RETRY of the same completed increment must be a no-op (K5)
+    sim.extend_ivf_index(inc, a, increment_id="inc1")
     sim.build_ivf_index(vecs, b, n_centroids=4)
     rows = lambda p: sorted(  # noqa: E731
-        (r["vec_id"], r["cid"]) for r in spark.read.parquet(f"{p}/cells").collect()
+        (r["vec_id"], r["cid"])
+        for r in sim._index_cells(spark, p).collect()
     )
     assert rows(a) == rows(b) and len(rows(a)) == vecs.count()
     qv = vecs.where(F.col("vec_id") < 4)

@@ -270,3 +270,35 @@ def test_randomized_decode_parity_vs_python_reference(spark, tmp_path):
         got_ts = {int(r["timestamp"].timestamp() * 1_000_000)
                   for r in wide.collect()}
         assert got_ts == want_ts, strategy
+
+
+def test_decode_handles_payloads_beyond_8_bytes(spark):
+    """The word-array decode must cover any offset the catalog can
+    declare (CAN FD / synthetic frames exceed classic CAN's 8 bytes) —
+    a 13-byte topic reads bytes 8..12 correctly. Frames are built
+    directly since the candump source itself caps at 8 bytes."""
+    cat = CanCatalog.from_dict({
+        "modules": [{"name": "FD", "signature": 0xAB, "topics": [
+            {"name": "W", "id": 0x30, "bytes": (
+                [{"name": "sig", "type": "u8", "units": ""}]
+                + [{"name": f"p{k}", "type": "u8", "units": ""} for k in range(7)]
+                + [{"name": "tail16", "type": "u16", "units": ""},
+                   {"name": "b8", "type": "bitfield", "units": ""},
+                   {"name": "last", "type": "u8", "units": ""},
+                   {"name": "pad", "type": "u8", "units": ""}]
+            )}]}]})
+    payload = bytes([0xAB, 1, 2, 3, 4, 5, 6, 7, 0x34, 0x12, 0x05, 0xFE, 0x00])
+    import datetime
+
+    frames = spark.createDataFrame(
+        [(datetime.datetime(2023, 1, 1), payload.hex(), 0xAB, 0x30, len(payload))],
+        "timestamp timestamp, payload_hex string, signature int, "
+        "topic_id int, payload_len int",
+    )
+    r = decode_wide(frames, cat, downcast=False).first()
+    # tail16 at bytes 8-9 little-endian = 0x34 + 0x12*256
+    assert r["FD__W__tail16"] == float(0x34 + 0x12 * 256)
+    # b8: bit 0 of byte 10 (0x05) = 1 ; last: byte 11 = 0xFE
+    assert r["FD__W__b8"] == 1.0
+    assert r["FD__W__last"] == 254.0
+    assert r["FD__W__p6"] == 7.0  # below the old 8-byte boundary too

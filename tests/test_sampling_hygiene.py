@@ -190,6 +190,37 @@ def test_pack_sequences_matches_python_spec(spark):
     assert cum == sum(sizes.values())
 
 
+def test_pack_sequences_per_shard_streams_are_self_contained(spark):
+    """partition_col='shard' must give every shard its OWN gapless
+    0-based token stream (the dataloader contract): within each shard,
+    sorted by start_tok, each doc starts where the previous ended."""
+    sizes = {i: (i * 13) % 9 + 1 for i in range(150)}
+    df = spark.createDataFrame(
+        [(i, n) for i, n in sizes.items()], ["doc_id", "n_tok"]
+    )
+    out = sp.pack_sequences(
+        sp.shard_corpus(df, 4, salt="e"), 16, "n_tok", salt="e",
+        partition_col="shard", num_buckets=8,
+    ).collect()
+    per_shard = {}
+    for r in out:
+        per_shard.setdefault(r["shard"], []).append(r)
+    assert len(out) == 150 and len(per_shard) == 4
+    for s, rows in per_shard.items():
+        rows.sort(key=lambda r: r["start_tok"])
+        cum = 0
+        for r in rows:
+            assert r["start_tok"] == cum, (s, r)  # gapless per shard
+            assert r["block_offset"] == cum % 16
+            cum += sizes[r["doc_id"]]
+        # python replica of the per-shard hash order
+        order = sorted(
+            (r["doc_id"] for r in rows),
+            key=lambda i: (py_h32("e" + str(i)), i),
+        )
+        assert [r["doc_id"] for r in rows] == order
+
+
 def test_pack_sequences_guards(spark):
     df = spark.createDataFrame([(1, 5)], ["doc_id", "n_tok"])
     import pytest as _pytest
