@@ -3565,6 +3565,49 @@ def txt_decontaminate_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_decontaminate_fuzzy",
+    f"""
+    WITH {_sql_lsh_pairs()},
+         m_bench AS (SELECT doc_id, mins FROM m WHERE doc_id % 29 = 0),
+         m_train AS (SELECT doc_id, mins FROM m WHERE doc_id % 29 != 0),
+         b_bench AS (SELECT doc_id, band, band_hash FROM b WHERE doc_id % 29 = 0),
+         b_train AS (SELECT doc_id, band, band_hash FROM b WHERE doc_id % 29 != 0),
+         cand AS (SELECT DISTINCT tr.doc_id AS t_id, be.doc_id AS b_id
+                  FROM b_train tr JOIN b_bench be USING (band, band_hash)),
+         dropped AS (
+           SELECT DISTINCT c.t_id FROM cand c
+           JOIN m_train mt ON mt.doc_id = c.t_id
+           JOIN m_bench mb ON mb.doc_id = c.b_id
+           WHERE list_sum(list_transform(generate_series(1, {dd.NUM_HASHES}),
+                   k -> CASE WHEN mt.mins[k] = mb.mins[k] THEN 1 ELSE 0 END))
+                 / {dd.NUM_HASHES}.0 >= 0.5)
+    SELECT doc_id FROM documents
+    WHERE doc_id % 29 != 0 AND doc_id NOT IN (SELECT t_id FROM dropped)
+    """,
+)
+def txt_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination — the hygiene pass exact n-gram
+    overlap (txt_decontaminate) cannot do: training docs that NEAR-match
+    an eval doc (paraphrased or lightly-edited benchmark leakage) are
+    dropped via the same banded-MinHash machinery as incremental
+    near-dup dedup (operators/dedup.py:near_dup_against with the eval
+    corpus as the index side), candidates verified by the signature
+    Jaccard estimate ≥ 0.5. Returns the surviving training docs. At
+    100 TB the eval side is tiny: its band/signature tables broadcast,
+    and the train side is touched once."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    train = docs.filter(F.col("doc_id") % 29 != 0)
+    out = dd.near_dup_against(
+        train,
+        dd.band_index(bench),
+        seen_signatures=dd.signature_index(bench),
+        threshold=0.5,
+    )
+    return out.select("doc_id")
+
+
+@register(
     "txt_redact",
     r"""
     WITH p AS (SELECT doc_id,
@@ -4159,13 +4202,14 @@ def k_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gate every run; the flagship q1_pricing_summary is additionally
 # smoke-run by the driver's entry() every round.
 _PRIORITY = [
-    # 1. never-green: the six queries NEW this round (6)
+    # 1. never-green: the seven queries NEW this round (7)
     "st_stream_asof_linear",
     "dd_near_dup_incremental",
     "txt_decontaminate_scaled",
     "sim_ivf_index_topk",
     "samp_shard_shuffle",
     "samp_pack_sequences",
+    "txt_decontaminate_fuzzy",
     # 2. operator code changed this round: the stateful module gained
     #    the watermark-buffered kernels (st_stream_asof now runs
     #    buffered; st_stream_ffill shares the module), paragraph dedup
