@@ -111,6 +111,7 @@ from solarboat_data_pipeline_spark.operators.timeseries import (
     reindex_interpolate,
     resample_interpolate,
     resample_mean,
+    rolling_time_stats,
     sessionize,
     time_spine,
     trapezoid_integral,
@@ -216,7 +217,7 @@ __all__ = [
     "interpolate_time", "asfreq", "dedup_keep_first", "interval_join",
     "unify_chunks", "clean_timestamp_outliers", "iqr_clip",
     "asof_join_backward", "asof_join_linear", "reindex_interpolate",
-    "sessionize", "cumulative_sum", "trapezoid_integral",
+    "sessionize", "cumulative_sum", "trapezoid_integral", "rolling_time_stats",
     # functions
     "haversine_km", "heading_deg", "speed_kmh", "derive_track",
     "solcast_preprocess", "solar_position", "poa_irradiance",

@@ -795,6 +795,39 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_rolling_time",
+    """
+    SELECT event_id,
+           round(avg(value) OVER w, 6)  AS roll_mean,
+           min(value) OVER w            AS roll_min,
+           max(value) OVER w            AS roll_max,
+           (count(value) OVER w)::BIGINT AS roll_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing event-time rolling statistics
+    (operators/timeseries.py:rolling_time_stats — round 7): per-user
+    mean/min/max/count over the inclusive [ts − 300 s, ts] RANGE frame
+    on microsecond epochs — a native rangeBetween window, no self-join,
+    no explode, microsecond-exact boundaries; the oracle is the
+    identical RANGE window in SQL."""
+    ev = _t(spark, sf_dir, "events")
+    out = ts.rolling_time_stats(
+        ev, "value", 300.0, ts_col="ts", partition_cols=["user_id"]
+    )
+    return out.select(
+        "event_id",
+        F.round(F.col("roll_mean"), 6).alias("roll_mean"),
+        "roll_min",
+        "roll_max",
+        F.col("roll_n").cast("long").alias("roll_n"),
+    )
+
+
+@register(
     "w1_lag_diff",
     """
     SELECT event_id,
@@ -4210,6 +4243,7 @@ _PRIORITY = [
     "samp_shard_shuffle",
     "samp_pack_sequences",
     "txt_decontaminate_fuzzy",
+    "w_rolling_time",
     # 2. operator code changed this round: the stateful module gained
     #    the watermark-buffered kernels (st_stream_asof now runs
     #    buffered; st_stream_ffill shares the module), paragraph dedup

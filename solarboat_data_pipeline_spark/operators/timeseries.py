@@ -941,3 +941,44 @@ def trapezoid_integral(
     return df.withColumn("__step", step).withColumn(
         out_col, F.sum("__step").over(w_sum)
     ).drop("__step")
+
+
+def rolling_time_stats(
+    df: DataFrame,
+    value_col: str,
+    window_seconds: float,
+    ts_col: str = "timestamp",
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Trailing EVENT-TIME rolling statistics: for every row, the
+    mean/min/max/count of ``value_col`` over the same series' rows in
+    the inclusive interval ``[ts − window, ts]`` — the classic
+    sensor-smoothing / anomaly-baseline window. Unlike ``w2``'s lag-k
+    (a fixed ROW count) or ``a3``'s resample (a fixed output grid),
+    the frame here is a TIME RANGE around each input row, expressed as
+    a native ``rangeBetween`` over microsecond epochs: no self-join,
+    no explode, one sort per series partition, microsecond-exact
+    boundaries.
+
+    Adds ``roll_mean`` / ``roll_min`` / ``roll_max`` / ``roll_n``.
+
+    100 TB: ``partition_cols`` bounds the sort to one series per task
+    (the usual many-series telemetry shape). A single giant
+    unpartitioned series would need the range-bucketed treatment with
+    ``window``-wide overlap reads — not provided here; partition or
+    pre-bucket first."""
+    if window_seconds <= 0:
+        raise ValueError(f"window_seconds must be positive, got {window_seconds}")
+    win_us = int(window_seconds * 1_000_000)
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(_us(F.col(ts_col)))
+        .rangeBetween(-win_us, 0)
+    )
+    v = F.col(value_col)
+    return (
+        df.withColumn("roll_mean", F.avg(v).over(w))
+        .withColumn("roll_min", F.min(v).over(w))
+        .withColumn("roll_max", F.max(v).over(w))
+        .withColumn("roll_n", F.count(v).over(w))
+    )

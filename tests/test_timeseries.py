@@ -329,3 +329,45 @@ def test_interpolate_long_strategy_matches_wide(spark):
                 assert (vw is None) == (vl is None), (kwargs, c, vw, vl)
                 if vw is not None:
                     assert math.isclose(vw, vl, rel_tol=1e-12), (kwargs, c)
+
+
+def test_rolling_time_stats_matches_brute_force(spark):
+    """Trailing [ts-window, ts] range stats vs a brute-force double loop,
+    including duplicate timestamps (the RANGE frame groups peers) and
+    multi-series isolation."""
+    import datetime
+
+    from solarboat_data_pipeline_spark.operators.timeseries import (
+        rolling_time_stats,
+    )
+
+    base = datetime.datetime(2023, 1, 1)
+    rows = []
+    offs = [0, 1, 2, 2, 5, 9, 10, 14, 30, 31]  # seconds; includes a tie
+    for series in ("a", "b"):
+        for i, o in enumerate(offs):
+            rows.append((series, base + datetime.timedelta(seconds=o),
+                         float((i + 1) * (2 if series == "b" else 1))))
+    df = spark.createDataFrame(rows, ["k", "timestamp", "v"])
+    got = {
+        (r["k"], r["timestamp"], r["v"]): (
+            r["roll_mean"], r["roll_min"], r["roll_max"], r["roll_n"])
+        for r in rolling_time_stats(
+            df, "v", 10.0, partition_cols=["k"]).collect()
+    }
+    assert len(got) == len(rows)
+    for k, t, v in [(r[0], r[1], r[2]) for r in rows]:
+        window = [
+            rv for rk, rt, rv in rows
+            if rk == k and t - datetime.timedelta(seconds=10) <= rt <= t
+        ]
+        mean, mn, mx, n = (sum(window) / len(window), min(window),
+                           max(window), len(window))
+        gm, gmn, gmx, gn = got[(k, t, v)]
+        assert (abs(gm - mean) < 1e-9 and gmn == mn and gmx == mx
+                and gn == n), (k, t)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window_seconds"):
+        rolling_time_stats(df, "v", 0)
