@@ -232,7 +232,7 @@ __all__ = [
     "quality_metrics", "quality_filter", "lang_id", "token_count",
     "redact_pii",
     "hash_sample", "weighted_mix", "stratified_sample",
-    "token_budget_sample",
+    "token_budget_sample", "shard_corpus", "pack_sequences",
     "two_phase_count_distinct", "salted_topk", "exact_quantile_cont",
     "binary_metadata", "extract_features", "decode_image_stats",
     "resize_image_stats", "decode_audio_stats", "resample_audio_stats",

@@ -282,11 +282,19 @@ MAX_TOPIC_FIELDS = 8
 
 def _decode_frame_entries(frames: DataFrame, catalog: CanCatalog) -> DataFrame:
     """One row PER FRAME with its decoded ``(idx, value)`` entry array —
-    no explode, no shuffle: each of the ≤8 possible field slots is decoded
-    by a fixed generic expression (null-idx slots filtered out)."""
+    no explode, no shuffle: each possible field slot is decoded by a
+    fixed generic expression (null-idx slots filtered out). The slot
+    count is the CATALOG's widest topic (≥ the classic-CAN 8 so existing
+    plans are unchanged) — pinned at 8, a >8-byte CAN FD topic's tail
+    fields would silently null on this strategy while fused/long decode
+    them (the strategies must stay cell-for-cell equivalent)."""
     matched = _matched_frames(frames, catalog)
+    n_slots = max(
+        MAX_TOPIC_FIELDS,
+        max(len(t.signals) for _, t in catalog.iter_topics()),
+    )
     slots = []
-    for k in range(MAX_TOPIC_FIELDS):
+    for k in range(n_slots):
         # F.get is 0-based and null past the end (element_at throws there
         # under ANSI mode)
         f = F.get(F.col("_spec.fields"), k)

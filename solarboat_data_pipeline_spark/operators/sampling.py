@@ -148,27 +148,53 @@ def token_budget_sample_bucketed(
     width = -(-RATE_DENOM // num_buckets)  # ceil: covers the full range
     b = df.withColumn("__sb", sample_bucket(F.col(key_col), salt))
     b = b.withColumn("__hbkt", (F.col("__sb") / width).cast("int"))
+    b = _bucketed_running_prefix(b, size, key_col, parts, hash_col="__sb")
+    # exclusive global prefix + this row's size = the inclusive cumsum
+    return b.filter(
+        (F.col("__gpre") + size) <= budget_tokens
+    ).drop("__sb", "__hbkt", "__gpre")
+
+
+def _bucketed_running_prefix(
+    b: DataFrame,
+    size: Column,
+    key_col: str,
+    parts: list[str],
+    hash_col: str,
+    bucket_col: str = "__hbkt",
+) -> DataFrame:
+    """The shared two-level distributed running sum: adds ``__gpre`` =
+    the EXCLUSIVE global prefix of ``size`` over the (hash, key) order
+    within each ``parts`` group. Requires ``bucket_col`` to be a
+    NON-DECREASING function of ``hash_col`` (contiguous hash ranges),
+    so bucket-local cumsum windows (N parallel sorts) plus an exclusive
+    prefix over the ≤ num_buckets bucket totals (a window over a tiny
+    broadcast summary) compose to the exact global sum — never one
+    global sort. Used by :func:`token_budget_sample_bucketed` and
+    :func:`pack_sequences`."""
     w_local = (
-        Window.partitionBy(*parts, "__hbkt")
-        .orderBy("__sb", key_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
+        Window.partitionBy(*parts, bucket_col)
+        .orderBy(hash_col, key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    b = b.withColumn("__cum_local", F.sum(size).over(w_local))
-    totals = b.groupBy(*parts, "__hbkt").agg(F.sum(size).alias("__tot"))
+    b = b.withColumn(
+        "__pre_local", F.coalesce(F.sum(size).over(w_local), F.lit(0))
+    )
+    totals = b.groupBy(*parts, bucket_col).agg(F.sum(size).alias("__tot"))
     w_pre = (
         Window.partitionBy(*parts)
-        .orderBy("__hbkt")
+        .orderBy(bucket_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prefix = totals.select(
         *parts,
-        "__hbkt",
+        bucket_col,
         F.coalesce(F.sum("__tot").over(w_pre), F.lit(0)).alias("__pre"),
     )
-    b = b.join(F.broadcast(prefix), [*parts, "__hbkt"], "left")
-    return b.filter(
-        (F.col("__cum_local") + F.col("__pre")) <= budget_tokens
-    ).drop("__sb", "__hbkt", "__cum_local", "__pre")
+    b = b.join(F.broadcast(prefix), [*parts, bucket_col], "left")
+    return b.withColumn("__gpre", F.col("__pre") + F.col("__pre_local")).drop(
+        "__pre_local", "__pre"
+    )
 
 
 def shard_corpus(
@@ -257,25 +283,8 @@ def pack_sequences(
     b = df.withColumn("__h", h).withColumn(
         "__hbkt", (F.col("__h") / width).cast("int")
     )
-    w_local = (
-        Window.partitionBy(*parts, "__hbkt")
-        .orderBy("__h", key_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    b = b.withColumn("__pre_local", F.coalesce(F.sum(size).over(w_local), F.lit(0)))
-    totals = b.groupBy(*parts, "__hbkt").agg(F.sum(size).alias("__tot"))
-    w_pre = (
-        Window.partitionBy(*parts)
-        .orderBy("__hbkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prefix = totals.select(
-        *parts,
-        "__hbkt",
-        F.coalesce(F.sum("__tot").over(w_pre), F.lit(0)).alias("__pre"),
-    )
-    b = b.join(F.broadcast(prefix), [*parts, "__hbkt"], "left")
-    start = (F.col("__pre") + F.col("__pre_local")).cast("long")
+    b = _bucketed_running_prefix(b, size, key_col, parts, hash_col="__h")
+    start = F.col("__gpre").cast("long")
     bf = F.floor(start / block_tokens).cast("long")
     return (
         b.withColumn("start_tok", start)
@@ -287,5 +296,5 @@ def pack_sequences(
             .cast("long"),
         )
         .withColumn("block_offset", F.pmod(start, F.lit(block_tokens)).cast("long"))
-        .drop("__h", "__hbkt", "__pre_local", "__pre")
+        .drop("__h", "__hbkt", "__gpre")
     )

@@ -250,16 +250,22 @@ def extend_ivf_index(
 
 
 def _index_cells(spark, index_path: str) -> DataFrame:
-    """The full indexed corpus: the base cells plus every completed
-    increment directory (FS-agnostic listing via the Hadoop FileSystem,
-    so the index can live on HDFS/S3A as well as local disk)."""
+    """The full indexed corpus: the base cells plus every COMPLETED
+    increment directory — completed means the commit protocol's
+    ``_SUCCESS`` marker exists, so an increment whose write crashed
+    midway is invisible to readers until its retry (delete + rerun)
+    lands it whole, never silently read as a partial corpus.
+    FS-agnostic listing via the Hadoop FileSystem, so the index can
+    live on HDFS/S3A as well as local disk."""
     cells = spark.read.parquet(f"{index_path}/cells")
     jvm = spark._jvm
     inc_root = jvm.org.apache.hadoop.fs.Path(f"{index_path}/cells_inc")
     fs = inc_root.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(inc_root):
         for st in fs.listStatus(inc_root):
-            if st.isDirectory():
+            if st.isDirectory() and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            ):
                 cells = cells.unionByName(
                     spark.read.parquet(st.getPath().toString())
                 )

@@ -969,7 +969,10 @@ def rolling_time_stats(
     pre-bucket first."""
     if window_seconds <= 0:
         raise ValueError(f"window_seconds must be positive, got {window_seconds}")
-    win_us = int(window_seconds * 1_000_000)
+    # round, don't truncate: 0.3 * 1e6 is 299999.99999999994 in binary
+    # floating point — int() would silently shrink the frame by 1 µs and
+    # exclude rows spaced exactly at the window width
+    win_us = round(window_seconds * 1_000_000)
     w = (
         Window.partitionBy(*partition_cols)
         .orderBy(_us(F.col(ts_col)))

@@ -368,6 +368,32 @@ def test_ivf_index_matches_in_memory_ivf(spark, vecs, tmp_path):
     assert got == want and got
 
 
+def test_ivf_index_reader_skips_incomplete_increments(spark, vecs, tmp_path):
+    """An increment directory without the commit protocol's _SUCCESS
+    marker (a crashed mid-write) must be INVISIBLE to readers — a
+    partial corpus silently changing top-k results is worse than a
+    stale one."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "idx")
+    sim.build_ivf_index(vecs.where(F.col("vec_id") < 8), idx, n_centroids=4)
+    base_rows = sim._index_cells(spark, idx).count()
+    # a completed increment counts...
+    sim.extend_ivf_index(
+        vecs.where(F.col("vec_id") == 8), idx, increment_id="ok"
+    )
+    assert sim._index_cells(spark, idx).count() == base_rows + 1
+    # ...then simulate a crashed write: copy it and strip _SUCCESS
+    src = f"{idx}/cells_inc/ok"
+    dst = f"{idx}/cells_inc/crashed"
+    shutil.copytree(src, dst)
+    os.remove(f"{dst}/_SUCCESS")
+    assert sim._index_cells(spark, idx).count() == base_rows + 1  # unchanged
+
+
 def test_ivf_index_probe_uses_dynamic_partition_pruning(spark, vecs, tmp_path):
     """The scale contract of the stored index: the cells scan must carry a
     dynamic-pruning partition filter on cid (probe reads ~nprobe/n_cells

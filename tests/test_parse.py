@@ -295,10 +295,13 @@ def test_decode_handles_payloads_beyond_8_bytes(spark):
         "timestamp timestamp, payload_hex string, signature int, "
         "topic_id int, payload_len int",
     )
-    r = decode_wide(frames, cat, downcast=False).first()
-    # tail16 at bytes 8-9 little-endian = 0x34 + 0x12*256
-    assert r["FD__W__tail16"] == float(0x34 + 0x12 * 256)
-    # b8: bit 0 of byte 10 (0x05) = 1 ; last: byte 11 = 0xFE
-    assert r["FD__W__b8"] == 1.0
-    assert r["FD__W__last"] == 254.0
-    assert r["FD__W__p6"] == 7.0  # below the old 8-byte boundary too
+    # every strategy must decode the >8-byte tail identically (frame_map
+    # previously capped at 8 slots and silently nulled tail fields)
+    for strategy in ("fused", "long", "frame_map"):
+        r = decode_wide(frames, cat, downcast=False, strategy=strategy).first()
+        # tail16 at bytes 8-9 little-endian = 0x34 + 0x12*256
+        assert r["FD__W__tail16"] == float(0x34 + 0x12 * 256), strategy
+        # b8: bit 0 of byte 10 (0x05) = 1 ; last: byte 11 = 0xFE
+        assert r["FD__W__b8"] == 1.0, strategy
+        assert r["FD__W__last"] == 254.0, strategy
+        assert r["FD__W__p6"] == 7.0, strategy  # below the old boundary too

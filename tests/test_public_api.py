@@ -14,6 +14,27 @@ def test_all_names_resolve():
     assert len(set(pkg.__all__)) == len(pkg.__all__), "duplicate __all__ names"
 
 
+def test_every_root_public_callable_is_in_all():
+    # the CONVERSE of the check above: anything imported into the root
+    # namespace without a leading underscore is presented as public and
+    # must be declared in __all__ (a silent omission shipped twice —
+    # shard_corpus and pack_sequences — before this test existed)
+    import inspect
+
+    pkg = importlib.import_module("solarboat_data_pipeline_spark")
+    undeclared = [
+        n
+        for n, obj in vars(pkg).items()
+        if not n.startswith("_")
+        and (inspect.isfunction(obj) or inspect.isclass(obj))
+        and getattr(obj, "__module__", "").startswith(
+            "solarboat_data_pipeline_spark"
+        )
+        and n not in pkg.__all__
+    ]
+    assert not undeclared, f"root-public names missing from __all__: {undeclared}"
+
+
 def test_coverage_rows_import_from_root():
     # one representative callable per COVERAGE.md section
     import solarboat_data_pipeline_spark as sb

@@ -371,3 +371,18 @@ def test_rolling_time_stats_matches_brute_force(spark):
 
     with _pytest.raises(ValueError, match="window_seconds"):
         rolling_time_stats(df, "v", 0)
+
+    # fractional windows: 0.3*1e6 is 299999.99999... in binary floating
+    # point — a truncating int() would exclude a row spaced EXACTLY at
+    # the window width from the inclusive frame
+    f2 = spark.createDataFrame(
+        [("a", base, 1.0),
+         ("a", base + datetime.timedelta(microseconds=300_000), 2.0)],
+        ["k", "timestamp", "v"],
+    )
+    r = (
+        rolling_time_stats(f2, "v", 0.3, partition_cols=["k"])
+        .orderBy("timestamp")
+        .collect()[-1]
+    )
+    assert r["roll_n"] == 2 and r["roll_min"] == 1.0
