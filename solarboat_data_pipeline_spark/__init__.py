@@ -175,6 +175,7 @@ from solarboat_data_pipeline_spark.operators.skew import (
 )
 from solarboat_data_pipeline_spark.operators.text import (
     lang_id,
+    ngram_topk,
     quality_filter,
     quality_metrics,
     redact_pii,
@@ -229,7 +230,7 @@ __all__ = [
     "dedup_against", "band_index", "signature_index", "near_dup_against",
     "cosine_topk", "ivf_topk", "lsh_ann_topk",
     "build_ivf_index", "ivf_topk_indexed", "extend_ivf_index",
-    "quality_metrics", "quality_filter", "lang_id", "token_count",
+    "quality_metrics", "quality_filter", "lang_id", "token_count", "ngram_topk",
     "redact_pii",
     "hash_sample", "weighted_mix", "stratified_sample",
     "token_budget_sample", "shard_corpus", "pack_sequences",

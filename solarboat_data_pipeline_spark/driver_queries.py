@@ -1939,6 +1939,36 @@ def txt_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_ngram_topk",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+         s AS (SELECT doc_id, unnest({_SQL_SH}) AS gram FROM t)
+    SELECT gram,
+           count(*)::BIGINT AS occurrences,
+           count(DISTINCT doc_id)::BIGINT AS n_docs
+    FROM s
+    GROUP BY gram
+    ORDER BY occurrences DESC, gram ASC
+    LIMIT 50
+    """,
+)
+def txt_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-50 word 3-grams by total occurrences with containing-doc
+    counts (operators/text.py:ngram_topk — round 7): the standard
+    corpus-analysis pass for boilerplate/template spotting. One
+    map-side-combined hash aggregate on the gram, then a global top-k
+    that Spark plans as TakeOrderedAndProject (per-partition k-row
+    heaps, no global sort); ties break on the gram so the row set is
+    engine-independent."""
+    out = tx.ngram_topk(_t(spark, sf_dir, "documents"), k=50)
+    return out.select(
+        "gram",
+        F.col("occurrences").cast("long").alias("occurrences"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+@register(
     "txt_tokens",
     f"""
     WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
@@ -4244,6 +4274,7 @@ _PRIORITY = [
     "samp_pack_sequences",
     "txt_decontaminate_fuzzy",
     "w_rolling_time",
+    "txt_ngram_topk",
     # 2. operator code changed this round: the stateful module gained
     #    the watermark-buffered kernels (st_stream_asof now runs
     #    buffered; st_stream_ffill shares the module), paragraph dedup

@@ -254,3 +254,30 @@ def redact_pii(text: Column) -> Column:
     for pat, repl in REDACT_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def ngram_topk(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level top-k word n-grams by TOTAL occurrences (with the
+    containing-document count alongside) — the standard corpus-analysis
+    pass for spotting boilerplate, templates, and vocabulary shape
+    before/after dedup. Ties break on the gram itself so the result set
+    is unique and engine-independent.
+
+    100 TB shape: explode → ONE map-side-combined hash aggregate on the
+    gram → global top-k, which Spark plans as TakeOrderedAndProject
+    (per-partition heaps of k rows merged on the driver — no global
+    sort, state O(k·partitions))."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    grams = toked.select(
+        id_col, F.explode(word_shingles(F.col("__toks"))).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    return counts.orderBy(F.col("occurrences").desc(), F.col("gram").asc()).limit(k)

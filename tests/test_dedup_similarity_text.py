@@ -697,3 +697,39 @@ def test_near_dup_against_incremental_semantics(spark):
         near_dup_against(inc, bands, threshold=0.5)
     with _pytest.raises(ValueError, match="together"):
         near_dup_against(inc, bands, seen_signatures=sigs)
+
+
+def test_ngram_topk_matches_python_counter(spark):
+    rows = [
+        (1, "a b c a b c a b c"),     # "a b c" x3 ... overlapping grams
+        (2, "a b c d e"),
+        (3, "x y z x y z"),
+        (4, "a b c"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from collections import Counter
+
+    occ, docs_of = Counter(), {}
+    for i, t in rows:
+        toks = t.split()
+        grams = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        occ.update(grams)
+        for g in set(grams):
+            docs_of.setdefault(g, set()).add(i)
+    want = sorted(
+        ((g, c, len(docs_of[g])) for g, c in occ.items()),
+        key=lambda r: (-r[1], r[0]),
+    )[:5]
+    got = [
+        (r["gram"], r["occurrences"], r["n_docs"])
+        for r in tx.ngram_topk(df, k=5).collect()
+    ]
+    assert got == want  # ordered: TakeOrderedAndProject preserves it
+    # "a b c": 3 overlapping occurrences in doc 1 + doc 2 + doc 4
+    assert got[0] == ("a b c", 5, 3)
+
+
+def test_ngram_topk_plan_is_take_ordered(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    plan = tx.ngram_topk(df, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
