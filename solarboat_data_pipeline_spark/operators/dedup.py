@@ -973,9 +973,13 @@ def paragraph_dedup(
     documents (one row per doc on both sides) that re-slices the kept
     chunks in place. Paragraph text never crosses a digest-keyed wire
     at all (measured against a ``row_number()``-per-digest naive twin:
-    scripts/scale_smoke_paragraph_skew.py). Document ids must be
-    non-negative and positions below 2²¹ (≥ 20 M words per document at
-    the default chunking) — violations raise, never corrupt.
+    scripts/scale_smoke_paragraph_skew.py). Document ids must be in
+    ``[0, 2⁴²)`` (the packed ``id·2²¹ + pos`` long leaves 42 id bits)
+    and positions below 2²¹ (≥ 20 M words per document at the default
+    chunking) — violations raise, never corrupt. The digest pair is two
+    independently-seeded xxhash64 lanes (salt-first second lane), so a
+    silent paragraph merge requires a simultaneous collision in both
+    64-bit lanes.
     """
     # F.split interprets its pattern as a Java regex while array_join
     # (reassembly) and the DuckDB oracle's string_split are literal — an
@@ -1013,24 +1017,37 @@ def paragraph_dedup(
     ).select(
         F.col(id_col),
         F.col("pos"),
-        # two independent 64-bit xxhash64 lanes = a 128-bit identity in
-        # 16 bytes. The r6 kernel keyed on sha2 hex — a 64-CHAR string
-        # as heavy on the wire as the ten-word paragraph it identifies
-        # (measured: the digest shuffle shrank ~3× after this change);
-        # divergence from the text-keyed oracle now requires a
-        # 128-bit double-xxhash collision instead of a SHA-256 one —
-        # the same adjudicated-negligible class.
+        # two 64-bit xxhash64 lanes = a 128-bit identity in 16 bytes.
+        # The r6 kernel keyed on sha2 hex — a 64-CHAR string as heavy on
+        # the wire as the ten-word paragraph it identifies (measured:
+        # the digest shuffle shrank ~3× after this change). Lane
+        # independence: Spark folds multi-column xxhash64 SEQUENTIALLY
+        # (each column hashed with the running value as seed), so the
+        # salt must come FIRST — XX(salt, para) == XX(para,
+        # seed=XX(salt, 42)), an independent-seed second lane. The
+        # reverse order XX(para, salt) == XX(salt, seed=XX(para, 42))
+        # is a pure function of lane 1, which would silently collapse
+        # the pair to 64-bit collision resistance (near-certain merges
+        # at ~1e11 paragraphs); a regression test pins the seed-fold
+        # identity so an argument-order regression cannot reappear.
         F.xxhash64("para").alias("__h1"),
-        F.xxhash64("para", F.lit("xx2")).alias("__h2"),
+        F.xxhash64(F.lit("xx2"), F.col("para")).alias("__h2"),
     )
+    # id < 2^42 keeps id*2^21 + pos inside a signed long; without the
+    # upper guard a 64-bit hash id would overflow the (non-ANSI)
+    # multiply and silently corrupt winner selection and the unpack.
+    id_cap = 1 << (63 - pos_bits)
     packed = F.when(
-        (F.col(id_col) >= 0) & (F.col("pos") < cap),
+        (F.col(id_col) >= 0)
+        & (F.col(id_col) < F.lit(id_cap))
+        & (F.col("pos") < cap),
         F.col(id_col).cast("long") * cap + F.col("pos"),
     ).otherwise(
         F.raise_error(
             F.format_string(
-                "paragraph_dedup: id must be >= 0 and positions < %d "
-                "(id %d, pos %d)", F.lit(cap), F.col(id_col), F.col("pos")
+                "paragraph_dedup: id must be in [0, %d) and positions < %d "
+                "(id %d, pos %d)",
+                F.lit(id_cap), F.lit(cap), F.col(id_col), F.col("pos")
             )
         ).cast("long")
     )

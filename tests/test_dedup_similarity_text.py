@@ -620,8 +620,23 @@ def test_paragraph_dedup_guard_rails(spark):
     bad = spark.createDataFrame(
         [(-1, "a b c d e f g h i j")], "doc_id long, text string"
     )
-    with _pytest.raises(Exception, match="id must be >= 0"):
+    with _pytest.raises(Exception, match="id must be in"):
         paragraph_dedup(bad).collect()
+
+    # ADVICE r7 (medium): ids >= 2^42 would overflow the non-ANSI
+    # id*2^21 packing long and silently corrupt winner selection —
+    # they must raise like the other violations.
+    big = spark.createDataFrame(
+        [(1 << 42, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception, match="id must be in"):
+        paragraph_dedup(big).collect()
+    # the largest legal id still packs and round-trips
+    ok = spark.createDataFrame(
+        [((1 << 42) - 1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    row = paragraph_dedup(ok).collect()[0]
+    assert row["doc_id"] == (1 << 42) - 1 and row["kept_paragraphs"] == 1
 
     docs = spark.createDataFrame(
         [(0, "a.b.c.d.e.f.g.h.i.j.a.b.c.d.e.f.g.h.i.j")],
@@ -630,6 +645,50 @@ def test_paragraph_dedup_guard_rails(spark):
     row = paragraph_dedup(docs, sep=".").collect()[0]
     assert row["cleaned_text"] == "a.b.c.d.e.f.g.h.i.j"
     assert row["kept_paragraphs"] == 1
+
+
+def test_paragraph_dedup_hash_lanes_independent(spark):
+    """ADVICE r7 (high): Spark folds multi-column xxhash64 sequentially
+    (each column hashed with the running value as seed), so
+    xxhash64(para, lit('xx2')) == XX('xx2', seed=XX(para, 42)) is a
+    PURE FUNCTION of lane 1 — any h1 collision implies an h2 collision
+    and the pair has only 64-bit resistance. The kernel must therefore
+    salt FIRST: xxhash64(lit('xx2'), para). Golden values pin the
+    argument order so a swap cannot silently reappear."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("hello world",), ("a b c d e f g h i j",)], "s string"
+    )
+    got = {
+        r["s"]: (r["salt_first"], r["salt_last"])
+        for r in df.select(
+            "s",
+            F.xxhash64(F.lit("xx2"), F.col("s")).alias("salt_first"),
+            F.xxhash64(F.col("s"), F.lit("xx2")).alias("salt_last"),
+        ).collect()
+    }
+    # golden values (computed once, Spark 4.1): the two orders genuinely
+    # differ, and the engine's fold direction hasn't changed under us
+    assert got["hello world"] == (1378337019649179991, 6792064308563420400)
+    assert got["a b c d e f g h i j"] == (
+        -2785358961534219106, 8539089441610216492
+    )
+
+    # and the kernel itself uses the salt-first form: replaying the
+    # digest pair over one unique paragraph per doc must key winners so
+    # that both docs survive (sanity), while a direct probe of the
+    # internal pair matches the salt-first golden
+    from solarboat_data_pipeline_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, "goodbye world")], "doc_id long, text string"
+    )
+    assert {r["doc_id"] for r in paragraph_dedup(docs).collect()} == {0, 1}
+    import inspect
+
+    src = inspect.getsource(paragraph_dedup)
+    assert 'F.xxhash64(F.lit("xx2"), F.col("para"))' in src
 
 
 def test_near_dup_against_incremental_semantics(spark):
