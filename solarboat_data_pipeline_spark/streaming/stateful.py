@@ -115,7 +115,7 @@ def stream_asof_backward(
     value_cols: Sequence[str] | None = None,
     tolerance_seconds: float | None = None,
     state_ttl_seconds: float | None = None,
-    buffered: bool = False,
+    buffered: bool | str = False,
 ) -> DataFrame:
     """J4 as a TRUE stateful stream: each left row gets the most recent
     right-side values at-or-before its timestamp (ties match, same as
@@ -154,12 +154,25 @@ def stream_asof_backward(
     within the ``withWatermark`` delay yields the exact batch-kernel
     answer, at the cost of O(disorder window) state per key. The
     buffered path REQUIRES a watermark on the left stream.
+    ``buffered="auto"`` selects per key from OBSERVED disorder: a key
+    stays on an in-order fast path (immediate emission, O(1) carried
+    state — the in-order kernel's cost) until the first batch whose
+    minimum event time is at-or-below something the key already saw,
+    then flips permanently to the watermark-buffered path; see
+    :func:`_stream_asof_buffered` for the exact contract. Use ``True``
+    when disorder is expected throughout, ``"auto"`` when the stream is
+    normally in-order and disorder is the exception.
     """
     if buffered:
+        if buffered not in (True, "auto"):
+            raise ValueError(
+                f"buffered must be False, True, or 'auto'; got {buffered!r}"
+            )
         return _stream_asof_buffered(
             left, right, "backward", key_cols, ts_col, value_cols,
             tolerance_seconds=tolerance_seconds, clamp_forward=False,
             state_ttl_seconds=state_ttl_seconds,
+            fast_path=buffered == "auto",
         )
     u, left_cols, value_cols = _asof_inputs(
         left, right, key_cols, ts_col, value_cols
@@ -329,6 +342,7 @@ def _stream_asof_buffered(
     tolerance_seconds: float | None,
     clamp_forward: bool,
     state_ttl_seconds: float | None,
+    fast_path: bool = False,
 ) -> DataFrame:
     """Watermark-buffered streaming as-of join — the cross-batch
     DISORDER-TOLERANT kernel behind :func:`stream_asof_backward`
@@ -380,6 +394,38 @@ def _stream_asof_buffered(
     retroactively fix already-emitted ones; a late right older than the
     compaction frontier is reconciled against the carried row by
     timestamp, never blindly overwritten.
+
+    Millisecond-boundary contract (ADVICE r7): Spark's watermark is
+    ms-floored, so emission compares at ms granularity — a left emits
+    once its MILLISECOND is at-or-below the watermark ms (comparing at
+    µs would strand the stream's max row forever: the watermark never
+    strictly passes its own millisecond). Exactness therefore assumes,
+    beyond the watermark contract, that no right row lands in an
+    already-watermarked millisecond in a LATER batch: an event with
+    event time equal to the watermark is not "late" to the engine, so a
+    right sharing the watermark's exact millisecond may still arrive
+    after the left in that millisecond emitted. Equal-ms disorder
+    ACROSS batches is the engine-granularity blind spot; within one
+    batch it is fully resolved by the sort.
+
+    Integer left payloads ride per-key state as float64 (the tagged
+    union makes them nullable, and Arrow widens nullable ints before
+    the kernel sees them), so values with magnitude above 2^53 cannot
+    be buffered exactly — the kernel RAISES on ingest rather than emit
+    silently-rounded payloads (ADVICE r7).
+
+    ``fast_path=True`` (the ``buffered="auto"`` kernel, backward mode
+    only): each key starts on an IN-ORDER fast path — while every
+    incoming batch's minimum event time is strictly above everything
+    the key has seen, rows are matched and emitted immediately with
+    O(1) state (carried row only), the in-order kernel's cost. The
+    first observed cross-batch disorder flips the key PERMANENTLY to
+    the watermark-buffered path above; rows from then on get the exact
+    buffered semantics, rows emitted before the flip got the in-order
+    kernel's best-effort semantics (append-mode output cannot be
+    retracted). On a genuinely in-order stream this equals the buffered
+    kernel's answer on every row at the in-order kernel's cost
+    (measured: scripts/stream_smoke.py).
     """
     u, left_cols, value_cols = _asof_inputs(
         left, right, key_cols, ts_col, value_cols
@@ -416,18 +462,74 @@ def _stream_asof_buffered(
         + ", lb_ts array<long>"
         + "".join(f", lb_{i} array<{t}>" for i, t in enumerate(left_types))
     )
+    if fast_path:
+        # auto mode tracks per-key delivery order: ok_fast flips to
+        # false (permanently) on the first observed cross-batch disorder
+        state_schema += ", ok_fast boolean, max_us long"
     tol_us = None if tolerance_seconds is None else int(tolerance_seconds * 1e6)
     ttl_ms = None if state_ttl_seconds is None else int(state_ttl_seconds * 1000)
     linear = mode == "linear"
-    # the union makes left payload columns nullable, so Arrow hands them
-    # to pandas widened (bigint → float64 with NaN); storing a float in
-    # an array<bigint> state field silently nulls it — coerce each
-    # buffered value back to its declared state type
-    _CONV = {
-        "tinyint": int, "smallint": int, "int": int, "bigint": int,
-        "float": float, "double": float, "string": str, "boolean": bool,
-    }
-    left_convs = [_CONV.get(t, lambda x: x) for t in left_types]
+    # The union makes left payload columns nullable, so Arrow hands them
+    # to pandas widened (bigint → float64 with NaN). The kernel buffers
+    # numeric payloads canonically as float64 ndarrays (vectorized — no
+    # per-row conversion on the ingest hot path) and restores the
+    # declared integer type only at the state/emission boundaries;
+    # integer magnitudes above 2^53 would round silently in float64, so
+    # they raise at ingest (ADVICE r7).
+    _INT_T = {"tinyint", "smallint", "int", "bigint"}
+    int_col = [t in _INT_T for t in left_types]
+    num_col = [t in _INT_T or t in ("float", "double") for t in left_types]
+    bool_col = [t == "boolean" for t in left_types]
+    TWO53 = float(1 << 53)
+
+    def _big_int_msg(c: str) -> str:
+        return (
+            f"buffered streaming as-of: integer left payload column {c!r} "
+            "has values with magnitude at-or-above 2^53, which cannot ride the "
+            "float64-widened buffered state exactly; cast to string or "
+            "rescale upstream (the kernel raises rather than emit "
+            "silently-rounded payloads)"
+        )
+
+    def _f64(lst) -> np.ndarray:
+        """State list (None-able doubles) → float64 ndarray, None → NaN."""
+        if not lst:
+            return np.empty(0, dtype="float64")
+        return pd.Series(lst, dtype="float64").to_numpy()
+
+    def _obj(lst) -> np.ndarray:
+        return np.array(lst, dtype=object) if lst else np.empty(0, dtype=object)
+
+    def _num_state(arr: np.ndarray) -> list:
+        out = arr.tolist()
+        if np.isnan(arr).any():
+            out = [None if x != x else x for x in out]
+        return out
+
+    def _persist_left(i: int, arr: np.ndarray) -> list:
+        """Pending-left column → state list in its DECLARED type (only
+        the carry-over remainder pays this per-element cost)."""
+        if int_col[i]:
+            return [None if x != x else int(x) for x in arr.tolist()]
+        if num_col[i]:
+            return _num_state(arr)
+        if bool_col[i]:
+            return [None if x is None else bool(x) for x in arr.tolist()]
+        return [
+            None if x is None or (isinstance(x, float) and x != x) else x
+            for x in arr.tolist()
+        ]
+
+    def _ffill_idx(nn: np.ndarray) -> np.ndarray:
+        """Index of the last True at-or-before each position (-1: none)."""
+        idx = np.where(nn, np.arange(nn.size), -1)
+        np.maximum.accumulate(idx, out=idx)
+        return idx
+
+    def _bfill_idx(nn: np.ndarray) -> np.ndarray:
+        """Index of the next True at-or-after each position (size: none)."""
+        idx = np.where(nn, np.arange(nn.size), nn.size)
+        return np.minimum.accumulate(idx[::-1])[::-1]
 
     def fn(
         key: tuple[Any, ...],
@@ -440,20 +542,30 @@ def _stream_asof_buffered(
             car = [(st[1 + 2 * i], st[2 + 2 * i]) for i in range(nv)]
             off = 1 + 2 * nv
             rb_ts = np.asarray(st[off], dtype="int64")
-            rb_v = [
-                pd.Series(list(st[off + 1 + i]), dtype="float64").to_numpy()
-                for i in range(nv)
-            ]
+            rb_v = [_f64(list(st[off + 1 + i])) for i in range(nv)]
             off2 = off + 1 + nv
             lb_ts = np.asarray(st[off2], dtype="int64")
-            lb_p = [list(st[off2 + 1 + i]) for i in range(nl)]
+            lb_c = [
+                _f64(list(st[off2 + 1 + i])) if num_col[i]
+                else _obj(list(st[off2 + 1 + i]))
+                for i in range(nl)
+            ]
+            if fast_path:
+                ok_fast = bool(st[off2 + 1 + nl])
+                max_us = st[off2 + 2 + nl]
+            else:
+                ok_fast, max_us = False, None
         else:
             carried_row_ts = None
             car = [(None, None)] * nv
             rb_ts = np.empty(0, dtype="int64")
             rb_v = [np.empty(0, dtype="float64") for _ in range(nv)]
             lb_ts = np.empty(0, dtype="int64")
-            lb_p = [[] for _ in range(nl)]
+            lb_c = [
+                np.empty(0, dtype="float64" if num_col[i] else object)
+                for i in range(nl)
+            ]
+            ok_fast, max_us = fast_path, None
         chunks = [p for p in pdfs if len(p)]
         wm_ms = state.getCurrentWatermarkMs()
         wm_us = wm_ms * 1000
@@ -471,25 +583,155 @@ def _stream_asof_buffered(
             pdf = (pd.concat(chunks, ignore_index=True)
                    if len(chunks) > 1 else chunks[0])
             ts_us = (_ts_ns(pdf[ts_col]) // 1000).to_numpy()
-            is_right = (pdf["__src"] == 0).to_numpy()
-            if is_right.any():
-                rb_ts = np.concatenate([rb_ts, ts_us[is_right]])
-                for i, c in enumerate(value_cols):
-                    newv = pdf[c].astype("float64").to_numpy()[is_right]
-                    rb_v[i] = np.concatenate([rb_v[i], newv])
-                # stable: arrival order is the tie-break among equal ts,
-                # matching the batch kernel's plan-order tie semantics
-                order = np.argsort(rb_ts, kind="stable")
-                rb_ts = rb_ts[order]
-                rb_v = [v[order] for v in rb_v]
-            is_left = ~is_right
-            if is_left.any():
-                lb_ts = np.concatenate([lb_ts, ts_us[is_left]])
+            src_arr = pdf["__src"].to_numpy()
+            is_right = src_arr == 0
+
+            if fast_path and ok_fast and linear:
+                # linear auto: in-order delivery is tracked, but rows
+                # still flow through the buffers — the fast part is the
+                # FRONTIER emission below (a left whose next surrounding
+                # sample is already decided emits without waiting for
+                # the watermark) and the aggressive compaction it allows
+                if max_us is not None and int(ts_us.min()) <= max_us:
+                    ok_fast = False
+                else:
+                    max_us = int(ts_us.max())
+            if fast_path and ok_fast and not linear:
+                in_order = (
+                    lb_ts.size == 0 and rb_ts.size == 0
+                    and (max_us is None or int(ts_us.min()) > max_us)
+                )
+                if in_order:
+                    # IN-ORDER FAST PATH (backward only): everything at-
+                    # or-before this batch has arrived, so every left's
+                    # match is already decided — emit the whole batch
+                    # now with O(1) carried state, exactly the in-order
+                    # kernel's behavior and cost. Ties: rights sort
+                    # before lefts at equal ts (lexsort, stable).
+                    order = np.lexsort((src_arr, ts_us))
+                    sts = ts_us[order]
+                    s_r = is_right[order]
+                    l_mask = ~s_r
+                    sts_f = sts.astype("float64")
+                    ar = np.arange(sts.size)
+                    lrow = np.where(s_r, ar, -1)
+                    np.maximum.accumulate(lrow, out=lrow)
+                    lr = lrow[l_mask]
+                    cr_f = (
+                        np.nan if carried_row_ts is None
+                        else float(carried_row_ts)
+                    )
+                    ref = np.where(lr >= 0, sts_f[np.maximum(lr, 0)], cr_f)
+                    L = sts[l_mask]
+                    vals_sorted = []
+                    out_vals = {}
+                    for i, c in enumerate(value_cols):
+                        v = pdf[c].astype("float64").to_numpy()[order]
+                        vals_sorted.append(v)
+                        nn = s_r & ~np.isnan(v)
+                        sel = _ffill_idx(nn)[l_mask]
+                        c_v = car[i][1]
+                        c_v_f = np.nan if c_v is None else float(c_v)
+                        res = np.where(
+                            sel >= 0, v[np.maximum(sel, 0)], c_v_f
+                        )
+                        if tol_us is not None:
+                            stale = np.isnan(ref) | ((L - ref) > tol_us)
+                            res = np.where(stale, np.nan, res)
+                        out_vals[c] = res
+                    if L.size:
+                        src_pos = order[np.flatnonzero(l_mask)]
+                        data = dict(zip(key_cols, key))
+                        data[ts_col] = pd.to_datetime(L * 1000)
+                        for i, c in enumerate(left_cols):
+                            col = pdf[c]
+                            if int_col[i]:
+                                arr = col.astype("float64").to_numpy()[src_pos]
+                                if np.any(np.abs(arr) >= TWO53):
+                                    raise ValueError(_big_int_msg(c))
+                                data[c] = pd.array(arr, dtype="Int64")
+                            elif num_col[i]:
+                                data[c] = col.astype("float64").to_numpy()[src_pos]
+                            else:
+                                data[c] = np.asarray(
+                                    col.to_numpy(), dtype=object
+                                )[src_pos]
+                        data.update(out_vals)
+                        yield pd.DataFrame(
+                            data,
+                            columns=[*key_cols, ts_col, *left_cols,
+                                     *value_cols],
+                        )
+                    r_idx = np.flatnonzero(s_r)
+                    if r_idx.size:
+                        carried_row_ts = int(sts[r_idx[-1]])
+                        for i in range(nv):
+                            v = vals_sorted[i]
+                            nnp = np.flatnonzero(s_r & ~np.isnan(v))
+                            if nnp.size:
+                                car[i] = (
+                                    int(sts[nnp[-1]]), float(v[nnp[-1]])
+                                )
+                    max_us = int(ts_us.max())
+                    state.update((
+                        carried_row_ts,
+                        *[x for pair in car for x in pair],
+                        [], *[[] for _ in range(nv)],
+                        [], *[[] for _ in range(nl)],
+                        True, max_us,
+                    ))
+                    if ttl_ms is not None:
+                        state.setTimeoutTimestamp(
+                            max(max_us // 1000 + ttl_ms, wm_ms + 1)
+                        )
+                    return
+                # first observed cross-batch disorder: flip this key to
+                # the watermark-buffered path permanently (rows already
+                # emitted keep their in-order best-effort matches —
+                # append output cannot retract)
+                ok_fast = False
+
+            n_r = int(is_right.sum())
+            if n_r:
+                # merge the SORTED new batch into the already-sorted
+                # buffer (O(n+m), no re-sort of the old part); side=
+                # "right" keeps arrival order as the tie-break among
+                # equal ts, matching the batch kernel's plan-order ties
+                r_ts = ts_us[is_right]
+                order = np.argsort(r_ts, kind="stable")
+                r_ts = r_ts[order]
+                newv = [
+                    pdf[c].astype("float64").to_numpy()[is_right][order]
+                    for c in value_cols
+                ]
+                if rb_ts.size:
+                    ins = np.searchsorted(rb_ts, r_ts, side="right")
+                    rb_ts = np.insert(rb_ts, ins, r_ts)
+                    rb_v = [
+                        np.insert(v, ins, nw) for v, nw in zip(rb_v, newv)
+                    ]
+                else:
+                    rb_ts, rb_v = r_ts, newv
+            is_left_m = ~is_right
+            if n_r < len(ts_us):
+                l_ts_new = ts_us[is_left_m]
+                lb_ts = (
+                    np.concatenate([lb_ts, l_ts_new])
+                    if lb_ts.size else l_ts_new
+                )
                 for i, c in enumerate(left_cols):
-                    vals = pdf[c][is_left]
-                    conv = left_convs[i]
-                    lb_p[i].extend(
-                        None if pd.isna(x) else conv(x) for x in vals.tolist()
+                    col = pdf[c]
+                    if num_col[i]:
+                        arr = col.astype("float64").to_numpy()[is_left_m]
+                        if int_col[i] and np.any(np.abs(arr) >= TWO53):
+                            raise ValueError(_big_int_msg(c))
+                    else:
+                        arr = np.asarray(col.to_numpy(), dtype=object)[
+                            is_left_m
+                        ]
+                    lb_c[i] = (
+                        np.concatenate([lb_c[i], arr])
+                        if lb_c[i].size else arr
                     )
 
         # Spark's watermark is MILLISECOND-floored (the max event time is
@@ -498,33 +740,56 @@ def _stream_asof_buffered(
         # would strand a left row in the watermark's own millisecond
         # forever (measured: the max-ts row of a finite stream never
         # emitted). Emit at ms granularity, matching the engine's own
-        # late-row granularity; disorder WITHIN one millisecond is the
-        # engine's blind spot, not this kernel's.
+        # late-row granularity; equal-ms disorder across batches is the
+        # engine-granularity blind spot (see docstring), not this
+        # kernel's.
         emit = (lb_ts // 1000) <= wm_ms
+        if linear and fast_path and ok_fast and lb_ts.size and rb_ts.size:
+            # FRONTIER emission (linear auto, in-order so far): a left
+            # strictly below every column's last non-null right sample
+            # has BOTH surrounding samples decided — under in-order
+            # delivery no future right can land at-or-before the
+            # frontier — so it emits now instead of waiting for the
+            # watermark. Strictly below: a left exactly AT a column's
+            # last non-null sample still needs the next batch to decide
+            # clamp-vs-blend when clamp_forward=False.
+            fr = None
+            for v in rb_v:
+                nn = np.flatnonzero(~np.isnan(v))
+                if not nn.size:
+                    fr = -1
+                    break
+                t = int(rb_ts[nn[-1]])
+                fr = t if fr is None else min(fr, t)
+            if fr is not None and fr >= 0:
+                emit = emit | (lb_ts < fr)
         if emit.any():
             L = lb_ts[emit]
+            m = rb_ts.size
             idx = np.searchsorted(rb_ts, L, side="right")
-            has_prev_pos = idx > 0
-            prev_pos = np.maximum(idx - 1, 0)
-            out = {}
+            pp = idx - 1
             rb_ts_f = rb_ts.astype("float64")
+            nanL = np.full(L.size, np.nan)
+            data = dict(zip(key_cols, key))
+            data[ts_col] = pd.to_datetime(L * 1000)
+            for i, c in enumerate(left_cols):
+                arr = lb_c[i][emit]
+                data[c] = pd.array(arr, dtype="Int64") if int_col[i] else arr
             with np.errstate(invalid="ignore", divide="ignore"):
-                nanL = np.full(len(L), np.nan)
                 for i, c in enumerate(value_cols):
                     v = rb_v[i]
-                    if len(rb_ts) == 0:
+                    if m == 0:
                         # empty right buffer: indexing below would fail
                         # (np.where evaluates both branches) — everything
                         # falls back to the carried row
                         bv = bt = nanL
                     else:
                         nn = ~np.isnan(v)
-                        p_v = pd.Series(v).ffill().to_numpy()
-                        p_ts = pd.Series(
-                            np.where(nn, rb_ts_f, np.nan)
-                        ).ffill().to_numpy()
-                        bv = np.where(has_prev_pos, p_v[prev_pos], np.nan)
-                        bt = np.where(has_prev_pos, p_ts[prev_pos], np.nan)
+                        sel = _ffill_idx(nn)[np.maximum(pp, 0)]
+                        valid = (pp >= 0) & (sel >= 0)
+                        safe = np.maximum(sel, 0)
+                        bv = np.where(valid, v[safe], np.nan)
+                        bt = np.where(valid, rb_ts_f[safe], np.nan)
                     c_ts, c_v = car[i]
                     c_ts_f = np.nan if c_ts is None else float(c_ts)
                     c_v_f = np.nan if c_v is None else float(c_v)
@@ -536,17 +801,14 @@ def _stream_asof_buffered(
                     prev_v = np.where(use_buf, bv, c_v_f)
                     prev_ts = np.where(use_buf, bt, c_ts_f)
                     if linear:
-                        if len(rb_ts) == 0:
+                        if m == 0:
                             next_v = next_ts = nanL
                         else:
-                            n_v = pd.Series(v).bfill().to_numpy()
-                            n_ts = pd.Series(
-                                np.where(nn, rb_ts_f, np.nan)
-                            ).bfill().to_numpy()
-                            in_buf = idx < len(rb_ts)
-                            take = np.minimum(idx, len(rb_ts) - 1)
-                            next_v = np.where(in_buf, n_v[take], np.nan)
-                            next_ts = np.where(in_buf, n_ts[take], np.nan)
+                            nsel = _bfill_idx(nn)[np.minimum(idx, m - 1)]
+                            validn = (idx < m) & (nsel < m)
+                            safen = np.minimum(nsel, m - 1)
+                            next_v = np.where(validn, v[safen], np.nan)
+                            next_ts = np.where(validn, rb_ts_f[safen], np.nan)
                         both = ~np.isnan(prev_v) & ~np.isnan(next_v)
                         # same operation order as the batch kernel / SQL
                         # oracle: pv + (nv - pv) * (t - pt) / (nt - pt)
@@ -558,12 +820,12 @@ def _stream_asof_buffered(
                         if clamp_forward:
                             clamp = ~np.isnan(prev_v) & np.isnan(next_v)
                             res = np.where(clamp, prev_v, res)
-                        out[c] = res
+                        data[c] = res
                     else:
                         res = prev_v
                         if tol_us is not None:
-                            brt = nanL if len(rb_ts) == 0 else np.where(
-                                has_prev_pos, rb_ts_f[prev_pos], np.nan
+                            brt = nanL if m == 0 else np.where(
+                                pp >= 0, rb_ts_f[np.maximum(pp, 0)], np.nan
                             )
                             cr_f = (
                                 np.nan if carried_row_ts is None
@@ -576,23 +838,25 @@ def _stream_asof_buffered(
                             )
                             stale = np.isnan(ref) | ((L - ref) > tol_us)
                             res = np.where(stale, np.nan, res)
-                        out[c] = res
-            opdf = pd.DataFrame({
-                **{c: k for c, k in zip(key_cols, key)},
-                ts_col: pd.to_datetime(L * 1000),
-                **{
-                    c: np.asarray(lb_p[i], dtype=object)[emit]
-                    for i, c in enumerate(left_cols)
-                },
-                **out,
-            }, columns=[*key_cols, ts_col, *left_cols, *value_cols])
-            yield opdf
+                        data[c] = res
+            yield pd.DataFrame(
+                data, columns=[*key_cols, ts_col, *left_cols, *value_cols]
+            )
             keep = ~emit
             lb_ts = lb_ts[keep]
-            lb_p = [list(np.asarray(p, dtype=object)[keep]) for p in lb_p]
+            lb_c = [a[keep] for a in lb_c]
 
-        # compact rights at-or-before the watermark into the carried row
-        fidx = int(np.searchsorted(rb_ts, wm_us, side="right"))
+        # compact rights at-or-before the watermark into the carried row;
+        # in linear-auto fast mode, compact everything STRICTLY below the
+        # oldest pending left instead (all of it, when nothing is
+        # pending): in-order delivery guarantees those rights can only
+        # ever serve as a "previous sample", which the carried per-column
+        # (ts, value) pair represents exactly
+        if linear and fast_path and ok_fast and rb_ts.size:
+            cb_us = int(lb_ts.min()) if lb_ts.size else int(rb_ts[-1]) + 1
+            fidx = int(np.searchsorted(rb_ts, max(cb_us, wm_us + 1), side="left"))
+        else:
+            fidx = int(np.searchsorted(rb_ts, wm_us, side="right"))
         if fidx > 0:
             t_last = int(rb_ts[fidx - 1])
             if carried_row_ts is None or t_last >= carried_row_ts:
@@ -612,12 +876,10 @@ def _stream_asof_buffered(
             carried_row_ts,
             *[x for pair in car for x in pair],
             rb_ts.tolist(),
-            *[
-                [None if np.isnan(x) else float(x) for x in v]
-                for v in rb_v
-            ],
+            *[_num_state(v) for v in rb_v],
             lb_ts.tolist(),
-            *lb_p,
+            *[_persist_left(i, lb_c[i]) for i in range(nl)],
+            *((ok_fast, max_us) if fast_path else ()),
         ))
         if len(lb_ts) or len(rb_ts):
             # pending work: flush on the next watermark advance
@@ -642,6 +904,7 @@ def stream_asof_linear(
     value_cols: Sequence[str] | None = None,
     clamp_forward: bool = True,
     state_ttl_seconds: float | None = None,
+    auto: bool = False,
 ) -> DataFrame:
     """J3 as a TRUE stateful stream: each left row gets the time-weighted
     linear blend of the surrounding right-side samples — the streaming
@@ -649,9 +912,21 @@ def stream_asof_linear(
     (reference semantics ``lib/unifier_with_forecast_data.py:62-75``),
     on the watermark-buffered machinery of :func:`_stream_asof_buffered`
     (which see, for the emission/disorder contract). Requires a
-    watermark on the LEFT stream."""
+    watermark on the LEFT stream.
+
+    ``auto=True`` enables the observed-disorder fast path: while a key's
+    delivery stays in event-time order, a left row emits as soon as its
+    NEXT surrounding sample is decided (a later non-null right exists in
+    every value column) instead of waiting for the watermark, and
+    already-served rights compact into the carried per-column pair
+    immediately — most rows emit in their arrival batch and state holds
+    only the undecided tail past the last right sample. The first
+    observed cross-batch disorder flips the key permanently back to pure
+    watermark-buffered semantics (rows emitted before the flip got the
+    in-order answer — exact if delivery truly was in-order up to that
+    point; append output cannot be retracted)."""
     return _stream_asof_buffered(
         left, right, "linear", key_cols, ts_col, value_cols,
         tolerance_seconds=None, clamp_forward=clamp_forward,
-        state_ttl_seconds=state_ttl_seconds,
+        state_ttl_seconds=state_ttl_seconds, fast_path=auto,
     )

@@ -670,6 +670,237 @@ def test_asof_buffered_tolerance_and_ttl(spark, tmp_path):
     assert got[4.0] is None, "expired state must not match"
 
 
+def _in_order_fixture(spark, root, n=600, n_series=5, n_files=6):
+    """The _disordered_fixture corpus WITHOUT displacement: files split
+    strictly by id range, so per-key delivery is in event-time order."""
+    import glob as _glob
+    import shutil as _shutil
+
+    os.makedirs(root)
+    per = n // n_files
+    base = spark.range(n).select(
+        F.concat(F.lit("s"), F.pmod("id", F.lit(n_series))).alias("series"),
+        F.timestamp_seconds(F.lit(1000) + F.col("id")).alias("timestamp"),
+        F.when(F.pmod(F.hash("id"), 9) != 0, F.col("id").cast("double"))
+        .alias("value"),
+        (F.pmod(F.hash("id", F.lit(3)), 4) == 0).alias("is_right"),
+        F.col("id"),
+    )
+    for f in range(n_files):
+        tmp = f"{root}__tmp"
+        base.where(
+            (F.col("id") >= f * per) & (F.col("id") < (f + 1) * per)
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.replace(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{root}/f{f}.parquet")
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return root, spark.read.parquet(f"{root}/*.parquet")
+
+
+def test_asof_auto_in_order_parity_and_disorder_flip(spark, tmp_path):
+    """buffered="auto" (round 8): on an in-order multi-batch stream the
+    fast path emits every row with the exact batch-kernel answer; the
+    first observed cross-batch disorder flips the key permanently to
+    the watermark-buffered path, after which rows get exact buffered
+    semantics (rows emitted before the flip keep the in-order
+    best-effort match — append output cannot retract)."""
+    from solarboat_data_pipeline_spark.operators import timeseries as ts
+    from solarboat_data_pipeline_spark.streaming.stateful import (
+        stream_asof_backward,
+    )
+
+    # 1) in-order multi-file stream: auto ≡ batch kernel on ALL lefts
+    # (including the tail past the final watermark — the fast path does
+    # not hold rows back)
+    src, b = _in_order_fixture(spark, str(tmp_path / "auto_ord"))
+    st = spark.readStream.schema(
+        "series string, timestamp timestamp, value double, "
+        "is_right boolean, id long"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src}/*.parquet")
+    left = st.where(~F.col("is_right")).select(
+        "series", "timestamp", "id"
+    ).withWatermark("timestamp", "0 seconds")
+    right = st.where("is_right").select(
+        "series", "timestamp", F.col("value").alias("ref")
+    )
+    got = _drain(
+        stream_asof_backward(
+            left, right, key_cols=("series",), ts_col="timestamp",
+            value_cols=("ref",), buffered="auto",
+        ),
+        "asof_auto_parity",
+    )
+    bl = b.where(~F.col("is_right")).select("series", "timestamp", "id")
+    br = b.where("is_right").select(
+        "series", "timestamp", F.col("value").alias("ref")
+    )
+    expect = ts.asof_join_backward(
+        bl, br, on="timestamp", value_cols=["ref"], partition_cols=("series",)
+    )
+    g = sorted(map(tuple, got.select("id", "ref").collect()))
+    e = sorted(map(tuple, expect.select("id", "ref").collect()))
+    assert len(g) == len(e) == bl.count()
+    assert g == e
+
+    # 2) disorder flip: b1 in-order (left emits immediately, in-order
+    # answer), b2 disordered right -> key flips, later lefts get exact
+    # buffered semantics
+    src2 = str(tmp_path / "auto_flip")
+    os.makedirs(f"{src2}/l")
+    os.makedirs(f"{src2}/r")
+    rdf = spark.createDataFrame(
+        [("a", 100, 5.0)], "series string, epoch long, ref double"
+    )
+    rdf.select(
+        "series", F.timestamp_seconds("epoch").alias("timestamp"), "ref"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src2}/r/b1.parquet")
+    _write_batch(spark, f"{src2}/l/b1.parquet", [("a", 150, 1.0)])
+    time.sleep(1.1)
+    rdf2 = spark.createDataFrame(
+        [("a", 120, 7.0)], "series string, epoch long, ref double"
+    )
+    rdf2.select(
+        "series", F.timestamp_seconds("epoch").alias("timestamp"), "ref"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src2}/r/b2.parquet")
+    _write_batch(spark, f"{src2}/l/b2.parquet", [("a", 400, 2.0)])
+    time.sleep(1.1)
+    _write_batch(spark, f"{src2}/l/b3.parquet", [("a", 1000, 3.0)])
+
+    sl = spark.readStream.schema(
+        "series string, timestamp timestamp, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(
+        f"{src2}/l/*.parquet"
+    ).withWatermark("timestamp", "60 seconds")
+    sr = spark.readStream.schema(
+        "series string, timestamp timestamp, ref double"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src2}/r/*.parquet")
+    got2 = {
+        r["value"]: r["ref"]
+        for r in _drain(
+            stream_asof_backward(
+                sl, sr, key_cols=("series",), ts_col="timestamp",
+                buffered="auto",
+            ),
+            "asof_auto_flip",
+        ).collect()
+    }
+    # pre-flip: emitted immediately with the in-order answer (the late
+    # 120 right had not arrived)
+    assert got2[1.0] == 5.0
+    # post-flip: watermark-buffered exactness — the 400 left waited and
+    # saw the late 120 right
+    assert got2[2.0] == 7.0
+    # the 1000 left sits inside the watermark-delay tail: buffered
+    # semantics hold it (the flip is permanent — no fast re-emission)
+    assert 3.0 not in got2
+
+
+def test_asof_linear_auto_matches_batch_kernel(spark, tmp_path):
+    """auto=True linear (round 8 frontier fast path): on an in-order
+    multi-batch stream the result equals the batch asof_join_linear on
+    every row, for both clamp modes — while state holds only the
+    undecided tail."""
+    from solarboat_data_pipeline_spark.operators import timeseries as ts
+    from solarboat_data_pipeline_spark.streaming.stateful import (
+        stream_asof_linear,
+    )
+
+    src, b = _in_order_fixture(spark, str(tmp_path / "linauto"))
+    for clamp in (True, False):
+        st = spark.readStream.schema(
+            "series string, timestamp timestamp, value double, "
+            "is_right boolean, id long"
+        ).option("maxFilesPerTrigger", 1).parquet(f"{src}/*.parquet")
+        left = st.where(~F.col("is_right")).select(
+            "series", "timestamp", "id"
+        ).withWatermark("timestamp", "0 seconds")
+        right = st.where("is_right").select(
+            "series", "timestamp", F.col("value").alias("ref")
+        )
+        got = _drain(
+            stream_asof_linear(
+                left, right, key_cols=("series",), ts_col="timestamp",
+                value_cols=("ref",), auto=True, clamp_forward=clamp,
+            ),
+            f"lin_auto_{clamp}",
+        )
+        bl = b.where(~F.col("is_right")).select("series", "timestamp", "id")
+        br = b.where("is_right").select(
+            "series", "timestamp", F.col("value").alias("ref")
+        )
+        expect = ts.asof_join_linear(
+            bl, br, on="timestamp", value_cols=["ref"],
+            partition_cols=("series",), clamp_forward=clamp,
+        )
+        g = sorted(map(tuple, got.select("id", "ref").collect()))
+        e = sorted(map(tuple, expect.select("id", "ref").collect()))
+        assert len(g) == len(e) == bl.count()
+        assert g == e
+
+
+def test_asof_buffered_rejects_big_int_payload(spark, tmp_path):
+    """ADVICE r7: integer left payloads above 2^53 cannot ride the
+    float64-widened buffered state exactly — the kernel raises at
+    ingest instead of emitting silently-rounded values."""
+    import pytest
+
+    from solarboat_data_pipeline_spark.streaming.stateful import (
+        stream_asof_backward,
+    )
+
+    src = str(tmp_path / "big")
+    os.makedirs(src)
+    big = (1 << 53) + 1
+    ldf = spark.createDataFrame(
+        [("a", 100, big)], "series string, epoch long, payload long"
+    )
+    ldf.select(
+        "series", F.timestamp_seconds("epoch").alias("timestamp"), "payload"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/l.parquet")
+    rdf = spark.createDataFrame(
+        [("a", 50, 1.0)], "series string, epoch long, ref double"
+    )
+    rdf.select(
+        "series", F.timestamp_seconds("epoch").alias("timestamp"), "ref"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/r.parquet")
+    sl = spark.readStream.schema(
+        "series string, timestamp timestamp, payload long"
+    ).parquet(f"{src}/l.parquet").withWatermark("timestamp", "0 seconds")
+    sr = spark.readStream.schema(
+        "series string, timestamp timestamp, ref double"
+    ).parquet(f"{src}/r.parquet")
+    j = stream_asof_backward(
+        sl, sr, key_cols=("series",), ts_col="timestamp",
+        value_cols=("ref",), buffered=True,
+    )
+    q = (
+        j.writeStream.format("memory").queryName("big_int_guard")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    with pytest.raises(Exception, match="2\\^53"):
+        q.awaitTermination(120)
+        raise AssertionError("query should have failed")
+
+
+def test_asof_buffered_rejects_bad_mode(spark, tmp_path):
+    import pytest
+
+    from solarboat_data_pipeline_spark.streaming.stateful import (
+        stream_asof_backward,
+    )
+
+    left = spark.createDataFrame(
+        [("a", 1, 1.0)], "series string, epoch int, v double"
+    ).select("series", F.timestamp_seconds("epoch").alias("timestamp"), "v")
+    right = spark.createDataFrame(
+        [("a", 1, 1.0)], "series string, epoch int, ref double"
+    ).select("series", F.timestamp_seconds("epoch").alias("timestamp"), "ref")
+    with pytest.raises(ValueError, match="buffered must be"):
+        stream_asof_backward(
+            left, right, key_cols=("series",), ts_col="timestamp",
+            buffered="yes-please",
+        )
+
+
 def test_asof_buffered_rejects_nested_left_payload(spark):
     """Left payload columns ride array-typed state — nested or timestamp
     payloads are refused loudly instead of corrupting silently."""
