@@ -93,28 +93,124 @@ def ivf_assign(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
     centroid by cosine (ties → lowest centroid id).
 
-    Deterministic seed centroids — the first ``n_centroids`` vectors by id
-    (k-means iterations would refine them; the inverted-file structure and
-    probe path are identical, and seeding keeps the exact SQL oracle).
-    Assignment is a broadcast of the tiny centroid set against the corpus:
-    no shuffle of the big side, O(N·C) fully in codegen."""
-    return _assign_to(df, _seed_centroids(df, n_centroids, id_col, vec_col),
-                      id_col, vec_col)
+    ``train_iters=0`` uses the deterministic seed centroids (the
+    ``n_centroids`` smallest-id vectors); ``train_iters>0`` refines them
+    with that many k-means iterations first
+    (:func:`train_ivf_centroids`) — on clustered real embeddings
+    unrefined seeds skew cell sizes, which turns into hot probe cells.
+    Assignment is a broadcast of the tiny centroid set against the
+    corpus: no shuffle of the big side, O(N·C) fully in codegen."""
+    cent = _centroids(df, n_centroids, id_col, vec_col, train_iters)
+    return _assign_to(df, cent, id_col, vec_col)
 
 
 def _seed_centroids(
     df: DataFrame, n_centroids: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    """The ONE definition of seed-centroid selection (the first
-    ``n_centroids`` vectors by id) — shared by assignment, the stored
-    index build, and the in-memory probe path so they can never drift."""
-    return df.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec")
+    """The ONE definition of seed-centroid selection — shared by
+    assignment, training init, the stored index build, and the in-memory
+    probe path so they can never drift.
+
+    Seeds are the ``n_centroids`` SMALLEST-ID vectors with dense cell
+    ids 0..n-1 assigned by id rank (round 8; previously ``id <
+    n_centroids``, which silently yielded fewer centroids on corpora
+    whose ids are not dense from 0 — e.g. 64-bit hash ids). On dense-id
+    corpora rank(id)-1 == id, so the selection is unchanged there. The
+    top-n is a ``TakeOrdered``, not a global sort; the rank window runs
+    on ≤ n rows."""
+    sub = df.select(F.col(id_col), F.col(vec_col)).orderBy(id_col).limit(
+        n_centroids
     )
+    w = Window.orderBy(id_col)
+    return sub.select(
+        (F.row_number().over(w) - 1).cast("long").alias("cid"),
+        F.col(vec_col).alias("c_vec"),
+    )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Lloyd (k-means) refinement of the IVF seed centroids, expressed
+    entirely as DataFrame operations: per iteration, assign every vector
+    to its nearest centroid (broadcast, O(N·C) codegen — never a shuffle
+    of the corpus), then recompute each cell's centroid as the component
+    mean of its members (ONE map-side-combined hash aggregate of the
+    corpus into ``n_centroids`` rows). Cells that lose all members keep
+    their previous centroid.
+
+    Cross-engine determinism: float summation is order-sensitive, so a
+    plain ``avg`` would differ run-to-run (Spark partition order) and
+    engine-to-engine (the DuckDB oracle). The mean is therefore computed
+    on a FIXED-POINT grid: components quantize to ``floor(x * 2^20)``
+    longs whose integer sum is exactly associative, and the mean is the
+    exact double ``sum / (count * 2^20)`` — bit-identical regardless of
+    partitioning, and replayable verbatim in SQL (``floor``, unlike
+    round or a double→bigint cast, has no tie/rounding-mode divergence
+    between engines). The 2⁻²⁰ quantization error (~1e-6) is far below
+    any embedding noise floor. Long overflow needs |x|·2²⁰·rows ≥ 2⁶³,
+    i.e. ~10¹² unit-scale vectors per cell — beyond 100 TB corpus sizes.
+
+    Returns ``(cid, c_vec array<double>)``."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    scale = float(1 << 20)
+    cent = _seed_centroids(df, n_centroids, id_col, vec_col).select(
+        "cid",
+        F.transform("c_vec", lambda x: x.cast("double")).alias("c_vec"),
+    )
+    for _ in range(iters):
+        assigned = _assign_to(df, cent, id_col, vec_col)
+        means = (
+            assigned.groupBy("cid")
+            .agg(
+                *[
+                    F.sum(
+                        F.floor(F.col(vec_col)[j].cast("double") * scale)
+                    ).alias(f"s{j}")
+                    for j in range(dim)
+                ],
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cid",
+                F.array(
+                    *[
+                        F.col(f"s{j}") / (F.col("n") * F.lit(scale))
+                        for j in range(dim)
+                    ]
+                ).alias("c_new"),
+            )
+        )
+        cent = cent.join(means, "cid", "left").select(
+            "cid", F.coalesce("c_new", "c_vec").alias("c_vec")
+        )
+    return cent
+
+
+def _centroids(
+    df: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    train_iters: int,
+) -> DataFrame:
+    """Seeded or trained centroid table, per ``train_iters``."""
+    if train_iters:
+        return train_ivf_centroids(
+            df, n_centroids, train_iters, id_col, vec_col
+        )
+    return _seed_centroids(df, n_centroids, id_col, vec_col)
 
 
 def _assign_to(
@@ -144,15 +240,19 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    train_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k via IVF: exact cosine ranking restricted to the
     query's ``nprobe`` nearest centroid cells. Same output shape as
     :func:`cosine_topk`; recall loss shows up as missing neighbors that
     live in unprobed cells and shrinks as ``nprobe`` grows (the standard
     IVF recall/cost dial — probing multiplies only the tiny query side,
-    never the corpus scan)."""
-    assigned = ivf_assign(df, n_centroids, id_col, vec_col)
-    cent = _seed_centroids(df, n_centroids, id_col, vec_col)
+    never the corpus scan). ``train_iters>0`` runs that many k-means
+    refinement rounds (:func:`train_ivf_centroids`) before assignment —
+    on clustered corpora this balances cell sizes and lifts recall at
+    the same ``nprobe`` (measured: tests/test_ivf_training.py)."""
+    cent = _centroids(df, n_centroids, id_col, vec_col, train_iters)
+    assigned = _assign_to(df, cent, id_col, vec_col)
     qvecs = df.where(F.col(id_col).isin(list(query_ids)))
     w_probe = Window.partitionBy(id_col).orderBy(
         F.col("__ccos").desc(), F.col("cid").asc()
@@ -202,6 +302,7 @@ def build_ivf_index(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 0,
 ) -> None:
     """Persist the IVF structure: the corpus assignments land under
     ``<path>/cells`` PARTITIONED BY the cell id and the centroid table
@@ -209,12 +310,15 @@ def build_ivf_index(
     probe against the stored index becomes directory-level PARTITION
     PRUNING, so a search reads ~``nprobe/n_centroids`` of the corpus
     bytes from storage instead of scanning it (the property that makes
-    IVF an INDEX at 100 TB rather than a filter)."""
-    assigned = ivf_assign(df, n_centroids, id_col, vec_col)
+    IVF an INDEX at 100 TB rather than a filter). ``train_iters>0``
+    k-means-refines the centroids before the build
+    (:func:`train_ivf_centroids`); probes and increments
+    (:func:`extend_ivf_index`) read whatever centroid table was
+    persisted, so they follow automatically."""
+    cent = _centroids(df, n_centroids, id_col, vec_col, train_iters)
+    assigned = _assign_to(df, cent, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/cells")
-    _seed_centroids(df, n_centroids, id_col, vec_col).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/centroids")
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
 def extend_ivf_index(
@@ -231,7 +335,8 @@ def extend_ivf_index(
     and :func:`ivf_topk_indexed` reads base + increments as one corpus.
     Because assignment is a pure function of (vector, centroid table),
     an extended index is row-identical to rebuilding on the union as
-    long as the centroid seeds (ids < n_centroids) were in the original
+    long as the centroid table (the n-smallest-id seeds, k-means-refined
+    when the build used ``train_iters``) derives from the original
     corpus — the equivalence ``tests/test_dedup_similarity_text.py``
     locks.
 
