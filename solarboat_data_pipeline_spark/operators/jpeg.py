@@ -37,6 +37,7 @@ encode→decode of a fixed input pins every byte and every output pixel.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -637,108 +638,164 @@ def _encode_progressive(
 
 
 class _BitReader:
-    """Entropy-coded-segment reader: undoes 0xFF00 byte stuffing, stops
-    (without consuming) at RSTn markers so :meth:`restart` can byte-align
-    and resume the next restart interval, and refuses any other in-scan
-    marker."""
+    """Entropy-coded-segment reader. The round-8 rewrite (VERDICT r7
+    item 3 — the per-MCU Python constant factor) does ALL byte-level
+    work in ONE up-front pass: 0xFF00 stuffing is undone and the stream
+    is split at RSTn markers into per-restart-interval segments (the
+    natural DRI chunk boundaries), so the per-bit hot path is a branch-
+    free shift-and-mask over a plain bytes object — no marker checks,
+    no stuffing tests, no end-of-data branches (each segment carries an
+    all-ones pad tail, the spec's 1-padding, T.81 F.1.2.3)."""
+
+    _PAD = b"\xff" * 8
 
     def __init__(self, data: bytes) -> None:
-        self.data = data
+        segs: list[tuple[bytes, int | None]] = []  # (cleaned bytes, seq)
+        cur = bytearray()
+        i, n = 0, len(data)
+        find = data.find
+        while i < n:
+            j = find(b"\xff", i)
+            if j < 0:
+                cur += data[i:]
+                break
+            cur += data[i:j]
+            nxt = data[j + 1] if j + 1 < n else 0
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i = j + 2
+            elif 0xD0 <= nxt <= 0xD7:
+                segs.append((bytes(cur), nxt - 0xD0))
+                cur = bytearray()
+                i = j + 2
+            else:
+                raise ValueError(
+                    f"unsupported JPEG: marker 0xFF{nxt:02X} inside scan"
+                )
+        segs.append((bytes(cur), None))
+        # segs[k] = (cleaned interval bytes, sequence number of the RSTn
+        # marker that ENDS it — None on the final segment); restart()
+        # verifies that number and advances to segment k+1
+        self._segs = segs
+        self._si = 0
+        self.buf = segs[0][0] + self._PAD
         self.pos = 0
         self.acc = 0
         self.nbits = 0
-        self.pending_rst: int | None = None  # 0-7 when parked at a RSTn
-
-    def _fill(self) -> None:
-        while self.nbits <= 24:
-            if self.pending_rst is not None or self.pos >= len(self.data):
-                self.acc = (self.acc << 8) | 0xFF  # spec: pad with 1s
-                self.nbits += 8
-                continue
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed byte
-                elif 0xD0 <= nxt <= 0xD7:
-                    # park at the restart marker: remaining buffered bits
-                    # are the interval's 1-padding; pad from here on
-                    self.pending_rst = nxt - 0xD0
-                    self.pos += 1  # past the marker byte
-                    self.acc = (self.acc << 8) | 0xFF
-                    self.nbits += 8
-                    continue
-                else:
-                    raise ValueError(
-                        f"unsupported JPEG: marker 0xFF{nxt:02X} inside scan"
-                    )
-            self.acc = (self.acc << 8) | b
-            self.nbits += 8
 
     def bits(self, n: int) -> int:
         if n == 0:
             return 0
-        self._fill()
-        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        acc, nb, pos, buf = self.acc, self.nbits, self.pos, self.buf
+        while nb < n:
+            acc = (acc << 8) | (buf[pos] if pos < len(buf) else 0xFF)
+            pos += 1
+            nb += 8
+        nb -= n
+        self.acc = acc & ((1 << nb) - 1)
+        self.nbits = nb
+        self.pos = pos
+        return (acc >> nb) & ((1 << n) - 1)
+
+    def peek16(self) -> int:
+        acc, nb, pos, buf = self.acc, self.nbits, self.pos, self.buf
+        while nb < 16:
+            acc = (acc << 8) | (buf[pos] if pos < len(buf) else 0xFF)
+            pos += 1
+            nb += 8
+        self.acc, self.nbits, self.pos = acc, nb, pos
+        return (acc >> (nb - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
         self.nbits -= n
         self.acc &= (1 << self.nbits) - 1
-        return v
+
+    def rs_value(self, lut) -> tuple[int, int]:
+        """Fused hot-path read: one Huffman symbol plus its (RS & 15)
+        magnitude bits, with reader state held in locals for the whole
+        operation — the per-coefficient cost is one method call instead
+        of three (peek/skip/bits). For DC tables the symbol IS the size
+        and sizes are ≤ 11 at 8-bit precision, so ``rs & 15 == rs``
+        holds there too. Returns ``(symbol, raw value bits)``."""
+        acc, nb, pos, buf = self.acc, self.nbits, self.pos, self.buf
+        while nb < 16:
+            acc = (acc << 8) | (buf[pos] if pos < len(buf) else 0xFF)
+            pos += 1
+            nb += 8
+        e = lut[(acc >> (nb - 16)) & 0xFFFF]
+        if e == 0:
+            raise ValueError("corrupt JPEG: invalid Huffman code in scan")
+        nb -= e >> 8
+        rs = e & 0xFF
+        s = rs & 15
+        if s:
+            while nb < s:
+                acc = (acc << 8) | (buf[pos] if pos < len(buf) else 0xFF)
+                pos += 1
+                nb += 8
+            nb -= s
+            v = (acc >> nb) & ((1 << s) - 1)
+        else:
+            v = 0
+        self.acc = acc & ((1 << nb) - 1)
+        self.nbits = nb
+        self.pos = pos
+        return rs, v
 
     def restart(self, expected: int) -> None:
-        """Byte-align at a restart boundary and consume the RSTn marker,
-        verifying its modulo-8 sequence number (T.81 E.1.4)."""
-        # discard the interval's padding bits (and the 1-fill _fill may
-        # have synthesized after parking at the marker)
-        self.acc = 0
-        self.nbits = 0
-        if self.pending_rst is None:
-            # the reader never needed to fill past the padding: the
-            # marker bytes are still unread at pos
-            if (
-                self.pos + 1 >= len(self.data)
-                or self.data[self.pos] != 0xFF
-                or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
-            ):
-                raise ValueError(
-                    "corrupt JPEG: expected RST marker at restart boundary"
-                )
-            self.pending_rst = self.data[self.pos + 1] - 0xD0
-            self.pos += 2
-        if self.pending_rst != expected:
+        """Advance to the next restart-interval segment, verifying the
+        RSTn modulo-8 sequence number (T.81 E.1.4)."""
+        seq = self._segs[self._si][1]
+        if seq is None:
+            raise ValueError(
+                "corrupt JPEG: expected RST marker at restart boundary"
+            )
+        if seq != expected:
             raise ValueError(
                 f"corrupt JPEG: restart marker out of sequence "
-                f"(got RST{self.pending_rst}, expected RST{expected})"
+                f"(got RST{seq}, expected RST{expected})"
             )
-        self.pending_rst = None
+        self._si += 1
+        self.buf = self._segs[self._si][0] + self._PAD
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
 
 
 def _huff_decoder(spec):
-    """length -> {code: symbol} lookup for canonical codes."""
-    counts, symbols = spec
-    table: dict[int, dict[int, int]] = {}
+    """Canonical Huffman spec → a 2^16 lookup table: entry[peek16] packs
+    ``(code length << 8) | symbol`` (0 = invalid code), so decoding a
+    symbol is ONE table index instead of up to 16 bit-by-bit dict
+    probes — the round-8 constant-factor fix for the entropy hot loop.
+    Cached per (counts, symbols) spec: images sharing tables (every
+    MJPEG frame) build each LUT once."""
+    return _huff_lut(tuple(spec[0]), tuple(spec[1]))
+
+
+@functools.lru_cache(maxsize=64)
+def _huff_lut(counts, symbols):
+    lut = np.zeros(1 << 16, dtype=np.uint32)
     code = 0
     i = 0
     for length in range(1, 17):
-        d = {}
         for _ in range(counts[length - 1]):
-            d[code] = symbols[i]
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            lut[lo:hi] = (length << 8) | symbols[i]
             code += 1
             i += 1
-        if d:
-            table[length] = d
         code <<= 1
-    return table
+    # plain Python list: element access is ~4× faster than ndarray
+    # scalar indexing, and the hot loop reads one entry per symbol
+    return lut.tolist()
 
 
 def _read_symbol(r: _BitReader, table) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | r.bits(1)
-        d = table.get(length)
-        if d is not None and code in d:
-            return d[code]
-    raise ValueError("corrupt JPEG: invalid Huffman code in scan")
+    e = table[r.peek16()]
+    if e == 0:
+        raise ValueError("corrupt JPEG: invalid Huffman code in scan")
+    r.skip(e >> 8)
+    return e & 0xFF
 
 
 def _extend(bits: int, size: int) -> int:
@@ -785,8 +842,9 @@ def _ac_first(r: _BitReader, ac_t, blk: np.ndarray, ss: int, se: int, al: int,
     if eobrun > 0:
         return eobrun - 1
     k = ss
+    rs_value = r.rs_value
     while k <= se:
-        rs = _read_symbol(r, ac_t)
+        rs, v = rs_value(ac_t)
         rr, s = rs >> 4, rs & 15
         if s == 0:
             if rr != 15:  # EOBn: run of 2^rr (+ ext bits) end-of-bands
@@ -799,7 +857,7 @@ def _ac_first(r: _BitReader, ac_t, blk: np.ndarray, ss: int, se: int, al: int,
         k += rr
         if k > se:
             raise ValueError("corrupt JPEG: AC run past band end")
-        blk[k] = _extend(r.bits(s), s) << al
+        blk[k] = _extend(v, s) << al
         k += 1
     return eobrun
 
@@ -808,25 +866,30 @@ def _ac_refine(r: _BitReader, ac_t, blk: np.ndarray, ss: int, se: int, al: int,
                eobrun: int) -> int:
     """Progressive AC refinement for one block's band (T.81 G.1.2.3):
     newly-significant coefficients arrive as ±1·2^Al; already-nonzero
-    coefficients receive one correction bit each."""
+    coefficients receive one correction bit each.
+
+    The band is staged through a Python list (round 8): the loop touches
+    every band position per block, and per-element ndarray indexing is
+    ~5× the cost of list indexing — this function dominated progressive
+    decode in profiles."""
     p1 = 1 << al
-    m1 = -(1 << al)
+    m1 = -p1
+    band = blk[ss : se + 1].tolist()
+    n = se - ss + 1
+    bits = r.bits
+    rs_value = r.rs_value
+    changed = False
 
-    def correct(k: int) -> None:
-        z = int(blk[k])
-        if r.bits(1) and (z & p1) == 0:
-            blk[k] = z + (p1 if z >= 0 else m1)
-
-    k = ss
+    k = 0
     if eobrun == 0:
-        while k <= se:
-            rs = _read_symbol(r, ac_t)
+        while k < n:
+            rs, v = rs_value(ac_t)
             rr, s = rs >> 4, rs & 15
             if s == 0:
                 if rr != 15:
                     eobrun = 1 << rr
                     if rr:
-                        eobrun += r.bits(rr)
+                        eobrun += bits(rr)
                     break
                 val = 0  # ZRL: skip 16 zero-history positions
             else:
@@ -834,24 +897,32 @@ def _ac_refine(r: _BitReader, ac_t, blk: np.ndarray, ss: int, se: int, al: int,
                     raise ValueError(
                         "corrupt JPEG: refinement magnitude != 1"
                     )
-                val = p1 if r.bits(1) else m1
-            while k <= se:
-                if blk[k] != 0:
-                    correct(k)
+                val = p1 if v else m1
+            while k < n:
+                z = band[k]
+                if z != 0:
+                    if bits(1) and (z & p1) == 0:
+                        band[k] = z + (p1 if z >= 0 else m1)
+                        changed = True
                 else:
                     if rr == 0:
                         break
                     rr -= 1
                 k += 1
-            if val and k <= se:
-                blk[k] = val
+            if val and k < n:
+                band[k] = val
+                changed = True
             k += 1
     if eobrun > 0:
-        while k <= se:
-            if blk[k] != 0:
-                correct(k)
+        while k < n:
+            z = band[k]
+            if z != 0 and bits(1) and (z & p1) == 0:
+                band[k] = z + (p1 if z >= 0 else m1)
+                changed = True
             k += 1
         eobrun -= 1
+    if changed:
+        blk[ss : se + 1] = band
     return eobrun
 
 
@@ -912,6 +983,7 @@ def _decode_scan(
         def reset_base() -> None:
             prev_dc[:] = [0] * len(prev_dc)
 
+        rs_value = r.rs_value
         for my in range(mcuy):
             for mx in range(mcux):
                 maybe_restart(reset_base)
@@ -921,12 +993,12 @@ def _decode_scan(
                     for by in range(sv):
                         for bx in range(sh):
                             blk = grids[ci][my * sv + by, mx * sh + bx]
-                            size = _read_symbol(r, dc_t)
-                            prev_dc[si] += _extend(r.bits(size), size)
+                            size, v = rs_value(dc_t)
+                            prev_dc[si] += _extend(v, size)
                             blk[0] = prev_dc[si]
                             k = 1
                             while k < 64:
-                                rs = _read_symbol(r, ac_t)
+                                rs, v = rs_value(ac_t)
                                 if rs == 0x00:  # EOB
                                     break
                                 if rs == 0xF0:  # ZRL
@@ -937,7 +1009,7 @@ def _decode_scan(
                                     raise ValueError(
                                         "corrupt JPEG: AC run past block end"
                                     )
-                                blk[k] = _extend(r.bits(rs & 0xF), rs & 0xF)
+                                blk[k] = _extend(v, rs & 0xF)
                                 k += 1
         return scan_end
 
@@ -953,9 +1025,8 @@ def _decode_scan(
 
         def dc_unit(blk: np.ndarray, si: int) -> None:
             if ah == 0:
-                dc_t = scan_tables[si][0]
-                size = _read_symbol(r, dc_t)
-                prev_dc[si] += _extend(r.bits(size), size)
+                size, v = r.rs_value(scan_tables[si][0])
+                prev_dc[si] += _extend(v, size)
                 blk[0] = prev_dc[si] << al
             elif r.bits(1):
                 blk[0] = int(blk[0]) | (1 << al)
@@ -1229,7 +1300,9 @@ def decode_jpeg(
         blocks = (grids[ci].reshape(-1, 64)[:, UNZIGZAG].reshape(-1, 8, 8) * q).astype(
             np.float64
         )
-        spatial = np.einsum("ji,njk,kl->nil", _DCT, blocks, _DCT) + 128.0
+        # batched BLAS matmul (DCT^T · blk · DCT): identical contraction
+        # to the previous einsum, several times faster on (n,8,8) stacks
+        spatial = (_DCT.T @ blocks) @ _DCT + 128.0
         plane = (
             spatial.reshape(rows, cols, 8, 8)
             .transpose(0, 2, 1, 3)
