@@ -47,11 +47,34 @@ from solarboat_data_pipeline_spark.pipeline import (  # noqa: E402
 )
 from solarboat_data_pipeline_spark.sources.sinks import write_parquet  # noqa: E402
 
-N_LINES = int(sys.argv[1]) if len(sys.argv) > 1 else 24_000_000
+# `report` mode (VERDICT r7 item 5): the FULL published corpus shape —
+# the report's exact seven per-file line counts
+# (canparser_sparse_report.txt, 78,628,188 lines total, largest file
+# 23.6 M = 30% of the corpus) written as seven literal unequal .log
+# files, and the 2020 resample configuration (main_2020.py:137-145:
+# 100ms AND 1s). The reference's per-FILE multiprocessing pool is
+# tail-bound by the largest file; Spark reads the same seven files as
+# uniform splits, so the skew costs nothing — that is the claim this
+# mode measures.
+REPORT_FILES = [
+    1_641_065, 3_257_000, 7_354_228, 11_579_907,
+    13_010_734, 18_166_406, 23_618_848,
+]
+REPORT = len(sys.argv) > 1 and sys.argv[1] == "report"
+if REPORT:
+    # optional divisor arg scales the seven files down proportionally
+    # (plumbing validation); the recorded run uses the full corpus
+    div = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    REPORT_FILES = [max(1000, c // div) for c in REPORT_FILES]
+    N_LINES = sum(REPORT_FILES)  # 78,628,188 at div=1
+    DT_US = 1_000  # 1k lines/s -> the largest log spans ~6.6 h
+else:
+    N_LINES = int(sys.argv[1]) if len(sys.argv) > 1 else 24_000_000
+    DT_US = 10_000  # 100 lines/s -> 12 M lines span ~33 h
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BASE_EPOCH = 1_580_000_000  # 2020-01-26, the report's corpus era
-DT_US = 10_000  # 100 lines/s -> 12 M lines span ~33 h
 WORK = "/tmp/e2e_report_scale"
+RESAMPLE_PERIODS = (1.0, 0.1) if REPORT else (1.0,)
 
 # per-mille line-kind split (hash(id, 13) % 1000):
 #   0-1   garbage / odd-hex        (regex-rejected, ~0.2%)
@@ -125,6 +148,7 @@ def generate_corpus(
     unknown_sig_hex: str = "ff",
     mab20: bool = False,
     n_lines: int | None = None,
+    file_splits: list[int] | None = None,
 ) -> float:
     """Write candump lines as text. The topic spec is broadcast-joined
     onto ``spark.range`` so generation is one narrow pass and each output
@@ -182,7 +206,29 @@ def generate_corpus(
         .otherwise(frame)
     )
     t0 = time.perf_counter()
-    df.select(line.alias("value")).write.mode("overwrite").text(path)
+    out = df.select("id", line.alias("value"))
+    if file_splits is None:
+        out.select("value").write.mode("overwrite").text(path)
+    else:
+        # report mode: seven literal unequal .log files, each one
+        # contiguous time block (id ranges in file order). Parts are
+        # written in parallel, then concatenated in partition order —
+        # spark.range partitions are id-ordered, so sorted part names
+        # concatenate to a time-ordered log.
+        import glob as _glob
+
+        os.makedirs(path, exist_ok=True)
+        lo = 0
+        for i, cnt in enumerate(file_splits):
+            sl = out.where(F.col("id").between(lo, lo + cnt - 1)).select("value")
+            tmp = os.path.join(path, f"__tmp_{i}")
+            sl.write.mode("overwrite").text(tmp)
+            with open(os.path.join(path, f"log_{i}.log"), "wb") as dst:
+                for part in sorted(_glob.glob(os.path.join(tmp, "part-*"))):
+                    with open(part, "rb") as src:
+                        shutil.copyfileobj(src, dst)
+            shutil.rmtree(tmp)
+            lo += cnt
     return round(time.perf_counter() - t0, 2)
 
 
@@ -213,13 +259,17 @@ def main() -> None:
     n_cols = len(catalog.wide_columns())
 
     corpus = os.path.join(WORK, "candump")
-    gen_sec = generate_corpus(spark, catalog, corpus)
+    gen_sec = generate_corpus(
+        spark, catalog, corpus,
+        file_splits=REPORT_FILES if REPORT else None,
+    )
     print(
         json.dumps(
             {
                 "stage": "generate",
                 "lines": N_LINES,
                 "wide_columns": n_cols,
+                "files": REPORT_FILES if REPORT else "partitioned",
                 "sec": gen_sec,
             }
         ),
@@ -283,33 +333,46 @@ def main() -> None:
         flush=True,
     )
 
-    # E2 resample: 1 s mean grid + bounded interpolation, all wide cols
-    # (same cold/steady split as the parse stage)
-    res_out = os.path.join(WORK, "resampled_1s.parquet")
+    # E2 resample — every period of the active configuration (report
+    # mode runs the 2020 list: 100ms AND 1s, main_2020.py:137-145); the
+    # 1 s output keeps the cold/steady split, further periods run once
+    res_secs: dict[float, float] = {}
+    res_rows_by_p: dict[float, int] = {}
+    res_cold_sec = None
+    res_out = ""
+    for period in RESAMPLE_PERIODS:
+        p_out = os.path.join(WORK, f"resampled_{period}s.parquet")
 
-    def run_resample() -> float:
-        t0 = time.perf_counter()
-        write_parquet(
-            resample_stage(spark.read.parquet(sparse_out), 1.0),
-            res_out,
-            mode="overwrite",
+        def run_resample() -> float:
+            t0 = time.perf_counter()
+            write_parquet(
+                resample_stage(spark.read.parquet(sparse_out), period),
+                p_out,
+                mode="overwrite",
+            )
+            return round(time.perf_counter() - t0, 2)
+
+        if period == 1.0:
+            res_cold_sec = run_resample()
+            res_out = p_out
+        sec = run_resample()
+        rows = spark.read.parquet(p_out).count()
+        res_secs[period] = sec
+        res_rows_by_p[period] = rows
+        print(
+            json.dumps(
+                {
+                    "stage": "resample",
+                    "period_s": period,
+                    "rows_out": rows,
+                    "cold_sec": res_cold_sec if period == 1.0 else None,
+                    "sec": sec,
+                }
+            ),
+            flush=True,
         )
-        return round(time.perf_counter() - t0, 2)
-
-    res_cold_sec = run_resample()
-    res_sec = run_resample()
-    res_rows = spark.read.parquet(res_out).count()
-    print(
-        json.dumps(
-            {
-                "stage": "resample",
-                "rows_out": res_rows,
-                "cold_sec": res_cold_sec,
-                "sec": res_sec,
-            }
-        ),
-        flush=True,
-    )
+    res_sec = res_secs[1.0]
+    res_rows = res_rows_by_p[1.0]
 
     # E3 unify: backward as-of join of the 1 Hz track
     span_s = N_LINES * DT_US // 1_000_000
@@ -334,9 +397,13 @@ def main() -> None:
     #  * per-core ms/line <= 1.5x the reference's per-process ms/line
     #    (>= ~8.7 k lines/s/core) — the narrow-catalog bench.py parse runs
     #    ~24 k lines/s/core, 1.8x faster per core than the reference.
+    grid_ok = all(
+        abs(res_rows_by_p[p] - round(span_s / p)) <= span_s / p * 0.01 + 2
+        for p in RESAMPLE_PERIODS
+    )
     ok = (
         abs(survival - EXPECT_SURVIVAL) < 0.005
-        and abs(res_rows - span_s) <= span_s * 0.01 + 2
+        and grid_ok
         and uni_rows == res_rows
         and lps > 10 * 13_300
         and lps / CPUS > 13_300 / 1.5
@@ -345,6 +412,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "e2e_report_scale",
+                "mode": "report_7files" if REPORT else "partitioned",
                 "lines_in": N_LINES,
                 "wide_columns": n_cols,
                 "parse_rows": parse_rows,
@@ -353,12 +421,14 @@ def main() -> None:
                 "parse_sec": parse_sec,
                 "lines_per_sec_per_core": round(N_LINES / parse_sec / CPUS),
                 "reference_best_lines_per_sec_per_process": 13_300,
-                "resample_rows": res_rows,
+                "resample_rows": {str(p): res_rows_by_p[p] for p in RESAMPLE_PERIODS},
                 "resample_cold_sec": res_cold_sec,
-                "resample_sec": res_sec,
+                "resample_sec": {str(p): res_secs[p] for p in RESAMPLE_PERIODS},
                 "unify_rows": uni_rows,
                 "unify_sec": uni_sec,
-                "total_sec": round(parse_sec + res_sec + uni_sec, 2),
+                "total_sec": round(
+                    parse_sec + sum(res_secs.values()) + uni_sec, 2
+                ),
                 "ok": ok,
             }
         )

@@ -479,6 +479,141 @@ def check_asof_disorder(spark, src: str) -> None:
     )
 
 
+def check_asof_auto(spark, src: str) -> None:
+    """Round-8 ``buffered="auto"`` kernels at corpus scale. On the
+    IN-ORDER stream the backward fast path must equal the batch kernel
+    on EVERY left row (it holds nothing back), and the linear frontier
+    path likewise — at a wall cost comparable to the in-order kernel,
+    which is the point of auto-selection. On the DISORDERED stream
+    (reusing the right files check_asof_disorder wrote) auto flips each
+    key to the buffered path at its first observed disorder: it must
+    never mismatch MORE than the in-order kernel does there (the flip
+    only helps), measured and reported."""
+    from solarboat_data_pipeline_spark.operators import timeseries as tsops
+
+    b = spark.read.parquet(os.path.join(src, "*.parquet")).withColumn(
+        "bucket", F.pmod(F.hash("series", "timestamp"), F.lit(5))
+    )
+    bl = b.where("bucket != 0").select("series", "timestamp", "value")
+    br = b.where("bucket = 0").select(
+        "series", "timestamp", F.col("value").alias("ref")
+    )
+    batch = tsops.asof_join_backward(
+        bl, br, on="timestamp", value_cols=["ref"], partition_cols=("series",)
+    )
+
+    def mismatches(got, expect):
+        cond = (
+            (got["series"] == expect["series"])
+            & (got["timestamp"] == expect["timestamp"])
+            & got["value"].eqNullSafe(expect["value"])
+            & got["ref"].eqNullSafe(expect["ref"])
+        )
+        return got.join(expect, cond, "left_anti").count()
+
+    # 1. in-order: auto backward == batch on all lefts
+    base = open_stream(spark, src).withColumn(
+        "bucket", F.pmod(F.hash("series", "timestamp"), F.lit(5))
+    )
+    left = (
+        base.where("bucket != 0")
+        .select("series", "timestamp", "value")
+        .withWatermark("timestamp", "0 seconds")
+    )
+    right = base.where("bucket = 0").select(
+        "series", "timestamp", F.col("value").alias("ref")
+    )
+    wall = run_stream(
+        stream_asof_backward(
+            left, right, key_cols=("series",), ts_col="timestamp",
+            value_cols=("ref",), buffered="auto",
+        ),
+        "asof_auto",
+    )
+    got = spark.read.parquet(os.path.join(WORK, "out_asof_auto"))
+    n_left, n_got = bl.count(), got.count()
+    mis = mismatches(got, batch)
+    report(
+        "stream_asof_auto_in_order_vs_batch_kernel",
+        n_got == n_left and mis == 0,
+        wall,
+        {"left_rows": n_left, "rows": n_got, "mismatches": mis},
+    )
+
+    # 2. in-order: linear auto == batch on all lefts
+    base = open_stream(spark, src).withColumn(
+        "bucket", F.pmod(F.hash("series", "timestamp"), F.lit(5))
+    )
+    left = (
+        base.where("bucket != 0")
+        .select("series", "timestamp", "value")
+        .withWatermark("timestamp", "0 seconds")
+    )
+    right = base.where("bucket = 0").select(
+        "series", "timestamp", F.col("value").alias("ref")
+    )
+    wall_l = run_stream(
+        stream_asof_linear(
+            left, right, key_cols=("series",), ts_col="timestamp",
+            value_cols=("ref",), auto=True,
+        ),
+        "asof_auto_linear",
+    )
+    got_l = spark.read.parquet(os.path.join(WORK, "out_asof_auto_linear"))
+    batch_lin = tsops.asof_join_linear(
+        bl, br, on="timestamp", value_cols=["ref"], partition_cols=("series",)
+    )
+    n_got_l = got_l.count()
+    mis_l = mismatches(got_l, batch_lin)
+    report(
+        "stream_asof_auto_linear_in_order_vs_batch_kernel",
+        n_got_l == n_left and mis_l == 0,
+        wall_l,
+        {"left_rows": n_left, "rows": n_got_l, "mismatches": mis_l},
+    )
+
+    # 3. disordered: auto's mismatch count never exceeds the in-order
+    # kernel's (reuses check_asof_disorder's right files + its reported
+    # unbuffered mismatch count)
+    D_S = 600
+    rsrc = os.path.join(WORK, "right_disordered")
+    mis_unbuf = next(
+        r for r in results
+        if r["check"] == "stream_asof_buffered_vs_batch_under_disorder"
+    )["unbuffered_mismatches_on_disordered_stream"]
+    left = (
+        open_stream(spark, src)
+        .withColumn("bucket", F.pmod(F.hash("series", "timestamp"), F.lit(5)))
+        .where("bucket != 0")
+        .select("series", "timestamp", "value")
+        .withWatermark("timestamp", f"{D_S} seconds")
+    )
+    right = (
+        spark.readStream.schema("series string, timestamp timestamp, ref double")
+        .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+        .parquet(os.path.join(rsrc, "*.parquet"))
+    )
+    wall_d = run_stream(
+        stream_asof_backward(
+            left, right, key_cols=("series",), ts_col="timestamp",
+            value_cols=("ref",), buffered="auto",
+        ),
+        "asof_auto_disorder",
+    )
+    got_d = spark.read.parquet(os.path.join(WORK, "out_asof_auto_disorder"))
+    mis_d = mismatches(got_d, batch)
+    report(
+        "stream_asof_auto_under_disorder_flips_toward_buffered",
+        mis_d <= mis_unbuf,
+        wall_d,
+        {
+            "auto_mismatches": mis_d,
+            "in_order_kernel_mismatches": mis_unbuf,
+            "rows": got_d.count(),
+        },
+    )
+
+
 def check_asof_linear(spark, src: str) -> None:
     """Round-7 streaming linear-interpolate as-of (the J3 analogue) at
     corpus scale, in-order delivery: the emitted output must equal the
@@ -643,6 +778,7 @@ def main() -> None:
     check_sessionize(spark, src, max_ts)
     check_asof(spark, src)
     check_asof_disorder(spark, src)
+    check_asof_auto(spark, src)  # reuses the disordered right files
     check_asof_linear(spark, src)
     check_dedup(spark, src)
     check_ffill(spark, src)

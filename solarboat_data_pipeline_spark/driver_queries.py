@@ -3002,13 +3002,15 @@ def st_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     of two streams — the J4 stream analogue (reference semantics
     ``lib/process_gpx_data.py:158-171``). Since round 8 this runs the
     AUTO kernel (``buffered="auto"``, VERDICT r7 item 1): each key
-    stays on an in-order fast path (immediate emission, O(1) carried
-    state) until the first observed cross-batch disorder, then flips
-    permanently to the round-7 watermark-buffered kernel — on this
-    single-file in-order stream the fast path handles every row, and on
-    a disordered stream the exact buffered semantics take over per key.
-    The no-data finalization micro-batch is skipped (nothing pends
-    under the fast path) and state partitions are sized to the 1,500-key
+    stays on an in-order fast path (every left emits in its arrival
+    batch — no left ever rides state) until the first observed
+    cross-batch disorder, then flips permanently to pure
+    watermark-buffered emission with the right buffer intact — on this
+    single-file in-order stream the fast path emits every row in batch
+    0, and on a disordered stream the exact buffered semantics take
+    over per key. The no-data finalization micro-batch is skipped (no
+    LEFT pends under the fast path; unflushed buffered rights need no
+    finalization) and state partitions are sized to the 1,500-key
     fixture. Oracle: DuckDB's native keyed ASOF LEFT JOIN on the same
     fixture (no (user_id, ts) ties in the fixture, so the match is
     deterministic)."""
@@ -3031,8 +3033,9 @@ def st_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         **{
             "spark.sql.shuffle.partitions": "8",
-            # safe ONLY because nothing pends on the fast path: pending
-            # buffered state needs the final no-data batch to flush
+            # safe ONLY because no LEFT pends on the fast path (lefts
+            # emit in their arrival batch); pending LEFTS would need the
+            # final no-data batch to flush
             "spark.sql.streaming.noDataMicroBatches.enabled": "false",
         },
     ):

@@ -697,19 +697,6 @@ class _BitReader:
         self.pos = pos
         return (acc >> nb) & ((1 << n) - 1)
 
-    def peek16(self) -> int:
-        acc, nb, pos, buf = self.acc, self.nbits, self.pos, self.buf
-        while nb < 16:
-            acc = (acc << 8) | (buf[pos] if pos < len(buf) else 0xFF)
-            pos += 1
-            nb += 8
-        self.acc, self.nbits, self.pos = acc, nb, pos
-        return (acc >> (nb - 16)) & 0xFFFF
-
-    def skip(self, n: int) -> None:
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-
     def rs_value(self, lut) -> tuple[int, int]:
         """Fused hot-path read: one Huffman symbol plus its (RS & 15)
         magnitude bits, with reader state held in locals for the whole
@@ -772,7 +759,7 @@ def _huff_decoder(spec):
     return _huff_lut(tuple(spec[0]), tuple(spec[1]))
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=8)
 def _huff_lut(counts, symbols):
     lut = np.zeros(1 << 16, dtype=np.uint32)
     code = 0
@@ -790,12 +777,6 @@ def _huff_lut(counts, symbols):
     return lut.tolist()
 
 
-def _read_symbol(r: _BitReader, table) -> int:
-    e = table[r.peek16()]
-    if e == 0:
-        raise ValueError("corrupt JPEG: invalid Huffman code in scan")
-    r.skip(e >> 8)
-    return e & 0xFF
 
 
 def _extend(bits: int, size: int) -> int:

@@ -195,6 +195,14 @@ def train_ivf_centroids(
         cent = cent.join(means, "cid", "left").select(
             "cid", F.coalesce("c_new", "c_vec").alias("c_vec")
         )
+        # materialize each iteration's n_centroids rows on the driver:
+        # the next assignment and both downstream consumers reference
+        # cent multiple times, and without this the full-corpus
+        # aggregation lineage would re-execute ~2^iters times (values
+        # are bit-deterministic, so materialization cannot change them)
+        cent = df.sparkSession.createDataFrame(
+            cent.collect(), "cid long, c_vec array<double>"
+        )
     return cent
 
 

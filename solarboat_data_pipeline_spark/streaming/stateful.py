@@ -155,10 +155,11 @@ def stream_asof_backward(
     answer, at the cost of O(disorder window) state per key. The
     buffered path REQUIRES a watermark on the left stream.
     ``buffered="auto"`` selects per key from OBSERVED disorder: a key
-    stays on an in-order fast path (immediate emission, O(1) carried
-    state — the in-order kernel's cost) until the first batch whose
+    stays on an in-order fast path (lefts emit immediately — only the
+    watermark window's rights ride state) until the first batch whose
     minimum event time is at-or-below something the key already saw,
-    then flips permanently to the watermark-buffered path; see
+    then flips permanently to pure watermark-buffered emission with the
+    buffer intact, so post-flip rows get the exact buffered answer; see
     :func:`_stream_asof_buffered` for the exact contract. Use ``True``
     when disorder is expected throughout, ``"auto"`` when the stream is
     normally in-order and disorder is the exception.
@@ -414,19 +415,24 @@ def _stream_asof_buffered(
     be buffered exactly — the kernel RAISES on ingest rather than emit
     silently-rounded payloads (ADVICE r7).
 
-    ``fast_path=True`` (the ``buffered="auto"`` kernel, backward mode
-    only): each key starts on an IN-ORDER fast path — while every
-    incoming batch's minimum event time is strictly above everything
-    the key has seen, rows are matched and emitted immediately with
-    O(1) state (carried row only), the in-order kernel's cost. The
-    first observed cross-batch disorder flips the key PERMANENTLY to
-    the watermark-buffered path above; rows from then on get the exact
-    buffered semantics, rows emitted before the flip got the in-order
-    kernel's best-effort semantics (append-mode output cannot be
-    retracted). On a genuinely in-order stream this equals the buffered
-    kernel's answer on every row at the in-order kernel's cost
-    (measured: scripts/stream_smoke.py).
-    """
+    ``fast_path=True`` (the ``buffered="auto"`` kernels): each key
+    starts on an IN-ORDER fast path — while every incoming batch's
+    minimum event time is strictly above everything the key has seen,
+    lefts emit WITHOUT waiting for the watermark (backward: the whole
+    batch, since every right at-or-before each left has arrived;
+    linear: every left strictly below the decided-next frontier), so no
+    left ever rides state. Rights still buffer until the watermark
+    passes them — never compacted beyond it — which is what makes the
+    FLIP sound: at the first observed cross-batch disorder the key
+    flips permanently to pure watermark emission, and because the
+    buffer still holds every right above the watermark, rows from then
+    on get the EXACT buffered semantics (a disordered-but-not-late left
+    finds its true previous sample in the buffer; rows emitted before
+    the flip got the in-order answer — append-mode output cannot be
+    retracted). On a genuinely in-order stream auto equals the buffered
+    kernel's answer on every row while keeping per-key state to the
+    rights of the watermark window (measured:
+    scripts/stream_smoke.py)."""
     u, left_cols, value_cols = _asof_inputs(
         left, right, key_cols, ts_col, value_cols
     )
@@ -514,7 +520,11 @@ def _stream_asof_buffered(
         if num_col[i]:
             return _num_state(arr)
         if bool_col[i]:
-            return [None if x is None else bool(x) for x in arr.tolist()]
+            return [
+                None if x is None or (isinstance(x, float) and x != x)
+                else bool(x)
+                for x in arr.tolist()
+            ]
         return [
             None if x is None or (isinstance(x, float) and x != x) else x
             for x in arr.tolist()
@@ -586,110 +596,27 @@ def _stream_asof_buffered(
             src_arr = pdf["__src"].to_numpy()
             is_right = src_arr == 0
 
-            if fast_path and ok_fast and linear:
-                # linear auto: in-order delivery is tracked, but rows
-                # still flow through the buffers — the fast part is the
-                # FRONTIER emission below (a left whose next surrounding
-                # sample is already decided emits without waiting for
-                # the watermark) and the aggressive compaction it allows
+            if fast_path and ok_fast:
+                # auto mode: in-order delivery is tracked, and rows
+                # still flow through the BUFFERED machinery — the fast
+                # part is purely a WIDER EMISSION MASK below (backward:
+                # every left of an in-order batch emits immediately;
+                # linear: every left below the decided-next frontier).
+                # Rights are never compacted beyond the watermark, so
+                # when the first cross-batch disorder flips the key the
+                # buffer still holds everything a disordered-but-not-
+                # late row may need — post-flip rows get the EXACT
+                # buffered semantics (a round-8 review caught the
+                # previous design consuming rights eagerly, which let a
+                # post-flip left match a future right through the
+                # carried pair).
                 if max_us is not None and int(ts_us.min()) <= max_us:
+                    # first observed cross-batch disorder: permanent
+                    # flip (rows already emitted keep their in-order
+                    # answers — append output cannot retract)
                     ok_fast = False
                 else:
                     max_us = int(ts_us.max())
-            if fast_path and ok_fast and not linear:
-                in_order = (
-                    lb_ts.size == 0 and rb_ts.size == 0
-                    and (max_us is None or int(ts_us.min()) > max_us)
-                )
-                if in_order:
-                    # IN-ORDER FAST PATH (backward only): everything at-
-                    # or-before this batch has arrived, so every left's
-                    # match is already decided — emit the whole batch
-                    # now with O(1) carried state, exactly the in-order
-                    # kernel's behavior and cost. Ties: rights sort
-                    # before lefts at equal ts (lexsort, stable).
-                    order = np.lexsort((src_arr, ts_us))
-                    sts = ts_us[order]
-                    s_r = is_right[order]
-                    l_mask = ~s_r
-                    sts_f = sts.astype("float64")
-                    ar = np.arange(sts.size)
-                    lrow = np.where(s_r, ar, -1)
-                    np.maximum.accumulate(lrow, out=lrow)
-                    lr = lrow[l_mask]
-                    cr_f = (
-                        np.nan if carried_row_ts is None
-                        else float(carried_row_ts)
-                    )
-                    ref = np.where(lr >= 0, sts_f[np.maximum(lr, 0)], cr_f)
-                    L = sts[l_mask]
-                    vals_sorted = []
-                    out_vals = {}
-                    for i, c in enumerate(value_cols):
-                        v = pdf[c].astype("float64").to_numpy()[order]
-                        vals_sorted.append(v)
-                        nn = s_r & ~np.isnan(v)
-                        sel = _ffill_idx(nn)[l_mask]
-                        c_v = car[i][1]
-                        c_v_f = np.nan if c_v is None else float(c_v)
-                        res = np.where(
-                            sel >= 0, v[np.maximum(sel, 0)], c_v_f
-                        )
-                        if tol_us is not None:
-                            stale = np.isnan(ref) | ((L - ref) > tol_us)
-                            res = np.where(stale, np.nan, res)
-                        out_vals[c] = res
-                    if L.size:
-                        src_pos = order[np.flatnonzero(l_mask)]
-                        data = dict(zip(key_cols, key))
-                        data[ts_col] = pd.to_datetime(L * 1000)
-                        for i, c in enumerate(left_cols):
-                            col = pdf[c]
-                            if int_col[i]:
-                                arr = col.astype("float64").to_numpy()[src_pos]
-                                if np.any(np.abs(arr) >= TWO53):
-                                    raise ValueError(_big_int_msg(c))
-                                data[c] = pd.array(arr, dtype="Int64")
-                            elif num_col[i]:
-                                data[c] = col.astype("float64").to_numpy()[src_pos]
-                            else:
-                                data[c] = np.asarray(
-                                    col.to_numpy(), dtype=object
-                                )[src_pos]
-                        data.update(out_vals)
-                        yield pd.DataFrame(
-                            data,
-                            columns=[*key_cols, ts_col, *left_cols,
-                                     *value_cols],
-                        )
-                    r_idx = np.flatnonzero(s_r)
-                    if r_idx.size:
-                        carried_row_ts = int(sts[r_idx[-1]])
-                        for i in range(nv):
-                            v = vals_sorted[i]
-                            nnp = np.flatnonzero(s_r & ~np.isnan(v))
-                            if nnp.size:
-                                car[i] = (
-                                    int(sts[nnp[-1]]), float(v[nnp[-1]])
-                                )
-                    max_us = int(ts_us.max())
-                    state.update((
-                        carried_row_ts,
-                        *[x for pair in car for x in pair],
-                        [], *[[] for _ in range(nv)],
-                        [], *[[] for _ in range(nl)],
-                        True, max_us,
-                    ))
-                    if ttl_ms is not None:
-                        state.setTimeoutTimestamp(
-                            max(max_us // 1000 + ttl_ms, wm_ms + 1)
-                        )
-                    return
-                # first observed cross-batch disorder: flip this key to
-                # the watermark-buffered path permanently (rows already
-                # emitted keep their in-order best-effort matches —
-                # append output cannot retract)
-                ok_fast = False
 
             n_r = int(is_right.sum())
             if n_r:
@@ -744,25 +671,34 @@ def _stream_asof_buffered(
         # engine-granularity blind spot (see docstring), not this
         # kernel's.
         emit = (lb_ts // 1000) <= wm_ms
-        if linear and fast_path and ok_fast and lb_ts.size and rb_ts.size:
-            # FRONTIER emission (linear auto, in-order so far): a left
-            # strictly below every column's last non-null right sample
-            # has BOTH surrounding samples decided — under in-order
-            # delivery no future right can land at-or-before the
-            # frontier — so it emits now instead of waiting for the
-            # watermark. Strictly below: a left exactly AT a column's
-            # last non-null sample still needs the next batch to decide
-            # clamp-vs-blend when clamp_forward=False.
-            fr = None
-            for v in rb_v:
-                nn = np.flatnonzero(~np.isnan(v))
-                if not nn.size:
-                    fr = -1
-                    break
-                t = int(rb_ts[nn[-1]])
-                fr = t if fr is None else min(fr, t)
-            if fr is not None and fr >= 0:
-                emit = emit | (lb_ts < fr)
+        if fast_path and ok_fast and lb_ts.size:
+            if not linear:
+                # backward auto, in-order so far: every right at-or-
+                # before any pending left has arrived (pending lefts
+                # are all <= max_us and future batches are strictly
+                # above it), so every pending left's match is decided —
+                # emit them all now
+                emit = np.ones(lb_ts.size, dtype=bool)
+            elif rb_ts.size:
+                # FRONTIER emission (linear auto, in-order so far): a
+                # left strictly below every column's last non-null
+                # right sample has BOTH surrounding samples decided —
+                # under in-order delivery no future right can land
+                # at-or-before the frontier — so it emits now instead
+                # of waiting for the watermark. Strictly below: a left
+                # exactly AT a column's last non-null sample still
+                # needs the next batch to decide clamp-vs-blend when
+                # clamp_forward=False.
+                fr = None
+                for v in rb_v:
+                    nn = np.flatnonzero(~np.isnan(v))
+                    if not nn.size:
+                        fr = -1
+                        break
+                    t = int(rb_ts[nn[-1]])
+                    fr = t if fr is None else min(fr, t)
+                if fr is not None and fr >= 0:
+                    emit = emit | (lb_ts < fr)
         if emit.any():
             L = lb_ts[emit]
             m = rb_ts.size
@@ -846,17 +782,11 @@ def _stream_asof_buffered(
             lb_ts = lb_ts[keep]
             lb_c = [a[keep] for a in lb_c]
 
-        # compact rights at-or-before the watermark into the carried row;
-        # in linear-auto fast mode, compact everything STRICTLY below the
-        # oldest pending left instead (all of it, when nothing is
-        # pending): in-order delivery guarantees those rights can only
-        # ever serve as a "previous sample", which the carried per-column
-        # (ts, value) pair represents exactly
-        if linear and fast_path and ok_fast and rb_ts.size:
-            cb_us = int(lb_ts.min()) if lb_ts.size else int(rb_ts[-1]) + 1
-            fidx = int(np.searchsorted(rb_ts, max(cb_us, wm_us + 1), side="left"))
-        else:
-            fidx = int(np.searchsorted(rb_ts, wm_us, side="right"))
+        # compact rights at-or-before the watermark into the carried
+        # row — NEVER beyond it, even on the auto fast path: rights
+        # above the watermark may still be needed as exact previous
+        # samples by a disordered-but-not-late left after a flip
+        fidx = int(np.searchsorted(rb_ts, wm_us, side="right"))
         if fidx > 0:
             t_last = int(rb_ts[fidx - 1])
             if carried_row_ts is None or t_last >= carried_row_ts:
@@ -917,14 +847,14 @@ def stream_asof_linear(
     ``auto=True`` enables the observed-disorder fast path: while a key's
     delivery stays in event-time order, a left row emits as soon as its
     NEXT surrounding sample is decided (a later non-null right exists in
-    every value column) instead of waiting for the watermark, and
-    already-served rights compact into the carried per-column pair
-    immediately — most rows emit in their arrival batch and state holds
-    only the undecided tail past the last right sample. The first
-    observed cross-batch disorder flips the key permanently back to pure
-    watermark-buffered semantics (rows emitted before the flip got the
-    in-order answer — exact if delivery truly was in-order up to that
-    point; append output cannot be retracted)."""
+    every value column) instead of waiting for the watermark — most rows
+    emit in their arrival batch and pending-left state holds only the
+    undecided tail past the last right sample (rights keep buffering to
+    the watermark, as in every mode). The first observed cross-batch
+    disorder flips the key permanently back to pure watermark-buffered
+    semantics with the right buffer intact, so post-flip rows get the
+    exact buffered answer (rows emitted before the flip got the in-order
+    answer; append output cannot be retracted)."""
     return _stream_asof_buffered(
         left, right, "linear", key_cols, ts_col, value_cols,
         tolerance_seconds=None, clamp_forward=clamp_forward,

@@ -102,7 +102,9 @@ def test_corrupt_and_foreign_files_raise(tmp_path):
     raw = bytearray(open(q, "rb").read())
     raw[raw.index(b"columns")] = ord("x")  # break the layout group name
     open(q, "wb").write(bytes(raw))
-    with pytest.raises(ValueError, match="no vaex column datasets"):
+    # match the common prefix: the h5py path says "no vaex column
+    # group", the mini reader "no vaex column datasets"
+    with pytest.raises(ValueError, match="no vaex column"):
         read_vaex_hdf5(q)
 
 
