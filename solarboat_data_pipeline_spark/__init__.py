@@ -167,6 +167,8 @@ from solarboat_data_pipeline_spark.operators.similarity import (
     ivf_topk,
     ivf_topk_indexed,
     lsh_ann_topk,
+    sq8_quantize,
+    sq8_topk,
     train_ivf_centroids,
 )
 from solarboat_data_pipeline_spark.operators.skew import (
@@ -231,6 +233,7 @@ __all__ = [
     "dedup_against", "band_index", "signature_index", "near_dup_against",
     "cosine_topk", "ivf_topk", "lsh_ann_topk",
     "build_ivf_index", "ivf_topk_indexed", "extend_ivf_index", "train_ivf_centroids",
+    "sq8_quantize", "sq8_topk",
     "quality_metrics", "quality_filter", "lang_id", "token_count", "ngram_topk",
     "redact_pii",
     "hash_sample", "weighted_mix", "stratified_sample",

@@ -1861,6 +1861,85 @@ def sim_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SQ8_TOPK = """
+    WITH b0 AS (
+      SELECT i, min(x::DOUBLE) AS mn, max(x::DOUBLE) AS mx
+      FROM (SELECT unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+      GROUP BY i),
+    bl AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+           FROM b0),
+    -- encode to the 0..255 grid, dequantize to the cell midpoint; the
+    -- engine stores code-128 as tinyint, arithmetically identical here
+    approx AS (
+      SELECT e.vec_id AS neighbor_id,
+             list_transform(e.embedding, (x, i) ->
+               CASE WHEN b.mx[i] > b.mn[i] THEN
+                 b.mn[i] + (least(greatest(floor((x::DOUBLE - b.mn[i])
+                     / (b.mx[i] - b.mn[i]) * 255.0), 0), 255) + 0.5)
+                   * ((b.mx[i] - b.mn[i]) / 255.0)
+               ELSE b.mn[i] END) AS a_vec
+      FROM embeddings e CROSS JOIN bl b),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec
+          FROM embeddings WHERE vec_id < 10),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, a.neighbor_id,
+               list_sum(list_transform(q.q_vec, (x, i) ->
+                 x::DOUBLE * a.a_vec[i])) /
+               (sqrt(list_sum(list_transform(q.q_vec, x ->
+                  x::DOUBLE * x::DOUBLE))) *
+                sqrt(list_sum(list_transform(a.a_vec, x -> x * x)))) AS asim,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY asim DESC, a.neighbor_id ASC) AS rn
+        FROM approx a CROSS JOIN q
+        WHERE a.neighbor_id <> q.query_id)
+      WHERE rn <= 20),
+    sims AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_sum(list_transform(a.embedding, (x, i) ->
+                     x::DOUBLE * b.embedding[i]::DOUBLE)) /
+                   (sqrt(list_sum(list_transform(a.embedding, x ->
+                      x::DOUBLE * x::DOUBLE))) *
+                    sqrt(list_sum(list_transform(b.embedding, x ->
+                      x::DOUBLE * x::DOUBLE)))), 6) AS cosine_sim
+      FROM embeddings a
+      JOIN cand ON cand.query_id = a.vec_id
+      JOIN embeddings b ON b.vec_id = cand.neighbor_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM sims)
+    SELECT query_id, neighbor_id, cosine_sim, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register("sim_sq8_topk", _SQL_SQ8_TOPK)
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via SCALAR QUANTIZATION with exact re-rank (round 8 —
+    operators/similarity.py:sq8_topk): the corpus encodes to 1-byte-per-
+    component codes (4× less storage/scan than float32), candidates are
+    ranked ASYMMETRICALLY — full-precision query against dequantized
+    codes — and only the k·oversample survivors fetch true vectors for
+    the exact cosine re-rank. The SQ/ADC layer every production vector
+    store puts under IVF; composable with the IVF family here (codes
+    partition by cell like vectors do). Quantize/dequantize use
+    floor/IEEE arithmetic the DuckDB oracle replays verbatim
+    (cross-engine-exact, same grid argument as train_ivf_centroids);
+    recall-vs-exact and the tinyint storage claim are gated in
+    tests/test_dedup_similarity_text.py."""
+    out = sim.sq8_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=range(10),
+        k=5,
+        oversample=4,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _sql_lsh_bucket(alias: str, planes: list[list[int]]) -> str:
     terms = []
     for p, plane in enumerate(planes):
@@ -4435,8 +4514,9 @@ def k_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q1_pricing_summary is additionally smoke-run by the driver's entry()
 # every round.
 _PRIORITY = [
-    # 1. never-green: new this round (1)
+    # 1. never-green: new this round (2)
     "sim_ivf_trained_topk",
+    "sim_sq8_topk",
     # 2. operator code changed this round: the stateful kernels were
     #    reworked (vectorized buffers + auto mode; st_stream_asof and
     #    st_stream_asof_linear now run auto), paragraph dedup's digest
@@ -4488,14 +4568,13 @@ _PRIORITY = [
     "w3_interpolate_scaled",
     "w3_interpolate_wide_scaled",
     # 4. oldest r6-green queries (registry order) fill the window to
-    #    50 (7)
+    #    50 (6)
     "q1_pricing_summary",
     "p1_regex_extract",
     "p3_time_offset",
     "p5_hex_roundtrip",
     "p6_unhex_payload",
     "p9_conditional_rewrite",
-    "p13_p16_project_slice",
     # --- below the expected driver cut: the r6-green remainder in
     # registry order leads the r9 rotation, then everything r7-green
     # via the _ordered() fallback — ALL still oracle-checked by the

@@ -447,6 +447,161 @@ def ivf_topk_indexed(
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def sq8_bounds(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> tuple[list[float], list[float]]:
+    """Per-DIMENSION [min, max] over the corpus — the scalar-quantization
+    codebook. ONE map-side-combined aggregate pass collapsing the corpus
+    to a single 2·dim-value row (the same shape as
+    ``scale.compute_bounds``); the lists are driver-side constants from
+    then on, folded into codegen as literals."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    c = F.col(vec_col)
+    row = df.agg(
+        *[F.min(c[j].cast("double")).alias(f"mn{j}") for j in range(dim)],
+        *[F.max(c[j].cast("double")).alias(f"mx{j}") for j in range(dim)],
+    ).first()
+    return (
+        [row[f"mn{j}"] for j in range(dim)],
+        [row[f"mx{j}"] for j in range(dim)],
+    )
+
+
+def sq8_code(vec: Column, mn: list[float], mx: list[float]) -> Column:
+    """SQ8 encode: component j maps to ``floor((x - mn_j) / (mx_j -
+    mn_j) * 255)`` clamped to [0, 255] (a constant dimension encodes 0).
+    ``floor`` over plain IEEE -,/,* is the cross-engine-exact choice
+    (same grid note as :func:`train_ivf_centroids`); the result is an
+    ``array<tinyint>`` — 1 byte/component on the wire and in parquet vs
+    4 for float32: the 4× storage/scan lever this family exists for."""
+    terms = []
+    for j, (lo, hi) in enumerate(zip(mn, mx)):
+        if hi > lo:
+            code = F.floor(
+                (vec[j].cast("double") - F.lit(lo))
+                / F.lit(hi - lo) * F.lit(255.0)
+            )
+            code = F.least(F.greatest(code, F.lit(0)), F.lit(255))
+        else:
+            code = F.lit(0)
+        # tinyint is signed: store code-128 so the full 0..255 range
+        # fits; decode adds it back
+        terms.append((code - F.lit(128)).cast("byte"))
+    return F.array(*terms)
+
+
+def sq8_decode(codes: Column, mn: list[float], mx: list[float]) -> Column:
+    """Dequantize to the cell MIDPOINT: ``mn_j + (code + 0.5) * (mx_j -
+    mn_j) / 255`` — halves the worst-case error vs the left edge and is
+    the standard SQ reconstruction."""
+    terms = []
+    for j, (lo, hi) in enumerate(zip(mn, mx)):
+        if hi > lo:
+            terms.append(
+                F.lit(lo)
+                + (codes[j].cast("double") + F.lit(128.5))
+                * F.lit((hi - lo) / 255.0)
+            )
+        else:
+            terms.append(F.lit(lo))
+    return F.array(*terms)
+
+
+def sq8_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    bounds: tuple[list[float], list[float]] | None = None,
+) -> DataFrame:
+    """Corpus → ``(id, codes array<tinyint>)`` — the table you PERSIST:
+    at 100 TB of float32 embeddings the code table is ~25 TB, and every
+    ANN candidate pass scans codes instead of vectors. Pass ``bounds``
+    to encode increments against a frozen codebook (new batches must
+    reuse the original corpus bounds or codes are not comparable)."""
+    mn, mx = bounds if bounds is not None else sq8_bounds(df, vec_col, dim)
+    return df.select(
+        F.col(id_col),
+        sq8_code(F.col(vec_col), mn, mx).alias("codes"),
+    )
+
+
+def sq8_topk(
+    df: DataFrame,
+    query_ids,
+    k: int = 5,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k cosine via SCALAR QUANTIZATION with exact
+    re-rank (the SQ/ADC pattern every production ANN store layers under
+    IVF): the corpus is ranked ASYMMETRICALLY — full-precision query
+    against dequantized 1-byte corpus codes — to pick ``k · oversample``
+    candidates per query, then ONLY the candidates fetch their true
+    vectors for an exact cosine re-rank to the final top-k. Same output
+    shape as :func:`cosine_topk`; recall loss is confined to true
+    neighbors whose quantized similarity falls outside the candidate
+    band (shrinks with ``oversample`` — gated in tests).
+
+    100 TB shape: the candidate pass scans the 4×-smaller code table
+    with the tiny query set broadcast (no corpus shuffle); the re-rank
+    joins the ~``|Q|·k·oversample``-row candidate set back by id
+    (broadcast again), so full-precision vectors are read only for
+    candidates. Determinism: codes and dequantized values use
+    floor/IEEE arithmetic replayable verbatim in the SQL oracle, and
+    both ranking stages tie-break on ascending neighbor id."""
+    mn, mx = sq8_bounds(df, vec_col, dim)
+    codes = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        sq8_code(F.col(vec_col), mn, mx).alias("__codes"),
+    )
+    approx = codes.select(
+        "neighbor_id", sq8_decode(F.col("__codes"), mn, mx).alias("a_vec")
+    )
+    queries = df.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.col("__asim").desc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        approx.crossJoin(F.broadcast(queries))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("a_vec")).alias("__asim"),
+        )
+        .withColumn("__rn", F.row_number().over(cand_w))
+        .where(F.col("__rn") <= k * oversample)
+        .select("query_id", "neighbor_id")
+    )
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    rer = (
+        corpus.join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     """Random-hyperplane bucket id: bit p = sign of ⟨vec, plane_p⟩."""
     acc = F.lit(0).cast("long")

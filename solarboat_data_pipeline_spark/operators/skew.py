@@ -198,7 +198,19 @@ def exact_quantile_cont(
     regardless of how many quantiles were requested, plus collects of only
     the ≈ 4N/accuracy rows bracketing each rank. Everything driver-side is
     control flow on aggregate results (the AQE pattern), never data
-    iteration."""
+    iteration.
+
+    ``driver_threshold`` (default 2^20 = 1,048,576 rows) is the explicit
+    cap on how many raw values may EVER be collected in one batch: it
+    gates both the small-input direct path above and, inside
+    ``_select_ranks_batched``, the width of each approx-bracketed band
+    (a band still wider than the threshold recurses — shrinking by
+    ~accuracy/4 per level — instead of collecting, and a single value
+    repeated N times resolves through the boundary duplicate counts
+    with no collect at all). One million float64s is ~8 MB on the driver —
+    size it to driver memory, not data size; the recursion means the
+    guarantee holds for any input distribution, including one value
+    repeated N times."""
     filt = df.select(col).where(F.col(col).isNotNull())
     n = filt.count()
     if n == 0:

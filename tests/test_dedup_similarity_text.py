@@ -460,6 +460,109 @@ def test_lsh_ann_cosine_values_exact_and_same_bucket(vecs):
         )
 
 
+def _sq8_replica(corpus):
+    """Pure-python replica of sq8 encode/decode over a (id, vec) list."""
+    dim = len(corpus[0][1])
+    mn = [min(float(v[j]) for _, v in corpus) for j in range(dim)]
+    mx = [max(float(v[j]) for _, v in corpus) for j in range(dim)]
+
+    def code(v):
+        out = []
+        for j in range(dim):
+            if mx[j] > mn[j]:
+                c = math.floor((float(v[j]) - mn[j]) / (mx[j] - mn[j]) * 255.0)
+                out.append(min(max(c, 0), 255))
+            else:
+                out.append(0)
+        return out
+
+    def decode(cs):
+        return [
+            mn[j] + (cs[j] + 0.5) * ((mx[j] - mn[j]) / 255.0)
+            if mx[j] > mn[j] else mn[j]
+            for j in range(dim)
+        ]
+
+    return mn, mx, code, decode
+
+
+def test_sq8_codes_are_bytes_with_midpoint_error_bound(vecs):
+    """Codes land in tinyint (the 4x storage claim) and the midpoint
+    decode error is <= step/2 per component."""
+    q = sim.sq8_quantize(vecs)
+    assert dict(q.dtypes)["codes"] == "array<tinyint>"
+    mn, mx, code, decode = _sq8_replica(VEC_CORPUS)
+    stored = {r["vec_id"]: list(r["codes"]) for r in q.collect()}
+    for i, v in VEC_CORPUS:
+        want = [c - 128 for c in code(v)]
+        assert stored[i] == want
+        dec = decode(code(v))
+        for j in range(4):
+            step = (mx[j] - mn[j]) / 255.0
+            assert abs(dec[j] - float(v[j])) <= step / 2 + 1e-12
+
+
+def test_sq8_full_oversample_equals_exact_topk(vecs):
+    """With k*oversample >= N-1 the candidate set is the whole corpus,
+    so the exact re-rank must reproduce cosine_topk verbatim."""
+    got = sim.sq8_topk(vecs, [3, 11], k=3, oversample=7).collect()
+    want = sim.cosine_topk(vecs, [3, 11], k=3).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(
+        [(r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"]) for r in got],
+        key=lambda t: (t[0], t[3]),
+    ) == sorted(
+        [(r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"]) for r in want],
+        key=lambda t: (t[0], t[3]),
+    )
+
+
+def test_sq8_topk_matches_python_replica_at_small_oversample(vecs):
+    """At oversample=1 the candidate band is tight enough that the
+    quantization path matters: replicate encode -> asymmetric candidate
+    ranking -> exact re-rank in python and demand identical output."""
+    mn, mx, code, decode = _sq8_replica(VEC_CORPUS)
+    k, q_id = 3, 9
+    qv = VEC_CORPUS[q_id][1]
+    cands = sorted(
+        (
+            (-_np_cosine(qv, decode(code(v))), i)
+            for i, v in VEC_CORPUS
+            if i != q_id
+        ),
+    )[: k * 1]
+    rer = sorted(
+        ((-round(_np_cosine(qv, VEC_CORPUS[i][1]), 6), i) for _, i in cands),
+    )
+    want = [(i, -s, rk + 1) for rk, (s, i) in enumerate(rer[:k])]
+    got = [
+        (r["neighbor_id"], r["cosine_sim"], r["rank"])
+        for r in sim.sq8_topk(vecs, [q_id], k=k, oversample=1)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == pytest.approx(want)
+
+
+def test_sq8_frozen_bounds_clamp_and_constant_dim(spark):
+    """Increments encoded against FROZEN bounds clamp out-of-range
+    components instead of overflowing the byte; a constant dimension
+    encodes 0 everywhere."""
+    base = [(0, [0.0, 5.0]), (1, [1.0, 5.0])]
+    df = spark.createDataFrame(base, ["vec_id", "embedding"])
+    mn, mx = sim.sq8_bounds(df)
+    assert mn == [0.0, 5.0] and mx == [1.0, 5.0]
+    inc = spark.createDataFrame(
+        [(2, [2.5, 5.0]), (3, [-1.0, 5.0])], ["vec_id", "embedding"]
+    )
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in sim.sq8_quantize(inc, bounds=(mn, mx)).collect()
+    }
+    assert got[2] == [255 - 128, -128]  # clamped high, constant dim -> 0
+    assert got[3] == [-128, -128]  # clamped low
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
