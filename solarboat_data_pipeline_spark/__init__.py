@@ -162,10 +162,12 @@ from solarboat_data_pipeline_spark.operators.sampling import (
 )
 from solarboat_data_pipeline_spark.operators.similarity import (
     build_ivf_index,
+    build_ivf_sq8_index,
     cosine_topk,
     extend_ivf_index,
     ivf_topk,
     ivf_topk_indexed,
+    ivf_sq8_topk_indexed,
     lsh_ann_topk,
     sq8_quantize,
     sq8_topk,
@@ -233,7 +235,7 @@ __all__ = [
     "dedup_against", "band_index", "signature_index", "near_dup_against",
     "cosine_topk", "ivf_topk", "lsh_ann_topk",
     "build_ivf_index", "ivf_topk_indexed", "extend_ivf_index", "train_ivf_centroids",
-    "sq8_quantize", "sq8_topk",
+    "sq8_quantize", "sq8_topk", "build_ivf_sq8_index", "ivf_sq8_topk_indexed",
     "quality_metrics", "quality_filter", "lang_id", "token_count", "ngram_topk",
     "redact_pii",
     "hash_sample", "weighted_mix", "stratified_sample",

@@ -1940,6 +1940,100 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_IVF_SQ8_TOPK = """
+    WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+                  WHERE vec_id < 16),
+         scored AS (
+           SELECT e.vec_id, e.embedding, c.cid,
+                  list_sum(list_transform(e.embedding, (x, i) ->
+                    x::DOUBLE * c.c_emb[i]::DOUBLE)) /
+                  (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+                   sqrt(list_sum(list_transform(c.c_emb, x -> x::DOUBLE * x::DOUBLE)))) AS ccos
+           FROM embeddings e CROSS JOIN cent c),
+         assigned AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+             FROM scored) WHERE rn = 1),
+         q AS (SELECT vec_id, embedding, cid FROM (
+             SELECT vec_id, embedding, cid, row_number() OVER
+               (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+             FROM scored WHERE vec_id < 10) WHERE rn <= 2),
+         b0 AS (
+           SELECT i, min(x::DOUBLE) AS mn, max(x::DOUBLE) AS mx
+           FROM (SELECT unnest(embedding) AS x,
+                        generate_subscripts(embedding, 1) AS i
+                 FROM embeddings)
+           GROUP BY i),
+         bl AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+                FROM b0),
+         approx AS (
+           SELECT a.vec_id AS neighbor_id, a.cid,
+                  list_transform(a.embedding, (x, i) ->
+                    CASE WHEN b.mx[i] > b.mn[i] THEN
+                      b.mn[i] + (least(greatest(floor((x::DOUBLE - b.mn[i])
+                          / (b.mx[i] - b.mn[i]) * 255.0), 0), 255) + 0.5)
+                        * ((b.mx[i] - b.mn[i]) / 255.0)
+                    ELSE b.mn[i] END) AS a_vec
+           FROM assigned a CROSS JOIN bl b),
+         cand AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, a.neighbor_id,
+                    list_sum(list_transform(q.embedding, (x, i) ->
+                      x::DOUBLE * a.a_vec[i])) /
+                    (sqrt(list_sum(list_transform(q.embedding, x ->
+                       x::DOUBLE * x::DOUBLE))) *
+                     sqrt(list_sum(list_transform(a.a_vec, x -> x * x)))) AS asim,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY asim DESC, a.neighbor_id ASC) AS rn
+             FROM q JOIN approx a
+               ON a.cid = q.cid AND a.neighbor_id <> q.vec_id)
+           WHERE rn <= 20),
+         sims AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  round(list_sum(list_transform(a.embedding, (x, i) ->
+                          x::DOUBLE * b.embedding[i]::DOUBLE)) /
+                        (sqrt(list_sum(list_transform(a.embedding, x ->
+                           x::DOUBLE * x::DOUBLE))) *
+                         sqrt(list_sum(list_transform(b.embedding, x ->
+                           x::DOUBLE * x::DOUBLE)))), 6) AS cosine_sim
+           FROM embeddings a
+           JOIN cand ON cand.query_id = a.vec_id
+           JOIN embeddings b ON b.vec_id = cand.neighbor_id),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM sims)
+    SELECT query_id, neighbor_id, cosine_sim, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register("sim_ivf_sq8_index_topk", _SQL_IVF_SQ8_TOPK)
+def sim_ivf_sq8_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED production ANN layout (round 8 —
+    operators/similarity.py:build_ivf_sq8_index / ivf_sq8_topk_indexed):
+    IVF partition pruning OVER SQ8 codes. The persisted index stores
+    1-byte codes partitioned by cell, full-precision vectors id-sorted
+    in their own table, and the two tiny codebooks; a search reads the
+    stored centroids, dynamic-partition-prunes the CODES scan to the
+    probed cells, pools each query's cells into an asymmetric
+    (query x dequantized-code) candidate ranking, and fetches true
+    vectors ONLY for the k*oversample survivors' exact re-rank. At
+    100 TB of float32 embeddings a nprobe=2/16 search touches ~1/16 of
+    a 4x-smaller table plus candidate rows. Oracle: the full
+    seed-assign-probe-quantize-candidate-rerank chain in SQL; cell
+    schema (tinyint) and DPP are asserted in
+    tests/test_dedup_similarity_text.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _io_dir(sf_dir, "sim_ivf_sq8_index")
+    sim.build_ivf_sq8_index(emb, idx, n_centroids=16)
+    qv = emb.where(F.col("vec_id") < 10)
+    out = sim.ivf_sq8_topk_indexed(spark, idx, qv, k=5, nprobe=2, oversample=4)
+    return out.select(
+        "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _sql_lsh_bucket(alias: str, planes: list[list[int]]) -> str:
     terms = []
     for p, plane in enumerate(planes):
@@ -4514,9 +4608,10 @@ def k_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q1_pricing_summary is additionally smoke-run by the driver's entry()
 # every round.
 _PRIORITY = [
-    # 1. never-green: new this round (2)
+    # 1. never-green: new this round (3)
     "sim_ivf_trained_topk",
     "sim_sq8_topk",
+    "sim_ivf_sq8_index_topk",
     # 2. operator code changed this round: the stateful kernels were
     #    reworked (vectorized buffers + auto mode; st_stream_asof and
     #    st_stream_asof_linear now run auto), paragraph dedup's digest
@@ -4568,17 +4663,18 @@ _PRIORITY = [
     "w3_interpolate_scaled",
     "w3_interpolate_wide_scaled",
     # 4. oldest r6-green queries (registry order) fill the window to
-    #    50 (6)
+    #    50 (5)
     "q1_pricing_summary",
     "p1_regex_extract",
     "p3_time_offset",
     "p5_hex_roundtrip",
     "p6_unhex_payload",
-    "p9_conditional_rewrite",
     # --- below the expected driver cut: the r6-green remainder in
     # registry order leads the r9 rotation, then everything r7-green
     # via the _ordered() fallback — ALL still oracle-checked by the
     # identical pytest gate every run.
+    "p9_conditional_rewrite",
+    "p13_p16_project_slice",
     "p4_crop_bounds",
     "p12_explode_tokens",
     "j1_left_join_enrich",

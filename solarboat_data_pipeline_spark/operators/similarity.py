@@ -602,6 +602,130 @@ def sq8_topk(
     )
 
 
+def build_ivf_sq8_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 0,
+    dim: int | None = None,
+) -> None:
+    """The composed production layout — IVF partition pruning OVER SQ8
+    codes: ``<path>/cells`` holds ``(id, codes array<tinyint>)``
+    partitioned by cell id (a probe reads ~nprobe/n_centroids of a
+    table that is itself 4× smaller than the vectors), ``<path>/
+    vectors`` holds the full-precision corpus SORTED BY id (so the
+    re-rank's id-equi join prunes row groups via footer min/max),
+    ``<path>/centroids`` and ``<path>/sq8_bounds`` hold the tiny
+    codebooks. At 100 TB of float32 embeddings a nprobe=4/64 search
+    touches ~1.6 TB of codes plus candidate-only vector fetches,
+    instead of the 100 TB brute scan."""
+    cent = _centroids(df, n_centroids, id_col, vec_col, train_iters)
+    assigned = _assign_to(df, cent, id_col, vec_col)
+    mn, mx = sq8_bounds(df, vec_col, dim)
+    codes = assigned.select(
+        F.col(id_col),
+        sq8_code(F.col(vec_col), mn, mx).alias("codes"),
+        "cid",
+    )
+    codes.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/cells")
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(mn, mx)], "mn array<double>, mx array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/sq8_bounds")
+    df.select(F.col(id_col), F.col(vec_col)).sort(id_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/vectors")
+
+
+def ivf_sq8_topk_indexed(
+    spark,
+    index_path: str,
+    query_vecs: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search the :func:`build_ivf_sq8_index` layout: queries rank
+    against the stored centroids (tiny read), the probed cells join
+    drives dynamic partition pruning on the CODES scan, candidates are
+    ranked asymmetrically (full-precision query × dequantized codes,
+    pooled across the query's probed cells) down to ``k · oversample``,
+    and only those fetch true vectors from ``<path>/vectors`` for the
+    exact cosine re-rank. Output shape matches :func:`cosine_topk`."""
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    b = spark.read.parquet(f"{index_path}/sq8_bounds").first()
+    mn, mx = list(b["mn"]), list(b["mx"])
+    w_probe = Window.partitionBy(id_col).orderBy(
+        F.col("__ccos").desc(), F.col("cid").asc()
+    )
+    queries = (
+        query_vecs.crossJoin(F.broadcast(cent))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cid"),
+            cosine(F.col(vec_col), F.col("c_vec")).alias("__ccos"),
+        )
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .where(F.col("__rn") <= nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("cid").alias("q_cid"),
+        )
+    )
+    cells = spark.read.parquet(f"{index_path}/cells").select(
+        F.col(id_col).alias("neighbor_id"),
+        sq8_decode(F.col("codes"), mn, mx).alias("a_vec"),
+        F.col("cid").alias("c_cid"),
+    )
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.col("__asim").desc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        cells.join(
+            F.broadcast(queries),
+            (F.col("c_cid") == F.col("q_cid"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("a_vec")).alias("__asim"),
+        )
+        .withColumn("__rn", F.row_number().over(cand_w))
+        .where(F.col("__rn") <= k * oversample)
+        .select("query_id", "neighbor_id")
+    )
+    vectors = spark.read.parquet(f"{index_path}/vectors").select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    q_only = queries.select("query_id", "q_vec").dropDuplicates(["query_id"])
+    rer = (
+        vectors.join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(q_only), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     """Random-hyperplane bucket id: bit p = sign of ⟨vec, plane_p⟩."""
     acc = F.lit(0).cast("long")

@@ -460,6 +460,36 @@ def test_lsh_ann_cosine_values_exact_and_same_bucket(vecs):
         )
 
 
+def test_ivf_sq8_index_layout_and_pruned_probe(spark, vecs, tmp_path):
+    """The composed layout's scale contract: cells store TINYINT codes
+    partitioned by cid, the probe's codes scan carries a dynamic-pruning
+    partition filter, and with oversample covering every cellmate the
+    result equals plain ivf_topk (the exact re-rank hides quantization
+    whenever the candidate band does not truncate)."""
+    import os
+
+    idx = str(tmp_path / "ivf_sq8_idx")
+    sim.build_ivf_sq8_index(vecs, idx, n_centroids=4)
+    parts = [d for d in os.listdir(f"{idx}/cells") if d.startswith("cid=")]
+    assert parts, os.listdir(f"{idx}/cells")
+    cells = spark.read.parquet(f"{idx}/cells")
+    assert dict(cells.dtypes)["codes"] == "array<tinyint>"
+    qv = vecs.where(F.col("vec_id") < 4)
+    out = sim.ivf_sq8_topk_indexed(spark, idx, qv, k=3, nprobe=1, oversample=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine_sim"])
+        for r in sim.ivf_topk(vecs, range(4), k=3, n_centroids=4, nprobe=1)
+        .collect()
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine_sim"])
+        for r in out.collect()
+    )
+    assert got == want
+
+
 def _sq8_replica(corpus):
     """Pure-python replica of sq8 encode/decode over a (id, vec) list."""
     dim = len(corpus[0][1])
