@@ -90,6 +90,11 @@ def corpus(spark):
     ), n_orig
 
 
+def smoke_qids(n: int = 64) -> list[int]:
+    """The shared query-id sample both recall checks rank against."""
+    return [int(7 + 4679 * i) % N_VECS for i in range(n)]
+
+
 def check_minhash_lsh(spark) -> None:
     df, n_orig = corpus(spark)
     df = df.localCheckpoint()
@@ -298,7 +303,7 @@ def check_ivf_recall(spark) -> None:
     df, _ = vectors(spark)
     df = df.localCheckpoint()
     k, n_cent = 10, 16
-    qids = [int(7 + 4679 * i) % N_VECS for i in range(64)]
+    qids = smoke_qids()
 
     t0 = time.perf_counter()
     brute = {
@@ -333,6 +338,82 @@ def check_ivf_recall(spark) -> None:
     )
 
 
+def check_sq8_recall(spark) -> None:
+    """Round 8: SQ8 asymmetric candidates + exact re-rank vs the brute
+    cosine_topk at the same corpus. Recall must be non-decreasing in
+    ``oversample`` and >= 0.95 at oversample=4; the persisted code
+    table must actually be smaller than the float32 vectors ON DISK
+    (the 4x raw claim, measured post-parquet-encoding so the number is
+    honest about what a scan reads)."""
+    import glob
+    import os
+
+    from solarboat_data_pipeline_spark.operators import similarity as sim
+
+    df, _ = vectors(spark)
+    df = df.localCheckpoint()
+    k = 10
+    qids = smoke_qids()
+
+    t0 = time.perf_counter()
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(df, qids, k=k).collect()
+    }
+    brute_sec = round(time.perf_counter() - t0, 2)
+
+    recalls, secs = {}, {}
+    for ov in (1, 4):
+        t0 = time.perf_counter()
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in sim.sq8_topk(df, qids, k=k, oversample=ov).collect()
+        }
+        secs[ov] = round(time.perf_counter() - t0, 2)
+        recalls[ov] = round(len(got & brute) / len(brute), 4)
+
+    # storage: codes vs float32 vectors, both as parquet on disk. The
+    # recall fixture above draws components from a 2001-value lattice,
+    # which parquet DICTIONARY-encodes on both sides (float32 indices ~11
+    # bits, codes ~8) and so UNDERSELLS the claim; real embeddings are
+    # continuous floats that fall back to PLAIN 4-byte encoding. Measure
+    # on a continuous-component corpus of the same shape.
+    base = "/tmp/scale_smoke_sq8"
+    cont = spark.range(N_VECS).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(EMB_DIM - 1)),
+            lambda kk: (
+                F.pmod(F.hash(F.col("id"), kk, F.lit(5)), F.lit(1 << 24))
+                / F.lit(float(1 << 23)) - 1.0
+            ),
+        ).cast("array<double>").alias("embedding"),
+    ).localCheckpoint()
+    vec32 = cont.select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    vec32.write.mode("overwrite").parquet(f"{base}/vectors")
+    sim.sq8_quantize(cont).write.mode("overwrite").parquet(f"{base}/codes")
+    size = lambda d: sum(  # noqa: E731
+        os.path.getsize(p) for p in glob.glob(f"{d}/*.parquet")
+    )
+    vec_b, code_b = size(f"{base}/vectors"), size(f"{base}/codes")
+    ratio = round(vec_b / code_b, 2)
+
+    record(
+        "sq8_recall_and_storage_vs_brute",
+        recalls[1] <= recalls[4] and recalls[4] >= 0.95 and ratio >= 2.5,
+        queries=len(qids),
+        k=k,
+        recall_at_oversample={str(o): r for o, r in recalls.items()},
+        sq8_sec={str(o): s for o, s in secs.items()},
+        brute_sec=brute_sec,
+        vector_parquet_bytes=vec_b,
+        code_parquet_bytes=code_b,
+        storage_ratio=ratio,
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-smoke-dedup")
     check_minhash_lsh(spark)
@@ -340,6 +421,7 @@ def main() -> None:
     check_connected_components(spark)
     check_incremental_digest(spark)
     check_ivf_recall(spark)
+    check_sq8_recall(spark)
     all_ok = all(c["agree"] for c in results.values())
     print(
         json.dumps(

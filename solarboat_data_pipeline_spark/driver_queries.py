@@ -2019,7 +2019,7 @@ def sim_ivf_sq8_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed cells, pools each query's cells into an asymmetric
     (query x dequantized-code) candidate ranking, and fetches true
     vectors ONLY for the k*oversample survivors' exact re-rank. At
-    100 TB of float32 embeddings a nprobe=2/16 search touches ~1/16 of
+    100 TB of float32 embeddings a nprobe=2/16 search touches ~1/8 of
     a 4x-smaller table plus candidate rows. Oracle: the full
     seed-assign-probe-quantize-candidate-rerank chain in SQL; cell
     schema (tinyint) and DPP are asserted in
@@ -4613,8 +4613,9 @@ _PRIORITY = [
     "sim_sq8_topk",
     "sim_ivf_sq8_index_topk",
     # 2. operator code changed this round: the stateful kernels were
-    #    reworked (vectorized buffers + auto mode; st_stream_asof and
-    #    st_stream_asof_linear now run auto), paragraph dedup's digest
+    #    reworked (vectorized buffers + auto mode; st_stream_asof runs
+    #    auto, st_stream_asof_linear the same kernel with auto=False —
+    #    see its docstring for why), paragraph dedup's digest
     #    lanes and id guard changed, IVF seed selection became
     #    rank-based (sim_ivf_topk / sim_ivf_index_topk share it), and
     #    the JPEG entropy decoder was rebuilt (6)

@@ -54,6 +54,30 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _rank_topk(sims: DataFrame, k: int) -> DataFrame:
+    """The ONE definition of the output ranking contract every ANN
+    family shares (and every DuckDB oracle replays): row_number over
+    6-dp-rounded cosine DESC with ascending-neighbor-id tie-break,
+    keep rank <= k."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _exact_sims(pairs: DataFrame) -> DataFrame:
+    """(query_id, q_vec, neighbor_id, c_vec) -> the exact 6-dp cosine
+    rows the ranking contract consumes."""
+    return pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     query_ids,
@@ -70,22 +94,12 @@ def cosine_topk(
     corpus = df.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    sims = (
-        corpus.crossJoin(F.broadcast(queries))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+    sims = _exact_sims(
+        corpus.crossJoin(F.broadcast(queries)).where(
+            F.col("neighbor_id") != F.col("query_id")
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _rank_topk(sims, k)
 
 
 def ivf_assign(
@@ -240,6 +254,39 @@ def _assign_to(
     )
 
 
+def _probe_queries(
+    cent: DataFrame,
+    qvecs: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The ONE definition of the IVF probe: each query joined to its
+    ``nprobe`` nearest centroids by cosine (ties → lowest cid), the tiny
+    centroid table broadcast. Returns (query_id, q_vec, q_cid) — shared
+    by the in-memory, stored, and SQ8-composed search paths so the
+    probe tie-break can never drift between them."""
+    w_probe = Window.partitionBy(id_col).orderBy(
+        F.col("__ccos").desc(), F.col("cid").asc()
+    )
+    return (
+        qvecs.crossJoin(F.broadcast(cent))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cid"),
+            cosine(F.col(vec_col), F.col("c_vec")).alias("__ccos"),
+        )
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .where(F.col("__rn") <= nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("cid").alias("q_cid"),
+        )
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_ids,
@@ -262,46 +309,20 @@ def ivf_topk(
     cent = _centroids(df, n_centroids, id_col, vec_col, train_iters)
     assigned = _assign_to(df, cent, id_col, vec_col)
     qvecs = df.where(F.col(id_col).isin(list(query_ids)))
-    w_probe = Window.partitionBy(id_col).orderBy(
-        F.col("__ccos").desc(), F.col("cid").asc()
-    )
-    queries = (
-        qvecs.crossJoin(F.broadcast(cent))
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.col("cid"),
-            cosine(F.col(vec_col), F.col("c_vec")).alias("__ccos"),
-        )
-        .withColumn("__rn", F.row_number().over(w_probe))
-        .where(F.col("__rn") <= nprobe)
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            F.col("cid").alias("q_cid"),
-        )
-    )
+    queries = _probe_queries(cent, qvecs, nprobe, id_col, vec_col)
     corpus = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col("cid").alias("c_cid"),
     )
-    sims = (
+    sims = _exact_sims(
         corpus.join(
             F.broadcast(queries),
             (F.col("c_cid") == F.col("q_cid"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
-        )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _rank_topk(sims, k)
 
 
 def build_ivf_index(
@@ -405,46 +426,20 @@ def ivf_topk_indexed(
     ``nprobe/n_centroids``, not corpus size."""
     cent = spark.read.parquet(f"{index_path}/centroids")
     cells = _index_cells(spark, index_path)
-    w_probe = Window.partitionBy(id_col).orderBy(
-        F.col("__ccos").desc(), F.col("cid").asc()
-    )
-    queries = (
-        query_vecs.crossJoin(F.broadcast(cent))
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.col("cid"),
-            cosine(F.col(vec_col), F.col("c_vec")).alias("__ccos"),
-        )
-        .withColumn("__rn", F.row_number().over(w_probe))
-        .where(F.col("__rn") <= nprobe)
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            F.col("cid").alias("q_cid"),
-        )
-    )
+    queries = _probe_queries(cent, query_vecs, nprobe, id_col, vec_col)
     corpus = cells.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col("cid").alias("c_cid"),
     )
-    sims = (
+    sims = _exact_sims(
         corpus.join(
             F.broadcast(queries),
             (F.col("c_cid") == F.col("q_cid"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
-        )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _rank_topk(sims, k)
 
 
 def sq8_bounds(
@@ -456,7 +451,14 @@ def sq8_bounds(
     ``scale.compute_bounds``); the lists are driver-side constants from
     then on, folded into codegen as literals."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        first = df.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                "sq8_bounds: corpus is empty or its first embedding is "
+                "null — cannot derive quantization bounds (pass dim= and "
+                "bounds= explicitly to encode against a frozen codebook)"
+            )
+        dim = len(first[0])
     c = F.col(vec_col)
     row = df.agg(
         *[F.min(c[j].cast("double")).alias(f"mn{j}") for j in range(dim)],
@@ -582,24 +584,12 @@ def sq8_topk(
     corpus = df.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    rer = (
-        corpus.join(F.broadcast(cands), "neighbor_id")
-        .join(F.broadcast(queries), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias(
-                "cosine_sim"
-            ),
+    sims = _exact_sims(
+        corpus.join(F.broadcast(cands), "neighbor_id").join(
+            F.broadcast(queries), "query_id"
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        rer.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _rank_topk(sims, k)
 
 
 def build_ivf_sq8_index(
@@ -660,25 +650,7 @@ def ivf_sq8_topk_indexed(
     cent = spark.read.parquet(f"{index_path}/centroids")
     b = spark.read.parquet(f"{index_path}/sq8_bounds").first()
     mn, mx = list(b["mn"]), list(b["mx"])
-    w_probe = Window.partitionBy(id_col).orderBy(
-        F.col("__ccos").desc(), F.col("cid").asc()
-    )
-    queries = (
-        query_vecs.crossJoin(F.broadcast(cent))
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.col("cid"),
-            cosine(F.col(vec_col), F.col("c_vec")).alias("__ccos"),
-        )
-        .withColumn("__rn", F.row_number().over(w_probe))
-        .where(F.col("__rn") <= nprobe)
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            F.col("cid").alias("q_cid"),
-        )
-    )
+    queries = _probe_queries(cent, query_vecs, nprobe, id_col, vec_col)
     cells = spark.read.parquet(f"{index_path}/cells").select(
         F.col(id_col).alias("neighbor_id"),
         sq8_decode(F.col("codes"), mn, mx).alias("a_vec"),
@@ -706,24 +678,12 @@ def ivf_sq8_topk_indexed(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     q_only = queries.select("query_id", "q_vec").dropDuplicates(["query_id"])
-    rer = (
-        vectors.join(F.broadcast(cands), "neighbor_id")
-        .join(F.broadcast(q_only), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias(
-                "cosine_sim"
-            ),
+    sims = _exact_sims(
+        vectors.join(F.broadcast(cands), "neighbor_id").join(
+            F.broadcast(q_only), "query_id"
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        rer.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _rank_topk(sims, k)
 
 
 def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
@@ -761,19 +721,11 @@ def lsh_ann_topk(
         F.col(vec_col).alias("c_vec"),
         F.col("__bucket").alias("c_bucket"),
     )
-    sims = (
+    sims = _exact_sims(
         corpus.join(
             F.broadcast(queries),
             (F.col("c_bucket") == F.col("q_bucket"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
-        )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _rank_topk(sims, k)

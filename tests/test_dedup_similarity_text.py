@@ -537,7 +537,6 @@ def test_sq8_full_oversample_equals_exact_topk(vecs):
     so the exact re-rank must reproduce cosine_topk verbatim."""
     got = sim.sq8_topk(vecs, [3, 11], k=3, oversample=7).collect()
     want = sim.cosine_topk(vecs, [3, 11], k=3).collect()
-    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
     assert sorted(
         [(r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"]) for r in got],
         key=lambda t: (t[0], t[3]),
