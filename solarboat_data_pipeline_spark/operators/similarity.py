@@ -239,19 +239,71 @@ def _assign_to(
     df: DataFrame, cent: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
     """Nearest-centroid assignment against an explicit centroid table
-    ``(cid, c_vec)`` — broadcast of the tiny set, O(N·C) in codegen."""
-    scored = df.crossJoin(F.broadcast(cent)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("cid"),
-        cosine(F.col(vec_col), F.col("c_vec")).alias("__ccos"),
+    ``(cid, c_vec)`` by cosine, ties → lowest cid — as a MAP-ONLY pass:
+    the tiny centroid table (bounded by the caller's ``n_centroids``)
+    collects to the driver and rides into an Arrow ``mapInPandas``
+    closure, so assignment never shuffles the corpus. The previous
+    crossJoin + per-id-window form pushed all N·C scored rows (each
+    carrying the full embedding) through an exchange PER ASSIGNMENT —
+    and k-means re-assigns every iteration, so at 100 TB that exchange
+    was the training bottleneck; a literal-expression argmax avoids the
+    shuffle too but pays seconds of Catalyst analysis per assignment on
+    the C·dim-literal tree (measured r8).
+
+    Cross-engine exactness (the property the DuckDB oracles replay):
+    every float op reproduces Spark's sequential fold bit-for-bit —
+    products and sums accumulate LEFT-TO-RIGHT over dimensions via one
+    vectorized numpy op per dimension (never ``np.dot``, whose pairwise
+    summation reorders), norms take ``sqrt`` of the same fold, and the
+    quotient is ``dot / (norm_a * norm_c)`` in that exact operation
+    order. NaN cosines map to +inf before the argmax, reproducing the
+    window form's NaN-sorts-greatest / lowest-cid-tie semantics;
+    ``argmax`` returns the FIRST maximum = lowest cid on exact ties."""
+    import numpy as np
+
+    rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    cmat = np.array(
+        [[float(x) for x in r["c_vec"]] for r in rows], dtype=np.float64
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__ccos").desc(), F.col("cid").asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(id_col, vec_col, "cid")
+    cids = np.array([int(r["cid"]) for r in rows], dtype=np.int64)
+    n_c, dim = cmat.shape if rows else (0, 0)
+    c_norm = np.zeros(n_c)
+    for j in range(dim):
+        c_norm += cmat[:, j] * cmat[:, j]
+    c_norm = np.sqrt(c_norm)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    base = df.select(F.col(id_col), F.col(vec_col))
+    # build a FRESH StructType: StructType.add mutates (and returns) the
+    # DataFrame's cached schema object, corrupting base.columns
+    schema = StructType(
+        list(base.schema.fields) + [StructField("cid", LongType())]
     )
+
+    def fn(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            a = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            dots = np.zeros((len(pdf), n_c))
+            a_sq = np.zeros(len(pdf))
+            for j in range(dim):
+                aj = a[:, j]
+                a_sq += aj * aj
+                dots += aj[:, None] * cmat[None, :, j]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = dots / (np.sqrt(a_sq)[:, None] * c_norm[None, :])
+            sims = np.where(np.isnan(sims), np.inf, sims)
+            out = pdf.copy()
+            out["cid"] = cids[sims.argmax(axis=1)]
+            yield out
+
+    if not rows:
+        return base.withColumn("cid", F.lit(None).cast("long")).limit(0)
+    return base.mapInPandas(fn, schema)
 
 
 def _probe_queries(
