@@ -117,8 +117,9 @@ def ivf_assign(
     with that many k-means iterations first
     (:func:`train_ivf_centroids`) — on clustered real embeddings
     unrefined seeds skew cell sizes, which turns into hot probe cells.
-    Assignment is a broadcast of the tiny centroid set against the
-    corpus: no shuffle of the big side, O(N·C) fully in codegen."""
+    Assignment folds the tiny centroid set into a map-only Arrow pass
+    over the corpus (:func:`_assign_to`): zero shuffle of the big side,
+    O(N·C) vectorized with bit-exact sequential-fold cosine."""
     cent = _centroids(df, n_centroids, id_col, vec_col, train_iters)
     return _assign_to(df, cent, id_col, vec_col)
 
@@ -155,13 +156,13 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     dim: int | None = None,
 ) -> DataFrame:
-    """Lloyd (k-means) refinement of the IVF seed centroids, expressed
-    entirely as DataFrame operations: per iteration, assign every vector
-    to its nearest centroid (broadcast, O(N·C) codegen — never a shuffle
-    of the corpus), then recompute each cell's centroid as the component
-    mean of its members (ONE map-side-combined hash aggregate of the
-    corpus into ``n_centroids`` rows). Cells that lose all members keep
-    their previous centroid.
+    """Lloyd (k-means) refinement of the IVF seed centroids: per
+    iteration, assign every vector to its nearest centroid (a map-only
+    Arrow pass, :func:`_assign_to` — never a shuffle of the corpus),
+    then recompute each cell's centroid as the component mean of its
+    members (ONE map-side-combined hash aggregate of the corpus into
+    ``n_centroids`` rows). Cells that lose all members keep their
+    previous centroid.
 
     Cross-engine determinism: float summation is order-sensitive, so a
     plain ``avg`` would differ run-to-run (Spark partition order) and
