@@ -380,3 +380,108 @@ def test_buffered_asof_state_survives_midstream_kill(spark, tmp_path):
     for r in rows:
         epoch = int(r["timestamp"].timestamp())
         assert r["ref"] == expect[epoch], (epoch, r["ref"], expect[epoch])
+
+
+def test_auto_asof_flip_survives_midstream_kill(spark, tmp_path):
+    """The auto kernel's fast-path bookkeeping (ok_fast, max_us) rides
+    the checkpoint too: kill after the first commit — while the key is
+    still on the in-order fast path — restart, then deliver a LATE right
+    (t=250 after the t=260 left already emitted). The restored max_us
+    must detect the disorder and flip the key, so post-flip lefts get
+    the exact buffered answer while pre-flip rows keep their documented
+    in-order answers, all exactly-once across the restart."""
+    from solarboat_data_pipeline_spark.streaming.stateful import (
+        stream_asof_backward,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(f"{src}/l")
+    os.makedirs(f"{src}/r")
+    base = time.time() - 3600
+
+    def write_one(path, rows, schema, i):
+        spark.createDataFrame(rows, schema).selectExpr(
+            "series", "timestamp_seconds(epoch) as timestamp",
+            schema.split(",")[-1].strip().split(" ")[0],
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        mtime = base + i * 10
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(path, (mtime, mtime))
+
+    # each file SOURCE advances one file per trigger independently, so
+    # pad the right source with other-key files to position the late
+    # right in the 4th right-batch — the trigger AFTER key a's t=260
+    # left emitted on the fast path
+    write_one(f"{src}/r/r0.parquet", [("a", 100, 10.0)],
+              "series string, epoch long, ref double", 0)
+    write_one(f"{src}/r/rp1.parquet", [("pad", 102, 0.0)],
+              "series string, epoch long, ref double", 1)
+    write_one(f"{src}/r/rp2.parquet", [("pad", 151, 0.0)],
+              "series string, epoch long, ref double", 2)
+    left_data = [
+        ("a", 101, 1.0), ("a", 150, 2.0), ("a", 260, 3.0),
+        ("a", 300, 4.0), ("a", 400, 5.0), ("a", 500, 6.0),
+    ]
+    for i, row in enumerate(left_data):
+        write_one(f"{src}/l/b{i}.parquet", [row],
+                  "series string, epoch long, value double", 1 + i)
+    # late right: key a's t=250 arrives in the batch AFTER its t=260
+    # left emitted on the fast path -> cross-batch disorder -> flip
+    write_one(f"{src}/r/r1.parquet", [("a", 250, 20.0)],
+              "series string, epoch long, ref double", 4)
+
+    out = str(tmp_path / "out.parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    def build():
+        sl = (
+            spark.readStream.schema(
+                "series string, timestamp timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/l/*.parquet")
+            .withWatermark("timestamp", "100 seconds")
+        )
+        sr = (
+            spark.readStream.schema(
+                "series string, timestamp timestamp, ref double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/r/*.parquet")
+        )
+        return stream_asof_backward(
+            sl, sr, key_cols=("series",), ts_col="timestamp",
+            buffered="auto",
+        )
+
+    q = (
+        build()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    _stop_after_first_commit(q)
+    q2 = (
+        build()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    # fast-path lefts 101..260 emitted in their arrival batches with
+    # in-order answers (260 -> 10.0: the late 250 had not arrived);
+    # the t=300 batch brings the disordered right -> permanent flip, so
+    # 300/400 carry the exact buffered answer (20.0) and 500 (post-flip,
+    # above the final watermark 400) stays pending on the finite stream.
+    expect = {101: 10.0, 150: 10.0, 260: 10.0, 300: 20.0, 400: 20.0}
+    got = {int(r["timestamp"].timestamp()): r["ref"] for r in rows}
+    assert len(rows) == len(got), "duplicate rows after restart"
+    assert got == expect, (got, expect)
