@@ -474,7 +474,38 @@ def _stream_asof_buffered(
         state_schema += ", ok_fast boolean, max_us long"
     tol_us = None if tolerance_seconds is None else int(tolerance_seconds * 1e6)
     ttl_ms = None if state_ttl_seconds is None else int(state_ttl_seconds * 1000)
-    linear = mode == "linear"
+    fn = _asof_kernel(
+        key_cols, ts_col, left_cols, left_types, list(value_cols),
+        tol_us, clamp_forward, mode == "linear", fast_path, ttl_ms,
+    )
+    return u.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _asof_kernel(
+    key_cols: Sequence[str],
+    ts_col: str,
+    left_cols: Sequence[str],
+    left_types: Sequence[str],
+    value_cols: Sequence[str],
+    tol_us: int | None,
+    clamp_forward: bool,
+    linear: bool,
+    fast_path: bool,
+    ttl_ms: int | None,
+):
+    """Build the per-key state-machine function behind
+    :func:`_stream_asof_buffered` — module-level so tests can drive it
+    directly with a fake ``GroupState`` (hypothesis property tests run
+    thousands of randomized batch schedules without paying a streaming
+    query per example). The semantics contract lives in
+    :func:`_stream_asof_buffered`'s docstring."""
+    nv, nl = len(value_cols), len(left_cols)
     # The union makes left payload columns nullable, so Arrow hands them
     # to pandas widened (bigint → float64 with NaN). The kernel buffers
     # numeric payloads canonically as float64 ndarrays (vectorized — no
@@ -817,13 +848,7 @@ def _stream_asof_buffered(
         elif ttl_ms is not None:
             state.setTimeoutTimestamp(wm_ms + max(ttl_ms, 1))
 
-    return u.groupBy(*key_cols).applyInPandasWithState(
-        fn,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
-    )
+    return fn
 
 
 def stream_asof_linear(
