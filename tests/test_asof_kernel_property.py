@@ -30,6 +30,7 @@ contract:
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -37,6 +38,9 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from solarboat_data_pipeline_spark.streaming.stateful import _asof_kernel
+
+# deep-fuzz dial: ASOF_PROP_EXAMPLES=2000 for a one-off soak
+_EX = int(os.environ.get("ASOF_PROP_EXAMPLES", "150"))
 
 
 class FakeState:
@@ -225,7 +229,7 @@ def _lefts(events):
     }
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=_EX, deadline=None)
 @given(stream_case(in_order=False))
 def test_buffered_backward_exact_under_bounded_disorder(case):
     events, sizes, delay = case
@@ -241,7 +245,7 @@ def test_buffered_backward_exact_under_bounded_disorder(case):
             assert eid not in emitted, (eid, ts_l, wm)
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=_EX, deadline=None)
 @given(stream_case(in_order=True))
 def test_auto_backward_equals_batch_on_in_order_stream(case):
     events, sizes, delay = case
@@ -254,7 +258,7 @@ def test_auto_backward_equals_batch_on_in_order_stream(case):
         assert got == want, (eid, ts_l, got, want)
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=_EX, deadline=None)
 @given(stream_case(in_order=False))
 def test_auto_backward_exactly_once_and_complete_under_disorder(case):
     events, sizes, delay = case
@@ -267,7 +271,7 @@ def test_auto_backward_exactly_once_and_complete_under_disorder(case):
     # boundary are contractually in-order best-effort, not checked here
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=_EX, deadline=None)
 @given(stream_case(in_order=False), st.integers(min_value=1, max_value=100))
 def test_buffered_backward_tolerance_under_disorder(case, tol_ms):
     """The staleness reference is the last right ROW's timestamp (even a
@@ -295,7 +299,7 @@ def test_buffered_backward_tolerance_under_disorder(case, tol_ms):
         assert got == want, (eid, ts_l, got, want, ref_ts)
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=_EX, deadline=None)
 @given(stream_case(in_order=False))
 def test_buffered_linear_blend_on_decidable_rows(case):
     events, sizes, delay = case
