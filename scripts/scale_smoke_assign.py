@@ -31,10 +31,11 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
-import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _measure import run_measured  # noqa: E402
 
 from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
@@ -53,33 +54,6 @@ def report(check: str, agree: bool, extra: dict) -> None:
     rec = {"check": check, "agree": bool(agree), **extra}
     results.append(rec)
     print(json.dumps(rec), flush=True)
-
-
-def _api(spark, path: str):
-    base = spark.sparkContext.uiWebUrl
-    with urllib.request.urlopen(f"{base}/api/v1/applications{path}") as r:
-        return json.loads(r.read())
-
-
-def _stage_ids(spark) -> set[int]:
-    app = spark.sparkContext.applicationId
-    return {s["stageId"] for s in _api(spark, f"/{app}/stages?status=complete")}
-
-
-def _run_measured(spark, make_df):
-    app = spark.sparkContext.applicationId
-    before = _stage_ids(spark)
-    t0 = time.perf_counter()
-    df = make_df()
-    rows = df.count()
-    wall = time.perf_counter() - t0
-    new = [
-        s
-        for s in _api(spark, f"/{app}/stages?status=complete")
-        if s["stageId"] not in before
-    ]
-    shuffle_write = sum(s.get("shuffleWriteBytes", 0) for s in new)
-    return df, rows, wall, shuffle_write
 
 
 def vectors(spark):
@@ -129,10 +103,10 @@ def main() -> None:
         cent.collect(), "cid long, c_vec array<double>"
     )
 
-    k_df, k_rows, k_wall, k_shw = _run_measured(
+    k_df, k_rows, k_wall, k_shw = run_measured(
         spark, lambda: sim._assign_to(df, cent, "vec_id", "embedding")
     )
-    t_df, t_rows, t_wall, t_shw = _run_measured(
+    t_df, t_rows, t_wall, t_shw = run_measured(
         spark, lambda: window_twin(df, cent)
     )
 

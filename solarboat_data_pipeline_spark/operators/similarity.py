@@ -257,9 +257,17 @@ def _assign_to(
     vectorized numpy op per dimension (never ``np.dot``, whose pairwise
     summation reorders), norms take ``sqrt`` of the same fold, and the
     quotient is ``dot / (norm_a * norm_c)`` in that exact operation
-    order. NaN cosines map to +inf before the argmax, reproducing the
-    window form's NaN-sorts-greatest / lowest-cid-tie semantics;
-    ``argmax`` returns the FIRST maximum = lowest cid on exact ties."""
+    order; ``argmax`` returns the FIRST maximum = lowest cid on exact
+    ties. Degenerate inputs RAISE with a clear message instead of
+    corrupting assignments: a zero-norm centroid or embedding has no
+    cosine (the expression form raises DIVIDE_BY_ZERO under this repo's
+    ANSI default — a verified r8 review caught an earlier cut silently
+    assigning everything to a zero centroid through a NaN→+inf argmax),
+    and a NULL embedding raises rather than crash ``np.stack`` with an
+    opaque worker IndexError. Note the centroid ``collect()`` runs at
+    construction time (the snapshot is taken when the plan is BUILT, and
+    building an assignment is no longer fully lazy — the price of the
+    map-only plan)."""
     import numpy as np
 
     rows = sorted(cent.collect(), key=lambda r: r["cid"])
@@ -272,6 +280,13 @@ def _assign_to(
     for j in range(dim):
         c_norm += cmat[:, j] * cmat[:, j]
     c_norm = np.sqrt(c_norm)
+    if n_c and (c_norm == 0.0).any():
+        bad = [int(c) for c, nz in zip(cids, c_norm == 0.0) if nz]
+        raise ValueError(
+            f"centroid assignment: centroid(s) {bad} have zero norm — "
+            "cosine distance is undefined there; drop zero vectors from "
+            "the corpus before seeding/training"
+        )
 
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -288,16 +303,27 @@ def _assign_to(
         for pdf in it:
             if not len(pdf):
                 continue
-            a = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            col = pdf[vec_col].to_numpy()
+            if any(v is None for v in col):
+                raise ValueError(
+                    f"centroid assignment: column {vec_col!r} contains "
+                    "NULL embeddings — filter or impute upstream"
+                )
+            a = np.stack(col).astype(np.float64)
             dots = np.zeros((len(pdf), n_c))
             a_sq = np.zeros(len(pdf))
             for j in range(dim):
                 aj = a[:, j]
                 a_sq += aj * aj
                 dots += aj[:, None] * cmat[None, :, j]
-            with np.errstate(invalid="ignore", divide="ignore"):
-                sims = dots / (np.sqrt(a_sq)[:, None] * c_norm[None, :])
-            sims = np.where(np.isnan(sims), np.inf, sims)
+            if (a_sq == 0.0).any():
+                raise ValueError(
+                    "centroid assignment: zero-norm embedding(s) present "
+                    "— cosine distance is undefined; drop zero vectors "
+                    "upstream (the expression form raises DIVIDE_BY_ZERO "
+                    "here too)"
+                )
+            sims = dots / (np.sqrt(a_sq)[:, None] * c_norm[None, :])
             out = pdf.copy()
             out["cid"] = cids[sims.argmax(axis=1)]
             yield out

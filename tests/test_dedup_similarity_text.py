@@ -460,6 +460,36 @@ def test_lsh_ann_cosine_values_exact_and_same_bucket(vecs):
         )
 
 
+def test_assignment_raises_on_degenerate_embeddings(spark):
+    """Zero-norm and NULL embeddings RAISE with a clear message instead
+    of corrupting assignments (an r8 review caught a cut that silently
+    assigned the whole corpus to a zero centroid; the expression form
+    raises DIVIDE_BY_ZERO under ANSI for the same inputs)."""
+    zero_cent = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0])], "cid long, c_vec array<double>"
+    )
+    good = spark.createDataFrame(
+        [(7, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="zero norm"):
+        sim._assign_to(good, zero_cent, "vec_id", "embedding")
+
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid long, c_vec array<double>"
+    )
+    zero_vec = spark.createDataFrame(
+        [(7, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="zero-norm embedding"):
+        sim._assign_to(zero_vec, cent, "vec_id", "embedding").collect()
+
+    null_vec = spark.createDataFrame(
+        [(7, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="NULL embeddings"):
+        sim._assign_to(null_vec, cent, "vec_id", "embedding").collect()
+
+
 def test_ivf_sq8_index_layout_and_pruned_probe(spark, vecs, tmp_path):
     """The composed layout's scale contract: cells store TINYINT codes
     partitioned by cid, the probe's codes scan carries a dynamic-pruning
