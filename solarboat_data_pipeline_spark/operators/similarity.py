@@ -19,6 +19,11 @@ from pyspark.sql import functions as F
 
 NUM_PLANES = 8
 
+# cap on candidate ids folded into the vectors scan as an isin pushdown
+# (ivf_sq8_topk_indexed) - beyond this a Catalyst literal list costs more
+# than the row groups it prunes
+_ISIN_PUSHDOWN_MAX = 10_000
+
 
 def hyperplanes(
     dim: int, planes: int = NUM_PLANES, salt: str = ""
@@ -685,7 +690,8 @@ def build_ivf_sq8_index(
     partitioned by cell id (a probe reads ~nprobe/n_centroids of a
     table that is itself 4× smaller than the vectors), ``<path>/
     vectors`` holds the full-precision corpus SORTED BY id (so the
-    re-rank's id-equi join prunes row groups via footer min/max),
+    re-rank's collected-candidate-id ``isin`` pushdown prunes row
+    groups via footer min/max — see :func:`ivf_sq8_topk_indexed`),
     ``<path>/centroids`` and ``<path>/sq8_bounds`` hold the tiny
     codebooks. At 100 TB of float32 embeddings a nprobe=4/64 search
     touches ~1.6 TB of codes plus candidate-only vector fetches,
@@ -709,6 +715,47 @@ def build_ivf_sq8_index(
     ).parquet(f"{path}/vectors")
 
 
+def _sq8_candidate_frame(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int,
+    oversample: int,
+    id_col: str,
+) -> DataFrame:
+    """The LAZY candidate selection of :func:`ivf_sq8_topk_indexed`:
+    asymmetric ranking of the probed cells' dequantized codes against
+    the broadcast queries, top ``k · oversample`` per query. Kept as its
+    own frame so the cells scan's dynamic partition pruning stays
+    plan-assertable (the caller collects this — the DPP subtree would
+    otherwise be invisible in the returned re-rank plan)."""
+    b = spark.read.parquet(f"{index_path}/sq8_bounds").first()
+    mn, mx = list(b["mn"]), list(b["mx"])
+    cells = spark.read.parquet(f"{index_path}/cells").select(
+        F.col(id_col).alias("neighbor_id"),
+        sq8_decode(F.col("codes"), mn, mx).alias("a_vec"),
+        F.col("cid").alias("c_cid"),
+    )
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.col("__asim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cells.join(
+            F.broadcast(queries),
+            (F.col("c_cid") == F.col("q_cid"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("a_vec")).alias("__asim"),
+        )
+        .withColumn("__rn", F.row_number().over(cand_w))
+        .where(F.col("__rn") <= k * oversample)
+        .select("query_id", "neighbor_id")
+    )
+
+
 def ivf_sq8_topk_indexed(
     spark,
     index_path: str,
@@ -725,37 +772,34 @@ def ivf_sq8_topk_indexed(
     ranked asymmetrically (full-precision query × dequantized codes,
     pooled across the query's probed cells) down to ``k · oversample``,
     and only those fetch true vectors from ``<path>/vectors`` for the
-    exact cosine re-rank. Output shape matches :func:`cosine_topk`."""
+    exact cosine re-rank. Output shape matches :func:`cosine_topk`.
+
+    The candidate fetch is a real PRUNED READ, not just a join: a
+    broadcast join never restricts its probe-side scan, so the
+    candidate (query, neighbor) pairs — ≤ ``|Q| · k · oversample`` rows
+    by construction — are collected and their neighbor ids pushed into
+    the vectors scan as an ``isin`` predicate, which parquet row-group
+    min/max statistics prune on the id-SORTED table (that sort order is
+    why :func:`build_ivf_sq8_index` writes it sorted). Beyond
+    ``_ISIN_PUSHDOWN_MAX`` candidate ids the filter is skipped (a
+    Catalyst literal list that long costs more than it saves) and the
+    re-rank falls back to the plain broadcast join over the full scan.
+    The collect makes a search eager — ANN search is an interactive
+    operation; the collected set is the same size as the result the
+    caller is about to collect anyway."""
     cent = spark.read.parquet(f"{index_path}/centroids")
-    b = spark.read.parquet(f"{index_path}/sq8_bounds").first()
-    mn, mx = list(b["mn"]), list(b["mx"])
     queries = _probe_queries(cent, query_vecs, nprobe, id_col, vec_col)
-    cells = spark.read.parquet(f"{index_path}/cells").select(
-        F.col(id_col).alias("neighbor_id"),
-        sq8_decode(F.col("codes"), mn, mx).alias("a_vec"),
-        F.col("cid").alias("c_cid"),
+    cand_df = _sq8_candidate_frame(
+        spark, index_path, queries, k, oversample, id_col
     )
-    cand_w = Window.partitionBy("query_id").orderBy(
-        F.col("__asim").desc(), F.col("neighbor_id").asc()
-    )
-    cands = (
-        cells.join(
-            F.broadcast(queries),
-            (F.col("c_cid") == F.col("q_cid"))
-            & (F.col("neighbor_id") != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("q_vec"), F.col("a_vec")).alias("__asim"),
-        )
-        .withColumn("__rn", F.row_number().over(cand_w))
-        .where(F.col("__rn") <= k * oversample)
-        .select("query_id", "neighbor_id")
-    )
+    cand_rows = cand_df.collect()
+    cands = spark.createDataFrame(cand_rows or [], cand_df.schema)
     vectors = spark.read.parquet(f"{index_path}/vectors").select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
+    cand_ids = sorted({r["neighbor_id"] for r in cand_rows})
+    if 0 < len(cand_ids) <= _ISIN_PUSHDOWN_MAX:
+        vectors = vectors.where(F.col("neighbor_id").isin(cand_ids))
     q_only = queries.select("query_id", "q_vec").dropDuplicates(["query_id"])
     sims = _exact_sims(
         vectors.join(F.broadcast(cands), "neighbor_id").join(

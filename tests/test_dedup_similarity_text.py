@@ -505,9 +505,19 @@ def test_ivf_sq8_index_layout_and_pruned_probe(spark, vecs, tmp_path):
     cells = spark.read.parquet(f"{idx}/cells")
     assert dict(cells.dtypes)["codes"] == "array<tinyint>"
     qv = vecs.where(F.col("vec_id") < 4)
+    # DPP is asserted on the LAZY candidate frame — the search collects
+    # it, so its cells-scan subtree is invisible in the returned plan
+    cent = spark.read.parquet(f"{idx}/centroids")
+    probe = sim._probe_queries(cent, qv, 1, "vec_id", "embedding")
+    cand = sim._sq8_candidate_frame(spark, idx, probe, 3, 7, "vec_id")
+    cplan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in cplan, cplan
     out = sim.ivf_sq8_topk_indexed(spark, idx, qv, k=3, nprobe=1, oversample=7)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in plan, plan
+    # the re-rank's vectors scan carries the collected candidate ids as
+    # a pushed In filter (row-group pruning on the id-sorted table — a
+    # broadcast join alone never restricts its probe-side scan)
+    assert "In(vec_id" in plan, plan
     want = sorted(
         (r["query_id"], r["rank"], r["neighbor_id"], r["cosine_sim"])
         for r in sim.ivf_topk(vecs, range(4), k=3, n_centroids=4, nprobe=1)
