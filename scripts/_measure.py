@@ -49,8 +49,8 @@ def _settled_stages(spark):
 
 def run_measured(spark, make_df):
     """Build the frame via ``make_df()`` INSIDE the measured window and
-    count() it; return (df, rows, wall_sec, total shuffle write bytes)
-    over every stage either step created. Construction happens inside
+    count() it; return (df, rows, wall_sec, total shuffle write bytes,
+    total input bytes read) over every stage either step created. Construction happens inside
     the window because some operators run jobs eagerly at
     DataFrame-construction time (bloom builds, centroid collects)."""
     before = _stage_ids(spark)
@@ -60,4 +60,5 @@ def run_measured(spark, make_df):
     wall = time.perf_counter() - t0
     new = [s for s in _settled_stages(spark) if s["stageId"] not in before]
     shuffle_write = sum(s.get("shuffleWriteBytes", 0) for s in new)
-    return df, rows, wall, shuffle_write
+    input_bytes = sum(s.get("inputBytes", 0) for s in new)
+    return df, rows, wall, shuffle_write, input_bytes

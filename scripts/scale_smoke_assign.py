@@ -103,10 +103,10 @@ def main() -> None:
         cent.collect(), "cid long, c_vec array<double>"
     )
 
-    k_df, k_rows, k_wall, k_shw = run_measured(
+    k_df, k_rows, k_wall, k_shw, _k_in = run_measured(
         spark, lambda: sim._assign_to(df, cent, "vec_id", "embedding")
     )
-    t_df, t_rows, t_wall, t_shw = run_measured(
+    t_df, t_rows, t_wall, t_shw, _t_in = run_measured(
         spark, lambda: window_twin(df, cent)
     )
 
@@ -133,6 +133,41 @@ def main() -> None:
             "window_twin_wall_sec": round(t_wall, 2),
         },
     )
+    # 3. composed IVF-SQ8 stored-index search at the same corpus: the
+    # probe must READ a small fraction of the index bytes (DPP prunes
+    # the codes scan to the probed cells; the collected-candidate-id
+    # isin pushdown prunes the id-sorted vectors scan to a few row
+    # groups), vs a full read of both tables.
+    idx = "/tmp/scale_smoke_assign_ivfsq8"
+    sim.build_ivf_sq8_index(df, idx, n_centroids=N_CENT)
+    import glob
+
+    disk = sum(
+        os.path.getsize(f)
+        for part in ("cells", "vectors")
+        for f in glob.glob(f"{idx}/{part}/**/*.parquet", recursive=True)
+    )
+    qv = df.where(F.col("vec_id").isin([7, 4679]))
+    s_df, s_rows, s_wall, _, s_in = run_measured(
+        spark,
+        lambda: sim.ivf_sq8_topk_indexed(
+            spark, idx, qv, k=10, nprobe=1, oversample=4
+        ),
+    )
+    # s_in also includes the query-vector fetch from the corpus parquet
+    # (id-pushdown-pruned) — charged to the search, as a real client pays
+    frac = s_in / max(1, disk)
+    report(
+        "ivf_sq8_search_reads_fraction_of_index",
+        s_rows == 20 and frac < 0.35,
+        {
+            "search_input_bytes": s_in,
+            "index_bytes_on_disk": disk,
+            "fraction": round(frac, 4),
+            "search_wall_sec": round(s_wall, 2),
+        },
+    )
+
     all_ok = all(r["agree"] for r in results)
     print(
         json.dumps(
