@@ -168,6 +168,90 @@ def main() -> None:
         },
     )
 
+    # 4. LARGE query batch (round 9): past _ISIN_PUSHDOWN_MAX candidate
+    # ids the fetch must keep a scan-level pushdown (coalesced BETWEEN
+    # ranges) instead of degrading to a full corpus read. Two shapes:
+    # (a) primitive-level clustered fetch — candidates in 8 id clusters,
+    #     bytes read must be a small fraction of the vectors table;
+    # (b) end-to-end 400-query search (≈16k candidate ids > threshold)
+    #     must produce byte-identical results to the same queries split
+    #     into under-threshold chunks (per-query independence makes the
+    #     union exact), with the range predicate in the plan.
+    # When candidates are uniformly SCATTERED, every row group holds a
+    # candidate and no id pushdown can skip bytes (the information-
+    # theoretic floor) — the range form then reads ~the full table, same
+    # as the old fallback, but never worse and with constant predicate
+    # cost; (a) shows the win on the clustered shape where pruning is
+    # possible at all.
+    vdisk = sum(
+        os.path.getsize(f)
+        for f in glob.glob(f"{idx}/vectors/**/*.parquet", recursive=True)
+    )
+    clustered = [
+        base + j for base in range(0, N_VECS, max(1, N_VECS // 8))
+        for j in range(2500)
+    ][:20_000]
+    vecs_t = spark.read.parquet(f"{idx}/vectors")
+    c_df, c_rows, c_wall, _, c_in = run_measured(
+        spark,
+        lambda: vecs_t.where(
+            sim._id_range_predicate(
+                F.col("vec_id"), clustered, sim._RANGE_PUSHDOWN_MAX
+            )
+        ),
+    )
+    cfrac = c_in / max(1, vdisk)
+    report(
+        "range_pushdown_clustered_fetch_prunes",
+        c_rows == len(clustered) and cfrac < 0.10,
+        {
+            "candidate_ids": len(clustered),
+            "fetch_input_bytes": c_in,
+            "vectors_bytes_on_disk": vdisk,
+            "fraction": round(cfrac, 4),
+            "fetch_wall_sec": round(c_wall, 2),
+        },
+    )
+
+    q_ids = [i * 997 for i in range(400)]
+    big_qv = df.where(F.col("vec_id").isin(q_ids))
+    b_df, b_rows, b_wall, _, b_in = run_measured(
+        spark,
+        lambda: sim.ivf_sq8_topk_indexed(
+            spark, idx, big_qv, k=10, nprobe=1, oversample=4
+        ),
+    )
+    bplan = b_df._jdf.queryExecution().executedPlan().toString()
+    # the range predicate's pushed-filter signature — only ever produced
+    # by _id_range_predicate. ("In(vec_id" also appears in this plan,
+    # but from the 400-id QUERY-vector fetch, so it can't discriminate.)
+    range_in_plan = "GreaterThanOrEqual(vec_id" in bplan
+    want = []
+    for lo in range(0, 400, 100):
+        chunk = df.where(F.col("vec_id").isin(q_ids[lo:lo + 100]))
+        want.extend(
+            map(
+                tuple,
+                sim.ivf_sq8_topk_indexed(
+                    spark, idx, chunk, k=10, nprobe=1, oversample=4
+                ).collect(),
+            )
+        )
+    got = sorted(map(tuple, b_df.collect()))
+    report(
+        "large_batch_range_path_matches_chunked_isin_path",
+        range_in_plan and got == sorted(want) and b_rows == len(want),
+        {
+            "queries": 400,
+            "rows": b_rows,
+            "range_predicate_in_plan": range_in_plan,
+            "search_input_bytes": b_in,
+            "index_bytes_on_disk": disk,
+            "fraction": round(b_in / max(1, disk), 4),
+            "search_wall_sec": round(b_wall, 2),
+        },
+    )
+
     all_ok = all(r["agree"] for r in results)
     print(
         json.dumps(

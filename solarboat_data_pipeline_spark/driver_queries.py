@@ -3218,6 +3218,22 @@ def st_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     ):
         out = _drain_to_memory(joined, "st_stream_asof", "append")
+    # ADVICE r8: skipping the finalization batch is safe ONLY while no
+    # left pends (every key stayed on the fast path). If the fixture
+    # ever gains cross-batch disorder, flipped keys would hold pending
+    # lefts the skipped batch never flushes — assert the drain is
+    # complete instead of letting rows vanish silently.
+    left_n = left.sparkSession.read.parquet(
+        f"{sf_dir}/events.parquet"
+    ).where(F.col("event_type") == "purchase").count()
+    drained = out.count()
+    if drained != left_n:
+        raise AssertionError(
+            f"st_stream_asof drained {drained} rows for {left_n} left rows"
+            " — a flipped key held pending lefts past the skipped"
+            " finalization batch; re-enable noDataMicroBatches for this"
+            " fixture"
+        )
     return out.select(
         "event_id", F.round("last_error_value", 6).alias("last_error_value")
     )
@@ -3268,17 +3284,20 @@ def st_stream_asof_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     once its next sample is known — VERDICT r7 item 1, available on
     this same kernel). The blend equals the batch
     ``asof_join_linear`` exactly — including the null head before the
-    first signup and the clamp-forward tail after the last. This row
-    runs the PURE buffered kernel (``auto=False``): on this one-file
-    availableNow fixture every row arrives in micro-batch 0 and the
-    finalization batch must run regardless (clamp-forward tails pend),
-    so auto's frontier emission pays the per-key emission math twice
-    for zero batch savings (measured r8: auto 4.5 s vs buffered 3.6 s
-    here) — auto's value is prompt emission and lefts never riding
-    state on LONG multi-batch streams, which is where it is exercised
-    (scripts/stream_smoke.py ``stream_asof_auto_linear...``, 10 M
-    events). Oracle: the keyed form of j3_asof_linear's SQL (same
-    blend, same operation order, PARTITION BY user_id)."""
+    first signup and the clamp-forward tail after the last. Since
+    round 9 this row runs ``auto=True`` unconditionally: the frontier
+    mask is BATCH-AWARE (it engages only once the watermark clock has
+    started, stateful.py), so on this one-file availableNow fixture —
+    where the only data batch runs under a zero watermark and the
+    finalization batch must run regardless (clamp-forward tails pend) —
+    auto is bit-identical to the buffered kernel instead of paying the
+    per-key emission math twice (the r8 fixture-shaped selection,
+    measured 4.5 s auto vs 3.6 s buffered, is gone); on LONG
+    multi-batch streams the frontier win engages from the first
+    watermarked batch (scripts/stream_smoke.py
+    ``stream_asof_auto_linear...``, 10 M events). Oracle: the keyed
+    form of j3_asof_linear's SQL (same blend, same operation order,
+    PARTITION BY user_id)."""
     from solarboat_data_pipeline_spark.streaming.stateful import (
         stream_asof_linear,
     )
@@ -3292,7 +3311,7 @@ def st_stream_asof_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = stream_asof_linear(
         left, right, key_cols=("user_id",), ts_col="ts",
-        value_cols=("interp_value",), auto=False,
+        value_cols=("interp_value",), auto=True,
     )
     with _stream_conf(
         spark, **{"spark.sql.shuffle.partitions": "8"}

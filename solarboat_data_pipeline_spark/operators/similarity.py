@@ -21,8 +21,51 @@ NUM_PLANES = 8
 
 # cap on candidate ids folded into the vectors scan as an isin pushdown
 # (ivf_sq8_topk_indexed) - beyond this a Catalyst literal list costs more
-# than the row groups it prunes
+# than the row groups it prunes, and the fetch switches to coalesced
+# BETWEEN ranges (see _id_range_predicate)
 _ISIN_PUSHDOWN_MAX = 10_000
+
+# max coalesced [lo, hi] id ranges pushed into the vectors scan for
+# candidate sets past _ISIN_PUSHDOWN_MAX: 256 ranges = 512 comparison
+# literals, constant Catalyst cost at ANY candidate count
+_RANGE_PUSHDOWN_MAX = 256
+
+
+def _id_range_predicate(col: Column, ids: list, max_ranges: int) -> Column:
+    """Bounded-size scan pushdown for an arbitrarily large sorted id set:
+    coalesce ``ids`` into at most ``max_ranges`` ``[lo, hi]`` intervals
+    and OR the BETWEENs. Parquet pushes each as ``And(GtEq, LtEq)`` under
+    an ``Or``, which row-group min/max statistics prune on an id-sorted
+    table — unlike an ``In`` literal list, the predicate size never grows
+    with the candidate count, so the pruned read survives production
+    query batches (the round-8 cliff: past ``_ISIN_PUSHDOWN_MAX`` the
+    fetch silently degraded to a full corpus scan).
+
+    Interval selection: for numeric ids, keep the ``max_ranges - 1``
+    WIDEST gaps between consecutive ids as the split points — that
+    minimizes the total slack (non-candidate ids covered) among all
+    ``max_ranges``-interval covers of the set. Non-numeric orderable ids
+    (no gap width) split into equal-count runs. The cover is a superset
+    fetch either way; the caller's inner join on the exact candidate
+    frame restores precision."""
+    if not ids:
+        return F.lit(False)
+    n = len(ids)
+    if n <= max_ranges:
+        bounds = list(range(n + 1))
+    elif isinstance(ids[0], (int, float)):
+        gaps = sorted(
+            range(1, n), key=lambda i: ids[i] - ids[i - 1], reverse=True
+        )
+        bounds = [0] + sorted(gaps[: max_ranges - 1]) + [n]
+    else:
+        step = -(-n // max_ranges)
+        bounds = list(range(0, n, step)) + [n]
+    pred = None
+    for a, b in zip(bounds, bounds[1:]):
+        p = col.between(F.lit(ids[a]), F.lit(ids[b - 1]))
+        pred = p if pred is None else (pred | p)
+    return pred
 
 
 def hyperplanes(
@@ -40,6 +83,24 @@ def hyperplanes(
             row.append(1 if int(h[:8], 16) & 1 else -1)
         out.append(row)
     return out
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row, with explicit errors
+    for an empty corpus or a NULL first embedding (mirrors
+    :func:`sq8_bounds` — previously these raised an opaque TypeError)."""
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError(
+            f"cannot infer embedding dim: corpus has no rows in {vec_col!r}"
+            " — pass dim= explicitly or supply a non-empty corpus"
+        )
+    if first[0] is None:
+        raise ValueError(
+            f"cannot infer embedding dim: first {vec_col!r} is NULL — drop"
+            " null embeddings or pass dim= explicitly"
+        )
+    return len(first[0])
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -183,7 +244,7 @@ def train_ivf_centroids(
 
     Returns ``(cid, c_vec array<double>)``."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = _infer_dim(df, vec_col)
     scale = float(1 << 20)
     cent = _seed_centroids(df, n_centroids, id_col, vec_col).select(
         "cid",
@@ -432,6 +493,53 @@ def build_ivf_index(
     assigned = _assign_to(df, cent, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/cells")
     cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    _write_build_stats(df.sparkSession, path, vec_col)
+
+
+# an increment whose mean assigned-cosine falls this far below the
+# build-time corpus mean indicates the stored centroids no longer
+# describe the incoming distribution — recall silently decays from there
+# (extend_ivf_index reports it; retrain_ivf_index is the remedy)
+DRIFT_RETRAIN_THRESHOLD = 0.05
+
+
+def _assigned_cosine_mean(cells: DataFrame, cent: DataFrame, vec_col: str):
+    """Mean cosine between each assigned vector and its own centroid —
+    the cheap fit statistic drift detection runs on: one broadcast join
+    against the tiny centroid table + one map-side-combined avg, no
+    corpus shuffle. (A monitoring statistic, not an oracle value — plain
+    ``avg`` is fine here.)"""
+    row = (
+        cells.join(F.broadcast(cent), "cid")
+        .agg(
+            F.avg(cosine(F.col(vec_col), F.col("c_vec"))).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    return (float(row["m"]) if row["m"] is not None else None, int(row["n"]))
+
+
+def _write_build_stats(spark, path: str, vec_col: str) -> None:
+    """Persist the build-time fit statistic (<path>/stats) the drift
+    check compares increments against."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    base = spark.read.parquet(f"{path}/cells")
+    m, n = _assigned_cosine_mean(base, cent, vec_col)
+    spark.createDataFrame(
+        [(m, n)], "build_mean_cos double, n bigint"
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def _build_mean_cos(spark, path: str, vec_col: str) -> float:
+    """Build-time mean assigned cosine; computed and persisted on first
+    access for pre-round-9 indexes that lack <path>/stats."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/stats")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        _write_build_stats(spark, path, vec_col)
+    return float(spark.read.parquet(f"{path}/stats").first()["build_mean_cos"])
 
 
 def extend_ivf_index(
@@ -440,7 +548,7 @@ def extend_ivf_index(
     increment_id: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+) -> dict:
     """Incremental index maintenance: assign ONLY the new vectors
     against the STORED centroids and store them as the increment
     ``<path>/cells_inc/<increment_id>`` (cell-partitioned like the
@@ -458,12 +566,76 @@ def extend_ivf_index(
     a no-op instead of silently duplicating index rows (the same K5
     idempotent-restart semantics as ``sinks.write_parquet``, with the
     same caveat — a crash mid-write leaves a partial directory that
-    must be deleted before the retry)."""
+    must be deleted before the retry).
+
+    DRIFT DETECTION (round 9): frozen centroids silently decay recall
+    when the incoming distribution shifts — a shifted cluster straddles
+    old cell boundaries, so same-cluster neighbors scatter across cells
+    a probe won't co-visit. Each extend therefore measures the
+    increment's mean assigned-cosine (one broadcast join + avg over the
+    increment only) against the persisted build-time corpus mean
+    (``<path>/stats``) and returns a report dict::
+
+        {"increment_id", "n", "build_mean_cos", "increment_mean_cos",
+         "drift", "retrain_recommended"}
+
+    ``drift = build_mean_cos - increment_mean_cos``;
+    ``retrain_recommended`` trips at ``DRIFT_RETRAIN_THRESHOLD``. On a
+    tripped report, run :func:`retrain_ivf_index` — ingest keeps working
+    correctly either way (assignment stays exact; only PROBE recall
+    decays), so the trigger is advisory, surfaced, and logged under
+    ``<path>/stats_inc/<increment_id>`` for fleet-side monitoring."""
     spark = df_new.sparkSession
     cent = spark.read.parquet(f"{path}/centroids")
     assigned = _assign_to(df_new, cent, id_col, vec_col)
     assigned.write.mode("ignore").partitionBy("cid").parquet(
         f"{path}/cells_inc/{increment_id}"
+    )
+    inc_mean, inc_n = _assigned_cosine_mean(
+        spark.read.parquet(f"{path}/cells_inc/{increment_id}"), cent, vec_col
+    )
+    build_mean = _build_mean_cos(spark, path, vec_col)
+    drift = (build_mean - inc_mean) if inc_mean is not None else None
+    report = {
+        "increment_id": increment_id,
+        "n": inc_n,
+        "build_mean_cos": build_mean,
+        "increment_mean_cos": inc_mean,
+        "drift": drift,
+        "retrain_recommended": bool(
+            drift is not None and drift > DRIFT_RETRAIN_THRESHOLD
+        ),
+    }
+    spark.createDataFrame(
+        [tuple(report.values())],
+        "increment_id string, n bigint, build_mean_cos double,"
+        " increment_mean_cos double, drift double,"
+        " retrain_recommended boolean",
+    ).write.mode("ignore").parquet(f"{path}/stats_inc/{increment_id}")
+    return report
+
+
+def retrain_ivf_index(
+    spark,
+    path: str,
+    new_path: str,
+    n_centroids: int = 16,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The remedy for a tripped drift trigger: re-derive centroids from
+    the FULL indexed corpus (base + every completed increment, read once
+    via :func:`_index_cells`) with :func:`train_ivf_centroids` and build
+    a fresh index at ``new_path`` — the consolidated replacement for the
+    drifted ``path``. A new path rather than in-place: readers keep
+    probing the old index until the new one's ``_SUCCESS`` markers land,
+    then switch atomically (the same publish-by-path pattern as any
+    immutable-storage index swap); rewriting in place would have the
+    build read the very files it is overwriting."""
+    corpus = _index_cells(spark, path).select(F.col(id_col), F.col(vec_col))
+    build_ivf_index(
+        corpus, new_path, n_centroids, id_col, vec_col, train_iters
     )
 
 
@@ -781,12 +953,18 @@ def ivf_sq8_topk_indexed(
     the vectors scan as an ``isin`` predicate, which parquet row-group
     min/max statistics prune on the id-SORTED table (that sort order is
     why :func:`build_ivf_sq8_index` writes it sorted). Beyond
-    ``_ISIN_PUSHDOWN_MAX`` candidate ids the filter is skipped (a
-    Catalyst literal list that long costs more than it saves) and the
-    re-rank falls back to the plain broadcast join over the full scan.
+    ``_ISIN_PUSHDOWN_MAX`` candidate ids (where a Catalyst literal list
+    costs more than it saves) the ids coalesce into at most
+    ``_RANGE_PUSHDOWN_MAX`` BETWEEN ranges (:func:`_id_range_predicate`)
+    — constant predicate size at any candidate count, still row-group
+    pruned on the sorted table, so a production-sized query batch keeps
+    the pruned read instead of degrading to a full corpus scan.
     The collect makes a search eager — ANN search is an interactive
     operation; the collected set is the same size as the result the
-    caller is about to collect anyway."""
+    caller is about to collect anyway. Driver memory for that set is
+    ``|Q| · k · oversample`` (id, id) pairs — ~50 MB per million
+    candidate rows; size query batches accordingly (split a larger batch
+    into calls, results are per-query independent)."""
     cent = spark.read.parquet(f"{index_path}/centroids")
     queries = _probe_queries(cent, query_vecs, nprobe, id_col, vec_col)
     cand_df = _sq8_candidate_frame(
@@ -800,6 +978,12 @@ def ivf_sq8_topk_indexed(
     cand_ids = sorted({r["neighbor_id"] for r in cand_rows})
     if 0 < len(cand_ids) <= _ISIN_PUSHDOWN_MAX:
         vectors = vectors.where(F.col("neighbor_id").isin(cand_ids))
+    elif cand_ids:
+        vectors = vectors.where(
+            _id_range_predicate(
+                F.col("neighbor_id"), cand_ids, _RANGE_PUSHDOWN_MAX
+            )
+        )
     q_only = queries.select("query_id", "q_vec").dropDuplicates(["query_id"])
     sims = _exact_sims(
         vectors.join(F.broadcast(cands), "neighbor_id").join(
@@ -831,7 +1015,7 @@ def lsh_ann_topk(
     candidates. Same output shape as :func:`cosine_topk` (fewer rows when a
     bucket holds < k candidates — the approximation's recall loss)."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = _infer_dim(df, vec_col)
     hp = hyperplanes(dim, planes)
     with_b = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), hp))
     queries = with_b.where(F.col(id_col).isin(list(query_ids))).select(

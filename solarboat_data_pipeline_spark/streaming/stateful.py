@@ -710,7 +710,7 @@ def _asof_kernel(
                 # above it), so every pending left's match is decided —
                 # emit them all now
                 emit = np.ones(lb_ts.size, dtype=bool)
-            elif rb_ts.size:
+            elif rb_ts.size and wm_ms > 0:
                 # FRONTIER emission (linear auto, in-order so far): a
                 # left strictly below every column's last non-null
                 # right sample has BOTH surrounding samples decided —
@@ -720,6 +720,23 @@ def _asof_kernel(
                 # exactly AT a column's last non-null sample still
                 # needs the next batch to decide clamp-vs-blend when
                 # clamp_forward=False.
+                # BATCH-AWARE (round 9): the widened mask only engages
+                # once the watermark clock has started (wm_ms > 0).
+                # Under a zero watermark — the global first batch, and
+                # the ONLY data batch of a single-file availableNow
+                # fixture — frontier emission cannot retire state any
+                # earlier than the first real watermark batch would,
+                # but it does add a second per-key emission round
+                # (yield + DataFrame construction against the ~1 ms/
+                # key/batch framework floor, measured r8: 4.5 s vs
+                # 3.6 s on the bench fixture). Gated, auto is
+                # bit-identical to buffered on single-batch inputs and
+                # keeps the multi-batch frontier win from batch 2 on,
+                # so the kernel no longer needs per-fixture selection.
+                # (Unlike backward's emit-all above, linear can never
+                # fully drain in the data batch — tail lefts at/after
+                # the last right sample always need finalization — so
+                # skipping the widened mask at wm=0 costs nothing.)
                 fr = None
                 for v in rb_v:
                     nn = np.flatnonzero(~np.isnan(v))

@@ -530,6 +530,63 @@ def test_ivf_sq8_index_layout_and_pruned_probe(spark, vecs, tmp_path):
     assert got == want
 
 
+def test_id_range_predicate_bounds_and_gap_splits(spark):
+    """The large-batch fetch predicate: widest gaps become splits, the
+    cover is a superset of the ids, and the predicate size is bounded by
+    max_ranges regardless of candidate count."""
+    ids = [1, 2, 3, 50, 51, 90, 91, 92, 500]
+    df = spark.range(0, 600).withColumnRenamed("id", "neighbor_id")
+    pred = sim._id_range_predicate(F.col("neighbor_id"), ids, 3)
+    got = sorted(r[0] for r in df.where(pred).collect())
+    # 3 ranges keep the 2 widest gaps (3→50 and 92→500) as splits:
+    # [1..3] ∪ [50..92] ∪ [500..500] — a superset containing every id
+    assert got == list(range(1, 4)) + list(range(50, 93)) + [500]
+    assert set(ids) <= set(got)
+    # n <= max_ranges → exact singleton ranges, no slack
+    pred1 = sim._id_range_predicate(F.col("neighbor_id"), ids, len(ids))
+    assert sorted(r[0] for r in df.where(pred1).collect()) == ids
+    # empty set → false predicate, not a full scan
+    assert df.where(sim._id_range_predicate(F.col("neighbor_id"), [], 3)).count() == 0
+
+
+def test_ivf_sq8_large_batch_keeps_pruned_fetch(spark, vecs, tmp_path, monkeypatch):
+    """The round-8 cliff, closed: past _ISIN_PUSHDOWN_MAX candidate ids
+    the vectors fetch must push coalesced BETWEEN ranges into the scan
+    (GreaterThanOrEqual/LessThanOrEqual pushed filters) instead of
+    silently degrading to a full corpus read — and return the identical
+    result. Thresholds are patched down so the sf-test corpus exercises
+    the large-batch branch."""
+    idx = str(tmp_path / "ivf_sq8_idx_lb")
+    sim.build_ivf_sq8_index(vecs, idx, n_centroids=4)
+    qv = vecs.where(F.col("vec_id") < 4)
+    want = sorted(
+        map(tuple, sim.ivf_sq8_topk_indexed(
+            spark, idx, qv, k=3, nprobe=1, oversample=7).collect())
+    )
+    monkeypatch.setattr(sim, "_ISIN_PUSHDOWN_MAX", 2)
+    monkeypatch.setattr(sim, "_RANGE_PUSHDOWN_MAX", 3)
+    out = sim.ivf_sq8_topk_indexed(spark, idx, qv, k=3, nprobe=1, oversample=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "In(vec_id" not in plan
+    assert "GreaterThanOrEqual(vec_id" in plan, plan
+    assert "LessThanOrEqual(vec_id" in plan, plan
+    assert sorted(map(tuple, out.collect())) == want
+
+
+def test_infer_dim_errors(spark):
+    """Empty corpus / NULL first embedding raise descriptive ValueErrors
+    from dim inference (train_ivf_centroids, lsh_ann_topk) instead of an
+    opaque TypeError."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no rows"):
+        sim.train_ivf_centroids(empty, n_centroids=2, iters=1)
+    nullv = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        sim.lsh_ann_topk(nullv, [1], k=1)
+
+
 def _sq8_replica(corpus):
     """Pure-python replica of sq8 encode/decode over a (id, vec) list."""
     dim = len(corpus[0][1])
