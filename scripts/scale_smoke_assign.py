@@ -87,7 +87,14 @@ def window_twin(df, cent):
 def main() -> None:
     spark = get_spark(
         app_name="scale-smoke-assign",
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4057"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4057",
+            # scan metadata (PushedFilters) truncates at 100 chars by
+            # default — the 256-range predicate's GreaterThanOrEqual
+            # would be invisible to the plan assertion below
+            "spark.sql.maxMetadataStringLength": "100000",
+        },
     )
     # the corpus must arrive the way a real one does — from STORAGE with
     # UnknownPartitioning. A spark.range-derived (or localCheckpoint'd)

@@ -1,0 +1,506 @@
+"""Deduplication-family driver queries (exact, MinHash/LSH, SimHash, paragraph, decontamination-adjacent pipelines).
+
+Split out of driver_queries.py (round 9); conventions in the facade
+docstring there.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from solarboat_data_pipeline_spark.functions.formatting import epoch_seconds
+from solarboat_data_pipeline_spark.functions.geo import haversine_km, heading_deg
+from solarboat_data_pipeline_spark.operators import dedup as dd
+from solarboat_data_pipeline_spark.operators import multimodal as mm
+from solarboat_data_pipeline_spark.operators import sampling as sp
+from solarboat_data_pipeline_spark.operators import scale as sc
+from solarboat_data_pipeline_spark.operators import similarity as sim
+from solarboat_data_pipeline_spark.operators import skew as sk
+from solarboat_data_pipeline_spark.operators import text as tx
+from solarboat_data_pipeline_spark.operators import timeseries as ts
+
+from solarboat_data_pipeline_spark.driver._registry import (  # noqa: F401
+    SQL_TOKENS,
+    _SQL_SH,
+    _SQL_TOKS,
+    _io_dir,
+    _sql_lsh_bucket,
+    _sql_lsh_pairs,
+    _sql_minhash_mins,
+    _t,
+    register,
+    sql_h32,
+)
+
+
+
+@register(
+    "dd_exact",
+    """
+    SELECT md5(text) AS digest, min(doc_id)::BIGINT AS keep_id,
+           count(*)::BIGINT AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dd_minhash_signature",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+         s AS (SELECT doc_id, list_distinct({_SQL_SH}) AS sh FROM t),
+         hb AS (SELECT doc_id, sh,
+                       list_transform(sh, s -> {sql_h32('s')}) AS hs FROM s)
+    SELECT doc_id,
+           CASE WHEN len(sh) > 0 THEN
+             list_aggregate([{_sql_minhash_mins()}], 'string_agg', ',')
+           END AS signature
+    FROM hb
+    """,
+)
+def dd_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    withm = dd.with_minhash(docs)
+    return withm.select(
+        "doc_id",
+        F.when(
+            F.col("minhash").isNotNull(),
+            F.array_join(
+                F.transform(F.col("minhash"), lambda x: x.cast("string")), ","
+            ),
+        ).alias("signature"),
+    )
+
+
+@register(
+    "dd_lsh_pairs",
+    f"WITH {_sql_lsh_pairs()} SELECT id_a, id_b FROM lsh_pairs",
+)
+def dd_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dd_minhash_estimate",
+    f"""
+    WITH {_sql_lsh_pairs()}
+    SELECT p.id_a, p.id_b,
+           round(list_sum(list_transform(
+             generate_series(1, {dd.NUM_HASHES}),
+             i -> CASE WHEN ma.mins[i] = mb.mins[i] THEN 1 ELSE 0 END
+           )) / {dd.NUM_HASHES}.0, 6) AS jaccard_est
+    FROM lsh_pairs p
+    JOIN m ma ON p.id_a = ma.doc_id
+    JOIN m mb ON p.id_b = mb.doc_id
+    """,
+)
+def dd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-agreement Jaccard estimate over the LSH candidates
+    (operators/dedup.py:minhash_jaccard_estimate) — the cheap scoring rung
+    between candidate generation and the exact postings verify."""
+    return dd.minhash_jaccard_estimate(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dd_near_dup_pipeline",
+    f"""
+    WITH RECURSIVE {_sql_lsh_pairs()},
+         pids AS (SELECT id_a AS id FROM lsh_pairs
+                  UNION SELECT id_b FROM lsh_pairs),
+         toks2 AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+                   WHERE doc_id IN (SELECT id FROM pids)),
+         sd AS (SELECT DISTINCT doc_id, unnest(list_distinct({_SQL_SH.replace('toks', 'toks')})) AS sh
+                FROM toks2),
+         sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sd GROUP BY 1),
+         inter AS (SELECT p.id_a, p.id_b, count(*)::BIGINT AS c
+                   FROM lsh_pairs p
+                   JOIN sd a ON a.doc_id = p.id_a
+                   JOIN sd b ON b.doc_id = p.id_b AND b.sh = a.sh
+                   GROUP BY 1, 2),
+         verified AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+           WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+                   UNION SELECT id_b, id_a FROM verified),
+         reach(src, dst) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                  FROM reach GROUP BY src)
+    SELECT doc_id::BIGINT AS drop_id, cluster_id::BIGINT AS keep_id
+    FROM comp WHERE doc_id <> cluster_id
+    """,
+)
+def dd_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship dedup composition: LSH candidates → exact-Jaccard verify →
+    connected components → per-cluster representative; returns the removal
+    list (drop_id, keep_id)."""
+    return dd.near_dup_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "pipeline_curation",
+    f"""
+    WITH RECURSIVE
+         curated AS (
+           SELECT doc_id, text FROM (
+             SELECT doc_id, text, lang, len({_SQL_TOKS}) AS n_words
+             FROM documents) q
+           WHERE lang = 'en' AND n_words BETWEEN 20 AND 100),
+         exact_keep AS (
+           SELECT min(doc_id) AS doc_id FROM curated GROUP BY md5(text)),
+         survivors AS (
+           SELECT c.doc_id, c.text FROM curated c
+           JOIN exact_keep k USING (doc_id)),
+         {_sql_lsh_pairs(base="survivors")},
+         pids AS (SELECT id_a AS id FROM lsh_pairs
+                  UNION SELECT id_b FROM lsh_pairs),
+         toks2 AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM survivors
+                   WHERE doc_id IN (SELECT id FROM pids)),
+         sd AS (SELECT DISTINCT doc_id, unnest(list_distinct({_SQL_SH})) AS sh
+                FROM toks2),
+         sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sd GROUP BY 1),
+         inter AS (SELECT p.id_a, p.id_b, count(*)::BIGINT AS c
+                   FROM lsh_pairs p
+                   JOIN sd a ON a.doc_id = p.id_a
+                   JOIN sd b ON b.doc_id = p.id_b AND b.sh = a.sh
+                   GROUP BY 1, 2),
+         verified AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+           WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+                   UNION SELECT id_b, id_a FROM verified),
+         reach(src, dst) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                  FROM reach GROUP BY src),
+         drops AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+    SELECT s.doc_id, len({SQL_TOKENS.format(t="s.text")})::BIGINT AS n_words
+    FROM survivors s WHERE s.doc_id NOT IN (SELECT doc_id FROM drops)
+    """,
+)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data curation composition — the standard corpus
+    pipeline end to end: quality/language filter → exact dedup (keep lowest
+    id per digest) → near-dup removal (LSH → Jaccard verify → components)
+    → surviving documents. Every stage is the already-verified operator;
+    the whole chain stays sub-quadratic and shuffle-minimal at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    curated = docs.where(
+        (F.col("lang") == "en") & tx.token_count(F.col("text")).between(20, 100)
+    ).select("doc_id", "text")
+    keep = dd.exact_dedup(curated).select(F.col("keep_id").alias("doc_id"))
+    # materialize the post-exact-dedup corpus once (lazy local checkpoint):
+    # three consumers follow (LSH candidates, Jaccard verify, final anti
+    # join) and would each re-run the scan -> filter -> digest-dedup
+    # subtree; real curation pipelines persist this intermediate corpus
+    survivors = curated.join(keep, "doc_id", "semi").localCheckpoint(eager=False)
+    drops = dd.near_dup_dedup(survivors, threshold=0.5).select(
+        F.col("drop_id").alias("doc_id")
+    )
+    final = survivors.join(drops, "doc_id", "anti")
+    return final.select(
+        "doc_id", tx.token_count(F.col("text")).cast("long").alias("n_words")
+    )
+
+
+@register(
+    "dd_clusters",
+    f"""
+    WITH RECURSIVE {_sql_lsh_pairs()},
+         edges AS (SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+                   UNION SELECT id_b, id_a FROM lsh_pairs),
+         reach(src, dst) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS doc_id, min(dst)::BIGINT AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup LSH candidate pairs → connected-component cluster ids."""
+    pairs = dd.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+    return dd.connected_components(pairs)
+
+
+def _sql_simhash_bits() -> str:
+    terms = []
+    for b in range(dd.SIMHASH_BITS):
+        terms.append(
+            f"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {b}) & 1) = 1)) "
+            f"> len(toks) THEN {1 << b} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "dd_simhash",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+         hb AS (SELECT doc_id, toks,
+                       list_transform(toks, t -> {sql_h32('t')}) AS hs FROM t)
+    SELECT doc_id,
+           CASE WHEN len(toks) > 0 THEN ({_sql_simhash_bits()})::BIGINT END AS simhash
+    FROM hb
+    """,
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.with_simhash(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "simhash"
+    )
+
+
+def _dd_simhash_pairs_oracle(max_hamming: int = 3, bits: int = 16, bands: int = 4) -> str:
+    w = bits // bands
+    mask = (1 << w) - 1
+    any_band = " OR ".join(
+        f"((a.simhash >> {t * w}) & {mask}) = ((b.simhash >> {t * w}) & {mask})"
+        for t in range(bands)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+         hb AS (SELECT doc_id, toks,
+                       list_transform(toks, t -> {sql_h32('t')}) AS hs FROM t),
+         s AS (SELECT doc_id, ({_sql_simhash_bits()})::BIGINT AS simhash
+               FROM hb WHERE len(toks) > 0)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id AND ({any_band})
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@register("dd_simhash_pairs", _dd_simhash_pairs_oracle())
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs: banded-bucket join (exact recall
+    for Hamming ≤ 3 by pigeonhole over 4 bands) + exact bit_count verify
+    (operators/dedup.py:simhash_near_dup_pairs)."""
+    return dd.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+@register(
+    "dd_ngram_jaccard",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+         sd AS (SELECT DISTINCT doc_id, unnest(list_distinct({_SQL_SH})) AS sh FROM t),
+         sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sd GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS c
+                   FROM sd a JOIN sd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+    FROM inter JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+    WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5
+    """,
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@register(
+    "dd_embedding_cosine",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(a.embedding, (x, i) ->
+                 x::DOUBLE * b.embedding[i]::DOUBLE)) / (a.n * b.n), 6) AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(a.embedding, (x, i) ->
+          x::DOUBLE * b.embedding[i]::DOUBLE)) / (a.n * b.n), 6) >= 0.35
+    """,
+)
+def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.embedding_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+def _dd_embedding_lsh_oracle(tables: int = 2) -> str:
+    bucket_cols = []
+    for t in range(tables):
+        planes = sim.hyperplanes(64, 8, dd.lsh_table_salt(t))
+        b = _sql_lsh_bucket("e", planes).replace("e.embedding", "embedding")
+        bucket_cols.append(f"{b} AS b{t}")
+    any_bucket = " OR ".join(f"a.b{t} = b.b{t}" for t in range(tables))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n,
+             {", ".join(bucket_cols)}
+      FROM embeddings)
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(a.embedding, (x, i) ->
+                 x::DOUBLE * b.embedding[i]::DOUBLE)) / (a.n * b.n), 6) AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id AND ({any_bucket})
+    WHERE round(list_sum(list_transform(a.embedding, (x, i) ->
+          x::DOUBLE * b.embedding[i]::DOUBLE)) / (a.n * b.n), 6) >= 0.15
+    """
+
+
+@register("dd_embedding_lsh", _dd_embedding_lsh_oracle())
+def dd_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding dedup at scale: hyperplane-LSH bucketing prunes
+    the candidate space (two OR-amplified tables), then the exact-cosine
+    verification kernel of ``dd_embedding_cosine`` runs only inside buckets
+    (operators/dedup.py:embedding_lsh_dedup_pairs)."""
+    return dd.embedding_lsh_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.15, dim=64, tables=2
+    )
+
+
+@register(
+    "dd_paragraph_dedup",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    p AS (
+      SELECT t.doc_id, u.pos,
+             array_to_string(t.toks[u.pos * 10 + 1 : u.pos * 10 + 10], ' ') AS para
+      FROM t, UNNEST(generate_series(0, CAST(ceil(len(t.toks) / 10.0) AS INT) - 1)) AS u(pos)),
+    w AS (SELECT para, min(doc_id * 100000 + pos) AS first_key
+          FROM p GROUP BY para),
+    k AS (SELECT p.doc_id, p.pos, p.para
+          FROM p JOIN w
+            ON p.para = w.para AND p.doc_id * 100000 + p.pos = w.first_key)
+    SELECT doc_id,
+           string_agg(para, ' ' ORDER BY pos) AS cleaned_text,
+           count(*)::BIGINT AS kept_paragraphs
+    FROM k GROUP BY doc_id
+    """,
+)
+def dd_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact PARAGRAPH dedup (operators/dedup.py
+    ``paragraph_dedup``) — the sub-document curation pass that removes
+    boilerplate paragraphs repeating across non-duplicate documents:
+    split each document into disjoint 10-word chunks, keep each chunk's
+    first corpus occurrence by (doc_id, position), reassemble documents
+    from their surviving chunks in order. Spark picks winners with a
+    map-side-combining ``min(struct)`` hash aggregate on the paragraph
+    digest (a corpus-wide boilerplate paragraph — the skew case —
+    collapses to one row per mapper) and joins back digest-keyed; the
+    oracle replays the identical first-occurrence rule with the
+    ``doc_id·100000 + pos`` encoding (positions are far below 100000)."""
+    from solarboat_data_pipeline_spark.operators.dedup import paragraph_dedup
+
+    out = paragraph_dedup(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "cleaned_text", F.col("kept_paragraphs").cast("long").alias("kept_paragraphs")
+    )
+
+
+@register(
+    "dd_incremental",
+    """
+    WITH seen AS (SELECT DISTINCT md5(text) AS digest FROM documents
+                  WHERE doc_id % 5 != 0),
+         incoming AS (SELECT doc_id, md5(text) AS digest FROM documents
+                      WHERE doc_id % 5 = 0)
+    SELECT i.doc_id FROM incoming i
+    WHERE i.digest NOT IN (SELECT digest FROM seen)
+    """,
+)
+def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (operators/dedup.py:dedup_against): only
+    documents whose content digest is unseen in the existing corpus
+    survive — a LEFT ANTI join on the digest, the standard shape for
+    appending a new crawl increment to a deduplicated corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 5 != 0)
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+    return dd.dedup_against(incoming, seen).select("doc_id")
+
+
+@register(
+    "dd_incremental_index",
+    """
+    WITH seen AS (SELECT DISTINCT md5(text) AS digest FROM documents
+                  WHERE doc_id % 5 != 0),
+         incoming AS (SELECT doc_id, md5(text) AS digest FROM documents
+                      WHERE doc_id % 5 = 0)
+    SELECT i.doc_id FROM incoming i
+    WHERE i.digest NOT IN (SELECT digest FROM seen)
+    """,
+)
+def dd_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup in its 100 TB shape
+    (operators/dedup.py:dedup_against with ``digest_col``): the existing
+    corpus is represented ONLY by its persisted digest index (a parquet
+    table of md5 hex digests, tiny relative to the corpus), and the new
+    increment anti-joins against that index — the corpus text is never
+    re-read or re-shuffled. This query materializes the index to parquet
+    and reads it back, exactly as an ingest job would between increments."""
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 5 != 0)
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+    idx_path = _io_dir(sf_dir, "dd_digest_index")
+    seen.select(F.md5(F.col("text")).alias("digest")).distinct().write.mode(
+        "overwrite"
+    ).parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    return dd.dedup_against(incoming, index, digest_col="digest").select("doc_id")
+
+
+@register(
+    "dd_near_dup_incremental",
+    f"""
+    WITH {_sql_lsh_pairs()},
+         m_seen AS (SELECT doc_id, mins FROM m WHERE doc_id % 5 != 0),
+         m_inc  AS (SELECT doc_id, mins FROM m WHERE doc_id % 5 = 0),
+         b_seen AS (SELECT doc_id, band, band_hash FROM b WHERE doc_id % 5 != 0),
+         b_inc  AS (SELECT doc_id, band, band_hash FROM b WHERE doc_id % 5 = 0),
+         cand AS (SELECT DISTINCT i.doc_id AS inc_id, s2.doc_id AS seen_id
+                  FROM b_inc i JOIN b_seen s2 USING (band, band_hash)),
+         dropped AS (
+           SELECT DISTINCT c.inc_id FROM cand c
+           JOIN m_inc mi ON mi.doc_id = c.inc_id
+           JOIN m_seen ms ON ms.doc_id = c.seen_id
+           WHERE list_sum(list_transform(generate_series(1, {dd.NUM_HASHES}),
+                   k -> CASE WHEN mi.mins[k] = ms.mins[k] THEN 1 ELSE 0 END))
+                 / {dd.NUM_HASHES}.0 >= 0.5)
+    SELECT doc_id FROM documents
+    WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT inc_id FROM dropped)
+    """,
+)
+def dd_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest NEAR-dup dedup in its 100 TB shape
+    (operators/dedup.py:near_dup_against — round 7): the existing corpus
+    is represented ONLY by its persisted LSH band index + MinHash
+    signature index (parquet, digests and 16 longs per doc — the fuzzy
+    siblings of dd_incremental_index's digest table); the new increment
+    is hashed once, band-bucket candidates form against the index, each
+    candidate is VERIFIED by the signature Jaccard estimate (≥ 0.5),
+    and only verified near-dups drop. The corpus text is never re-read
+    or re-shuffled. The oracle replays the identical shingle → h32 →
+    affine-permutation minima → banded-md5 pipeline and the estimate
+    verification in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 5 != 0)
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+    bp = _io_dir(sf_dir, "dd_band_index")
+    sp = _io_dir(sf_dir, "dd_sig_index")
+    dd.band_index(seen).write.mode("overwrite").parquet(bp)
+    dd.signature_index(seen).write.mode("overwrite").parquet(sp)
+    out = dd.near_dup_against(
+        incoming,
+        spark.read.parquet(bp),
+        seen_signatures=spark.read.parquet(sp),
+        threshold=0.5,
+    )
+    return out.select("doc_id")

@@ -1,0 +1,384 @@
+"""Multimodal driver queries (binary metadata, PNG/WAV/AVI/MJPEG decode paths, resize/frame-sample/features).
+
+Split out of driver_queries.py (round 9); conventions in the facade
+docstring there.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from solarboat_data_pipeline_spark.functions.formatting import epoch_seconds
+from solarboat_data_pipeline_spark.functions.geo import haversine_km, heading_deg
+from solarboat_data_pipeline_spark.operators import dedup as dd
+from solarboat_data_pipeline_spark.operators import multimodal as mm
+from solarboat_data_pipeline_spark.operators import sampling as sp
+from solarboat_data_pipeline_spark.operators import scale as sc
+from solarboat_data_pipeline_spark.operators import similarity as sim
+from solarboat_data_pipeline_spark.operators import skew as sk
+from solarboat_data_pipeline_spark.operators import text as tx
+from solarboat_data_pipeline_spark.operators import timeseries as ts
+
+from solarboat_data_pipeline_spark.driver._registry import (  # noqa: F401
+    _t,
+    register,
+)
+
+
+
+@register(
+    "mm_binary_meta",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.documents_as_media(_t(spark, sf_dir, "documents"))
+    return mm.binary_metadata(media)
+
+
+@register(
+    "mm_frame_sample",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE doc_id % 3 = 2)
+    SELECT media_id,
+           unnest(generate_series(0, (n_bytes // 100 + 1) - 1, 10))::BIGINT AS frame_index
+    FROM media
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.documents_as_media(_t(spark, sf_dir, "documents"))
+    out = mm.frame_sample_plan(media, every_n=10)
+    return out.select("media_id", F.col("frame_index").cast("long").alias("frame_index"))
+
+
+@register(
+    "mm_png_decode",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             doc_id % 16 + 1 AS w,
+             doc_id % 12 + 1 AS h,
+             doc_id % 5 AS form,
+             CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS ch
+      FROM documents),
+    px AS (
+      SELECT g.doc_id, g.w, g.h, g.ch,
+             CASE WHEN g.form = 2
+                  THEN (((x.x * 7 + y.y * 13 + g.doc_id) % 256)
+                        * (3 + 2 * c.c) + g.doc_id) % 256
+                  WHEN g.form = 4
+                  THEN (((x.x * 7 + y.y * 13 + g.doc_id) % 16)
+                        * (3 + 2 * c.c) + g.doc_id) % 256
+                  ELSE (x.x * 7 + y.y * 13 + c.c * 31 + g.doc_id) % 256
+             END AS v
+      FROM g, generate_series(0, 15) x(x), generate_series(0, 11) y(y),
+           generate_series(0, 2) c(c)
+      WHERE x.x < g.w AND y.y < g.h AND c.c < g.ch)
+    SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
+           ch::INT AS channels, CAST(SUM(v) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id, w, h, ch
+    """,
+)
+def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode (operators/png.py + multimodal.decode_image_stats):
+    each document id becomes a genuine PNG file (stdlib zlib+struct
+    encoder, scanline filters cycling 0-4), cycling ``id % 5`` over the
+    real-world envelope — grayscale, RGB, PALETTE (color type 3, PLTE
+    expanded to RGB on decode), ADAM7-INTERLACED RGB, and (round 7)
+    4-BIT PALETTE with packed sub-byte scanlines, alternating
+    sequential/Adam7 — decoded back by the stdlib decoder inside Arrow
+    mapInPandas. The oracle recomputes the decoded
+    width/height/channels/pixel-sum ARITHMETICALLY from the generator
+    formula (interlace shares its form's formula: it changes only the
+    wire layout) — DuckDB never sees the bytes, so a wrong
+    signature/IHDR/PLTE/inflate/unfilter/bit-unpack/de-interlace stage
+    cannot hash-match."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_png_media(docs)
+    return mm.decode_image_stats(media)
+
+
+@register(
+    "mm_png_resize",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             doc_id % 16 + 1 AS w,
+             doc_id % 12 + 1 AS h,
+             doc_id % 5 AS form,
+             CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS ch
+      FROM documents),
+    px AS (
+      SELECT g.doc_id, g.w, g.h, g.ch,
+             CASE WHEN g.form = 2
+                  THEN (((((x.x * g.w) // 8) * 7 + ((y.y * g.h) // 6) * 13
+                          + g.doc_id) % 256) * (3 + 2 * c.c) + g.doc_id) % 256
+                  WHEN g.form = 4
+                  THEN (((((x.x * g.w) // 8) * 7 + ((y.y * g.h) // 6) * 13
+                          + g.doc_id) % 16) * (3 + 2 * c.c) + g.doc_id) % 256
+                  ELSE (((x.x * g.w) // 8) * 7 + ((y.y * g.h) // 6) * 13
+                        + c.c * 31 + g.doc_id) % 256
+             END AS v
+      FROM g, generate_series(0, 7) x(x), generate_series(0, 5) y(y),
+           generate_series(0, 2) c(c)
+      WHERE c.c < g.ch)
+    SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
+           8::INT AS target_width, 6::INT AS target_height,
+           ch::INT AS channels, CAST(SUM(v) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id, w, h, ch
+    """,
+)
+def mm_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode + nearest-neighbor resize (operators/png.py): decode
+    the synthesized PNG (grayscale/RGB/palette/Adam7/4-bit-palette
+    forms, ``id % 5``), resample with the exact floor mapping ``src =
+    (dst·src_dim) // dst_dim``, and emit resized pixel stats. The
+    oracle recomputes the same mapping arithmetically (palette rows
+    through the PLTE formula at the form's palette size; interlaced
+    forms share their sequential formulas)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_png_media(docs)
+    return mm.resize_image_stats(media, 8, 6, method="nearest")
+
+
+@register(
+    "mm_wav_decode",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             doc_id % 480 + 16 AS n,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS ch
+      FROM documents),
+    s AS (
+      SELECT g.doc_id, g.n, g.ch,
+             (37 * i.i + 101 * c.c + 13 * g.doc_id) % 4096 - 2048 AS v
+      FROM g, generate_series(0, 495) i(i), generate_series(0, 1) c(c)
+      WHERE i.i < g.n AND c.c < g.ch)
+    SELECT doc_id AS media_id, 8000::INT AS sample_rate, ch::INT AS channels,
+           n::INT AS n_frames, CAST(SUM(v) AS BIGINT) AS sample_sum
+    FROM s GROUP BY doc_id, n, ch
+    """,
+)
+def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode (operators/wav.py + multimodal.decode_audio_stats):
+    each document id becomes a genuine 16-bit PCM RIFF/WAVE file (stdlib
+    struct encoder, cross-validated against the stdlib ``wave`` module),
+    decoded back by the stdlib decoder inside Arrow mapInPandas. The
+    oracle recomputes the decoded rate/channels/frames/sample-sum
+    ARITHMETICALLY from the generator formula — DuckDB never sees the
+    bytes, so a wrong RIFF-walk/fmt/block-align/PCM stage cannot
+    hash-match."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_wav_media(docs)
+    return mm.decode_audio_stats(media)
+
+
+@register(
+    "mm_wav_resample",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             doc_id % 480 + 16 AS n,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS ch
+      FROM documents),
+    s AS (
+      SELECT g.doc_id, g.n, g.ch,
+             (37 * ((d.d * g.n) // 32) + 101 * c.c + 13 * g.doc_id)
+               % 4096 - 2048 AS v
+      FROM g, generate_series(0, 31) d(d), generate_series(0, 1) c(c)
+      WHERE c.c < g.ch)
+    SELECT doc_id AS media_id, 8000::INT AS sample_rate, ch::INT AS channels,
+           n::INT AS n_frames, 32::INT AS target_frames,
+           CAST(SUM(v) AS BIGINT) AS sample_sum
+    FROM s GROUP BY doc_id, n, ch
+    """,
+)
+def mm_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode + nearest-frame resample (operators/wav.py): decode
+    the synthesized WAV, resample the frame axis with the exact floor
+    mapping ``src = (dst·n_src) // n_dst``, and emit resampled sample
+    stats. The oracle recomputes the same mapping arithmetically."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_wav_media(docs)
+    return mm.resample_audio_stats(media, 32, method="nearest")
+
+
+@register(
+    "mm_avi_decode",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             doc_id % 12 + 2 AS nf,
+             doc_id % 8 + 1 AS w,
+             doc_id % 6 + 1 AS h
+      FROM documents),
+    px AS (
+      SELECT g.doc_id, g.nf, g.w, g.h,
+             (11 * f.f + 7 * x.x + 13 * y.y + 31 * c.c + g.doc_id) % 256 AS v
+      FROM g, generate_series(0, 13) f(f), generate_series(0, 7) x(x),
+           generate_series(0, 5) y(y), generate_series(0, 2) c(c)
+      WHERE f.f < g.nf AND x.x < g.w AND y.y < g.h)
+    SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
+           nf::INT AS n_frames, 25::INT AS fps,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id, w, h, nf
+    """,
+)
+def mm_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL uncompressed-video decode (operators/avi.py +
+    multimodal.decode_video_stats): each document id becomes a genuine
+    BI_RGB AVI file (stdlib struct RIFF writer), decoded back by the
+    stdlib reader inside Arrow mapInPandas — chunk-tree walk,
+    BITMAPINFOHEADER validation, DIB bottom-up/BGR/row-padding undone.
+    The oracle recomputes decoded dims/frames/pixel-sum ARITHMETICALLY
+    from the generator formula — DuckDB never sees the bytes, so a wrong
+    container/DIB stage cannot hash-match."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_avi_media(docs)
+    return mm.decode_video_stats(media)
+
+
+@register(
+    "mm_avi_frames",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             doc_id % 12 + 2 AS nf,
+             doc_id % 8 + 1 AS w,
+             doc_id % 6 + 1 AS h
+      FROM documents),
+    px AS (
+      SELECT g.doc_id, g.nf, g.w, g.h,
+             (11 * f.f + 7 * x.x + 13 * y.y + 31 * c.c + g.doc_id) % 256 AS v
+      FROM g, generate_series(0, 13) f(f), generate_series(0, 7) x(x),
+           generate_series(0, 5) y(y), generate_series(0, 2) c(c)
+      WHERE f.f < g.nf AND f.f % 2 = 0 AND x.x < g.w AND y.y < g.h)
+    SELECT doc_id AS media_id, nf::INT AS n_frames,
+           ((nf + 1) // 2)::INT AS sampled_frames,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id, nf
+    """,
+)
+def mm_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode + every-2nd-frame sampling (operators/avi.py
+    ``sample_frames``): frames 0, 2, 4, ... of the decoded AVI,
+    summarized as sampled-frame count + pixel sum. The oracle selects
+    the same frames arithmetically (``f % 2 = 0``)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_avi_media(docs)
+    return mm.sample_frame_stats(media, every_k=2)
+
+
+@register(
+    "mm_mjpeg_decode",
+    """
+    SELECT doc_id AS media_id,
+           (doc_id % 8 + 1)::INT AS width,
+           (doc_id % 6 + 1)::INT AS height,
+           (doc_id % 12 + 2)::INT AS n_frames,
+           25::INT AS fps,
+           true AS ok
+    FROM documents
+    """,
+)
+def mm_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video decode (operators/jpeg.py baseline JPEG +
+    operators/avi.py MJPEG container): each document id becomes a
+    genuine Motion-JPEG AVI (frames compressed by the in-repo T.81
+    baseline codec — FDCT, Annex K quantization, canonical Huffman,
+    byte stuffing; even ids 4:4:4, odd ids 4:2:0 chroma subsampling,
+    every third id a DRI/RSTn restart interval — so the
+    interleaved-MCU and restart-marker decode paths are exercised),
+    decoded back frame-by-frame inside Arrow mapInPandas (Huffman
+    decode, restart resync, dequant, IDCT, chroma upsample,
+    YCbCr→RGB). JPEG is
+    LOSSY, so unlike the PNG/WAV rows the oracle checks the container
+    dimensions/frame counts arithmetically plus a per-media fidelity
+    gate: decoded-vs-truth mean absolute error < 8 (the working codec
+    measures ~1-2 on the smooth wrap-free pattern; a broken Huffman/
+    dequant/IDCT stage lands near the ~85 of unrelated noise).
+    Exactness evidence lives in
+    tests/test_jpeg.py (round-trips, spec-golden markers, orthonormal
+    DCT, adversarial corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_mjpeg_media(docs)
+    return mm.mjpeg_decode_check(media)
+
+
+@register(
+    "mm_resize",
+    """
+    WITH media AS (
+      -- document text is pure ASCII in these fixtures, so VARCHAR substr
+      -- equals the byte slice the Spark kernel takes on the utf-8 payload
+      SELECT doc_id AS media_id, text,
+             (doc_id % 640 + 1)::INT AS width,
+             (doc_id % 480 + 1)::INT AS height
+      FROM documents WHERE doc_id % 3 = 0),
+    sized AS (
+      SELECT media_id, width, height, text,
+             greatest(1, least(octet_length(encode(text)),
+               octet_length(encode(text)) * 3072 // (width * height)))::BIGINT AS n
+      FROM media)
+    SELECT media_id, 'image/png' AS media_type, width, height,
+           64::INT AS target_width, 48::INT AS target_height,
+           n AS n_bytes, md5(substr(text, 1, n::INT)) AS payload_md5
+    FROM sized
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (operators/multimodal.py:resize_plan): the
+    Arrow mapInPandas batching, type filter, and typed target dims are
+    real; the pixel kernel is the documented stub (proportional byte-
+    stream truncation), which makes the output exactly SQL-checkable."""
+    media = mm.documents_as_media(_t(spark, sf_dir, "documents"))
+    return mm.resize_plan(media, target_width=64, target_height=48)
+
+
+# mapInPandas feature extraction: the Spark-side plumbing is real, the
+# decode kernel is a documented deterministic stub (byte-sum moments) —
+# which makes even the stub exactly SQL-checkable on the ASCII fixtures
+# (char ords equal payload bytes). A real decoder swaps in behind fake=.
+@register(
+    "mm_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type,
+             octet_length(encode(text))::BIGINT AS n_bytes,
+             list_transform(string_split(text, ''), c -> ord(c)) AS bytes
+      FROM documents)
+    SELECT media_id, media_type, n_bytes,
+           round(n_bytes * 1.0e0, 6) AS f_len,
+           round(list_sum(bytes) * 1.0e0 / greatest(n_bytes, 1), 6) AS f_mean,
+           round(coalesce(list_min(bytes), 0) * 1.0e0, 6) AS f_min,
+           round(coalesce(list_max(bytes), 0) * 1.0e0, 6) AS f_max
+    FROM m
+    """,
+)
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.documents_as_media(_t(spark, sf_dir, "documents"))
+    feats = mm.extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        *[
+            F.round(F.col("feature")[i], 6).alias(n)
+            for i, n in enumerate(["f_len", "f_mean", "f_min", "f_max"])
+        ],
+    )
