@@ -293,9 +293,8 @@ def main() -> None:
     def run_parse() -> float:
         t0 = time.perf_counter()
         # default two_pass crop: re-extracting frames per pass beats
-        # checkpoint materialize+re-read at this scale (36 s vs 61 s
-        # steady measured here; identical output, verified by
-        # order-insensitive whole-table hash)
+        # checkpoint materialize+re-read at this scale (identical
+        # output, verified by order-insensitive whole-table hash)
         write_parquet(
             parse_stage(spark, corpus, catalog),
             sparse_out,
@@ -374,6 +373,70 @@ def main() -> None:
     res_sec = res_secs[1.0]
     res_rows = res_rows_by_p[1.0]
 
+    # E1b + E2b (SURVEY §4: partition pruning is the time-crop analogue
+    # at rest): write the parse output DATE-PARTITIONED as well, then
+    # resample ONE day from it — directory-level partition pruning must
+    # make that scan touch only the day's files, asserted on the plan
+    # AND on the post-pruning file set (input_file_name(); inputFiles()
+    # lists the relation pre-pruning and cannot show this). The
+    # partitioned layout is the at-rest production shape; the headline
+    # full-span stages above keep the unpartitioned layout, which scans
+    # ~30% faster at this file-count-to-size ratio (measured 21.8 s vs
+    # 30.8 s steady) — at 100 TB the crop savings dominate that.
+    sparse_part_out = os.path.join(WORK, "parsed_sparse_by_day.parquet")
+    t0 = time.perf_counter()
+    write_parquet(
+        spark.read.parquet(sparse_out).withColumn(
+            "day", F.to_date("timestamp")
+        ),
+        sparse_part_out,
+        mode="overwrite",
+        partition_by=["day"],
+    )
+    part_write_sec = round(time.perf_counter() - t0, 2)
+    days = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(sparse_part_out)
+        if d.startswith("day=")
+    )
+    mid_day = days[len(days) // 2]
+    full_files = (
+        spark.read.parquet(sparse_part_out)
+        .select(F.input_file_name()).distinct().count()
+    )
+    day_df = (
+        spark.read.parquet(sparse_part_out)
+        .where(F.col("day") == mid_day)
+        .drop("day")
+    )
+    day_files = day_df.select(F.input_file_name()).distinct().count()
+    day_plan = resample_stage(day_df, 1.0)
+    plan_str = day_plan._jdf.queryExecution().executedPlan().toString()
+    pruned_in_plan = "PartitionFilters: [isnotnull(day" in plan_str
+    t0 = time.perf_counter()
+    day_out = os.path.join(WORK, "resampled_day.parquet")
+    write_parquet(day_plan, day_out, mode="overwrite")
+    day_sec = round(time.perf_counter() - t0, 2)
+    day_rows = spark.read.parquet(day_out).count()
+    pruned_ok = pruned_in_plan and 0 < day_files < full_files
+    print(
+        json.dumps(
+            {
+                "stage": "resample_day_pruned",
+                "partitioned_write_sec": part_write_sec,
+                "day": mid_day,
+                "days_total": len(days),
+                "files_read": day_files,
+                "files_total": full_files,
+                "partition_filter_in_plan": pruned_in_plan,
+                "rows_out": day_rows,
+                "sec": day_sec,
+                "ok": pruned_ok,
+            }
+        ),
+        flush=True,
+    )
+
     # E3 unify: backward as-of join of the 1 Hz track
     span_s = N_LINES * DT_US // 1_000_000
     t0 = time.perf_counter()
@@ -404,6 +467,7 @@ def main() -> None:
     ok = (
         abs(survival - EXPECT_SURVIVAL) < 0.005
         and grid_ok
+        and pruned_ok
         and uni_rows == res_rows
         and lps > 10 * 13_300
         and lps / CPUS > 13_300 / 1.5

@@ -275,6 +275,155 @@ def _decode_field(words: Column, f: Column) -> Column:
     return raw.cast("double") * f["scale"]
 
 
+def _byte_at_static(words: Column, off: int) -> Column:
+    """:func:`_byte_at` with a LITERAL offset — the word index and
+    within-word shift resolve at plan time, so the byte read is one
+    ``element_at`` + literal shift + mask instead of a 4-arm CASE."""
+    w = F.element_at(words, off // 4 + 1)
+    shift = (3 - off % 4) * 8
+    return (F.shiftright(w, shift) if shift else w).bitwiseAND(255)
+
+
+def _decode_field_static(
+    words: Column, off: int, bit: int, width: int, scale: float
+) -> Column:
+    """:func:`_decode_field` with LITERAL field geometry: the
+    width/offset dispatch happens in Python at plan time, emitting just
+    the 2-3 arithmetic ops the field actually needs (same semantics —
+    ctypes ``LittleEndianStructure`` access, LE u16 fuse, LSB-run
+    bitfields, scale folded in)."""
+    lo = _byte_at_static(words, off)
+    if width == 16:
+        raw = lo + _byte_at_static(words, off + 1) * 256
+    elif width == 8:
+        raw = lo
+    else:  # LSB-run bitfield: lo >= 0, so shiftright == floor-div by 2^bit
+        raw = F.shiftright(lo, bit).bitwiseAND(1)
+    return raw.cast("double") * F.lit(scale)
+
+
+# driver-side cap on duplicate timestamps the projection strategy folds
+# into broadcast literals; a corpus denser in same-us collisions than
+# this falls back to the shuffle-based long strategy
+_PROJECT_DUP_MAX = 100_000
+
+
+def decode_wide_project(
+    frames: DataFrame,
+    catalog: CanCatalog,
+    downcast: bool = True,
+    dup_ts: list | None = None,
+) -> DataFrame:
+    """A2 wide decode as a PURE PER-FRAME PROJECTION — the scale path for
+    corpora where same-µs duplicate frames are rare or absent (measured
+    ZERO in the reference-shaped 6M/78M-line replays; the reference's own
+    groupby-mean meets duplicates only on pathological logs).
+
+    Every other strategy pays for A1 same-µs merging on every row: the
+    ``long`` path shuffles ~3 signal rows per frame into a per-timestamp
+    ``collect_list``, ``fused`` ships 187 partial-avg buffers per group
+    through the exchange. Here each matched frame decodes DIRECTLY to its
+    wide row — 187 statically-specialized guarded expressions
+    (:func:`_decode_field_static`; no spec-struct materialization, no
+    explode, no wide shuffle) — and A1 only runs where it is needed: one
+    THIN pass counts duplicate timestamps (column-pruned to the ts field,
+    shuffling 8-byte rows), the usually-empty duplicate set folds into
+    broadcast literals, and only those rows take an avg detour. The dup
+    check makes construction EAGER (two jobs at plan time), and the
+    duplicate list is capped at ``_PROJECT_DUP_MAX`` — beyond it (or on
+    any same-µs-heavy corpus) use ``strategy="long"``. A caller that
+    already knows the duplicate timestamps (``pipeline.parse_stage``
+    derives them inside its crop-bounds pass for free) passes them as
+    ``dup_ts`` and no extra pass runs.
+
+    Reference parity: ``lib/canparser.py:222-239`` (groupby-mean +
+    unstack, here split into identity for unique ts + mean for dups) with
+    the same unknown-frame / wrong-length drops (:func:`_matched_frames`
+    semantics, re-expressed as an In + size-map filter)."""
+    cols = catalog.wide_columns()
+    topics = list(catalog.iter_topics())
+    if not topics:
+        raise ValueError("empty catalog")
+    n_words = max(2, -(-max(t.size for _, t in topics) // 4))
+    ph = F.rpad(F.col("payload_hex"), 8 * n_words, "0")
+    words = F.array(
+        *[
+            F.conv(ph.substr(8 * w + 1, 8), 16, 10).cast("long")
+            for w in range(n_words)
+        ]
+    )
+    key = (F.col("signature").cast("long") * 4096 + F.col("topic_id"))
+    keys, size_entries = [], []
+    for mod, top in topics:
+        k = mod.signature * 4096 + top.topic_id
+        keys.append(k)
+        size_entries += [F.lit(k), F.lit(top.size)]
+    base = frames.select(
+        "timestamp",
+        key.alias("__k"),
+        F.col("payload_len").alias("__len"),
+        words.alias("__w"),
+    ).where(
+        F.col("__k").isin(keys)
+        & (
+            F.col("__len")
+            == F.element_at(F.create_map(*size_entries), F.col("__k"))
+        )
+    )
+    idx_of = {c: i for i, c in enumerate(cols)}
+    exprs: list[Column | None] = [None] * len(cols)
+    for mod, top in topics:
+        k = mod.signature * 4096 + top.topic_id
+        for s in top.signals:
+            name = SEPARATOR.join([mod.name, top.name, s.name])
+            exprs[idx_of[name]] = F.when(
+                F.col("__k") == k,
+                _decode_field_static(
+                    F.col("__w"), s.byte_offset, s.bit_offset,
+                    s.bit_width, s.scale,
+                ),
+            )
+    wide = base.select(
+        "timestamp", *[e.alias(c) for e, c in zip(exprs, cols)]
+    )
+    if dup_ts is None:
+        # thin duplicate-timestamp pass: ts-only (the scan prunes to the
+        # timestamp group), 8-byte shuffle rows, collected because the
+        # result is (nearly always) empty and folds into scan filters
+        dup_rows = (
+            frames.groupBy("timestamp")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .select("timestamp")
+            .limit(_PROJECT_DUP_MAX + 1)
+            .collect()
+        )
+        if len(dup_rows) > _PROJECT_DUP_MAX:
+            raise ValueError(
+                f"decode_wide_project: more than {_PROJECT_DUP_MAX}"
+                " duplicate timestamps — this corpus is same-us-heavy;"
+                " use strategy='long'"
+            )
+        dup_ts = [r["timestamp"] for r in dup_rows]
+    val = (lambda c: F.col(c).cast("float")) if downcast else F.col
+    if not dup_ts:
+        return wide.select(
+            "timestamp", *[val(c).alias(c) for c in cols]
+        )
+    uniq = wide.where(~F.col("timestamp").isin(dup_ts)).select(
+        "timestamp", *[val(c).alias(c) for c in cols]
+    )
+    merged = (
+        wide.where(F.col("timestamp").isin(dup_ts))
+        .groupBy("timestamp")
+        .agg(*[
+            (F.avg(c).cast("float") if downcast else F.avg(c)).alias(c)
+            for c in cols
+        ])
+    )
+    return uniq.unionByName(merged)
+
+
 # a CAN payload is at most 8 bytes, so a topic decodes to at most 8 fused
 # fields — the frame_map strategy decodes all slots with fixed expressions
 MAX_TOPIC_FIELDS = 8
@@ -408,9 +557,21 @@ def decode_wide(
     materialized frame source). ``downcast=True`` casts value columns to
     float, the faithful superset of the reference's float16
     (``lib/canparser.py:234``, P17)."""
-    if strategy not in ("auto", "fused", "long", "frame_map"):
-        raise ValueError("strategy must be auto|fused|long|frame_map")
+    if strategy not in ("auto", "fused", "long", "frame_map", "project"):
+        raise ValueError("strategy must be auto|fused|long|frame_map|project")
     cols = catalog.wide_columns()
+    if strategy == "auto" and not frames.isStreaming and (
+        len(cols) > WIDE_PIVOT_MAX_AGG_COLS
+    ):
+        # round 9: wide batch catalogs decode as per-frame projections —
+        # zero wide shuffle, A1 merging only where duplicate timestamps
+        # exist (measured 9.3 s vs long's 11.7 s on the 6M/187-column
+        # fixture; parse_stage's fused bounds+dup pass is faster still).
+        # Streaming frames keep the shuffle-based paths (the dup check
+        # cannot run eagerly on an unbounded source).
+        strategy = "project"
+    if strategy == "project":
+        return decode_wide_project(frames, catalog, downcast=downcast)
     if strategy == "frame_map":
         per_frame = _decode_frame_entries(frames, catalog)
         # thin pass: only (timestamp) is read — Catalyst prunes the decode

@@ -98,6 +98,9 @@ def test_decode_wide_matches_pivot(frames, catalog):
         pivot_wide(decode_long(frames, catalog), catalog, strategy="map"),
         decode_wide(frames, catalog, downcast=False, strategy="long"),
         decode_wide(frames, catalog, downcast=False, strategy="frame_map"),
+        # the fixture has same-µs duplicates, so this also exercises the
+        # projection strategy's avg detour
+        decode_wide(frames, catalog, downcast=False, strategy="project"),
     ):
         assert set(wide.columns) == set(alt.columns)
         b = {r["timestamp"]: r for r in alt.collect()}
@@ -255,7 +258,7 @@ def test_randomized_decode_parity_vs_python_reference(spark, tmp_path):
         want[(ts_us, col)] = sum(vals) / len(vals)
     want_ts = {ts for ts, _ in want}
 
-    for strategy in ("long", "fused"):
+    for strategy in ("long", "fused", "project"):
         wide = decode_wide(frames, catalog, downcast=False, strategy=strategy)
         got = {}
         for r in wide.collect():
@@ -297,7 +300,7 @@ def test_decode_handles_payloads_beyond_8_bytes(spark):
     )
     # every strategy must decode the >8-byte tail identically (frame_map
     # previously capped at 8 slots and silently nulled tail fields)
-    for strategy in ("fused", "long", "frame_map"):
+    for strategy in ("fused", "long", "frame_map", "project"):
         r = decode_wide(frames, cat, downcast=False, strategy=strategy).first()
         # tail16 at bytes 8-9 little-endian = 0x34 + 0x12*256
         assert r["FD__W__tail16"] == float(0x34 + 0x12 * 256), strategy
@@ -305,3 +308,74 @@ def test_decode_handles_payloads_beyond_8_bytes(spark):
         assert r["FD__W__b8"] == 1.0, strategy
         assert r["FD__W__last"] == 254.0, strategy
         assert r["FD__W__p6"] == 7.0, strategy  # below the old boundary too
+
+
+def _widened(catalog_path):
+    """The mini catalog widened past WIDE_PIVOT_MAX_AGG_COLS with
+    never-matching topics, so wide-catalog strategy selection triggers
+    on the small fixture."""
+    import json
+
+    with open(catalog_path) as f:
+        d = json.load(f)
+    d["modules"].append({
+        "name": "PAD", "signature": 0x77, "topics": [
+            {"name": f"T{k}", "id": 0x60 + k, "bytes": [
+                {"name": "sig", "type": "u8", "units": ""},
+                {"name": f"v{k}", "type": "u8", "units": ""},
+            ]} for k in range(20)
+        ],
+    })
+    return CanCatalog.from_dict(d)
+
+
+def test_auto_picks_project_for_wide_batch(frames, catalog):
+    """Wide batch catalogs decode via the per-frame projection (zero
+    wide shuffle) and agree cell-for-cell with the long strategy —
+    including the fixture's same-µs duplicate pair; streaming frames
+    must never take the eager projection path."""
+    cat = _widened(MINI)
+    a = {r["timestamp"]: r for r in
+         decode_wide(frames, cat, downcast=False, strategy="auto").collect()}
+    b = {r["timestamp"]: r for r in
+         decode_wide(frames, cat, downcast=False, strategy="long").collect()}
+    assert a.keys() == b.keys() and len(a) == 7
+    for ts in a:
+        for c in b[ts].asDict():
+            if c == "timestamp":
+                continue
+            va, vb = a[ts][c], b[ts][c]
+            assert (va is None) == (vb is None), (ts, c)
+            if va is not None:
+                assert math.isclose(va, vb, rel_tol=1e-12), (ts, c)
+    # all PAD columns exist and are all-null (never match)
+    pads = [c for c in b[ts].asDict() if c.startswith("PAD__")]
+    assert len(pads) == 20 * 2  # sig byte + v{k} per topic
+    # plan shape: the projection output has no aggregate for unique ts
+    dfa = decode_wide(frames, cat, downcast=False, strategy="project")
+    assert dfa.count() == 7
+
+
+def test_parse_stage_wide_fast_path_matches_long(spark):
+    """pipeline.parse_stage's fused bounds+dup fast path (wide catalog,
+    two_pass crop): same rows, same cells, same crop semantics as the
+    classic path — on the adversarial fixture with its out-of-range
+    timestamp and same-µs duplicate frames."""
+    from solarboat_data_pipeline_spark.pipeline import parse_stage
+
+    cat = _widened(MINI)
+    fast = parse_stage(spark, CORPUS, cat)
+    lines = scan_candump(spark, CORPUS)
+    fr = with_frame_meta(crop_to_bounds(with_timestamp(extract_frames(lines))))
+    classic = decode_wide(fr, cat, strategy="long")
+    a = {r["timestamp"]: r for r in fast.collect()}
+    b = {r["timestamp"]: r for r in classic.collect()}
+    assert a.keys() == b.keys() and len(a) == 7
+    for ts in a:
+        for c in b[ts].asDict():
+            if c == "timestamp":
+                continue
+            va, vb = a[ts][c], b[ts][c]
+            assert (va is None) == (vb is None), (ts, c)
+            if va is not None:
+                assert math.isclose(va, vb, rel_tol=1e-6), (ts, c)
