@@ -975,6 +975,15 @@ def _decode_scan(
                         for bx in range(sh):
                             blk = grids[ci][my * sv + by, mx * sh + bx]
                             size, v = rs_value(dc_t)
+                            if size > 11:
+                                # rs_value reads only (symbol & 15)
+                                # magnitude bits; a DC symbol > 11 is
+                                # invalid at 8-bit precision (T.81
+                                # F.1.2.1.1) and > 15 would desync the
+                                # bitstream silently — reject it
+                                raise ValueError(
+                                    "corrupt JPEG: DC size > 11"
+                                )
                             prev_dc[si] += _extend(v, size)
                             blk[0] = prev_dc[si]
                             k = 1
@@ -1007,6 +1016,8 @@ def _decode_scan(
         def dc_unit(blk: np.ndarray, si: int) -> None:
             if ah == 0:
                 size, v = r.rs_value(scan_tables[si][0])
+                if size > 11:  # same desync guard as the baseline path
+                    raise ValueError("corrupt JPEG: DC size > 11")
                 prev_dc[si] += _extend(v, size)
                 blk[0] = prev_dc[si] << al
             elif r.bits(1):

@@ -357,3 +357,22 @@ def test_triangle_upsample_mode():
 
     with _pytest.raises(ValueError, match="chroma_upsample"):
         jpeg.decode_jpeg(d420, chroma_upsample="fancy")
+
+
+def test_dc_size_beyond_11_rejected_not_desynced():
+    """A DC Huffman table whose symbol exceeds 11 is invalid at 8-bit
+    precision (T.81 F.1.2.1.1); the fused rs_value read consumes only
+    (symbol & 15) magnitude bits, so without the guard a symbol of 13
+    would silently mis-decode with a desynced bitstream instead of
+    erroring. Mutate every DC symbol of a valid stream to 13 and demand
+    the precise refusal."""
+    d = bytearray(jpeg.encode_jpeg(_gradient(9, 9, 1).tobytes(), 9, 9, 1))
+    at = d.index(b"\xff\xc4")
+    (seglen,) = struct.unpack(">H", d[at + 2 : at + 4])
+    assert d[at + 4] == 0x00  # first DHT spec is the DC table (class 0)
+    counts = d[at + 5 : at + 21]
+    n_sym = sum(counts)
+    for i in range(n_sym):
+        d[at + 21 + i] = 13
+    with pytest.raises(ValueError, match="DC size > 11"):
+        jpeg.decode_jpeg(bytes(d))
