@@ -62,84 +62,30 @@ del _m, _k, _v
 # ---------------------------------------------------------------------------
 
 # The driver evaluates the FIRST 50 registered queries (observed rounds
-# 1-7: exactly the first 50 names get a CORRECTNESS row). Every
-# registered query has a green driver row in some round; this ordering
-# is the round-8 rotation (VERDICT r7 item 4, STALE-FIRST): never-green
-# first (the new trained-IVF row), then this round's changed-code
-# queries, then EVERY query whose latest green row is r5 (the full
-# 36-name r5 cohort — after this round no green row predates r6), then
-# the oldest r6-green queries in registry order to fill the 50.
-# Rotated-out queries keep their rows as the standing artifact and
-# remain under the identical pytest oracle gate every run; the flagship
+# 1-8: exactly the first 50 names get a CORRECTNESS row). Round-9
+# rotation (STALE-FIRST, same policy as r6-r8): this round's
+# changed-code queries first (stateful auto-kernel gate + driver rows,
+# SQ8 range pushdown + persisted-index drift stats, the projection
+# parse decode, the JPEG DC guard), then the full r6-green remainder
+# block (after this round no green row predates r7), then the oldest
+# r7-green queries in registry order to fill the 50. Everything below
+# the cut follows _REGISTRATION_ORDER via _ordered() and stays under
+# the identical pytest oracle gate every run; the flagship
 # q1_pricing_summary is additionally smoke-run by the driver's entry()
 # every round.
 _PRIORITY = [
-    # 1. never-green: new this round (3)
-    "sim_ivf_trained_topk",
-    "sim_sq8_topk",
-    "sim_ivf_sq8_index_topk",
-    # 2. operator code changed this round: the stateful kernels were
-    #    reworked (vectorized buffers + auto mode; st_stream_asof runs
-    #    auto, st_stream_asof_linear the same kernel with auto=False —
-    #    see its docstring for why), paragraph dedup's digest
-    #    lanes and id guard changed, IVF seed selection became
-    #    rank-based (sim_ivf_topk / sim_ivf_index_topk share it), and
-    #    the JPEG entropy decoder was rebuilt (6)
+    # 1. operator code changed this round (9)
     "st_stream_asof",
     "st_stream_asof_linear",
-    "dd_paragraph_dedup",
-    "sim_ivf_topk",
+    "sim_sq8_topk",
+    "sim_ivf_sq8_index_topk",
     "sim_ivf_index_topk",
+    "sim_ivf_trained_topk",
+    "s1_candump_parse",
+    "p10_binary_decode",
     "mm_mjpeg_decode",
-    # 3. r5-stale rotation: every query whose latest green driver row
-    #    is r5 — after this round no green row predates r6 (36)
-    "a3_resample_dense",
-    "a5_quantile_iqr",
-    "dd_incremental_index",
-    "dd_near_dup_pipeline",
-    "f4_tz_convert",
-    "f5_candump_format",
-    "f6_json_extract",
-    "f7_poa_irradiance",
-    "f7_solar_position",
-    "j3_asof_linear_scaled",
-    "j4_asof_backward",
-    "j4_asof_backward_scaled",
-    "j6_interval_join",
-    "mm_binary_meta",
-    "mm_features",
-    "mm_frame_sample",
-    "mm_resize",
-    "mm_wav_decode",
-    "mm_wav_resample",
-    "p17_float_downcast",
-    "p2_epoch_seconds",
-    "p5_p6_hex_payload",
-    "p8_dict_lookup",
-    "sim_cosine_topk",
-    "st_stream_dedup",
-    "st_stream_enrich",
-    "st_stream_parse",
-    "st_stream_resample",
-    "st_stream_sessionize",
-    "txt_model_score",
-    "txt_model_score_real",
-    "txt_quality",
-    "w2_lagk_outlier_filter",
-    "w3_interpolate_bounded",
-    "w3_interpolate_scaled",
-    "w3_interpolate_wide_scaled",
-    # 4. oldest r6-green queries (registry order) fill the window to
-    #    50 (5)
-    "q1_pricing_summary",
-    "p1_regex_extract",
-    "p3_time_offset",
-    "p5_hex_roundtrip",
-    "p6_unhex_payload",
-    # --- below the expected driver cut: the r6-green remainder in
-    # registry order leads the r9 rotation, then everything r7-green
-    # via the _ordered() fallback — ALL still oracle-checked by the
-    # identical pytest gate every run.
+    # 2. r6-green remainder: every query whose latest green driver
+    #    row is r6 (35) - after this round none predates r7
     "p9_conditional_rewrite",
     "p13_p16_project_slice",
     "p4_crop_bounds",
@@ -168,7 +114,6 @@ _PRIORITY = [
     "dd_embedding_lsh",
     "f1_f3_track",
     "j5_unify_chunks",
-    "p10_binary_decode",
     "pipeline_curation",
     "samp_stratified",
     "samp_token_budget",
@@ -176,6 +121,13 @@ _PRIORITY = [
     "skew_salted_topk",
     "txt_decontaminate",
     "txt_quality_filter",
+    # 3. oldest r7-green queries (registry order) fill the 50 (6)
+    "j2_left_join_summary",
+    "j3_asof_linear",
+    "w_rolling_time",
+    "a3_w3_fused_grid",
+    "w5_dedup_keep_first",
+    "w6_sort_rank",
 ]
 
 
