@@ -443,3 +443,72 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("long").alias("rank")
     )
+
+
+_SQL_IVF_DRIFT = """
+    WITH cent AS (SELECT embedding AS c_emb FROM embeddings
+                  WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 8),
+         best_b AS (
+           SELECT e.vec_id,
+                  max(list_sum(list_transform(e.embedding, (x, i) ->
+                        x::DOUBLE * c.c_emb[i]::DOUBLE)) /
+                      (sqrt(list_sum(list_transform(e.embedding,
+                         x -> x::DOUBLE * x::DOUBLE))) *
+                       sqrt(list_sum(list_transform(c.c_emb,
+                         x -> x::DOUBLE * x::DOUBLE))))) AS best
+           FROM embeddings e CROSS JOIN cent c
+           WHERE e.vec_id % 2 = 0 GROUP BY e.vec_id),
+         best_i AS (
+           SELECT e.vec_id,
+                  max(list_sum(list_transform(e.embedding, (x, i) ->
+                        x::DOUBLE * c.c_emb[i]::DOUBLE)) /
+                      (sqrt(list_sum(list_transform(e.embedding,
+                         x -> x::DOUBLE * x::DOUBLE))) *
+                       sqrt(list_sum(list_transform(c.c_emb,
+                         x -> x::DOUBLE * x::DOUBLE))))) AS best
+           FROM embeddings e CROSS JOIN cent c
+           WHERE e.vec_id % 2 = 1 GROUP BY e.vec_id)
+    SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1)::BIGINT AS n,
+           round((SELECT avg(best) FROM best_b), 6) AS build_mean_cos,
+           round((SELECT avg(best) FROM best_i), 6) AS increment_mean_cos,
+           round((SELECT avg(best) FROM best_b)
+                 - (SELECT avg(best) FROM best_i), 6) AS drift,
+           ((SELECT avg(best) FROM best_b)
+            - (SELECT avg(best) FROM best_i)) > 0.05 AS retrain_recommended
+    """
+
+
+@register("sim_ivf_drift", _SQL_IVF_DRIFT)
+def sim_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-maintenance DRIFT telemetry (round 9, VERDICT r8 item 4 —
+    operators/similarity.py:extend_ivf_index): build the persisted IVF
+    index on the even-id half of the corpus, extend it with the odd-id
+    half, and return the extend call's drift report — increment size,
+    build-time vs increment mean assigned-cosine, their difference, and
+    the advisory retrain trigger. The mean assigned-cosine is the max
+    over centroids of the exact fold cosine, so the DuckDB oracle
+    replays it verbatim (argmax ties share the max value; 6-dp rounding
+    clears both engines' summation-order ulps). The trigger threshold
+    comparison runs on the unrounded statistic in both engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _io_dir(sf_dir, "sim_ivf_drift_idx")
+    import shutil
+
+    shutil.rmtree(idx, ignore_errors=True)
+    sim.build_ivf_index(
+        emb.where(F.col("vec_id") % 2 == 0), idx, n_centroids=8
+    )
+    rep = sim.extend_ivf_index(
+        emb.where(F.col("vec_id") % 2 == 1), idx, "odds"
+    )
+    return spark.createDataFrame(
+        [(
+            rep["n"],
+            round(rep["build_mean_cos"], 6),
+            round(rep["increment_mean_cos"], 6),
+            round(rep["drift"], 6),
+            rep["retrain_recommended"],
+        )],
+        "n bigint, build_mean_cos double, increment_mean_cos double,"
+        " drift double, retrain_recommended boolean",
+    )

@@ -74,6 +74,8 @@ del _m, _k, _v
 # q1_pricing_summary is additionally smoke-run by the driver's entry()
 # every round.
 _PRIORITY = [
+    # 0. never-green: new this round (1)
+    "sim_ivf_drift",
     # 1. operator code changed this round (9)
     "st_stream_asof",
     "st_stream_asof_linear",
@@ -267,6 +269,7 @@ _REGISTRATION_ORDER = [
     "dd_incremental_index",
     "dd_near_dup_incremental",
     "k_bucketed_join",
+    "sim_ivf_drift",
 ]
 
 
