@@ -418,7 +418,11 @@ def main() -> None:
     write_parquet(day_plan, day_out, mode="overwrite")
     day_sec = round(time.perf_counter() - t0, 2)
     day_rows = spark.read.parquet(day_out).count()
-    pruned_ok = pruned_in_plan and 0 < day_files < full_files
+    # a single-day corpus (report mode spans 0.91 days) has nothing to
+    # prune — the plan assertion alone applies there
+    pruned_ok = pruned_in_plan and (
+        len(days) == 1 or 0 < day_files < full_files
+    )
     print(
         json.dumps(
             {
