@@ -6,21 +6,11 @@ docstring there.
 
 from __future__ import annotations
 
-from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from solarboat_data_pipeline_spark.functions.formatting import epoch_seconds
-from solarboat_data_pipeline_spark.functions.geo import haversine_km, heading_deg
-from solarboat_data_pipeline_spark.operators import dedup as dd
-from solarboat_data_pipeline_spark.operators import multimodal as mm
-from solarboat_data_pipeline_spark.operators import sampling as sp
-from solarboat_data_pipeline_spark.operators import scale as sc
 from solarboat_data_pipeline_spark.operators import similarity as sim
-from solarboat_data_pipeline_spark.operators import skew as sk
-from solarboat_data_pipeline_spark.operators import text as tx
-from solarboat_data_pipeline_spark.operators import timeseries as ts
 
 from solarboat_data_pipeline_spark.driver._registry import (  # noqa: F401
     _io_dir,

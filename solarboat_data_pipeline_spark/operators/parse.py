@@ -303,9 +303,11 @@ def _decode_field_static(
 
 
 # driver-side cap on duplicate timestamps the projection strategy folds
-# into broadcast literals; a corpus denser in same-us collisions than
-# this falls back to the shuffle-based long strategy
-_PROJECT_DUP_MAX = 100_000
+# into scan-filter literals (same plan-cost ceiling rationale as
+# similarity._ISIN_PUSHDOWN_MAX - a Catalyst literal list past ~10k
+# nodes costs more than it saves); a corpus denser in same-us
+# collisions than this falls back to the shuffle-based long strategy
+_PROJECT_DUP_MAX = 10_000
 
 
 def decode_wide_project(
@@ -328,7 +330,7 @@ def decode_wide_project(
     explode, no wide shuffle) — and A1 only runs where it is needed: one
     THIN pass counts duplicate timestamps (column-pruned to the ts field,
     shuffling 8-byte rows), the usually-empty duplicate set folds into
-    broadcast literals, and only those rows take an avg detour. The dup
+    scan-filter literals, and only those rows take an avg detour. The dup
     check makes construction EAGER (two jobs at plan time), and the
     duplicate list is capped at ``_PROJECT_DUP_MAX`` — beyond it (or on
     any same-µs-heavy corpus) use ``strategy="long"``. A caller that
@@ -560,6 +562,12 @@ def decode_wide(
     if strategy not in ("auto", "fused", "long", "frame_map", "project"):
         raise ValueError("strategy must be auto|fused|long|frame_map|project")
     cols = catalog.wide_columns()
+    if strategy == "project" and frames.isStreaming:
+        raise ValueError(
+            "strategy='project' is batch-only: its duplicate-timestamp"
+            " check collects eagerly, which a streaming source cannot do"
+            " — use the streaming decode paths (decode_long) or 'fused'"
+        )
     if strategy == "auto" and not frames.isStreaming and (
         len(cols) > WIDE_PIVOT_MAX_AGG_COLS
     ):

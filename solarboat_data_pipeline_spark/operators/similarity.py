@@ -303,7 +303,11 @@ def _centroids(
 
 
 def _assign_to(
-    df: DataFrame, cent: DataFrame, id_col: str, vec_col: str
+    df: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    vec_col: str,
+    with_cosine: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment against an explicit centroid table
     ``(cid, c_vec)`` by cosine, ties → lowest cid — as a MAP-ONLY pass:
@@ -354,14 +358,15 @@ def _assign_to(
             "the corpus before seeding/training"
         )
 
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     base = df.select(F.col(id_col), F.col(vec_col))
     # build a FRESH StructType: StructType.add mutates (and returns) the
     # DataFrame's cached schema object, corrupting base.columns
-    schema = StructType(
-        list(base.schema.fields) + [StructField("cid", LongType())]
-    )
+    extra = [StructField("cid", LongType())]
+    if with_cosine:
+        extra.append(StructField("__acos", DoubleType()))
+    schema = StructType(list(base.schema.fields) + extra)
 
     def fn(it):
         import pandas as pd
@@ -391,11 +396,17 @@ def _assign_to(
                 )
             sims = dots / (np.sqrt(a_sq)[:, None] * c_norm[None, :])
             out = pdf.copy()
-            out["cid"] = cids[sims.argmax(axis=1)]
+            best = sims.argmax(axis=1)
+            out["cid"] = cids[best]
+            if with_cosine:
+                out["__acos"] = sims[np.arange(len(pdf)), best]
             yield out
 
     if not rows:
-        return base.withColumn("cid", F.lit(None).cast("long")).limit(0)
+        out = base.withColumn("cid", F.lit(None).cast("long"))
+        if with_cosine:
+            out = out.withColumn("__acos", F.lit(None).cast("double"))
+        return out.limit(0)
     return base.mapInPandas(fn, schema)
 
 
@@ -490,10 +501,27 @@ def build_ivf_index(
     (:func:`extend_ivf_index`) read whatever centroid table was
     persisted, so they follow automatically."""
     cent = _centroids(df, n_centroids, id_col, vec_col, train_iters)
-    assigned = _assign_to(df, cent, id_col, vec_col)
+    # the fit statistic (mean assigned-cosine) rides the cells write as
+    # an observed metric — _assign_to already computed every row's
+    # cosine, so drift bookkeeping costs ZERO extra corpus passes
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    assigned = (
+        _assign_to(df, cent, id_col, vec_col, with_cosine=True)
+        .observe(obs, F.avg("__acos").alias("m"), F.count(F.lit(1)).alias("n"))
+        .drop("__acos")
+    )
     assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/cells")
     cent.write.mode("overwrite").parquet(f"{path}/centroids")
-    _write_build_stats(df.sparkSession, path, vec_col)
+    got = obs.get
+    df.sparkSession.createDataFrame(
+        [(
+            float(got["m"]) if got["m"] is not None else None,
+            int(got["n"]),
+        )],
+        "build_mean_cos double, n bigint",
+    ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
 # an increment whose mean assigned-cosine falls this far below the
@@ -584,16 +612,46 @@ def extend_ivf_index(
     tripped report, run :func:`retrain_ivf_index` — ingest keeps working
     correctly either way (assignment stays exact; only PROBE recall
     decays), so the trigger is advisory, surfaced, and logged under
-    ``<path>/stats_inc/<increment_id>`` for fleet-side monitoring."""
+    ``<path>/stats_inc/<increment_id>`` for fleet-side monitoring. The
+    statistic rides the increment write as an observed metric (no extra
+    pass); an EMPTY increment is a safe no-op reporting ``n=0``. On a
+    retried, already-completed increment the ``ignore`` write skips the
+    job (its observation never fires), so the stats are recomputed from
+    the stored increment with an explicit schema."""
     spark = df_new.sparkSession
     cent = spark.read.parquet(f"{path}/centroids")
-    assigned = _assign_to(df_new, cent, id_col, vec_col)
-    assigned.write.mode("ignore").partitionBy("cid").parquet(
-        f"{path}/cells_inc/{increment_id}"
-    )
-    inc_mean, inc_n = _assigned_cosine_mean(
-        spark.read.parquet(f"{path}/cells_inc/{increment_id}"), cent, vec_col
-    )
+    inc_path = f"{path}/cells_inc/{increment_id}"
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(inc_path)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hp):  # completed (or partial-crash: delete + rerun)
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        sch = StructType(
+            list(df_new.select(F.col(id_col), F.col(vec_col)).schema.fields)
+            + [StructField("cid", LongType())]
+        )
+        # explicit schema: an empty increment (only _SUCCESS) must read
+        # as 0 rows, not raise UNABLE_TO_INFER_SCHEMA
+        stored = spark.read.schema(sch).parquet(inc_path)
+        inc_mean, inc_n = _assigned_cosine_mean(stored, cent, vec_col)
+    else:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        assigned = (
+            _assign_to(df_new, cent, id_col, vec_col, with_cosine=True)
+            .observe(
+                obs,
+                F.avg("__acos").alias("m"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .drop("__acos")
+        )
+        assigned.write.mode("ignore").partitionBy("cid").parquet(inc_path)
+        got = obs.get
+        inc_mean = float(got["m"]) if got["m"] is not None else None
+        inc_n = int(got["n"])
     build_mean = _build_mean_cos(spark, path, vec_col)
     drift = (build_mean - inc_mean) if inc_mean is not None else None
     report = {
@@ -656,8 +714,13 @@ def _index_cells(spark, index_path: str) -> DataFrame:
             if st.isDirectory() and fs.exists(
                 jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
             ):
+                # explicit schema (the base cells'): an EMPTY completed
+                # increment (only _SUCCESS — a zero-row ingest) must read
+                # as 0 rows, not raise UNABLE_TO_INFER_SCHEMA
                 cells = cells.unionByName(
-                    spark.read.parquet(st.getPath().toString())
+                    spark.read.schema(cells.schema).parquet(
+                        st.getPath().toString()
+                    )
                 )
     return cells
 

@@ -91,11 +91,13 @@ def parse_stage(
         # duplicate count in a single thin shuffle — then the bounds fold
         # into literal filters (the main pass loses its bounds subjob)
         # and the wide table is a pure per-frame projection
-        # (decode_wide_project): two total scans of the source, zero wide
-        # shuffles, A1 merging only on the (typically empty) duplicate
-        # set. Measured on the 6M-line/187-column fixture: 6.2 s vs the
-        # long path's 11.7 s. Construction runs the stats job eagerly.
-        # A corpus denser than _PROJECT_DUP_MAX same-µs collisions falls
+        # (decode_wide_project). Duplicate-free corpora (every replay
+        # measured) run TWO total source scans with zero wide shuffles;
+        # when duplicates exist, decode_wide_project's own guarded pass
+        # enumerates them (a third thin scan — rare by construction).
+        # Measured on the 6M-line/187-column fixture: 7.4 s vs the long
+        # path's 11.7 s. Construction runs the stats job eagerly. A
+        # corpus denser than _PROJECT_DUP_MAX same-µs collisions falls
         # through to the shuffle-based strategies below.
         from solarboat_data_pipeline_spark.sources.candump import ORDER_COLS
 
@@ -114,26 +116,21 @@ def parse_stage(
         if dup_n <= _PROJECT_DUP_MAX:
             if stats["first_ts"] is None:  # empty corpus
                 cropped = frames.where(F.lit(False))
-                dup_ts: list = []
             else:
                 cropped = frames.where(
                     F.col("timestamp").between(
                         F.lit(stats["first_ts"]), F.lit(stats["last_ts"])
                     )
                 )
-                # rare: enumerate the duplicates with a second thin pass
-                dup_ts = [
-                    r["timestamp"]
-                    for r in frames.groupBy("timestamp")
-                    .agg(F.count(F.lit(1)).alias("__n"))
-                    .where(F.col("__n") > 1)
-                    .select("timestamp")
-                    .collect()
-                ] if dup_n else []
             cropped = with_frame_meta(
                 cropped, mab20_workaround=mab20_workaround
             )
-            wide = decode_wide_project(cropped, catalog, dup_ts=dup_ts)
+            # dup_n == 0 (the measured norm) skips enumeration entirely;
+            # otherwise decode_wide_project runs its own guarded dup pass
+            # on the cropped frames (one definition of that query)
+            wide = decode_wide_project(
+                cropped, catalog, dup_ts=[] if dup_n == 0 else None
+            )
             if clean_outliers:
                 wide = clean_timestamp_outliers(wide)
             return wide

@@ -210,3 +210,27 @@ def test_drift_trigger_and_retrain_restores_recall(spark, tmp_path):
     assert r_post > r_pre
     # the retrained index carries fresh build stats for the next cycle
     assert spark.read.parquet(f"{idx2}/stats").first()["build_mean_cos"] > 0.5
+
+
+def test_extend_with_empty_increment_is_safe_noop(spark, tmp_path):
+    """A scheduled ingest with zero new vectors must complete with an
+    n=0 report (round-9 review regression: the drift read-back of an
+    empty increment raised UNABLE_TO_INFER_SCHEMA), and a RETRY of the
+    same empty increment must behave identically."""
+    base = spark.createDataFrame(
+        [(i, [1.0, 0.1 * i]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "empty_inc_idx")
+    sim.build_ivf_index(base, idx, n_centroids=2)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    rep = sim.extend_ivf_index(empty, idx, "nothing")
+    assert rep["n"] == 0 and rep["increment_mean_cos"] is None
+    assert rep["drift"] is None and rep["retrain_recommended"] is False
+    rep2 = sim.extend_ivf_index(empty, idx, "nothing")  # retry path
+    assert rep2["n"] == 0 and rep2["retrain_recommended"] is False
+    # the index still searches fine with the empty increment present
+    out = sim.ivf_topk_indexed(
+        spark, idx, base.where(F.col("vec_id") < 2), k=3, nprobe=2
+    )
+    assert out.count() > 0
