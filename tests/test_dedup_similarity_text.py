@@ -1021,3 +1021,36 @@ def test_ngram_topk_plan_is_take_ordered(spark):
     df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
     plan = tx.ngram_topk(df, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_id_range_predicate_properties(spark):
+    """Property soak for the large-batch fetch predicate: for randomized
+    sorted id sets and range budgets, the cover (1) contains every id,
+    (2) uses at most max_ranges intervals, and (3) for numeric ids the
+    kept splits are the widest gaps (minimum-slack cover)."""
+    import random
+
+    rng = random.Random(909)
+    df = spark.range(0, 3000).withColumnRenamed("id", "neighbor_id")
+    for trial in range(12):
+        n = rng.randint(1, 400)
+        ids = sorted(rng.sample(range(3000), n))
+        max_ranges = rng.randint(1, 16)
+        pred = sim._id_range_predicate(F.col("neighbor_id"), ids, max_ranges)
+        got = sorted(r[0] for r in df.where(pred).collect())
+        assert set(ids) <= set(got), (trial, n, max_ranges)
+        # covered ids form at most max_ranges contiguous runs of the
+        # value space restricted to [min, max]
+        runs = 1
+        for a, b in zip(got, got[1:]):
+            if b != a + 1:
+                runs += 1
+        assert runs <= max_ranges, (trial, runs, max_ranges)
+        # minimum slack: total cover size = n + sum of all gaps except
+        # the (max_ranges - 1) widest (gap = ids[i] - ids[i-1] - 1)
+        gaps = sorted(
+            (ids[i] - ids[i - 1] - 1 for i in range(1, len(ids))),
+            reverse=True,
+        )
+        kept_inside = sum(gaps[max(0, max_ranges - 1):])
+        assert len(got) == len(ids) + kept_inside, (trial, n, max_ranges)
