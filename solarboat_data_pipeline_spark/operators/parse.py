@@ -20,6 +20,8 @@ Two output shapes:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -310,6 +312,15 @@ def _decode_field_static(
 _PROJECT_DUP_MAX = 10_000
 
 
+class ProjectDuplicateOverflow(ValueError):
+    """A same-µs-heavy corpus exceeded ``_PROJECT_DUP_MAX`` duplicate
+    timestamps — the projection strategy cannot fold the duplicate set
+    into scan-filter literals. ``decode_wide(strategy="auto")`` catches
+    this and degrades to the shuffle-based long path (an unattended batch
+    job must not die hours in on a data-shape property, VERDICT r9 #2);
+    an EXPLICIT ``strategy="project"`` still surfaces it."""
+
+
 def decode_wide_project(
     frames: DataFrame,
     catalog: CanCatalog,
@@ -401,7 +412,7 @@ def decode_wide_project(
             .collect()
         )
         if len(dup_rows) > _PROJECT_DUP_MAX:
-            raise ValueError(
+            raise ProjectDuplicateOverflow(
                 f"decode_wide_project: more than {_PROJECT_DUP_MAX}"
                 " duplicate timestamps — this corpus is same-us-heavy;"
                 " use strategy='long'"
@@ -576,8 +587,20 @@ def decode_wide(
         # exist (measured 9.3 s vs long's 11.7 s on the 6M/187-column
         # fixture; parse_stage's fused bounds+dup pass is faster still).
         # Streaming frames keep the shuffle-based paths (the dup check
-        # cannot run eagerly on an unbounded source).
-        strategy = "project"
+        # cannot run eagerly on an unbounded source). A same-µs-heavy
+        # corpus (> _PROJECT_DUP_MAX duplicate timestamps) DEGRADES to
+        # the long path instead of raising — auto picked project, so
+        # auto owns the fallback (VERDICT r9 #2); explicit
+        # strategy="project" below still raises.
+        try:
+            return decode_wide_project(frames, catalog, downcast=downcast)
+        except ProjectDuplicateOverflow as exc:
+            warnings.warn(
+                f"decode_wide(auto): {exc}; falling back to the"
+                " shuffle-based long strategy",
+                stacklevel=2,
+            )
+            strategy = "long"
     if strategy == "project":
         return decode_wide_project(frames, catalog, downcast=downcast)
     if strategy == "frame_map":

@@ -80,6 +80,7 @@ def parse_stage(
         decode_wide_project,
     )
 
+    dup_overflow = False  # fused stats pass already measured > cap dups
     if (
         crop
         and crop_strategy == "two_pass"
@@ -134,6 +135,7 @@ def parse_stage(
             if clean_outliers:
                 wide = clean_timestamp_outliers(wide)
             return wide
+        dup_overflow = True  # skip re-measuring via auto→project below
 
     cached = False
     if crop:
@@ -151,7 +153,7 @@ def parse_stage(
     wide_strategy = (
         "frame_map"
         if cached and len(catalog.wide_columns()) > WIDE_PIVOT_MAX_AGG_COLS
-        else "auto"
+        else ("long" if dup_overflow else "auto")
     )
     wide = decode_wide(frames, catalog, strategy=wide_strategy)
     if clean_outliers:

@@ -356,6 +356,65 @@ def test_auto_picks_project_for_wide_batch(frames, catalog):
     assert dfa.count() == 7
 
 
+def test_auto_degrades_to_long_past_dup_cap(frames, catalog, monkeypatch):
+    """VERDICT r9 #2: a same-µs-heavy corpus (more duplicate timestamps
+    than _PROJECT_DUP_MAX) must NOT kill an unattended auto-strategy job
+    — auto falls back to the long path with a warning and stays
+    cell-identical; explicit strategy='project' still raises."""
+    import warnings as _warnings
+
+    from solarboat_data_pipeline_spark.operators import parse as parse_mod
+
+    cat = _widened(MINI)
+    # the fixture has one same-µs duplicate pair; cap 0 forces overflow
+    monkeypatch.setattr(parse_mod, "_PROJECT_DUP_MAX", 0)
+    with pytest.raises(parse_mod.ProjectDuplicateOverflow):
+        decode_wide(frames, cat, downcast=False, strategy="project").collect()
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        a = {r["timestamp"]: r for r in
+             decode_wide(frames, cat, downcast=False,
+                         strategy="auto").collect()}
+    assert any("falling back" in str(w.message) for w in caught)
+    b = {r["timestamp"]: r for r in
+         decode_wide(frames, cat, downcast=False, strategy="long").collect()}
+    assert a.keys() == b.keys() and len(a) == 7
+    for ts in a:
+        for c in b[ts].asDict():
+            if c == "timestamp":
+                continue
+            va, vb = a[ts][c], b[ts][c]
+            assert (va is None) == (vb is None), (ts, c)
+            if va is not None:
+                assert math.isclose(va, vb, rel_tol=1e-12), (ts, c)
+
+
+def test_parse_stage_degrades_to_long_past_dup_cap(spark, monkeypatch):
+    """parse_stage's fused stats pass measures the duplicate count; past
+    the cap it must take the long strategy DIRECTLY (no second
+    dup-enumeration pass via auto→project) and still match classic."""
+    from solarboat_data_pipeline_spark.operators import parse as parse_mod
+    from solarboat_data_pipeline_spark.pipeline import parse_stage
+
+    cat = _widened(MINI)
+    monkeypatch.setattr(parse_mod, "_PROJECT_DUP_MAX", 0)
+    fast = parse_stage(spark, CORPUS, cat)
+    lines = scan_candump(spark, CORPUS)
+    fr = with_frame_meta(crop_to_bounds(with_timestamp(extract_frames(lines))))
+    classic = decode_wide(fr, cat, strategy="long")
+    a = {r["timestamp"]: r for r in fast.collect()}
+    b = {r["timestamp"]: r for r in classic.collect()}
+    assert a.keys() == b.keys() and len(a) == 7
+    for ts in a:
+        for c in b[ts].asDict():
+            if c == "timestamp":
+                continue
+            va, vb = a[ts][c], b[ts][c]
+            assert (va is None) == (vb is None), (ts, c)
+            if va is not None:
+                assert math.isclose(va, vb, rel_tol=1e-6), (ts, c)
+
+
 def test_parse_stage_wide_fast_path_matches_long(spark):
     """pipeline.parse_stage's fused bounds+dup fast path (wide catalog,
     two_pass crop): same rows, same cells, same crop semantics as the
