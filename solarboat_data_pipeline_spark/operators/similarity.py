@@ -30,6 +30,12 @@ _ISIN_PUSHDOWN_MAX = 10_000
 # literals, constant Catalyst cost at ANY candidate count
 _RANGE_PUSHDOWN_MAX = 256
 
+# estimated candidate rows (|Q| * k * oversample) past which
+# ivf_sq8_topk_indexed(mode="auto") switches from the interactive
+# collected-predicate fetch (~50 MB driver per million candidates) to
+# the fully-distributed batch re-rank (joins, zero driver collect)
+_BATCH_RERANK_MIN = 1_000_000
+
 
 def _id_range_predicate(col: Column, ids: list, max_ranges: int) -> Column:
     """Bounded-size scan pushdown for an arbitrarily large sorted id set:
@@ -957,13 +963,22 @@ def _sq8_candidate_frame(
     k: int,
     oversample: int,
     id_col: str,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """The LAZY candidate selection of :func:`ivf_sq8_topk_indexed`:
     asymmetric ranking of the probed cells' dequantized codes against
-    the broadcast queries, top ``k · oversample`` per query. Kept as its
-    own frame so the cells scan's dynamic partition pruning stays
-    plan-assertable (the caller collects this — the DPP subtree would
-    otherwise be invisible in the returned re-rank plan)."""
+    the queries, top ``k · oversample`` per query. Kept as its own frame
+    so the cells scan's dynamic partition pruning stays plan-assertable
+    (the interactive caller collects this — the DPP subtree would
+    otherwise be invisible in the returned re-rank plan).
+
+    ``broadcast_queries=False`` (the batch re-rank path) joins plain on
+    the cid equi-key instead: a million-query batch cannot broadcast,
+    and with most cells probed anyway the DPP prune the broadcast form
+    buys is worth ~nothing there. Candidate ROWS are identical either
+    way — the per-query ranking is a deterministic total order
+    (asymmetric cosine desc, neighbor id asc), independent of join
+    strategy."""
     b = spark.read.parquet(f"{index_path}/sq8_bounds").first()
     mn, mx = list(b["mn"]), list(b["mx"])
     cells = spark.read.parquet(f"{index_path}/cells").select(
@@ -974,9 +989,10 @@ def _sq8_candidate_frame(
     cand_w = Window.partitionBy("query_id").orderBy(
         F.col("__asim").desc(), F.col("neighbor_id").asc()
     )
+    q_side = F.broadcast(queries) if broadcast_queries else queries
     return (
         cells.join(
-            F.broadcast(queries),
+            q_side,
             (F.col("c_cid") == F.col("q_cid"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
@@ -1000,6 +1016,7 @@ def ivf_sq8_topk_indexed(
     oversample: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mode: str = "auto",
 ) -> DataFrame:
     """Search the :func:`build_ivf_sq8_index` layout: queries rank
     against the stored centroids (tiny read), the probed cells join
@@ -1026,10 +1043,41 @@ def ivf_sq8_topk_indexed(
     operation; the collected set is the same size as the result the
     caller is about to collect anyway. Driver memory for that set is
     ``|Q| · k · oversample`` (id, id) pairs — ~50 MB per million
-    candidate rows; size query batches accordingly (split a larger batch
-    into calls, results are per-query independent)."""
+    candidate rows.
+
+    ``mode``: ``"interactive"`` is the collected-predicate path above;
+    ``"batch"`` is the fully-DISTRIBUTED offline re-rank (VERDICT r9
+    #3) — candidates→vectors is a join, queries join plain instead of
+    broadcasting, nothing is collected, driver memory is flat at any
+    batch size. Batch trades the pruned vectors read for a full scan
+    joined down — the right trade exactly when the candidate set covers
+    most row groups anyway (the uniform-scatter information bound,
+    SCALE.md). ``"auto"`` picks batch past ``_BATCH_RERANK_MIN``
+    estimated candidate rows (one cheap ``count()`` of the query
+    frame). Results are row-identical across modes: the ranking
+    contract is a deterministic total order."""
+    if mode not in ("auto", "interactive", "batch"):
+        raise ValueError("mode must be auto|interactive|batch")
     cent = spark.read.parquet(f"{index_path}/centroids")
     queries = _probe_queries(cent, query_vecs, nprobe, id_col, vec_col)
+    if mode == "auto":
+        est = query_vecs.count() * k * oversample
+        mode = "batch" if est > _BATCH_RERANK_MIN else "interactive"
+    if mode == "batch":
+        cands = _sq8_candidate_frame(
+            spark, index_path, queries, k, oversample, id_col,
+            broadcast_queries=False,
+        )
+        vectors = spark.read.parquet(f"{index_path}/vectors").select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+        q_only = queries.select("query_id", "q_vec").dropDuplicates(
+            ["query_id"]
+        )
+        sims = _exact_sims(
+            vectors.join(cands, "neighbor_id").join(q_only, "query_id")
+        )
+        return _rank_topk(sims, k)
     cand_df = _sq8_candidate_frame(
         spark, index_path, queries, k, oversample, id_col
     )

@@ -3,6 +3,7 @@
 from solarboat_data_pipeline_spark.streaming.pipeline import (
     stream_candump,
     stream_decode_long,
+    stream_decode_wide,
     stream_dedup_exact,
     stream_enrich_grid,
     stream_resample_mean,
@@ -18,6 +19,7 @@ __all__ = [
     "stream_asof_backward",
     "stream_candump",
     "stream_decode_long",
+    "stream_decode_wide",
     "stream_dedup_exact",
     "stream_enrich_grid",
     "stream_resample_mean",

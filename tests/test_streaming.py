@@ -112,6 +112,90 @@ def test_stream_resample_matches_batch_windows(spark, catalog, tmp_path):
         assert math.isclose(got[k], v, rel_tol=1e-12), k
 
 
+def test_stream_decode_wide_matches_batch(spark, catalog, tmp_path):
+    """VERDICT r9 #5: the streaming WIDE decode runs the projection-shaped
+    plan (no explode, no spec-map, no wide shuffle before the merge) and
+    is cell-identical to the batch strategies — including the fixture's
+    same-µs duplicate pair — with state bounded by UNIQUE timestamps,
+    not input frames."""
+    from solarboat_data_pipeline_spark.operators.parse import decode_wide
+    from solarboat_data_pipeline_spark.streaming import stream_decode_wide
+
+    lines = stream_candump(spark, CORPUS_GLOB)
+    frames = with_frame_meta(with_timestamp(extract_frames(lines, with_order=False)))
+    wide = stream_decode_wide(frames, catalog, watermark="0 seconds",
+                              downcast=False)
+    assert wide.isStreaming
+    q = (
+        wide.writeStream.format("memory")
+        .queryName("wide_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progress = q.lastProgress
+    got = {r["timestamp"]: r for r in
+           spark.sql("select * from wide_stream").collect()}
+
+    batch_frames = with_frame_meta(
+        with_timestamp(extract_frames(scan_candump(spark, CORPUS)))
+    )
+    want = {r["timestamp"]: r for r in
+            decode_wide(batch_frames, catalog, downcast=False,
+                        strategy="long").collect()}
+    # NO crop on the stream (the watermark replaces P4), so the batch
+    # side here decodes uncropped frames too
+    assert got.keys() == want.keys() and len(got) == 8
+    for ts in want:
+        for c in want[ts].asDict():
+            if c == "timestamp":
+                continue
+            va, vb = got[ts][c], want[ts][c]
+            assert (va is None) == (vb is None), (ts, c)
+            if va is not None:
+                assert math.isclose(va, vb, rel_tol=1e-12), (ts, c)
+    # state = one row per unique timestamp (the merge keys), NOT per frame
+    state = progress["stateOperators"][0]
+    assert state["numRowsTotal"] == len(want), state
+
+
+def test_stream_decode_wide_merges_cross_batch_duplicates(spark, catalog,
+                                                          tmp_path):
+    """Same-µs duplicate frames arriving in DIFFERENT micro-batches must
+    still A1-average (the batch project path folds them via its eager dup
+    pass; the stream merges them in watermark-bounded state)."""
+    from solarboat_data_pipeline_spark.streaming import stream_decode_wide
+
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    # BAT21.STATE (topic 0x008, u8 payload): values 10 and 30 at the SAME
+    # microsecond, one per file -> one per micro-batch
+    (d / "a.candump").write_text("(1700000000.500000) can0 008#fa0a\n")
+    (d / "b.candump").write_text(
+        "(1700000000.500000) can0 008#fa1e\n"
+        "(1700000001.000000) can0 008#fa02\n"
+    )
+    lines = spark.readStream.option("maxFilesPerTrigger", 1).text(
+        str(d / "*.candump")
+    )
+    frames = with_frame_meta(with_timestamp(extract_frames(lines, with_order=False)))
+    wide = stream_decode_wide(frames, catalog, watermark="0 seconds",
+                              downcast=False)
+    q = (
+        wide.writeStream.format("memory")
+        .queryName("wide_dup_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["timestamp"].microsecond: r["BAT21__STATE__STATE"]
+            for r in spark.sql("select * from wide_dup_stream").collect()}
+    assert rows[500000] == pytest.approx(20.0)  # mean(10, 30)
+    assert rows[0] == pytest.approx(2.0)
+
+
 def test_stream_sessionize_matches_batch_gaps(spark, tmp_path):
     import os
 
