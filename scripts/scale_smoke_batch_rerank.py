@@ -37,7 +37,7 @@ from solarboat_data_pipeline_spark.operators import similarity as sim  # noqa: E
 
 N_VECS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 DIM = 16
-N_CENT = 16
+N_CENT = 256  # |cell| ~ 3.9k: scoring volume |Q|*nprobe*|cell| stays ~0.8B
 K = 20
 OVERSAMPLE = 5
 # 10M candidates = |Q| * K * OVERSAMPLE -> |Q| = 100_000

@@ -233,6 +233,101 @@ def st_stream_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_stream_decode_wide",
+    """
+    WITH vals AS (
+      -- the D byte replays the catalog's strict-units quirk (P11,
+      -- lib/canparser_generator.py:57-75): a field after a fused _L/_H
+      -- u16 pair inherits the pair's unit divisor, so D scales by /100
+      SELECT round(extract(epoch FROM ts), 6) AS ts_s,
+             (event_id % 60000) / 100.0 AS val,
+             (event_id % 256) / 100.0 AS d
+      FROM events
+      UNION ALL
+      SELECT round(extract(epoch FROM ts), 6),
+             ((event_id * 3) % 60000) / 100.0,
+             ((event_id + 13) % 256) / 100.0
+      FROM events WHERE event_id % 7 = 0
+    )
+    SELECT ts_s, round(avg(val), 6) AS val_avg, round(avg(d), 6) AS d_avg
+    FROM vals GROUP BY ts_s
+    """,
+)
+def st_stream_decode_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 wide decode as a real STREAM (VERDICT r9 #5,
+    streaming/pipeline.py:stream_decode_wide): candump text built from
+    events — with a second same-µs frame for every 7th event so the A1
+    duplicate merge actually merges — is staged, read through
+    ``readStream.text``, and decoded by the projection-shaped streaming
+    kernel (fixed-expression slot decode, watermark-bounded entry-list
+    state). The oracle replays the u16-LE/u8 decode and the per-µs mean
+    arithmetically."""
+    from solarboat_data_pipeline_spark.catalog import CanCatalog
+    from solarboat_data_pipeline_spark.operators.parse import (
+        with_frame_meta,
+        with_timestamp,
+    )
+    from solarboat_data_pipeline_spark.sources.candump import extract_frames
+    from solarboat_data_pipeline_spark.streaming.pipeline import (
+        stream_candump,
+        stream_decode_wide,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+
+    def payload(v16, v8):
+        return F.concat(
+            F.lit("fa"),
+            F.lpad(F.lower(F.hex(v16 % 256)), 2, "0"),
+            F.lpad(F.lower(F.hex(F.shiftright(v16, 8))), 2, "0"),
+            F.lpad(F.lower(F.hex(v8)), 2, "0"),
+        )
+
+    ts6 = F.round(epoch_seconds(F.col("ts")), 6)
+    frame1 = F.format_string(
+        "(%.6f) can0 015#%s", ts6,
+        payload(F.col("event_id") % 60000, F.col("event_id") % 256),
+    )
+    frame2 = F.format_string(
+        "(%.6f) can0 015#%s", ts6,
+        payload((F.col("event_id") * 3) % 60000, (F.col("event_id") + 13) % 256),
+    )
+    lines = ev.select(
+        F.concat(
+            frame1, F.when(F.col("event_id") % 7 == 0, frame2).otherwise(F.lit(""))
+        ).alias("value")
+    )
+    stage = _io_dir(sf_dir, "st_candump_wide_text")
+    lines.write.mode("overwrite").text(stage)
+    catalog = CanCatalog.from_dict({
+        "version": "driver-swd-0.1",
+        "modules": [{
+            "name": "SB", "signature": 250, "topics": [{
+                "name": "W", "id": 21, "bytes": [
+                    {"name": "SIGNATURE", "type": "uint8_t", "units": ""},
+                    {"name": "VAL_L", "type": "uint16_t", "units": "V/100"},
+                    {"name": "VAL_H", "type": "uint16_t", "units": "V/100"},
+                    {"name": "D", "type": "uint8_t", "units": ""},
+                ],
+            }],
+        }],
+    })
+    stream = stream_candump(spark, f"{stage}/part-*")
+    frames = with_frame_meta(
+        with_timestamp(extract_frames(stream, with_order=False))
+    )
+    wide = stream_decode_wide(
+        frames, catalog, watermark="0 seconds", downcast=False
+    )
+    out = wide.select(
+        F.round(epoch_seconds(F.col("timestamp")), 6).alias("ts_s"),
+        F.round(F.col("SB__W__VAL"), 6).alias("val_avg"),
+        F.round(F.col("SB__W__D"), 6).alias("d_avg"),
+    )
+    return _drain_to_memory(out, "st_stream_decode_wide", "complete")
+
+
+@register(
     "st_stream_enrich",
     """
     WITH g AS (

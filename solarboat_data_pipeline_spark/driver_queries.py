@@ -74,7 +74,8 @@ del _m, _k, _v
 # q1_pricing_summary is additionally smoke-run by the driver's entry()
 # every round.
 _PRIORITY = [
-    # 0. never-green: new this round (1)
+    # 0. never-green: new this round
+    "st_stream_decode_wide",
     "sim_ivf_drift",
     # 1. operator code changed this round (9)
     "st_stream_asof",
@@ -270,6 +271,7 @@ _REGISTRATION_ORDER = [
     "dd_near_dup_incremental",
     "k_bucketed_join",
     "sim_ivf_drift",
+    "st_stream_decode_wide",
 ]
 
 

@@ -44,6 +44,13 @@ from solarboat_data_pipeline_spark.operators.timeseries import (
 from solarboat_data_pipeline_spark.sources.candump import extract_frames, scan_candump
 from solarboat_data_pipeline_spark.sources.gpx import scan_gpx
 
+# grid rows below which the in-memory-safe resample forms (fused /
+# classic) win outright over the bucketed scale kernels — the 24 M-line
+# corpus's 100 ms grid is 2.4 M rows and measured 2.7× faster unbucketed
+# (SCALE.md); past this, resample_stage(scale_buckets=...) switches to
+# the structurally bounded group-width plan
+SCALE_GRID_INMEM_MAX = 100_000_000
+
 
 def parse_stage(
     spark: SparkSession,
@@ -188,10 +195,28 @@ def resample_stage(
     (fused) or globally (classic) — correct while one column's sparse
     samples (fused) or the resampled grid (classic) fits one task's sort.
     For the 100 TB shape (years of sub-second grid → 1e9+ grid rows) pass
-    a bucket count and the fill runs the bucketed scale kernel instead
-    (operators/scale.py, equivalence proven in SCALE.md)."""
+    a bucket count: the stage then MEASURES the grid with one thin
+    bounds job (ts column only — the scan prunes to it) and picks the
+    cheapest scale-safe plan (VERDICT r9 #7 — the always-bucketed form
+    was a 2.7× tax at in-memory sizes, 510 s vs 186 s at the 24 M /
+    100 ms corpus):
+
+    * grid ≤ ``SCALE_GRID_INMEM_MAX`` → the normal fused/classic
+      selection below (fastest, and at this size nothing can funnel a
+      task anyway);
+    * larger → the fused kernel with ``group_width = ceil(grid /
+      scale_buckets)``, whose windows partition by (column, grid group)
+      and whose spine/repivot are already two-level — no single-task
+      sort anywhere, same plan shape the 1e9-row grid needs.
+
+    ``strategy="bucketed"`` (with ``scale_buckets``) forces the round-5
+    bucketed kernel (``resample_mean`` + ``operators/scale.py``
+    interpolation) unconditionally — the explicit form the SCALE.md
+    equivalence evidence was recorded against."""
     limit = max(1, int(max_gap_seconds / period_seconds))
-    if scale_buckets is not None:
+    if strategy == "bucketed":
+        if scale_buckets is None:
+            raise ValueError("strategy='bucketed' requires scale_buckets")
         from solarboat_data_pipeline_spark.operators import scale as _scale
 
         res = resample_mean(wide, period_seconds, ts_col=ts_col, dense=True)
@@ -202,8 +227,34 @@ def resample_stage(
             limit_area="inside",
             num_buckets=scale_buckets,
         )
+    if scale_buckets is not None:
+        if strategy != "auto":
+            raise ValueError(
+                "scale_buckets composes with strategy='auto' (measured"
+                " selection) or 'bucketed' (the explicit r5 kernel);"
+                f" got strategy={strategy!r}"
+            )
+        b = wide.agg(
+            F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
+        ).first()
+        if b["__lo"] is not None:
+            step_us = int(round(period_seconds * 1_000_000))
+            span_us = int(
+                (b["__hi"] - b["__lo"]).total_seconds() * 1_000_000
+            )
+            grid = span_us // step_us + 1
+            if grid > SCALE_GRID_INMEM_MAX:
+                return resample_interpolate(
+                    wide,
+                    period_seconds,
+                    ts_col=ts_col,
+                    limit=limit,
+                    limit_area="inside",
+                    group_width=max(1, -(-grid // scale_buckets)),
+                )
+        # small grid: fall through to the fastest in-memory-safe form
     if strategy not in ("auto", "fused", "classic"):
-        raise ValueError("strategy must be auto|fused|classic")
+        raise ValueError("strategy must be auto|fused|classic|bucketed")
     n_vals = len(wide.columns) - 1
     use_fused = strategy == "fused" or (
         strategy == "auto" and n_vals > WIDE_RESAMPLE_MAX_AGG_COLS

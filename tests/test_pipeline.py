@@ -108,19 +108,42 @@ def test_unify_stages_compose_independently(spark, catalog, forecast):
 
 
 def test_resample_stage_bucketed_matches_global(spark, catalog):
-    # scale_buckets routes the gap-fill through the bucketed scale kernel;
-    # output must match the global-window form cell-for-cell
+    # every scale form must match the global-window form cell-for-cell:
+    # the explicit r5 bucketed kernel, the measured auto selection at a
+    # small grid (falls through to fused/classic), and the forced
+    # group-width plan (SCALE_GRID_INMEM_MAX patched to 0)
+    import solarboat_data_pipeline_spark.pipeline as pl
+
     wide = parse_stage(spark, CORPUS, catalog)
     g = resample_stage(wide, 1.0)
-    s = resample_stage(wide, 1.0, scale_buckets=3)
+    forms = {
+        "bucketed": resample_stage(wide, 1.0, scale_buckets=3,
+                                   strategy="bucketed"),
+        "auto_small": resample_stage(wide, 1.0, scale_buckets=3),
+    }
+    orig = pl.SCALE_GRID_INMEM_MAX
+    try:
+        pl.SCALE_GRID_INMEM_MAX = 0
+        forms["auto_big"] = resample_stage(wide, 1.0, scale_buckets=3)
+    finally:
+        pl.SCALE_GRID_INMEM_MAX = orig
+    # the big-grid selection must be the structurally bounded plan: its
+    # lead window partitions by (column, grid group), never one task
+    plan = forms["auto_big"]._jdf.queryExecution().optimizedPlan().toString()
+    assert "__g" in plan, plan
     ga = {r["timestamp"]: r for r in g.collect()}
-    sa = {r["timestamp"]: r for r in s.collect()}
-    assert ga.keys() == sa.keys()
-    for ts, row in ga.items():
-        for c in g.columns:
-            if c == "timestamp":
-                continue
-            va, vb = row[c], sa[ts][c]
-            assert (va is None) == (vb is None), (ts, c)
-            if va is not None:
-                assert math.isclose(va, vb, rel_tol=1e-9), (ts, c)
+    for name, s in forms.items():
+        sa = {r["timestamp"]: r for r in s.collect()}
+        assert ga.keys() == sa.keys(), name
+        for ts, row in ga.items():
+            for c in g.columns:
+                if c == "timestamp":
+                    continue
+                va, vb = row[c], sa[ts][c]
+                assert (va is None) == (vb is None), (name, ts, c)
+                if va is not None:
+                    assert math.isclose(va, vb, rel_tol=1e-9), (name, ts, c)
+    with pytest.raises(ValueError, match="composes with"):
+        resample_stage(wide, 1.0, scale_buckets=3, strategy="fused")
+    with pytest.raises(ValueError, match="requires scale_buckets"):
+        resample_stage(wide, 1.0, strategy="bucketed")
