@@ -53,7 +53,27 @@ def report(check: str, agree: bool, extra: dict) -> None:
     print(json.dumps(rec), flush=True)
 
 
-def rss_mb() -> float:
+def reset_peak_rss() -> bool:
+    """Reset the kernel's per-process RSS high-water mark (VmHWM) so the
+    next :func:`peak_rss_mb` read measures THIS phase's true peak — a
+    lifetime ru_maxrss delta can read 0.0 even if the measured phase
+    transiently collected hundreds of MB below an earlier phase's peak."""
+    try:
+        with open("/proc/self/clear_refs", "w") as f:
+            f.write("5")
+        return True
+    except OSError:
+        return False
+
+
+def peak_rss_mb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmHWM:"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
 
@@ -112,7 +132,8 @@ def main() -> None:
     )
 
     # ---- check 2: 10M-candidate batch, flat driver RSS ----
-    rss0 = rss_mb()
+    hwm_reset = reset_peak_rss()
+    rss0 = peak_rss_mb()
     t0 = time.perf_counter()
     big = sim.ivf_sq8_topk_indexed(spark, idx, q_big, mode="auto", **kw)
     # aggregate instead of collecting the 2M result rows — the check is
@@ -123,9 +144,11 @@ def main() -> None:
         F.sum("cosine_sim").alias("s"),
     ).first()
     wall = time.perf_counter() - t0
-    rss1 = rss_mb()
+    rss1 = peak_rss_mb()
     # the interactive path would hold ≥10M (id,id) Row objects (~500 MB+);
-    # flat = the batch search grew the Python driver by well under that
+    # flat = the batch search's PEAK (VmHWM reset at phase start, so a
+    # transient collect cannot hide under an earlier phase's peak) grew
+    # the Python driver by well under that
     delta = rss1 - rss0
     report(
         "batch_10m_candidates_flat_driver_rss",
@@ -134,6 +157,7 @@ def main() -> None:
             "queries": N_Q_BIG,
             "estimated_candidates": est,
             "result_rows": agg["n"],
+            "peak_rss_reset": hwm_reset,
             "rss_before_mb": round(rss0, 1),
             "rss_after_mb": round(rss1, 1),
             "rss_delta_mb": round(delta, 1),

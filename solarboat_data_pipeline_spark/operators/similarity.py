@@ -1061,8 +1061,15 @@ def ivf_sq8_topk_indexed(
     cent = spark.read.parquet(f"{index_path}/centroids")
     queries = _probe_queries(cent, query_vecs, nprobe, id_col, vec_col)
     if mode == "auto":
-        est = query_vecs.count() * k * oversample
-        mode = "batch" if est > _BATCH_RERANK_MIN else "interactive"
+        # limit(n+1).count() instead of count(): the LocalLimit stops the
+        # scan after threshold+1 query rows, so the estimate job is O(1)
+        # for huge batches and never recomputes a full query lineage
+        max_q = _BATCH_RERANK_MIN // max(1, k * oversample)
+        mode = (
+            "batch"
+            if query_vecs.limit(max_q + 1).count() > max_q
+            else "interactive"
+        )
     if mode == "batch":
         cands = _sq8_candidate_frame(
             spark, index_path, queries, k, oversample, id_col,

@@ -337,6 +337,7 @@ def resample_interpolate(
     limit: int | None = None,
     limit_area: str | None = "inside",
     group_width: int | None = None,
+    known_bounds: tuple | None = None,
 ) -> DataFrame:
     """Fused A3+W3: ``resample_mean(dense=True)`` followed by
     ``interpolate_time`` in ONE kernel, specialized to the uniform grid the
@@ -400,10 +401,26 @@ def resample_interpolate(
     a1 = cells.groupBy(*pc, "__b", "__idx").agg(F.avg("__v").alias("__v"))
 
     # per-partition grid bounds from ALL input buckets (a row whose cells
-    # are all null still extends the dense spine, as in resample_mean)
-    kb = base.groupBy(*pc).agg(
-        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
-    )
+    # are all null still extends the dense spine, as in resample_mean).
+    # A caller that already measured the global bounds (pipeline.
+    # resample_stage's scale_buckets selection pays that thin job anyway)
+    # passes them as ``known_bounds=(min_ts, max_ts)`` and the plan loses
+    # this aggregate subtree — partition_cols=() only, where the bounds
+    # ARE one global row.
+    if known_bounds is not None and not pc:
+        lo_ts, hi_ts = known_bounds
+        kb = df.sparkSession.range(1).select(
+            F.floor(_us(F.lit(lo_ts).cast("timestamp")) / step_us)
+            .cast("long")
+            .alias("__lo"),
+            F.floor(_us(F.lit(hi_ts).cast("timestamp")) / step_us)
+            .cast("long")
+            .alias("__hi"),
+        )
+    else:
+        kb = base.groupBy(*pc).agg(
+            F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+        )
 
     if group_width is None:
         w = Window.partitionBy(*pc, "__idx").orderBy("__b")

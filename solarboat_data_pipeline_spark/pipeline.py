@@ -143,9 +143,20 @@ def parse_stage(
                 wide = clean_timestamp_outliers(wide)
             return wide
         dup_overflow = True  # skip re-measuring via auto→project below
+        # the stats job already holds the P4 bounds — crop with literal
+        # filters instead of paying crop_to_bounds' second full-corpus
+        # bounds aggregate on this (already degraded) path
+        if stats["first_ts"] is None:
+            frames = frames.where(F.lit(False))
+        else:
+            frames = frames.where(
+                F.col("timestamp").between(
+                    F.lit(stats["first_ts"]), F.lit(stats["last_ts"])
+                )
+            )
 
     cached = False
-    if crop:
+    if crop and not dup_overflow:
         if crop_strategy == "cached":
             frames = frames.localCheckpoint(eager=False)
             cached = True
@@ -196,8 +207,12 @@ def resample_stage(
     samples (fused) or the resampled grid (classic) fits one task's sort.
     For the 100 TB shape (years of sub-second grid → 1e9+ grid rows) pass
     a bucket count: the stage then MEASURES the grid with one thin
-    bounds job (ts column only — the scan prunes to it) and picks the
-    cheapest scale-safe plan (VERDICT r9 #7 — the always-bucketed form
+    bounds job (ts column only — the scan prunes to it; the measured
+    bounds are reused by the chosen kernel's spine, so the job is paid
+    once, not re-derived downstream) and picks the cheapest scale-safe
+    plan. The bounds job executes ``wide``'s lineage eagerly — if that
+    lineage is an expensive unmaterialized pipeline (e.g. a full parse
+    stage), materialize it first or the measurement re-runs it (VERDICT r9 #7 — the always-bucketed form
     was a 2.7× tax at in-memory sizes, 510 s vs 186 s at the 24 M /
     100 ms corpus):
 
@@ -214,6 +229,7 @@ def resample_stage(
     interpolation) unconditionally — the explicit form the SCALE.md
     equivalence evidence was recorded against."""
     limit = max(1, int(max_gap_seconds / period_seconds))
+    known_bounds = None  # set when the scale_buckets bounds job runs
     if strategy == "bucketed":
         if scale_buckets is None:
             raise ValueError("strategy='bucketed' requires scale_buckets")
@@ -243,6 +259,10 @@ def resample_stage(
                 (b["__hi"] - b["__lo"]).total_seconds() * 1_000_000
             )
             grid = span_us // step_us + 1
+            # the measured bounds ride along so the fused kernel drops
+            # its internal bounds-aggregate subtree — the thin job is
+            # paid ONCE, not three times (measure + kb + spine)
+            known_bounds = (b["__lo"], b["__hi"])
             if grid > SCALE_GRID_INMEM_MAX:
                 return resample_interpolate(
                     wide,
@@ -251,6 +271,7 @@ def resample_stage(
                     limit=limit,
                     limit_area="inside",
                     group_width=max(1, -(-grid // scale_buckets)),
+                    known_bounds=known_bounds,
                 )
         # small grid: fall through to the fastest in-memory-safe form
     if strategy not in ("auto", "fused", "classic"):
@@ -266,6 +287,7 @@ def resample_stage(
         return resample_interpolate(
             wide, period_seconds, ts_col=ts_col, limit=limit,
             limit_area="inside", group_width=fused_group_width,
+            known_bounds=known_bounds,
         )
     res = resample_mean(wide, period_seconds, ts_col=ts_col, dense=True)
     return interpolate_time(res, ts_col=ts_col, limit=limit, limit_area="inside")
