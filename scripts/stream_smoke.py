@@ -749,6 +749,152 @@ def check_ffill_kill(spark, src: str) -> None:
     )
 
 
+def check_decode_wide(spark) -> None:
+    """Round 10 (VERDICT r9 #5): the projection-shaped streaming WIDE
+    decode at scale — candump text lines (10% same-µs duplicate pairs)
+    streamed as a real multi-micro-batch backlog, cell-compared against
+    the batch long-strategy decode, with the state-boundedness claim
+    MEASURED: peak aggregation-state rows must stay ~one batch's unique
+    timestamps (state retires as the watermark passes), never the
+    corpus total."""
+    from solarboat_data_pipeline_spark.catalog import CanCatalog
+    from solarboat_data_pipeline_spark.operators.parse import (
+        decode_wide,
+        with_frame_meta,
+        with_timestamp,
+    )
+    from solarboat_data_pipeline_spark.sources.candump import extract_frames
+    from solarboat_data_pipeline_spark.streaming.pipeline import (
+        stream_decode_wide,
+    )
+
+    n_lines = max(200_000, N // 10)
+    src = os.path.join(WORK, "candump_text")
+    os.makedirs(src, exist_ok=True)
+    per_file = n_lines // N_FILES
+    tmp = os.path.join(WORK, "_gen_candump_tmp")
+    catalog = CanCatalog.from_dict({
+        "version": "smoke-swd-0.1",
+        "modules": [{
+            "name": "SB", "signature": 250, "topics": [{
+                "name": "W", "id": 21, "bytes": [
+                    {"name": "SIGNATURE", "type": "uint8_t", "units": ""},
+                    {"name": "VAL_L", "type": "uint16_t", "units": "V/100"},
+                    {"name": "VAL_H", "type": "uint16_t", "units": "V/100"},
+                    {"name": "D", "type": "uint8_t", "units": ""},
+                ],
+            }],
+        }],
+    })
+
+    def payload(v16, v8):
+        return F.concat(
+            F.lit("fa"),
+            F.lpad(F.lower(F.hex(v16 % 256)), 2, "0"),
+            F.lpad(F.lower(F.hex(F.shiftright(v16, 8))), 2, "0"),
+            F.lpad(F.lower(F.hex(v8)), 2, "0"),
+        )
+
+    for f in range(N_FILES):
+        df = spark.range(f * per_file, (f + 1) * per_file)
+        # 10-digit epoch: FRAME_REGEX requires \d{10} seconds
+        ts6 = (F.lit(1_600_000_000.0) + F.col("id") * 0.1)
+        line1 = F.format_string(
+            "(%.6f) can0 015#%s", ts6,
+            payload(F.col("id") % 60000, F.col("id") % 256),
+        )
+        # every 10th line: a same-µs duplicate with a different value —
+        # adjacent in the same file, so the merge is in-state, and the
+        # A1 mean must come out
+        line2 = F.format_string(
+            "(%.6f) can0 015#%s", ts6,
+            payload((F.col("id") * 3) % 60000, (F.col("id") + 13) % 256),
+        )
+        lines = df.select(
+            F.concat(
+                line1,
+                F.when(F.col("id") % 10 == 0,
+                       F.concat(F.lit("\n"), line2)).otherwise(F.lit("")),
+            ).alias("value")
+        )
+        lines.coalesce(1).write.mode("overwrite").text(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.txt"))[0]
+        os.replace(part, os.path.join(src, f"lines_{f:03d}.log"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    stream_lines = (
+        spark.readStream.option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+        .text(os.path.join(src, "*.log"))
+    )
+    frames = with_frame_meta(
+        with_timestamp(extract_frames(stream_lines, with_order=False))
+    )
+    wide = stream_decode_wide(frames, catalog, watermark=WATERMARK,
+                              downcast=False)
+    out = os.path.join(WORK, "out_decode_wide")
+    ckpt = os.path.join(WORK, "ckpt_decode_wide")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    t0 = time.perf_counter()
+    q = (
+        wide.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    peak_state = 0
+    while q.isActive:
+        p = q.lastProgress
+        if p and p.get("stateOperators"):
+            peak_state = max(peak_state, p["stateOperators"][0]["numRowsTotal"])
+        q.awaitTermination(1)
+    p = q.lastProgress
+    if p and p.get("stateOperators"):
+        peak_state = max(peak_state, p["stateOperators"][0]["numRowsTotal"])
+    wall = time.perf_counter() - t0
+
+    got = spark.read.parquet(out)
+    batch_lines = spark.read.text(os.path.join(src, "*.log"))
+    bframes = with_frame_meta(
+        with_timestamp(extract_frames(batch_lines, with_order=False))
+    )
+    batch = decode_wide(bframes, catalog, downcast=False, strategy="long")
+    keys = ["timestamp"]
+    j = got.select("timestamp",
+                   F.col("SB__W__VAL").alias("g_val"),
+                   F.col("SB__W__D").alias("g_d")).join(
+        batch.select("timestamp", "SB__W__VAL", "SB__W__D"), keys, "inner")
+    mismatch = j.where(
+        (F.abs(F.col("g_val") - F.col("SB__W__VAL")) > 1e-9)
+        | (F.abs(F.col("g_d") - F.col("SB__W__D")) > 1e-9)
+    ).count()
+    n_got, n_batch = got.count(), batch.count()
+    missing = n_batch - n_got
+    # tail tolerance: keys the final watermark has not passed
+    horizon_rows = int((WM_S + 2.0) / 0.1) + 2
+    # state must retire across batches: ~one batch of unique timestamps,
+    # never the corpus total (5 micro-batches -> batch is 20% of total)
+    state_bounded = peak_state <= 0.35 * n_batch
+    report(
+        "stream_decode_wide_vs_batch_long",
+        n_batch > n_lines * 0.9  # non-vacuous: the corpus actually decoded
+        and mismatch == 0 and 0 <= missing <= horizon_rows and state_bounded,
+        wall,
+        {
+            "lines": n_lines,
+            "lines_per_sec": round(n_lines / wall) if wall else None,
+            "emitted_rows": n_got,
+            "batch_rows": n_batch,
+            "value_mismatches": mismatch,
+            "unemitted_tail_rows": missing,
+            "peak_state_rows": peak_state,
+            "state_bound_rows": int(0.35 * n_batch),
+        },
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="stream-smoke")
     shutil.rmtree(WORK, ignore_errors=True)
@@ -783,6 +929,7 @@ def main() -> None:
     check_dedup(spark, src)
     check_ffill(spark, src)
     check_ffill_kill(spark, src)
+    check_decode_wide(spark)
 
     all_agree = all(r["agree"] for r in results)
     print(
