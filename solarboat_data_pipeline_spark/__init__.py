@@ -36,6 +36,7 @@ from solarboat_data_pipeline_spark.operators import (
     avi,
     dedup,
     jpeg,
+    mp4,
     multimodal,
     parse,
     png,
@@ -193,7 +194,9 @@ from solarboat_data_pipeline_spark.operators.multimodal import (
     decode_video_stats,
     extract_features,
     frame_sample_plan,
+    keyframe_index,
     mjpeg_decode_check,
+    probe_video_stats,
     resample_audio_stats,
     resize_image_stats,
     sample_frame_stats,
@@ -205,7 +208,7 @@ __all__ = [
     # module namespaces
     "catalog", "pipeline", "parse", "timeseries", "scale",
     "dedup", "similarity", "text", "sampling", "skew",
-    "multimodal", "png", "wav", "avi", "jpeg", "geo", "solar", "formatting",
+    "multimodal", "png", "wav", "avi", "jpeg", "mp4", "geo", "solar", "formatting",
     "sinks", "bucketed", "streaming", "stateful",
     # sources / sinks
     "scan_candump", "extract_frames", "scan_forecast_csv", "scan_gps_csv",
@@ -244,5 +247,5 @@ __all__ = [
     "binary_metadata", "extract_features", "decode_image_stats",
     "resize_image_stats", "decode_audio_stats", "resample_audio_stats",
     "decode_video_stats", "sample_frame_stats", "mjpeg_decode_check",
-    "frame_sample_plan",
+    "frame_sample_plan", "probe_video_stats", "keyframe_index",
 ]

@@ -372,3 +372,89 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, n in enumerate(["f_len", "f_mean", "f_min", "f_max"])
         ],
     )
+
+
+@register(
+    "mm_mp4_probe",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             16*(doc_id % 8 + 1) - 2*(doc_id % 8) AS width,
+             16*(doc_id % 6 + 1) - 2*(doc_id % 5) AS height,
+             doc_id % 24 + 1 AS n_samples,
+             600*(doc_id % 4 + 1) AS timescale,
+             doc_id % 40 + 10 AS delta,
+             CASE doc_id % 3 WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END
+               AS profile_idc,
+             CASE doc_id % 3 WHEN 0 THEN 30 WHEN 1 THEN 31 ELSE 41 END
+               AS level_idc
+      FROM documents),
+    b AS (
+      SELECT g.doc_id,
+             SUM(50 + (7*g.doc_id + 13*i.i) % 100) AS sample_bytes
+      FROM g, generate_series(0, 23) i(i)
+      WHERE i.i < g.n_samples
+      GROUP BY g.doc_id)
+    SELECT g.doc_id AS media_id, 'isom' AS brand, 'avc1' AS codec,
+           g.width::BIGINT AS track_width, g.height::BIGINT AS track_height,
+           g.width::BIGINT AS coded_width, g.height::BIGINT AS coded_height,
+           g.profile_idc::BIGINT AS profile_idc,
+           g.level_idc::BIGINT AS level_idc,
+           g.n_samples::BIGINT AS n_samples,
+           b.sample_bytes::BIGINT AS sample_bytes,
+           (g.n_samples * g.delta)::BIGINT AS duration,
+           g.timescale::BIGINT AS timescale
+    FROM g JOIN b USING (doc_id)
+    """,
+)
+def mm_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video probe (operators/mp4.py): each document id
+    becomes a genuine minimal MP4 — full ISO 14496-12 box tree, avc1
+    sample entry whose avcC carries a bit-level H.264 SPS/PPS (Exp-
+    Golomb, emulation prevention, frame cropping live on every
+    non-multiple-of-16 dimension) — then probed back by the box walker
+    + SPS parser inside Arrow mapInPandas. The oracle recomputes every
+    probed column ARITHMETICALLY from the generator formulas — DuckDB
+    never sees the bytes, so a wrong box offset / Exp-Golomb read /
+    crop-unit computation cannot hash-match. No video path exists in
+    the reference (this extends SURVEY §2's training-data addendum)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_mp4_media(docs)
+    return mm.probe_video_stats(media)
+
+
+@register(
+    "mm_h264_keyframes",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             doc_id % 50 + 3 AS n_nals,
+             doc_id % 7 + 2 AS idr_every
+      FROM documents),
+    n AS (
+      SELECT g.doc_id, g.n_nals, g.idr_every, i.i,
+             21 + (5*g.doc_id + 11*i.i) % 64 AS nal_size,
+             (i.i % g.idr_every = 0) AS is_idr
+      FROM g, generate_series(0, 52) i(i)
+      WHERE i.i < g.n_nals)
+    SELECT doc_id AS media_id,
+           COUNT(*)::BIGINT AS n_nals,
+           SUM(CASE WHEN is_idr THEN 1 ELSE 0 END)::BIGINT AS n_idr,
+           4::BIGINT AS first_idr_offset,
+           SUM(CASE WHEN is_idr THEN nal_size ELSE 0 END)::BIGINT AS idr_bytes,
+           SUM(nal_size + 4)::BIGINT AS es_bytes
+    FROM n GROUP BY doc_id
+    """,
+)
+def mm_h264_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe index over raw H.264 Annex-B elementary streams: the
+    start-code NAL scanner (operators/mp4.py nal_scan) walks genuine
+    synthesized streams (IDR every k-th NAL, payload bytes never zero
+    so no accidental start codes) and emits the seek table — NAL/IDR
+    counts, first-IDR offset, IDR bytes, stream size. The oracle
+    recomputes the index arithmetically from the generator geometry
+    (unit 0 is always IDR, so first_idr_offset is the 4-byte leading
+    start code)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_annexb_media(docs)
+    return mm.keyframe_index(media)

@@ -73,8 +73,11 @@ del _m, _k, _v
 # pytest oracle gate every run; the flagship q1_pricing_summary is
 # additionally smoke-run by the driver's entry() every round.
 _PRIORITY = [
-    # 0. never-green: new this round (1)
+    # 0. never-green: new this round (3 — the streaming wide decode and
+    #    the compressed-video probe lane)
     "st_stream_decode_wide",
+    "mm_mp4_probe",
+    "mm_h264_keyframes",
     # 1. operator code changed this round (5): the fused resample
     #    kernel's generator fold (timeseries.resample_interpolate), the
     #    decode_wide auto dup-overflow fallback, and the SQ8 batch-mode
@@ -125,12 +128,12 @@ _PRIORITY = [
     "samp_pack_sequences",
     "txt_decontaminate_fuzzy",
     "txt_ngram_topk",
-    # 3. oldest r8-stale queries (registry order) fill the 50 (5)
+    # 3. oldest r8-stale queries (registry order) fill the 50 (3 —
+    #    p5/p6 dropped from the window to make room for the two new
+    #    never-green probe rows; they stay under the pytest oracle gate)
     "q1_pricing_summary",
     "p1_regex_extract",
     "p3_time_offset",
-    "p5_hex_roundtrip",
-    "p6_unhex_payload",
 ]
 
 
@@ -272,6 +275,8 @@ _REGISTRATION_ORDER = [
     "k_bucketed_join",
     "sim_ivf_drift",
     "st_stream_decode_wide",
+    "mm_mp4_probe",
+    "mm_h264_keyframes",
 ]
 
 

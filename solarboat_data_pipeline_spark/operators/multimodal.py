@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from solarboat_data_pipeline_spark.operators import avi as avi_codec
+from solarboat_data_pipeline_spark.operators import mp4 as mp4_codec
 from solarboat_data_pipeline_spark.operators import png as png_codec
 from solarboat_data_pipeline_spark.operators import wav as wav_codec
 
@@ -773,3 +774,183 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Compressed-video PROBE lane (MP4 / H.264 — structure, never pixels)
+# ---------------------------------------------------------------------------
+
+
+def _mp4_params(mid: int) -> dict:
+    """Deterministic MP4 geometry per id, shared by the synthesizer and
+    the driver oracle (which recomputes every probed column from these
+    formulas without seeing the bytes). Widths/heights sweep cropped
+    (non-multiple-of-16) dimensions so the SPS frame-cropping path is
+    always live; the profile cycle covers the baseline/main syntax AND
+    the high-profile chroma branch."""
+    return {
+        "width": 16 * (mid % 8 + 1) - 2 * (mid % 8),
+        "height": 16 * (mid % 6 + 1) - 2 * (mid % 5),
+        "n_samples": mid % 24 + 1,
+        "timescale": 600 * (mid % 4 + 1),
+        "sample_delta": mid % 40 + 10,
+        "profile_idc": (66, 77, 100)[mid % 3],
+        "level_idc": (30, 31, 41)[mid % 3],
+    }
+
+
+def synthesize_mp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table of GENUINE minimal MP4 files (ISO 14496-12 box tree,
+    avc1 sample entry with a real bit-level H.264 SPS/PPS in avcC,
+    length-prefixed NAL samples) — :func:`mp4_codec.encode_mp4` per id
+    with :func:`_mp4_params` geometry and sample sizes
+    ``50 + (7 id + 13 i) % 100``."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                p = _mp4_params(mid)
+                sizes = [
+                    50 + (7 * mid + 13 * i) % 100 for i in range(p["n_samples"])
+                ]
+                payloads.append(
+                    mp4_codec.encode_mp4(
+                        p["width"],
+                        p["height"],
+                        sizes,
+                        timescale=p["timescale"],
+                        sample_delta=p["sample_delta"],
+                        profile_idc=p["profile_idc"],
+                        level_idc=p["level_idc"],
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": payloads,
+                    "media_type": "video/mp4; codec=avc1",
+                }
+            )
+
+    return src.mapInPandas(
+        run, schema="media_id long, payload binary, media_type string"
+    )
+
+
+VIDEO_PROBE_SCHEMA = (
+    "media_id long, brand string, codec string, track_width long,"
+    " track_height long, coded_width long, coded_height long,"
+    " profile_idc long, level_idc long, n_samples long,"
+    " sample_bytes long, duration long, timescale long"
+)
+
+
+def probe_video_stats(df: DataFrame) -> DataFrame:
+    """REAL compressed-video PROBE via Arrow ``mapInPandas``: walk the
+    ISO BMFF box tree, parse the avcC H.264 SPS bit-exactly (Exp-Golomb
+    + emulation prevention + frame cropping), and emit container +
+    codec metadata — resolution, profile/level, sample count/bytes,
+    duration ticks. No pixel decode (that envelope raises; see module
+    docstring); every emitted column is pure integer structure so the
+    driver oracle can recompute it arithmetically."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.split()[0]: [] for k in VIDEO_PROBE_SCHEMA.split(",")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = mp4_codec.probe_mp4(bytes(payload))
+                rows["media_id"].append(int(mid))
+                rows["brand"].append(info["major_brand"])
+                rows["codec"].append(info["codec"])
+                rows["track_width"].append(info["track_width"])
+                rows["track_height"].append(info["track_height"])
+                rows["coded_width"].append(info["coded_width"])
+                rows["coded_height"].append(info["coded_height"])
+                rows["profile_idc"].append(info["profile_idc"])
+                rows["level_idc"].append(info["level_idc"])
+                rows["n_samples"].append(info["n_samples"])
+                rows["sample_bytes"].append(info["sample_bytes"])
+                rows["duration"].append(info["duration"])
+                rows["timescale"].append(info["timescale"])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=VIDEO_PROBE_SCHEMA)
+
+
+def _annexb_params(mid: int) -> dict:
+    """Deterministic Annex-B stream geometry per id: ``n_nals`` NALs,
+    IDR (type 5) every ``idr_every``-th unit starting at 0, non-IDR
+    slices (type 1) between; NAL ``i`` carries ``20 + (5 id + 11 i) %
+    64`` payload bytes, each ``(...) % 255 + 1`` (never zero, so no
+    accidental start codes)."""
+    return {"n_nals": mid % 50 + 3, "idr_every": mid % 7 + 2}
+
+
+def synthesize_annexb_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table of raw H.264 Annex-B elementary streams (4-byte
+    start codes) with :func:`_annexb_params` geometry."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                p = _annexb_params(mid)
+                es = bytearray()
+                for i in range(p["n_nals"]):
+                    nal_type = 5 if i % p["idr_every"] == 0 else 1
+                    header = (3 << 5) | nal_type  # nal_ref_idc=3
+                    body_len = 20 + (5 * mid + 11 * i) % 64
+                    body = bytes(
+                        (mid * 3 + i * 7 + j) % 255 + 1 for j in range(body_len)
+                    )
+                    es += b"\x00\x00\x00\x01" + bytes([header]) + body
+                payloads.append(bytes(es))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": payloads,
+                    "media_type": "video/h264",
+                }
+            )
+
+    return src.mapInPandas(
+        run, schema="media_id long, payload binary, media_type string"
+    )
+
+
+KEYFRAME_INDEX_SCHEMA = (
+    "media_id long, n_nals long, n_idr long, first_idr_offset long,"
+    " idr_bytes long, es_bytes long"
+)
+
+
+def keyframe_index(df: DataFrame) -> DataFrame:
+    """Build a keyframe index over raw H.264 elementary streams
+    (:func:`mp4_codec.nal_scan` start-code walk): per stream, the NAL
+    count, IDR count, byte offset of the first IDR, total IDR bytes,
+    and stream size — the seek table a frame sampler needs to pull
+    keyframes out of compressed video WITHOUT decoding it."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.split()[0]: [] for k in KEYFRAME_INDEX_SCHEMA.split(",")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                es = bytes(payload)
+                units = mp4_codec.nal_scan(es)
+                idrs = [u for u in units if u["is_idr"]]
+                rows["media_id"].append(int(mid))
+                rows["n_nals"].append(len(units))
+                rows["n_idr"].append(len(idrs))
+                rows["first_idr_offset"].append(
+                    idrs[0]["offset"] if idrs else -1
+                )
+                rows["idr_bytes"].append(sum(u["size"] for u in idrs))
+                rows["es_bytes"].append(len(es))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=KEYFRAME_INDEX_SCHEMA)

@@ -1,0 +1,221 @@
+"""Compressed-video PROBE correctness (operators/mp4.py): H.264 SPS
+bit-level round-trips and a hand-assembled golden, RBSP emulation
+prevention, ISO BMFF encode→probe round-trips, adversarial truncation
+corpus, Annex-B NAL scanning, and the Spark mapInPandas lanes."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from solarboat_data_pipeline_spark.operators import mp4
+
+
+# --- SPS / Exp-Golomb ------------------------------------------------------
+
+
+@pytest.mark.parametrize("w", [2, 16, 126, 640, 1920, 3840])
+@pytest.mark.parametrize("h", [2, 16, 98, 480, 1080])
+@pytest.mark.parametrize("profile", [66, 77, 100])
+def test_sps_roundtrip(w, h, profile):
+    info = mp4.parse_sps(mp4.encode_sps(w, h, profile_idc=profile, level_idc=31))
+    assert (info["width"], info["height"]) == (w, h)
+    assert info["profile_idc"] == profile
+    assert info["level_idc"] == 31
+
+
+def test_sps_golden_16x16_baseline():
+    # Hand-assembled bit layout for a 16x16 baseline SPS (ITU-T H.264
+    # §7.3.2.1.1), independent of the encoder: after the three fixed
+    # bytes 0x42 0x00 0x1E the RBSP bits are
+    #   ue(0) sps_id            = 1
+    #   ue(0) log2_mfn_minus4   = 1
+    #   ue(2) poc_type          = 011
+    #   ue(1) max_ref_frames    = 010
+    #   u(1)  gaps flag         = 0
+    #   ue(0) width_mbs_minus1  = 1
+    #   ue(0) height_map_minus1 = 1
+    #   u(1)  frame_mbs_only    = 1
+    #   u(1)  direct_8x8        = 1
+    #   u(1)  cropping          = 0
+    #   u(1)  vui               = 0
+    #   stop bit + pad          = 1 0000000 → wait, 16 bits already used
+    # giving bytes 0b11011010 0b01111001 = 0xDA 0x79.
+    assert mp4.encode_sps(16, 16, profile_idc=66, level_idc=30) == bytes(
+        [0x67, 0x42, 0x00, 0x1E, 0xDA, 0x79]
+    )
+
+
+def test_sps_cropping_odd_macroblock_remainder():
+    # 126 = 8 MB * 16 - 2 → crop_right_offset 1 (crop unit 2 px)
+    sps = mp4.encode_sps(126, 98)
+    info = mp4.parse_sps(sps)
+    assert info["width"] == 126 and info["height"] == 98
+
+
+def test_sps_rejects_odd_dimensions():
+    with pytest.raises(ValueError):
+        mp4.encode_sps(15, 16)
+    with pytest.raises(ValueError):
+        mp4.encode_sps(16, 17)
+
+
+def test_exp_golomb_values():
+    w = mp4._BitWriter()
+    for v in (0, 1, 2, 3, 7, 100, 255):
+        w.ue(v)
+    for v in (0, 1, -1, 5, -7, 12):
+        w.se(v)
+    r = mp4._BitReader(w.rbsp_trailing())
+    assert [r.ue() for _ in range(7)] == [0, 1, 2, 3, 7, 100, 255]
+    assert [r.se() for _ in range(6)] == [0, 1, -1, 5, -7, 12]
+
+
+def test_emulation_prevention_roundtrip():
+    for raw in (
+        b"\x00\x00\x00\x00\x01",
+        b"\x00\x00\x02\x00\x00\x03",
+        b"\x00\x00\x00\x00\x00\x00",
+        bytes(range(256)) + b"\x00\x00\x01",
+    ):
+        nal = mp4._rbsp_to_nal(raw)
+        for pat in (b"\x00\x00\x00", b"\x00\x00\x01", b"\x00\x00\x02"):
+            assert pat not in nal
+        assert mp4._nal_to_rbsp(nal) == raw
+
+
+def test_avcc_roundtrip():
+    sps = mp4.encode_sps(640, 480, profile_idc=100, level_idc=40)
+    cfg = mp4.parse_avcc(mp4.encode_avcc(sps, mp4.encode_pps()))
+    assert (cfg["width"], cfg["height"]) == (640, 480)
+    assert cfg["n_sps"] == 1 and cfg["n_pps"] == 1 and cfg["length_size"] == 4
+
+
+# --- ISO BMFF --------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "w,h,n,ts,delta,profile,level",
+    [
+        (16, 16, 1, 600, 25, 66, 30),
+        (126, 98, 24, 1200, 40, 100, 41),
+        (640, 480, 7, 2400, 11, 77, 31),
+    ],
+)
+def test_mp4_probe_roundtrip(w, h, n, ts, delta, profile, level):
+    sizes = [50 + (i * 13) % 100 for i in range(n)]
+    info = mp4.probe_mp4(
+        mp4.encode_mp4(
+            w, h, sizes, timescale=ts, sample_delta=delta,
+            profile_idc=profile, level_idc=level,
+        )
+    )
+    assert info["major_brand"] == "isom" and info["codec"] == "avc1"
+    assert (info["track_width"], info["track_height"]) == (w, h)
+    assert (info["coded_width"], info["coded_height"]) == (w, h)
+    assert (info["profile_idc"], info["level_idc"]) == (profile, level)
+    assert info["n_samples"] == n
+    assert info["sample_bytes"] == sum(sizes) == info["mdat_bytes"]
+    assert (info["timescale"], info["duration"]) == (ts, n * delta)
+    assert info["fps_x1000"] == round(ts * 1000 / delta)
+
+
+def test_probe_adversarial_corpus():
+    data = mp4.encode_mp4(64, 48, [50, 60, 70])
+    # every truncation point raises ValueError (never garbage)
+    for cut in range(4, len(data), 37):
+        with pytest.raises(ValueError):
+            mp4.probe_mp4(data[:cut])
+    with pytest.raises(ValueError):
+        mp4.probe_mp4(b"not a movie at all")
+    # box size overrunning the file raises
+    corrupt = bytearray(data)
+    corrupt[0:4] = struct.pack(">I", len(data) + 1)
+    with pytest.raises(ValueError):
+        mp4.probe_mp4(bytes(corrupt))
+    # ftyp swapped away raises
+    corrupt = bytearray(data)
+    corrupt[4:8] = b"junk"
+    with pytest.raises(ValueError):
+        mp4.probe_mp4(bytes(corrupt))
+
+
+def test_probe_largesize_box():
+    # re-wrap the mdat with a 64-bit largesize header; probe must walk it
+    data = mp4.encode_mp4(32, 32, [50])
+    idx = data.rindex(b"mdat") - 4
+    (size,) = struct.unpack_from(">I", data, idx)
+    payload = data[idx + 8 : idx + size]
+    large = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(payload)) + payload
+    info = mp4.probe_mp4(data[:idx] + large)
+    assert info["mdat_bytes"] == len(payload)
+
+
+# --- Annex-B scan ----------------------------------------------------------
+
+
+def test_nal_scan_mixed_start_codes():
+    sps = mp4.encode_sps(32, 32)
+    es = (
+        b"\x00\x00\x00\x01" + sps
+        + b"\x00\x00\x01\x65" + bytes([7] * 59)
+        + b"\x00\x00\x00\x01\x41" + bytes([9] * 38)
+    )
+    units = mp4.nal_scan(es)
+    assert [u["nal_type"] for u in units] == [7, 5, 1]
+    assert [u["is_idr"] for u in units] == [False, True, False]
+    assert units[0]["size"] == len(sps)
+    assert units[1]["size"] == 60  # header + 59 payload bytes
+    assert units[2]["size"] == 39
+    # offsets point at the NAL header byte
+    assert es[units[1]["offset"]] == 0x65
+
+
+def test_nal_scan_no_start_code_raises():
+    with pytest.raises(ValueError):
+        mp4.nal_scan(b"\x01\x02\x03\x04" * 10)
+
+
+# --- Spark lanes -----------------------------------------------------------
+
+
+def test_probe_video_stats_spark(spark):
+    from solarboat_data_pipeline_spark.operators import multimodal as mm
+
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    rows = {
+        r["media_id"]: r
+        for r in mm.probe_video_stats(mm.synthesize_mp4_media(docs)).collect()
+    }
+    assert len(rows) == 40
+    for mid, r in rows.items():
+        p = mm._mp4_params(mid)
+        assert r["track_width"] == r["coded_width"] == p["width"]
+        assert r["track_height"] == r["coded_height"] == p["height"]
+        assert r["profile_idc"] == p["profile_idc"]
+        assert r["n_samples"] == p["n_samples"]
+        assert r["duration"] == p["n_samples"] * p["sample_delta"]
+        assert r["sample_bytes"] == sum(
+            50 + (7 * mid + 13 * i) % 100 for i in range(p["n_samples"])
+        )
+
+
+def test_keyframe_index_spark(spark):
+    from solarboat_data_pipeline_spark.operators import multimodal as mm
+
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    rows = {
+        r["media_id"]: r
+        for r in mm.keyframe_index(mm.synthesize_annexb_media(docs)).collect()
+    }
+    assert len(rows) == 40
+    for mid, r in rows.items():
+        p = mm._annexb_params(mid)
+        n, k = p["n_nals"], p["idr_every"]
+        assert r["n_nals"] == n
+        assert r["n_idr"] == (n + k - 1) // k
+        assert r["first_idr_offset"] == 4
+        assert r["es_bytes"] == sum(
+            25 + (5 * mid + 11 * i) % 64 for i in range(n)
+        )
