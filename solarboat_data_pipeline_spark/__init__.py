@@ -38,6 +38,7 @@ from solarboat_data_pipeline_spark.operators import (
     jpeg,
     mp4,
     multimodal,
+    vp9,
     parse,
     png,
     sampling,
@@ -196,6 +197,7 @@ from solarboat_data_pipeline_spark.operators.multimodal import (
     frame_sample_plan,
     keyframe_index,
     mjpeg_decode_check,
+    probe_ivf_stats,
     probe_video_stats,
     resample_audio_stats,
     resize_image_stats,
@@ -208,7 +210,7 @@ __all__ = [
     # module namespaces
     "catalog", "pipeline", "parse", "timeseries", "scale",
     "dedup", "similarity", "text", "sampling", "skew",
-    "multimodal", "png", "wav", "avi", "jpeg", "mp4", "geo", "solar", "formatting",
+    "multimodal", "png", "wav", "avi", "jpeg", "mp4", "vp9", "geo", "solar", "formatting",
     "sinks", "bucketed", "streaming", "stateful",
     # sources / sinks
     "scan_candump", "extract_frames", "scan_forecast_csv", "scan_gps_csv",
@@ -248,4 +250,5 @@ __all__ = [
     "resize_image_stats", "decode_audio_stats", "resample_audio_stats",
     "decode_video_stats", "sample_frame_stats", "mjpeg_decode_check",
     "frame_sample_plan", "probe_video_stats", "keyframe_index",
+    "probe_ivf_stats",
 ]

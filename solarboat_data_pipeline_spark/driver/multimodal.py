@@ -458,3 +458,53 @@ def mm_h264_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = mm.synthesize_annexb_media(docs)
     return mm.keyframe_index(media)
+
+
+@register(
+    "mm_ivf_vp9_probe",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             32*(doc_id % 10 + 1) - (doc_id % 7) AS width,
+             32*(doc_id % 8 + 1) - (doc_id % 5) AS height,
+             doc_id % 20 + 1 AS n_frames,
+             doc_id % 6 + 2 AS key_every,
+             CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 2 END AS profile,
+             CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 10 END AS bit_depth,
+             24 + (doc_id % 4) * 6 AS timebase_den
+      FROM documents),
+    f AS (
+      SELECT g.doc_id,
+             SUM(CASE WHEN i.i % g.key_every = 0 THEN 9 ELSE 2 END
+                 + 30 + (3*g.doc_id + 17*i.i) % 80) AS frame_bytes,
+             SUM(CASE WHEN i.i % g.key_every = 0 THEN 1 ELSE 0 END)
+               AS n_keyframes
+      FROM g, generate_series(0, 19) i(i)
+      WHERE i.i < g.n_frames
+      GROUP BY g.doc_id)
+    SELECT g.doc_id AS media_id, 'VP90' AS fourcc,
+           g.width::BIGINT AS width, g.height::BIGINT AS height,
+           g.width::BIGINT AS coded_width, g.height::BIGINT AS coded_height,
+           g.profile::BIGINT AS profile, g.bit_depth::BIGINT AS bit_depth,
+           g.n_frames::BIGINT AS n_frames,
+           f.n_keyframes::BIGINT AS n_keyframes,
+           f.frame_bytes::BIGINT AS frame_bytes,
+           g.timebase_den::BIGINT AS timebase_den
+    FROM g JOIN f USING (doc_id)
+    """,
+)
+def mm_ivf_vp9_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IVF/VP9 probe (operators/vp9.py): each document id becomes
+    a genuine IVF file whose frames carry bit-exact VP9 uncompressed
+    headers (spec §6.2 — keyframe sync code, profile-2 10-bit branch,
+    4:2:0 color config, 16-bit frame-size fields), walked back by the
+    container prober + per-frame header parser inside Arrow
+    mapInPandas. The oracle recomputes every column ARITHMETICALLY from
+    the generator geometry; the only derived constants are the header
+    byte lengths (keyframe header = 69/70 bits -> 9 bytes for profiles
+    0/2, inter prefix = 9 bits -> 2 bytes), asserted exactly in
+    tests/test_vp9.py so a syntax change cannot silently keep the
+    oracle green."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_ivf_media(docs)
+    return mm.probe_ivf_stats(media)

@@ -73,11 +73,12 @@ del _m, _k, _v
 # pytest oracle gate every run; the flagship q1_pricing_summary is
 # additionally smoke-run by the driver's entry() every round.
 _PRIORITY = [
-    # 0. never-green: new this round (3 — the streaming wide decode and
-    #    the compressed-video probe lane)
+    # 0. never-green: new this round (4 — the streaming wide decode and
+    #    the compressed-video probe lane: MP4/H.264 + IVF/VP9)
     "st_stream_decode_wide",
     "mm_mp4_probe",
     "mm_h264_keyframes",
+    "mm_ivf_vp9_probe",
     # 1. operator code changed this round (5): the fused resample
     #    kernel's generator fold (timeseries.resample_interpolate), the
     #    decode_wide auto dup-overflow fallback, and the SQ8 batch-mode
@@ -128,12 +129,12 @@ _PRIORITY = [
     "samp_pack_sequences",
     "txt_decontaminate_fuzzy",
     "txt_ngram_topk",
-    # 3. oldest r8-stale queries (registry order) fill the 50 (3 —
-    #    p5/p6 dropped from the window to make room for the two new
-    #    never-green probe rows; they stay under the pytest oracle gate)
+    # 3. oldest r8-stale queries (registry order) fill the 50 (2 —
+    #    p3/p5/p6 dropped from the window to make room for the three
+    #    new never-green probe rows; they stay under the pytest oracle
+    #    gate every run)
     "q1_pricing_summary",
     "p1_regex_extract",
-    "p3_time_offset",
 ]
 
 
@@ -277,6 +278,7 @@ _REGISTRATION_ORDER = [
     "st_stream_decode_wide",
     "mm_mp4_probe",
     "mm_h264_keyframes",
+    "mm_ivf_vp9_probe",
 ]
 
 

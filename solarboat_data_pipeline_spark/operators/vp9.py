@@ -1,0 +1,262 @@
+"""Pure-stdlib IVF (libvpx container) prober and VP9 uncompressed
+frame-header parser (``struct`` only) — the VP9 twin of :mod:`.mp4`.
+
+Like the MP4/H.264 lane, this is STRUCTURE, never pixels: enough to
+classify a VP9 stream, extract its dimensions/profile/bit depth, and
+index its keyframes for seek-based frame sampling, all from public
+specifications:
+
+* IVF: the 32-byte libvpx container header (``DKIF``, fourcc, display
+  dimensions, timebase, frame count) plus 12-byte per-frame headers
+  (size, pts) — the de-facto raw-VP8/VP9 interchange format.
+* VP9 uncompressed header (Google "VP9 Bitstream & Decoding Process
+  Specification" §6.2): frame marker, profile bits, show_existing,
+  frame type, sync code ``0x49 0x83 0x42``, color config (bit depth,
+  color space, subsampling per profile), and coded frame size — parsed
+  bit-exactly for keyframes, which is exactly what a probe needs (the
+  inter-frame path stops at frame_type, sufficient for keyframe
+  indexing).
+
+Everything raises ``ValueError`` with the precise reason on malformed
+input.  Encoder envelope: profiles 0 (8-bit 4:2:0) and 2 (10/12-bit
+4:2:0) keyframe headers — the two profiles hardware emits; the parser
+additionally walks profiles 1/3's explicit subsampling bits.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from solarboat_data_pipeline_spark.operators.mp4 import _BitReader, _BitWriter
+
+__all__ = [
+    "encode_vp9_keyframe_header",
+    "parse_vp9_frame_header",
+    "encode_ivf",
+    "probe_ivf",
+]
+
+_SYNC = (0x49, 0x83, 0x42)
+_CS_UNKNOWN = 0  # color_space CS_UNKNOWN — never CS_RGB, so 4:2:0 holds
+
+
+def encode_vp9_keyframe_header(
+    width: int,
+    height: int,
+    profile: int = 0,
+    bit_depth: int = 8,
+) -> bytes:
+    """Serialize a VP9 KEYFRAME uncompressed header (§6.2) down to the
+    frame-size fields.  Returns only the header bytes — a real encoder
+    would append the compressed header and tile data; the probe lane
+    appends deterministic opaque bytes."""
+    if width <= 0 or height <= 0:
+        raise ValueError("dimensions must be positive")
+    if profile not in (0, 2):
+        raise ValueError("encoder envelope is profiles 0 and 2 (4:2:0)")
+    if profile == 0 and bit_depth != 8:
+        raise ValueError("profile 0 is 8-bit")
+    if profile == 2 and bit_depth not in (10, 12):
+        raise ValueError("profile 2 is 10- or 12-bit")
+    w = _BitWriter()
+    w.u(2, 2)  # frame_marker
+    w.u(profile & 1, 1)  # profile_low_bit
+    w.u(profile >> 1, 1)  # profile_high_bit
+    w.u(0, 1)  # show_existing_frame
+    w.u(0, 1)  # frame_type: KEY_FRAME
+    w.u(1, 1)  # show_frame
+    w.u(0, 1)  # error_resilient_mode
+    for b in _SYNC:  # frame_sync_code
+        w.u(b, 8)
+    # color_config
+    if profile == 2:
+        w.u(1 if bit_depth == 12 else 0, 1)  # ten_or_twelve_bit
+    w.u(_CS_UNKNOWN, 3)  # color_space
+    w.u(0, 1)  # color_range (studio)
+    # profiles 0/2: subsampling_x/y implicit 1/1 (4:2:0) — no bits
+    # frame_size
+    w.u(width - 1, 16)
+    w.u(height - 1, 16)
+    w.u(0, 1)  # render_and_frame_size_different
+    # byte-align the remainder (the compressed header would follow)
+    out = w.rbsp_trailing()
+    return out
+
+
+def encode_vp9_inter_header(profile: int = 0) -> bytes:
+    """Minimal INTER-frame header prefix: marker, profile, not
+    show_existing, frame_type=1, show_frame=1, error_resilient=0 — the
+    point where :func:`parse_vp9_frame_header` stops for non-keyframes
+    (the rest of a real inter header needs reference-frame state the
+    probe never touches)."""
+    w = _BitWriter()
+    w.u(2, 2)
+    w.u(profile & 1, 1)
+    w.u(profile >> 1, 1)
+    w.u(0, 1)  # show_existing_frame
+    w.u(1, 1)  # frame_type: inter
+    w.u(1, 1)  # show_frame
+    w.u(0, 1)  # error_resilient_mode
+    return w.rbsp_trailing()
+
+
+def parse_vp9_frame_header(data: bytes) -> dict:
+    """Parse a VP9 uncompressed frame header (§6.2).  For keyframes
+    returns dimensions/profile/bit depth/subsampling; for inter frames
+    stops after the type bits (enough to classify for a keyframe
+    index)."""
+    if not data:
+        raise ValueError("empty frame")
+    r = _BitReader(data)
+    if r.u(2) != 2:
+        raise ValueError("bad frame_marker (not a VP9 frame)")
+    profile = r.u(1) | (r.u(1) << 1)
+    if profile == 3 and r.u(1):
+        raise ValueError("reserved profile-3 bit set")
+    if r.u(1):  # show_existing_frame
+        return {"profile": profile, "frame_type": "show_existing", "is_key": False}
+    frame_type = r.u(1)
+    show_frame = r.u(1)
+    r.u(1)  # error_resilient_mode
+    if frame_type != 0:
+        return {
+            "profile": profile,
+            "frame_type": "inter",
+            "is_key": False,
+            "show_frame": bool(show_frame),
+        }
+    if tuple(r.u(8) for _ in range(3)) != _SYNC:
+        raise ValueError("keyframe without VP9 sync code")
+    bit_depth = 8
+    if profile >= 2:
+        bit_depth = 12 if r.u(1) else 10
+    color_space = r.u(3)
+    if color_space != 7:  # CS_RGB
+        r.u(1)  # color_range
+        if profile in (1, 3):
+            sub_x, sub_y = r.u(1), r.u(1)
+            if r.u(1):
+                raise ValueError("reserved subsampling bit set")
+        else:
+            sub_x = sub_y = 1
+    else:
+        if profile in (1, 3):
+            if r.u(1):
+                raise ValueError("reserved RGB bit set")
+        sub_x = sub_y = 0
+    width = r.u(16) + 1
+    height = r.u(16) + 1
+    if r.u(1):  # render_and_frame_size_different
+        r.u(16), r.u(16)
+    return {
+        "profile": profile,
+        "frame_type": "key",
+        "is_key": True,
+        "show_frame": bool(show_frame),
+        "bit_depth": bit_depth,
+        "color_space": color_space,
+        "subsampling_x": sub_x,
+        "subsampling_y": sub_y,
+        "width": width,
+        "height": height,
+    }
+
+
+def encode_ivf(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    fourcc: bytes = b"VP90",
+    timebase_num: int = 1,
+    timebase_den: int = 30,
+) -> bytes:
+    """Minimal valid IVF file: 32-byte header + per-frame 12-byte
+    headers.  ``frames`` are the raw frame payloads (for the probe
+    lane: a real VP9 uncompressed header + opaque tail)."""
+    if not frames:
+        raise ValueError("at least one frame")
+    out = bytearray(
+        b"DKIF"
+        + struct.pack(
+            "<HH4sHHIIII",
+            0,  # version
+            32,  # header size
+            fourcc,
+            width,
+            height,
+            timebase_den,
+            timebase_num,
+            len(frames),
+            0,  # unused
+        )
+    )
+    for i, payload in enumerate(frames):
+        out += struct.pack("<IQ", len(payload), i) + payload
+    return bytes(out)
+
+
+def probe_ivf(data: bytes) -> dict:
+    """Probe an IVF/VP9 file: container geometry plus a per-frame walk
+    that parses each VP9 frame header — keyframe count, first-keyframe
+    offset, keyframe dimensions (asserted consistent), total frame
+    bytes.  Pure struct/bit parsing, no pixel decode."""
+    if len(data) < 32 or data[:4] != b"DKIF":
+        raise ValueError("not an IVF file (no DKIF signature)")
+    version, hdr_size, fourcc, width, height, tb_den, tb_num, n_frames, _ = (
+        struct.unpack_from("<HH4sHHIIII", data, 4)
+    )
+    if version != 0:
+        raise ValueError(f"unsupported IVF version {version}")
+    if hdr_size < 32:
+        raise ValueError(f"bad IVF header size {hdr_size}")
+    out = {
+        "fourcc": fourcc.decode("ascii"),
+        "width": width,
+        "height": height,
+        "timebase_num": tb_num,
+        "timebase_den": tb_den,
+        "n_frames_header": n_frames,
+    }
+    pos = hdr_size
+    n_seen = n_key = frame_bytes = 0
+    first_key_offset = -1
+    coded_w = coded_h = None
+    profile = bit_depth = None
+    while pos < len(data):
+        if pos + 12 > len(data):
+            raise ValueError(f"truncated IVF frame header at {pos}")
+        size, _pts = struct.unpack_from("<IQ", data, pos)
+        pos += 12
+        if pos + size > len(data):
+            raise ValueError(f"IVF frame at {pos} overruns the file")
+        if out["fourcc"] == "VP90":
+            info = parse_vp9_frame_header(data[pos : pos + size])
+            if info["is_key"]:
+                n_key += 1
+                if first_key_offset < 0:
+                    first_key_offset = pos
+                if coded_w is None:
+                    coded_w, coded_h = info["width"], info["height"]
+                    profile, bit_depth = info["profile"], info["bit_depth"]
+                elif (coded_w, coded_h) != (info["width"], info["height"]):
+                    raise ValueError("keyframe dimensions change mid-stream")
+        n_seen += 1
+        frame_bytes += size
+        pos += size
+    if n_seen != n_frames:
+        raise ValueError(
+            f"IVF header promises {n_frames} frames, stream holds {n_seen}"
+        )
+    out.update(
+        {
+            "n_frames": n_seen,
+            "n_keyframes": n_key,
+            "first_keyframe_offset": first_key_offset,
+            "frame_bytes": frame_bytes,
+            "coded_width": coded_w,
+            "coded_height": coded_h,
+            "profile": profile,
+            "bit_depth": bit_depth,
+        }
+    )
+    return out
