@@ -321,22 +321,26 @@ def encode_avcc(sps: bytes, pps: bytes) -> bytes:
 def parse_avcc(data: bytes) -> dict:
     if len(data) < 7 or data[0] != 1:
         raise ValueError("not an AVCDecoderConfigurationRecord")
+
+    def _take_sets(pos: int, n: int) -> tuple[list[bytes], int]:
+        out = []
+        for _ in range(n):
+            if pos + 2 > len(data):
+                raise ValueError("avcC truncated in a parameter-set length")
+            (ln,) = struct.unpack_from(">H", data, pos)
+            pos += 2
+            if pos + ln > len(data):
+                raise ValueError("avcC parameter set overruns the record")
+            out.append(data[pos : pos + ln])
+            pos += ln
+        return out, pos
+
     n_sps = data[5] & 0x1F
-    pos = 6
-    sps_list = []
-    for _ in range(n_sps):
-        (ln,) = struct.unpack_from(">H", data, pos)
-        pos += 2
-        sps_list.append(data[pos : pos + ln])
-        pos += ln
+    sps_list, pos = _take_sets(6, n_sps)
+    if pos >= len(data):
+        raise ValueError("avcC truncated before the PPS count")
     n_pps = data[pos]
-    pos += 1
-    pps_list = []
-    for _ in range(n_pps):
-        (ln,) = struct.unpack_from(">H", data, pos)
-        pos += 2
-        pps_list.append(data[pos : pos + ln])
-        pos += ln
+    pps_list, pos = _take_sets(pos + 1, n_pps)
     if not sps_list:
         raise ValueError("avcC carries no SPS")
     out = parse_sps(sps_list[0])
@@ -520,7 +524,20 @@ def probe_mp4(data: bytes) -> dict:
             raise ValueError(f"required box {btype!r} missing")
         return boxes[btype][0]
 
-    out: dict = {"major_brand": _req(b"ftyp")[:4].decode("ascii")}
+    def _fourcc(raw: bytes, what: str) -> str:
+        try:
+            return raw.decode("ascii")
+        except UnicodeDecodeError as exc:
+            raise ValueError(f"non-ASCII {what} {raw!r}") from exc
+
+    try:
+        return _probe_fields(data, boxes, _req, _fourcc)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"box payload truncated or malformed: {exc}") from exc
+
+
+def _probe_fields(data: bytes, boxes: dict, _req, _fourcc) -> dict:
+    out: dict = {"major_brand": _fourcc(_req(b"ftyp")[:4], "brand")}
     mvhd = _req(b"mvhd")
     version = mvhd[0]
     if version == 1:
@@ -541,7 +558,7 @@ def probe_mp4(data: bytes) -> dict:
     out["track_width"] = tw >> 16
     out["track_height"] = th >> 16
     stsd = _req(b"stsd")
-    out["codec"] = stsd[4 + 4 + 4 : 4 + 4 + 8].decode("ascii")
+    out["codec"] = _fourcc(stsd[4 + 4 + 4 : 4 + 4 + 8], "sample-entry fourcc")
     entry = stsd[4 + 4 :]
     # avc1 visual sample entry: 8-byte box header + 78-byte fixed
     # VisualSampleEntry body before child boxes.

@@ -209,8 +209,12 @@ def probe_ivf(data: bytes) -> dict:
         raise ValueError(f"unsupported IVF version {version}")
     if hdr_size < 32:
         raise ValueError(f"bad IVF header size {hdr_size}")
+    try:
+        fourcc_s = fourcc.decode("ascii")
+    except UnicodeDecodeError as exc:
+        raise ValueError(f"non-ASCII IVF fourcc {fourcc!r}") from exc
     out = {
-        "fourcc": fourcc.decode("ascii"),
+        "fourcc": fourcc_s,
         "width": width,
         "height": height,
         "timebase_num": tb_num,

@@ -139,3 +139,70 @@ def test_truncation_always_raises_never_garbage(codec, cut):
         decode = jpeg.decode_jpeg
     with pytest.raises(ValueError):
         decode(data[: int(len(data) * cut)])
+
+
+# --- probe lane (mp4 / vp9): mutation + truncation fuzz ---------------------
+# the probers promise clean ValueError on ANY malformed input — a
+# struct.error / IndexError / UnicodeDecodeError leaking out of the
+# Arrow batch would fail a whole 100 TB task with an opaque trace.
+
+
+def _probe_fixtures():
+    from solarboat_data_pipeline_spark.operators import mp4, vp9
+
+    rnd = np.random.default_rng(20260816)
+    base_mp4 = mp4.encode_mp4(
+        126, 98, [50 + (i * 13) % 100 for i in range(12)], profile_idc=100
+    )
+    frames = []
+    for i in range(8):
+        hdr = (
+            vp9.encode_vp9_keyframe_header(126, 98)
+            if i % 3 == 0
+            else vp9.encode_vp9_inter_header(0)
+        )
+        frames.append(hdr + bytes(rnd.integers(0, 256, size=40, dtype=np.uint8)))
+    return mp4, vp9, rnd, base_mp4, vp9.encode_ivf(126, 98, frames)
+
+
+@pytest.mark.parametrize("trial", range(30))
+def test_probe_mutation_fuzz_only_value_errors(trial):
+    mp4, vp9, rnd, base_mp4, base_ivf = _probe_fixtures()
+    for _ in range(100):
+        kind = int(rnd.integers(0, 5))
+        if kind == 0:
+            data = bytes(rnd.integers(0, 256, size=int(rnd.integers(1, 300)), dtype=np.uint8))
+            fns = (mp4.probe_mp4, vp9.probe_ivf)
+        elif kind == 1:
+            data = base_mp4[: int(rnd.integers(0, len(base_mp4)))]
+            fns = (mp4.probe_mp4,)
+        elif kind == 2:
+            b = bytearray(base_mp4)
+            for _ in range(int(rnd.integers(1, 12))):
+                b[int(rnd.integers(0, len(b)))] = int(rnd.integers(0, 256))
+            data, fns = bytes(b), (mp4.probe_mp4,)
+        elif kind == 3:
+            b = bytearray(base_ivf)
+            for _ in range(int(rnd.integers(1, 12))):
+                b[int(rnd.integers(0, len(b)))] = int(rnd.integers(0, 256))
+            data, fns = bytes(b), (vp9.probe_ivf,)
+        else:
+            data = base_ivf[: int(rnd.integers(0, len(base_ivf)))]
+            fns = (vp9.probe_ivf,)
+        for fn in fns:
+            try:
+                fn(data)  # surviving a benign mutation is fine
+            except ValueError:
+                pass  # the ONLY permitted failure mode
+
+
+@pytest.mark.parametrize("trial", range(10))
+def test_header_parser_random_bytes_only_value_errors(trial):
+    mp4, vp9, rnd, _, _ = _probe_fixtures()
+    for _ in range(200):
+        data = bytes(rnd.integers(0, 256, size=int(rnd.integers(0, 60)), dtype=np.uint8))
+        for fn in (mp4.parse_sps, vp9.parse_vp9_frame_header, mp4.parse_avcc, mp4.nal_scan):
+            try:
+                fn(data)
+            except ValueError:
+                pass
