@@ -508,3 +508,39 @@ def mm_ivf_vp9_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = mm.synthesize_ivf_media(docs)
     return mm.probe_ivf_stats(media)
+
+
+@register(
+    "mm_mp4_sample_ranges",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             doc_id % 24 + 1 AS n_samples,
+             doc_id % 40 + 10 AS delta
+      FROM documents),
+    s AS (
+      SELECT g.doc_id, i.i,
+             50 + (7*g.doc_id + 13*i.i) % 100 AS sz, g.delta
+      FROM g, generate_series(0, 23) i(i)
+      WHERE i.i < g.n_samples)
+    SELECT doc_id AS media_id, i::BIGINT AS sample_index,
+           COALESCE(SUM(sz) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             AS rel_offset,
+           sz::BIGINT AS size,
+           (i * delta)::BIGINT AS dts_ticks
+    FROM s
+    """,
+)
+def mm_mp4_sample_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sample MP4 seek table (operators/mp4.py sample_index): full
+    stsc run-length chunk map + stsz/stco/stts walk, exploded to one
+    row per sample with its relative byte range and decode timestamp —
+    what a distributed extractor joins against for ranged reads. The
+    oracle recomputes size/prefix-sum offset/dts arithmetically from
+    the generator; the ABSOLUTE offsets are asserted byte-exact in
+    tests/test_mp4.py (each (offset, size) range slices exactly the
+    generated sample payload back out of the file)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_mp4_media(docs)
+    return mm.mp4_sample_ranges(media)

@@ -50,6 +50,7 @@ __all__ = [
     "parse_avcc",
     "encode_mp4",
     "probe_mp4",
+    "sample_index",
     "nal_scan",
 ]
 
@@ -643,3 +644,112 @@ def nal_scan(es: bytes) -> list[dict]:
         )
         pos = nxt
     return units
+
+
+# ---------------------------------------------------------------------------
+# Sample seek table (stsc / stsz / stco / stts walk)
+# ---------------------------------------------------------------------------
+
+
+def sample_index(data: bytes) -> list[dict]:
+    """Build the per-sample seek table of an MP4: for every sample its
+    byte ``offset``/``size`` in the file and its decode timestamp in
+    media-timescale ``dts_ticks`` — the table a frame extractor needs
+    to read ONE sample without touching the rest of the file.  Full
+    ISO 14496-12 semantics: the stsc run-length chunk map (entries
+    cover [first_chunk, next.first_chunk)), 32-bit stco or 64-bit co64
+    offsets, fixed- or per-sample stsz, stts delta runs.  Raises
+    ValueError on any inconsistency (counts disagreeing across tables,
+    a sample overrunning the file)."""
+    boxes: dict = {}
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF file (no leading ftyp)")
+    _walk(data, 0, len(data), boxes)
+    try:
+        return _sample_index_fields(data, boxes)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"sample-table box truncated or malformed: {exc}") from exc
+
+
+def _sample_index_fields(data: bytes, boxes: dict) -> list[dict]:
+    def _req(btype: bytes) -> bytes:
+        if btype not in boxes:
+            raise ValueError(f"required box {btype!r} missing")
+        return boxes[btype][0]
+
+    stsz = _req(b"stsz")
+    fixed, count = struct.unpack_from(">II", stsz, 4)
+    sizes = (
+        [fixed] * count
+        if fixed
+        else [
+            struct.unpack_from(">I", stsz, 12 + 4 * i)[0] for i in range(count)
+        ]
+    )
+    if b"co64" in boxes:
+        co = boxes[b"co64"][0]
+        (n_chunks,) = struct.unpack_from(">I", co, 4)
+        offsets = [
+            struct.unpack_from(">Q", co, 8 + 8 * i)[0] for i in range(n_chunks)
+        ]
+    else:
+        co = _req(b"stco")
+        (n_chunks,) = struct.unpack_from(">I", co, 4)
+        offsets = [
+            struct.unpack_from(">I", co, 8 + 4 * i)[0] for i in range(n_chunks)
+        ]
+    stsc = _req(b"stsc")
+    (n_runs,) = struct.unpack_from(">I", stsc, 4)
+    runs = [
+        struct.unpack_from(">III", stsc, 8 + 12 * i) for i in range(n_runs)
+    ]  # (first_chunk 1-based, samples_per_chunk, sample_description_index)
+    if not runs or runs[0][0] != 1:
+        raise ValueError("stsc must start at chunk 1")
+    stts = _req(b"stts")
+    (n_tt,) = struct.unpack_from(">I", stts, 4)
+    deltas: list[int] = []
+    for i in range(n_tt):
+        n, d = struct.unpack_from(">II", stts, 8 + 8 * i)
+        deltas.extend([d] * n)
+    if len(deltas) != count:
+        raise ValueError(
+            f"stts covers {len(deltas)} samples, stsz declares {count}"
+        )
+    out: list[dict] = []
+    sample = 0
+    dts = 0
+    for run_i, (first_chunk, per_chunk, _desc) in enumerate(runs):
+        last_chunk = (
+            runs[run_i + 1][0] - 1 if run_i + 1 < len(runs) else len(offsets)
+        )
+        if last_chunk < first_chunk:
+            raise ValueError("stsc first_chunk values must increase")
+        for chunk in range(first_chunk, last_chunk + 1):
+            pos = offsets[chunk - 1]
+            for _ in range(per_chunk):
+                if sample >= count:
+                    raise ValueError(
+                        "stsc maps more samples than stsz declares"
+                    )
+                size = sizes[sample]
+                if pos + size > len(data):
+                    raise ValueError(
+                        f"sample {sample} overruns the file "
+                        f"({pos}+{size} > {len(data)})"
+                    )
+                out.append(
+                    {
+                        "sample": sample,
+                        "offset": pos,
+                        "size": size,
+                        "dts_ticks": dts,
+                    }
+                )
+                dts += deltas[sample]
+                pos += size
+                sample += 1
+    if sample != count:
+        raise ValueError(
+            f"stsc maps {sample} samples, stsz declares {count}"
+        )
+    return out

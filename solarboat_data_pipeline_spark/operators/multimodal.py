@@ -1054,3 +1054,35 @@ def probe_ivf_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=IVF_PROBE_SCHEMA)
+
+
+SAMPLE_RANGES_SCHEMA = (
+    "media_id long, sample_index long, rel_offset long, size long,"
+    " dts_ticks long"
+)
+
+
+def mp4_sample_ranges(df: DataFrame) -> DataFrame:
+    """Explode each MP4 payload into its per-sample seek table
+    (:func:`mp4_codec.sample_index` — full stsc/stsz/stco/stts walk):
+    one row per sample with its byte range (offset relative to the
+    first sample, i.e. the mdat payload start) and decode timestamp.
+    This is the row set a distributed frame extractor joins against to
+    read single samples out of object storage with ranged GETs instead
+    of whole-file reads — the 100 TB shape of video sampling."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.split()[0]: [] for k in SAMPLE_RANGES_SCHEMA.split(",")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                idx = mp4_codec.sample_index(bytes(payload))
+                base = idx[0]["offset"] if idx else 0
+                for r in idx:
+                    rows["media_id"].append(int(mid))
+                    rows["sample_index"].append(r["sample"])
+                    rows["rel_offset"].append(r["offset"] - base)
+                    rows["size"].append(r["size"])
+                    rows["dts_ticks"].append(r["dts_ticks"])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=SAMPLE_RANGES_SCHEMA)

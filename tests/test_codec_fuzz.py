@@ -175,12 +175,12 @@ def test_probe_mutation_fuzz_only_value_errors(trial):
             fns = (mp4.probe_mp4, vp9.probe_ivf)
         elif kind == 1:
             data = base_mp4[: int(rnd.integers(0, len(base_mp4)))]
-            fns = (mp4.probe_mp4,)
+            fns = (mp4.probe_mp4, mp4.sample_index)
         elif kind == 2:
             b = bytearray(base_mp4)
             for _ in range(int(rnd.integers(1, 12))):
                 b[int(rnd.integers(0, len(b)))] = int(rnd.integers(0, 256))
-            data, fns = bytes(b), (mp4.probe_mp4,)
+            data, fns = bytes(b), (mp4.probe_mp4, mp4.sample_index)
         elif kind == 3:
             b = bytearray(base_ivf)
             for _ in range(int(rnd.integers(1, 12))):

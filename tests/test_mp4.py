@@ -219,3 +219,165 @@ def test_keyframe_index_spark(spark):
         assert r["es_bytes"] == sum(
             25 + (5 * mid + 11 * i) % 64 for i in range(n)
         )
+
+
+# --- sample seek table -----------------------------------------------------
+
+
+def test_sample_index_slices_exact_payloads():
+    # the decisive check: every (offset, size) range slices exactly the
+    # generated sample payload back out of the file bytes
+    sizes = [50 + (i * 13) % 100 for i in range(9)]
+    data = mp4.encode_mp4(64, 48, sizes, sample_delta=40)
+    idx = mp4.sample_index(data)
+    assert [r["size"] for r in idx] == sizes
+    assert [r["dts_ticks"] for r in idx] == [i * 40 for i in range(9)]
+    for i, r in enumerate(idx):
+        blob = data[r["offset"] : r["offset"] + r["size"]]
+        (ln,) = struct.unpack(">I", blob[:4])
+        assert ln == r["size"] - 4 and blob[4] == 0x65
+        expected = bytes(
+            (64 * 7 + 48 * 11 + i * 13 + j * 5) % 256
+            for j in range(r["size"] - 5)
+        )
+        assert blob[5:] == expected
+
+
+def _seek_fixture(co64: bool = False) -> bytes:
+    # hand-assembled general sample table: 7 samples over 3 chunks via
+    # TWO stsc runs (chunks 1-2 carry 2 samples each, chunk 3 carries
+    # 3), per-sample stsz, two stts delta runs (4x10 then 3x25)
+    sizes = [5, 6, 7, 8, 9, 10, 11]
+    ftyp = mp4._box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    stsc = mp4._full(
+        b"stsc", 0, 0,
+        struct.pack(">I", 2)
+        + struct.pack(">III", 1, 2, 1)
+        + struct.pack(">III", 3, 3, 1),
+    )
+    stsz = mp4._full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, 7) + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stts = mp4._full(
+        b"stts", 0, 0,
+        struct.pack(">I", 2) + struct.pack(">II", 4, 10) + struct.pack(">II", 3, 25),
+    )
+    # chunk payloads: chunk1 = samples 0-1, chunk2 = 2-3, chunk3 = 4-6
+    meta_len_guess = 0
+    for _ in range(2):  # two passes: offsets depend on header length
+        if co64:
+            co = mp4._full(
+                b"co64", 0, 0,
+                struct.pack(">I", 3)
+                + b"".join(struct.pack(">Q", o) for o in offsets),
+            ) if meta_len_guess else mp4._full(
+                b"co64", 0, 0, struct.pack(">I", 3) + b"\x00" * 24
+            )
+        else:
+            co = mp4._full(
+                b"stco", 0, 0,
+                struct.pack(">I", 3)
+                + b"".join(struct.pack(">I", o) for o in offsets),
+            ) if meta_len_guess else mp4._full(
+                b"stco", 0, 0, struct.pack(">I", 3) + b"\x00" * 12
+            )
+        header = ftyp + stsc + stsz + stts + co
+        meta_len_guess = len(header)
+        base = meta_len_guess + 8  # samples start after the mdat header
+        offsets = [
+            base,
+            base + sizes[0] + sizes[1],
+            base + sum(sizes[:4]),
+        ]
+    body = b"".join(bytes([17 + i]) * s for i, s in enumerate(sizes))
+    return header + mp4._box(b"mdat", body)
+
+
+@pytest.mark.parametrize("co64", [False, True])
+def test_sample_index_multi_chunk_stsc(co64):
+    data = _seek_fixture(co64=co64)
+    idx = mp4.sample_index(data)
+    assert [r["size"] for r in idx] == [5, 6, 7, 8, 9, 10, 11]
+    assert [r["dts_ticks"] for r in idx] == [0, 10, 20, 30, 40, 65, 90]
+    for i, r in enumerate(idx):
+        assert data[r["offset"] : r["offset"] + r["size"]] == bytes([17 + i]) * r["size"]
+
+
+def test_sample_index_inconsistencies_raise():
+    data = _seek_fixture()
+    # stts covering the wrong sample count
+    corrupt = bytearray(data)
+    i = data.index(b"stts")
+    struct.pack_into(">II", corrupt, i + 8, 3, 10)  # 3+3 != 7 samples
+    with pytest.raises(ValueError):
+        mp4.sample_index(bytes(corrupt))
+    # a sample overrunning the file
+    with pytest.raises(ValueError):
+        mp4.sample_index(data[:-4])
+    # stsc not starting at chunk 1
+    corrupt = bytearray(data)
+    i = data.index(b"stsc")
+    struct.pack_into(">I", corrupt, i + 8 + 4, 2)
+    with pytest.raises(ValueError):
+        mp4.sample_index(bytes(corrupt))
+
+
+def test_mp4_sample_ranges_spark(spark):
+    from solarboat_data_pipeline_spark.operators import multimodal as mm
+
+    docs = spark.range(0, 25).withColumnRenamed("id", "doc_id")
+    out = mm.mp4_sample_ranges(mm.synthesize_mp4_media(docs)).collect()
+    by_media: dict[int, list] = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert len(by_media) == 25
+    for mid, rows in by_media.items():
+        rows.sort(key=lambda r: r["sample_index"])
+        p = mm._mp4_params(mid)
+        sizes = [50 + (7 * mid + 13 * i) % 100 for i in range(p["n_samples"])]
+        assert [r["size"] for r in rows] == sizes
+        assert [r["rel_offset"] for r in rows] == [
+            sum(sizes[:i]) for i in range(len(sizes))
+        ]
+        assert [r["dts_ticks"] for r in rows] == [
+            i * p["sample_delta"] for i in range(len(sizes))
+        ]
+
+
+# --- property tests (hypothesis) --------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    w=st.integers(1, 2048).map(lambda v: v * 2),
+    h=st.integers(1, 2048).map(lambda v: v * 2),
+    profile=st.sampled_from([66, 77, 88, 100, 110, 244]),
+    level=st.integers(9, 52),
+)
+def test_sps_roundtrip_property(w, h, profile, level):
+    info = mp4.parse_sps(mp4.encode_sps(w, h, profile_idc=profile, level_idc=level))
+    assert (info["width"], info["height"]) == (w, h)
+    assert (info["profile_idc"], info["level_idc"]) == (profile, level)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    sizes=st.lists(st.integers(6, 300), min_size=1, max_size=40),
+    delta=st.integers(1, 10_000),
+)
+def test_sample_index_roundtrip_property(sizes, delta):
+    data = mp4.encode_mp4(64, 48, sizes, sample_delta=delta)
+    idx = mp4.sample_index(data)
+    assert [r["size"] for r in idx] == sizes
+    assert [r["dts_ticks"] for r in idx] == [
+        delta * i for i in range(len(sizes))
+    ]
+    # contiguity inside the single chunk + containment in the file
+    for a, b in zip(idx, idx[1:]):
+        assert b["offset"] == a["offset"] + a["size"]
+    last = idx[-1]
+    assert last["offset"] + last["size"] == len(data)
