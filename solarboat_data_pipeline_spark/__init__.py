@@ -197,6 +197,7 @@ from solarboat_data_pipeline_spark.operators.multimodal import (
     frame_sample_plan,
     keyframe_index,
     mjpeg_decode_check,
+    fmp4_sample_ranges,
     mp4_sample_ranges,
     probe_ivf_stats,
     probe_video_stats,
@@ -251,5 +252,5 @@ __all__ = [
     "resize_image_stats", "decode_audio_stats", "resample_audio_stats",
     "decode_video_stats", "sample_frame_stats", "mjpeg_decode_check",
     "frame_sample_plan", "probe_video_stats", "keyframe_index",
-    "probe_ivf_stats", "mp4_sample_ranges",
+    "probe_ivf_stats", "mp4_sample_ranges", "fmp4_sample_ranges",
 ]

@@ -544,3 +544,53 @@ def mm_mp4_sample_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = mm.synthesize_mp4_media(docs)
     return mm.mp4_sample_ranges(media)
+
+
+@register(
+    "mm_fmp4_ranges",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             doc_id % 4 + 1 AS n_frags,
+             doc_id % 40 + 10 AS delta
+      FROM documents),
+    fr AS (
+      SELECT g.doc_id, g.delta, f.f,
+             (g.doc_id + f.f) % 6 + 1 AS cnt
+      FROM g, generate_series(0, 3) f(f)
+      WHERE f.f < g.n_frags),
+    fr2 AS (
+      SELECT doc_id, delta, f, cnt,
+             COALESCE(SUM(cnt) OVER (PARTITION BY doc_id ORDER BY f
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_i
+      FROM fr),
+    s AS (
+      SELECT fr2.doc_id, fr2.delta, fr2.f, j.j,
+             fr2.start_i + j.j AS i,
+             50 + (7*fr2.doc_id + 13*(fr2.start_i + j.j)) % 100 AS sz
+      FROM fr2, generate_series(0, 5) j(j)
+      WHERE j.j < fr2.cnt)
+    SELECT doc_id AS media_id, i::BIGINT AS sample_index,
+           (f + 1)::BIGINT AS fragment,
+           COALESCE(SUM(sz) OVER (PARTITION BY doc_id, f ORDER BY j
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             AS frag_rel_offset,
+           sz::BIGINT AS size,
+           (i * delta)::BIGINT AS dts_ticks
+    FROM s
+    """,
+)
+def mm_fmp4_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragmented-MP4 seek table (operators/mp4.py fragment_index):
+    each document id becomes a genuine CMAF-shaped file (init section
+    with empty sample tables + trex defaults, then per-fragment
+    moof(mfhd, traf(tfhd base-is-moof, tfdt, trun with data offset +
+    per-sample sizes)) + mdat), walked back by the fragment prober
+    under Arrow mapInPandas. Emitted offsets are fragment-relative
+    (pure prefix sums the oracle recomputes arithmetically); the
+    ABSOLUTE moof-anchored offsets are asserted byte-exact in
+    tests/test_mp4.py by slicing the generated payloads back out."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_fmp4_media(docs)
+    return mm.fmp4_sample_ranges(media)

@@ -73,14 +73,15 @@ del _m, _k, _v
 # pytest oracle gate every run; the flagship q1_pricing_summary is
 # additionally smoke-run by the driver's entry() every round.
 _PRIORITY = [
-    # 0. never-green: new this round (5 — the streaming wide decode and
+    # 0. never-green: new this round (6 — the streaming wide decode and
     #    the compressed-video probe lane: MP4/H.264 + IVF/VP9 + the
-    #    sample seek table)
+    #    plain and fragmented sample seek tables)
     "st_stream_decode_wide",
     "mm_mp4_probe",
     "mm_h264_keyframes",
     "mm_ivf_vp9_probe",
     "mm_mp4_sample_ranges",
+    "mm_fmp4_ranges",
     # 1. operator code changed this round (5): the fused resample
     #    kernel's generator fold (timeseries.resample_interpolate), the
     #    decode_wide auto dup-overflow fallback, and the SQ8 batch-mode
@@ -131,11 +132,10 @@ _PRIORITY = [
     "samp_pack_sequences",
     "txt_decontaminate_fuzzy",
     "txt_ngram_topk",
-    # 3. oldest r8-stale queries (registry order) fill the 50 (1 —
-    #    p1/p3/p5/p6 dropped from the window to make room for the four
-    #    new never-green probe rows; they stay under the pytest oracle
-    #    gate every run)
-    "q1_pricing_summary",
+    # 3. no r8-stale fill fits: q1/p1/p3/p5/p6 dropped from the window
+    #    to make room for the five never-green probe rows (q1 is still
+    #    smoke-run by entry() every round; all stay under the pytest
+    #    oracle gate every run)
 ]
 
 
@@ -281,6 +281,7 @@ _REGISTRATION_ORDER = [
     "mm_h264_keyframes",
     "mm_ivf_vp9_probe",
     "mm_mp4_sample_ranges",
+    "mm_fmp4_ranges",
 ]
 
 

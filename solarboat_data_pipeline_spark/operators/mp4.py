@@ -51,6 +51,8 @@ __all__ = [
     "encode_mp4",
     "probe_mp4",
     "sample_index",
+    "encode_fmp4",
+    "fragment_index",
     "nal_scan",
 ]
 
@@ -483,7 +485,10 @@ def encode_mp4(
 # ISO BMFF prober
 # ---------------------------------------------------------------------------
 
-_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf", b"edts"}
+_CONTAINERS = {
+    b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf", b"edts",
+    b"moof", b"traf", b"mvex",
+}
 
 
 def _walk(data: bytes, start: int, end: int, out: dict, depth: int = 0) -> None:
@@ -575,22 +580,38 @@ def _probe_fields(data: bytes, boxes: dict, _req, _fourcc) -> dict:
         out["coded_height"] = cfg["height"]
     stsz = _req(b"stsz")
     fixed, count = struct.unpack_from(">II", stsz, 4)
-    out["n_samples"] = count
-    if fixed:
-        out["sample_bytes"] = fixed * count
-    else:
-        out["sample_bytes"] = sum(
-            struct.unpack_from(">I", stsz, 12 + 4 * i)[0] for i in range(count)
-        )
-    stts = _req(b"stts")
-    (n_entries,) = struct.unpack_from(">I", stts, 4)
-    if n_entries == 1:
-        _, delta = struct.unpack_from(">II", stts, 8)
+    # moof/mvex are containers in _walk, so test the trun leaf
+    out["fragmented"] = count == 0 and b"trun" in boxes
+    if out["fragmented"]:
+        # CMAF/DASH shape: the sample population lives in the moof
+        # sequence, not the (empty) moov sample tables.
+        frag_rows = fragment_index(data)
+        out["n_samples"] = len(frag_rows)
+        out["sample_bytes"] = sum(r["size"] for r in frag_rows)
+        out["n_fragments"] = frag_rows[-1]["fragment"] if frag_rows else 0
+        delta = None
+        if b"trex" in boxes:
+            delta = struct.unpack_from(">I", boxes[b"trex"][0], 12)[0]
         mdhd = _req(b"mdhd")
         med_ts = struct.unpack_from(">I", mdhd, 4 + 16 if mdhd[0] == 1 else 4 + 8)[0]
         out["fps_x1000"] = round(med_ts * 1000 / delta) if delta else None
     else:
-        out["fps_x1000"] = None
+        out["n_samples"] = count
+        if fixed:
+            out["sample_bytes"] = fixed * count
+        else:
+            out["sample_bytes"] = sum(
+                struct.unpack_from(">I", stsz, 12 + 4 * i)[0] for i in range(count)
+            )
+        stts = _req(b"stts")
+        (n_entries,) = struct.unpack_from(">I", stts, 4)
+        if n_entries == 1:
+            _, delta = struct.unpack_from(">II", stts, 8)
+            mdhd = _req(b"mdhd")
+            med_ts = struct.unpack_from(">I", mdhd, 4 + 16 if mdhd[0] == 1 else 4 + 8)[0]
+            out["fps_x1000"] = round(med_ts * 1000 / delta) if delta else None
+        else:
+            out["fps_x1000"] = None
     if b"mdat" in boxes:
         out["mdat_bytes"] = len(boxes[b"mdat"][0])
     # Integrity: the first chunk's sample data must fit in the file —
@@ -752,4 +773,305 @@ def _sample_index_fields(data: bytes, boxes: dict) -> list[dict]:
         raise ValueError(
             f"stsc maps {sample} samples, stsz declares {count}"
         )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fragmented MP4 (fMP4 / CMAF — the DASH/HLS segment shape)
+# ---------------------------------------------------------------------------
+
+
+def encode_fmp4(
+    width: int,
+    height: int,
+    fragments: list[list[int]],
+    timescale: int = 600,
+    sample_delta: int = 25,
+    profile_idc: int = 66,
+    level_idc: int = 30,
+) -> bytes:
+    """Minimal valid FRAGMENTED MP4 (ISO 14496-12 §8.8): an init
+    section (ftyp + moov whose sample tables are empty and whose mvex/
+    trex carries the defaults) followed by one moof(mfhd, traf(tfhd,
+    tfdt, trun)) + mdat pair per fragment — the shape DASH/HLS CMAF
+    segments arrive in.  ``fragments`` is a list of per-fragment sample
+    size lists."""
+    if not fragments or any(not f for f in fragments):
+        raise ValueError("at least one fragment, each with samples")
+    sps = encode_sps(width, height, profile_idc=profile_idc, level_idc=level_idc)
+    pps = encode_pps()
+    avcc = _box(b"avcC", encode_avcc(sps, pps))
+    avc1 = _box(
+        b"avc1",
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x480000, 0x480000)
+        + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+        + avcc,
+    )
+    stbl = (
+        _full(b"stsd", 0, 0, struct.pack(">I", 1) + avc1)
+        + _full(b"stts", 0, 0, struct.pack(">I", 0))
+        + _full(b"stsc", 0, 0, struct.pack(">I", 0))
+        + _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        + _full(b"stco", 0, 0, struct.pack(">I", 0))
+    )
+    minf = (
+        _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        + _box(
+            b"dinf",
+            _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b"")),
+        )
+        + _box(b"stbl", stbl)
+    )
+    mdia = (
+        _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, timescale, 0, 0x55C4, 0))
+        + _full(
+            b"hdlr",
+            0,
+            0,
+            struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+        )
+        + _box(b"minf", minf)
+    )
+    tkhd = _full(
+        b"tkhd",
+        0,
+        3,
+        struct.pack(">IIII", 0, 0, 1, 0)
+        + struct.pack(">I", 0)  # duration unknown in fragmented files
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + _UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mvhd = _full(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, timescale, 0)
+        + struct.pack(">iH", 0x10000, 0x0100)
+        + b"\x00" * 10
+        + _UNITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    # trex: track 1, sample-description 1, default duration/size/flags
+    trex = _full(
+        b"trex", 0, 0, struct.pack(">IIIII", 1, 1, sample_delta, 0, 0x10000)
+    )
+    moov = _box(
+        b"moov",
+        mvhd + _box(b"trak", tkhd + _box(b"mdia", mdia)) + _box(b"mvex", trex),
+    )
+    ftyp = _box(b"ftyp", b"cmfc" + struct.pack(">I", 0) + b"isomiso6")
+    out = bytearray(ftyp + moov)
+    base_time = 0
+    for frag_i, sizes in enumerate(fragments):
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", frag_i + 1))
+        tfhd = _full(b"tfhd", 0, 0x020000, struct.pack(">I", 1))  # base-is-moof
+        tfdt = _full(b"tfdt", 0, 0, struct.pack(">I", base_time))
+        # trun flags: 0x1 data-offset-present | 0x200 sample-size-present
+        trun_payload = struct.pack(">I", len(sizes)) + struct.pack(">i", 0)
+        trun_payload += b"".join(struct.pack(">I", s) for s in sizes)
+        trun = _full(b"trun", 0, 0x000201, trun_payload)
+        traf = _box(b"traf", tfhd + tfdt + trun)
+        moof = _box(b"moof", mfhd + traf)
+        # patch the data offset: first sample starts right after this
+        # moof's mdat header (offset is relative to the moof start)
+        data_offset = len(moof) + 8
+        ti = moof.rindex(b"trun")
+        moof = (
+            moof[: ti + 4 + 4 + 4]  # 'trun' + version/flags + sample_count
+            + struct.pack(">i", data_offset)
+            + moof[ti + 4 + 4 + 4 + 4 :]
+        )
+        samples = bytearray()
+        for i, size in enumerate(sizes):
+            if size < 6:
+                raise ValueError("sample too small for a length-prefixed NAL")
+            body = bytes(
+                (width * 7 + height * 11 + (base_time + i) * 13 + j * 5) % 256
+                for j in range(size - 5)
+            )
+            samples += struct.pack(">I", size - 4) + b"\x65" + body
+        out += moof + _box(b"mdat", bytes(samples))
+        base_time += len(sizes) * sample_delta
+    return bytes(out)
+
+
+def _parse_tfhd(tfhd: bytes) -> dict:
+    flags = int.from_bytes(tfhd[1:4], "big")
+    pos = 4
+    (track_id,) = struct.unpack_from(">I", tfhd, pos)
+    pos += 4
+    out = {"track_id": track_id, "base_is_moof": bool(flags & 0x020000)}
+    if flags & 0x000001:
+        (out["base_data_offset"],) = struct.unpack_from(">Q", tfhd, pos)
+        pos += 8
+    if flags & 0x000002:
+        pos += 4  # sample_description_index
+    if flags & 0x000008:
+        (out["default_duration"],) = struct.unpack_from(">I", tfhd, pos)
+        pos += 4
+    if flags & 0x000010:
+        (out["default_size"],) = struct.unpack_from(">I", tfhd, pos)
+        pos += 4
+    return out
+
+
+def _parse_trun(trun: bytes) -> dict:
+    version = trun[0]
+    flags = int.from_bytes(trun[1:4], "big")
+    pos = 4
+    (count,) = struct.unpack_from(">I", trun, pos)
+    pos += 4
+    out: dict = {"count": count, "data_offset": None, "sizes": None, "durations": None}
+    if flags & 0x000001:
+        (out["data_offset"],) = struct.unpack_from(">i", trun, pos)
+        pos += 4
+    if flags & 0x000004:
+        pos += 4  # first_sample_flags
+    sizes: list[int] | None = [] if flags & 0x000200 else None
+    durs: list[int] | None = [] if flags & 0x000100 else None
+    for _ in range(count):
+        if flags & 0x000100:
+            (d,) = struct.unpack_from(">I", trun, pos)
+            durs.append(d)
+            pos += 4
+        if flags & 0x000200:
+            (s,) = struct.unpack_from(">I", trun, pos)
+            sizes.append(s)
+            pos += 4
+        if flags & 0x000400:
+            pos += 4  # sample_flags
+        if flags & 0x000800:
+            pos += 4  # composition offset (signed in v1; skipped either way)
+    out["sizes"] = sizes
+    out["durations"] = durs
+    out["version"] = version
+    return out
+
+
+def _iter_top_level(data: bytes):
+    """Yield (type, box_start, body_start, end) for top-level boxes."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if pos + 8 > n:
+            raise ValueError(f"truncated top-level box header at {pos}")
+        (size,) = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > n:
+                raise ValueError(f"truncated largesize box at {pos}")
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            body = pos + 16
+        elif size == 0:
+            size = n - pos
+        if size < body - pos or pos + size > n:
+            raise ValueError(f"top-level box {btype!r} at {pos} overruns the file")
+        yield btype, pos, body, pos + size
+        pos += size
+
+
+def fragment_index(data: bytes) -> list[dict]:
+    """Per-sample seek table of a FRAGMENTED MP4: walk the top-level
+    moof sequence, resolve each traf's trun against the tfhd/trex
+    defaults and the default-base-is-moof / base-data-offset anchoring
+    rules (§8.8.7), and emit the same rows as :func:`sample_index` plus
+    the owning ``fragment`` number.  Raises ValueError on malformed or
+    non-fragmented input."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF file (no leading ftyp)")
+    try:
+        return _fragment_index_fields(data)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"fragment box truncated or malformed: {exc}") from exc
+
+
+def _fragment_index_fields(data: bytes) -> list[dict]:
+    # trex defaults from the init section
+    boxes: dict = {}
+    _walk(data, 0, len(data), boxes)
+    default_duration = None
+    default_size = None
+    if b"trex" in boxes:
+        _tid, _sdi, default_duration, default_size, _fl = struct.unpack_from(
+            ">IIIII", boxes[b"trex"][0], 4
+        )
+    out: list[dict] = []
+    sample = 0
+    dts = 0
+    frag = 0
+    saw_moof = False
+    for btype, box_start, body, end in _iter_top_level(data):
+        if btype != b"moof":
+            continue
+        saw_moof = True
+        frag += 1
+        frag_boxes: dict = {}
+        _walk(data, body, end, frag_boxes)
+        if b"trun" not in frag_boxes:
+            raise ValueError(f"moof at {box_start} carries no trun")
+        tfhd = _parse_tfhd(frag_boxes[b"tfhd"][0]) if b"tfhd" in frag_boxes else {}
+        if b"tfdt" in frag_boxes:
+            t = frag_boxes[b"tfdt"][0]
+            dts = (
+                struct.unpack_from(">Q", t, 4)[0]
+                if t[0] == 1
+                else struct.unpack_from(">I", t, 4)[0]
+            )
+        for trun_raw in frag_boxes[b"trun"]:
+            trun = _parse_trun(trun_raw)
+            if trun["data_offset"] is None:
+                raise ValueError("trun without a data offset is outside the envelope")
+            if "base_data_offset" in tfhd:
+                base = tfhd["base_data_offset"]
+            elif tfhd.get("base_is_moof", False):
+                base = box_start
+            else:
+                base = box_start  # first trun in the moof: same anchor
+            pos = base + trun["data_offset"]
+            for i in range(trun["count"]):
+                if trun["sizes"] is not None:
+                    size = trun["sizes"][i]
+                elif tfhd.get("default_size") is not None:
+                    size = tfhd["default_size"]
+                elif default_size:
+                    size = default_size
+                else:
+                    raise ValueError("no sample size: trun, tfhd and trex all silent")
+                if trun["durations"] is not None:
+                    dur = trun["durations"][i]
+                elif tfhd.get("default_duration") is not None:
+                    dur = tfhd["default_duration"]
+                elif default_duration:
+                    dur = default_duration
+                else:
+                    raise ValueError("no sample duration: trun, tfhd and trex all silent")
+                if pos + size > len(data):
+                    raise ValueError(
+                        f"fragment sample {sample} overruns the file"
+                    )
+                out.append(
+                    {
+                        "sample": sample,
+                        "fragment": frag,
+                        "offset": pos,
+                        "size": size,
+                        "dts_ticks": dts,
+                    }
+                )
+                pos += size
+                dts += dur
+                sample += 1
+    if not saw_moof:
+        raise ValueError("no moof boxes: not a fragmented MP4 (use sample_index)")
     return out

@@ -1086,3 +1086,90 @@ def mp4_sample_ranges(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=SAMPLE_RANGES_SCHEMA)
+
+
+def _fmp4_params(mid: int) -> dict:
+    """Deterministic fragmented-MP4 geometry per id: fragment count,
+    per-fragment sample counts ``(id + f) % 6 + 1``, global sample
+    sizes ``50 + (7 id + 13 i) % 100``, constant delta — shared with
+    the mm_fmp4_ranges oracle."""
+    n_frags = mid % 4 + 1
+    return {
+        "n_frags": n_frags,
+        "frag_counts": [(mid + f) % 6 + 1 for f in range(n_frags)],
+        "sample_delta": mid % 40 + 10,
+        "width": 16 * (mid % 8 + 1) - 2 * (mid % 8),
+        "height": 16 * (mid % 6 + 1) - 2 * (mid % 5),
+    }
+
+
+def synthesize_fmp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table of genuine FRAGMENTED MP4s (CMAF shape: init section
+    + moof/mdat pairs, trex defaults, default-base-is-moof anchoring)
+    per :func:`_fmp4_params`."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                p = _fmp4_params(mid)
+                frags, i = [], 0
+                for cnt in p["frag_counts"]:
+                    frags.append(
+                        [50 + (7 * mid + 13 * (i + j)) % 100 for j in range(cnt)]
+                    )
+                    i += cnt
+                payloads.append(
+                    mp4_codec.encode_fmp4(
+                        p["width"], p["height"], frags,
+                        sample_delta=p["sample_delta"],
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": payloads,
+                    "media_type": "video/mp4; profile=cmaf",
+                }
+            )
+
+    return src.mapInPandas(
+        run, schema="media_id long, payload binary, media_type string"
+    )
+
+
+FMP4_RANGES_SCHEMA = (
+    "media_id long, sample_index long, fragment long, frag_rel_offset long,"
+    " size long, dts_ticks long"
+)
+
+
+def fmp4_sample_ranges(df: DataFrame) -> DataFrame:
+    """Seek table over FRAGMENTED MP4s (:func:`mp4_codec.
+    fragment_index` — moof/traf/trun walk with tfhd/trex default
+    resolution): one row per sample with its owning fragment, its
+    offset relative to the fragment's first sample (pure prefix sum —
+    the absolute anchor is the moof's data offset, asserted byte-exact
+    in tests), size, and decode timestamp."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.split()[0]: [] for k in FMP4_RANGES_SCHEMA.split(",")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                idx = mp4_codec.fragment_index(bytes(payload))
+                frag_base: dict[int, int] = {}
+                for r in idx:
+                    frag_base.setdefault(r["fragment"], r["offset"])
+                    rows["media_id"].append(int(mid))
+                    rows["sample_index"].append(r["sample"])
+                    rows["fragment"].append(r["fragment"])
+                    rows["frag_rel_offset"].append(
+                        r["offset"] - frag_base[r["fragment"]]
+                    )
+                    rows["size"].append(r["size"])
+                    rows["dts_ticks"].append(r["dts_ticks"])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=FMP4_RANGES_SCHEMA)

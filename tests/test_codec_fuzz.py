@@ -154,6 +154,7 @@ def _probe_fixtures():
     base_mp4 = mp4.encode_mp4(
         126, 98, [50 + (i * 13) % 100 for i in range(12)], profile_idc=100
     )
+    base_fmp4 = mp4.encode_fmp4(126, 98, [[50, 61, 72], [83, 94]])
     frames = []
     for i in range(8):
         hdr = (
@@ -162,14 +163,14 @@ def _probe_fixtures():
             else vp9.encode_vp9_inter_header(0)
         )
         frames.append(hdr + bytes(rnd.integers(0, 256, size=40, dtype=np.uint8)))
-    return mp4, vp9, rnd, base_mp4, vp9.encode_ivf(126, 98, frames)
+    return mp4, vp9, rnd, base_mp4, base_fmp4, vp9.encode_ivf(126, 98, frames)
 
 
 @pytest.mark.parametrize("trial", range(30))
 def test_probe_mutation_fuzz_only_value_errors(trial):
-    mp4, vp9, rnd, base_mp4, base_ivf = _probe_fixtures()
+    mp4, vp9, rnd, base_mp4, base_fmp4, base_ivf = _probe_fixtures()
     for _ in range(100):
-        kind = int(rnd.integers(0, 5))
+        kind = int(rnd.integers(0, 6))
         if kind == 0:
             data = bytes(rnd.integers(0, 256, size=int(rnd.integers(1, 300)), dtype=np.uint8))
             fns = (mp4.probe_mp4, vp9.probe_ivf)
@@ -186,9 +187,14 @@ def test_probe_mutation_fuzz_only_value_errors(trial):
             for _ in range(int(rnd.integers(1, 12))):
                 b[int(rnd.integers(0, len(b)))] = int(rnd.integers(0, 256))
             data, fns = bytes(b), (vp9.probe_ivf,)
-        else:
+        elif kind == 4:
             data = base_ivf[: int(rnd.integers(0, len(base_ivf)))]
             fns = (vp9.probe_ivf,)
+        else:
+            b = bytearray(base_fmp4)
+            for _ in range(int(rnd.integers(1, 12))):
+                b[int(rnd.integers(0, len(b)))] = int(rnd.integers(0, 256))
+            data, fns = bytes(b), (mp4.probe_mp4, mp4.fragment_index)
         for fn in fns:
             try:
                 fn(data)  # surviving a benign mutation is fine
@@ -198,7 +204,7 @@ def test_probe_mutation_fuzz_only_value_errors(trial):
 
 @pytest.mark.parametrize("trial", range(10))
 def test_header_parser_random_bytes_only_value_errors(trial):
-    mp4, vp9, rnd, _, _ = _probe_fixtures()
+    mp4, vp9, rnd, _, _, _ = _probe_fixtures()
     for _ in range(200):
         data = bytes(rnd.integers(0, 256, size=int(rnd.integers(0, 60)), dtype=np.uint8))
         for fn in (mp4.parse_sps, vp9.parse_vp9_frame_header, mp4.parse_avcc, mp4.nal_scan):

@@ -381,3 +381,158 @@ def test_sample_index_roundtrip_property(sizes, delta):
         assert b["offset"] == a["offset"] + a["size"]
     last = idx[-1]
     assert last["offset"] + last["size"] == len(data)
+
+
+# --- fragmented MP4 (fMP4 / CMAF) -------------------------------------------
+
+
+def test_fragment_index_slices_exact_payloads():
+    frags = [[50, 61, 72], [83, 94], [105, 116, 127, 138]]
+    data = mp4.encode_fmp4(126, 98, frags, timescale=1200, sample_delta=40)
+    idx = mp4.fragment_index(data)
+    assert [r["size"] for r in idx] == [s for f in frags for s in f]
+    assert [r["fragment"] for r in idx] == [1, 1, 1, 2, 2, 3, 3, 3, 3]
+    assert [r["dts_ticks"] for r in idx] == [i * 40 for i in range(9)]
+    k = 0
+    base_time = 0
+    for f in frags:
+        for i in range(len(f)):
+            r = idx[k]
+            blob = data[r["offset"] : r["offset"] + r["size"]]
+            (ln,) = struct.unpack(">I", blob[:4])
+            assert ln == r["size"] - 4 and blob[4] == 0x65
+            expected = bytes(
+                (126 * 7 + 98 * 11 + (base_time + i) * 13 + j * 5) % 256
+                for j in range(r["size"] - 5)
+            )
+            assert blob[5:] == expected
+            k += 1
+        base_time += len(f) * 40
+
+
+def test_fragmented_probe():
+    frags = [[50, 61, 72], [83, 94]]
+    data = mp4.encode_fmp4(126, 98, frags, timescale=1200, sample_delta=40)
+    info = mp4.probe_mp4(data)
+    assert info["fragmented"] is True
+    assert info["major_brand"] == "cmfc" and info["codec"] == "avc1"
+    assert (info["n_samples"], info["n_fragments"]) == (5, 2)
+    assert info["sample_bytes"] == sum(sum(f) for f in frags)
+    assert info["fps_x1000"] == round(1200 * 1000 / 40)
+    assert (info["coded_width"], info["coded_height"]) == (126, 98)
+    # plain files stay unfragmented
+    assert mp4.probe_mp4(mp4.encode_mp4(64, 48, [50]))["fragmented"] is False
+
+
+def _rebuild_trun(data: bytes, payload: bytes) -> bytes:
+    # swap the (single) trun box payload, fixing its size header
+    i = data.index(b"trun") - 4
+    (old_size,) = struct.unpack_from(">I", data, i)
+    new = struct.pack(">I", 8 + len(payload)) + b"trun" + payload
+    out = data[:i] + new + data[i + old_size :]
+    # fix the enclosing traf and moof sizes
+    delta = len(new) - old_size
+    for btype in (b"traf", b"moof"):
+        j = out.index(btype) - 4
+        (sz,) = struct.unpack_from(">I", out, j)
+        out = out[:j] + struct.pack(">I", sz + delta) + out[j + 4 :]
+    return out
+
+
+def test_fragment_defaults_from_trex():
+    # strip per-sample sizes from the trun (flags 0x201 → 0x001): sizes
+    # must then resolve from... trex default_size, which our encoder
+    # writes as 0 → the walker must REFUSE (no silent zero-size rows)
+    data = mp4.encode_fmp4(64, 48, [[50, 50]], sample_delta=40)
+    idx = mp4.fragment_index(data)
+    (doff,) = (r["offset"] for r in idx[:1])
+    payload = (
+        struct.pack(">B3s", 0, (0x000001).to_bytes(3, "big"))
+        + struct.pack(">I", 2)
+        + struct.pack(">i", doff - (data.index(b"moof") - 4))
+    )
+    stripped = _rebuild_trun(data, payload)
+    with pytest.raises(ValueError, match="no sample size"):
+        mp4.fragment_index(stripped)
+
+
+def test_fragment_per_sample_durations():
+    # rebuild the trun with BOTH durations and sizes present (0x301)
+    data = mp4.encode_fmp4(64, 48, [[50, 61, 72]], sample_delta=40)
+    idx = mp4.fragment_index(data)
+    moof_start = data.index(b"moof") - 4
+    doff = idx[0]["offset"] - moof_start
+    payload = (
+        struct.pack(">B3s", 0, (0x000301).to_bytes(3, "big"))
+        + struct.pack(">I", 3)
+        + struct.pack(">i", doff)
+        + b"".join(
+            struct.pack(">II", dur, sz)
+            for dur, sz in zip((7, 11, 13), (50, 61, 72))
+        )
+    )
+    rebuilt = _rebuild_trun(data, payload)
+    idx2 = mp4.fragment_index(rebuilt)
+    assert [r["size"] for r in idx2] == [50, 61, 72]
+    assert [r["dts_ticks"] for r in idx2] == [0, 7, 18]  # per-sample deltas
+    for a, b in zip(idx, idx2):
+        assert a["offset"] == b["offset"]
+
+
+def test_fragment_tfdt_v1_64bit():
+    data = mp4.encode_fmp4(64, 48, [[50, 50]], sample_delta=40)
+    i = data.index(b"tfdt") - 4
+    (old_size,) = struct.unpack_from(">I", data, i)
+    big = 2**33  # does not fit 32 bits
+    v1 = struct.pack(">I", 8 + 12) + b"tfdt" + struct.pack(">B3sQ", 1, b"\x00\x00\x00", big)
+    out = data[:i] + v1 + data[i + old_size :]
+    delta = len(v1) - old_size
+    for btype in (b"traf", b"moof"):
+        j = out.index(btype) - 4
+        (sz,) = struct.unpack_from(">I", out, j)
+        out = out[:j] + struct.pack(">I", sz + delta) + out[j + 4 :]
+    idx = mp4.fragment_index(out)
+    assert [r["dts_ticks"] for r in idx] == [big, big + 40]
+
+
+def test_fragment_adversarial():
+    data = mp4.encode_fmp4(64, 48, [[50, 61], [72]], sample_delta=40)
+    # plain seek table refuses fragmented files and vice versa
+    with pytest.raises(ValueError):
+        mp4.sample_index(data)  # stsc empty → "must start at chunk 1"
+    with pytest.raises(ValueError, match="no moof"):
+        mp4.fragment_index(mp4.encode_mp4(64, 48, [50]))
+    # truncations raise
+    for cut in range(12, len(data), 41):
+        with pytest.raises(ValueError):
+            mp4.fragment_index(data[:cut])
+
+
+def test_fmp4_sample_ranges_spark(spark):
+    from solarboat_data_pipeline_spark.operators import multimodal as mm
+
+    docs = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    out = mm.fmp4_sample_ranges(mm.synthesize_fmp4_media(docs)).collect()
+    by_media: dict[int, list] = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert len(by_media) == 30
+    for mid, rows in by_media.items():
+        rows.sort(key=lambda r: r["sample_index"])
+        p = mm._fmp4_params(mid)
+        counts = p["frag_counts"]
+        n = sum(counts)
+        sizes = [50 + (7 * mid + 13 * i) % 100 for i in range(n)]
+        assert [r["size"] for r in rows] == sizes
+        assert [r["dts_ticks"] for r in rows] == [
+            i * p["sample_delta"] for i in range(n)
+        ]
+        # fragment-relative offsets restart at every fragment boundary
+        i = 0
+        for f, cnt in enumerate(counts, start=1):
+            run = rows[i : i + cnt]
+            assert all(r["fragment"] == f for r in run)
+            assert [r["frag_rel_offset"] for r in run] == [
+                sum(sizes[i : i + j]) for j in range(cnt)
+            ]
+            i += cnt
