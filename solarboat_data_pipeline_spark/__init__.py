@@ -36,6 +36,7 @@ from solarboat_data_pipeline_spark.operators import (
     avi,
     dedup,
     jpeg,
+    mp3,
     mp4,
     multimodal,
     vp9,
@@ -199,6 +200,7 @@ from solarboat_data_pipeline_spark.operators.multimodal import (
     mjpeg_decode_check,
     fmp4_sample_ranges,
     mp4_sample_ranges,
+    probe_mp3_stats,
     probe_ivf_stats,
     probe_video_stats,
     resample_audio_stats,
@@ -212,7 +214,7 @@ __all__ = [
     # module namespaces
     "catalog", "pipeline", "parse", "timeseries", "scale",
     "dedup", "similarity", "text", "sampling", "skew",
-    "multimodal", "png", "wav", "avi", "jpeg", "mp4", "vp9", "geo", "solar", "formatting",
+    "multimodal", "png", "wav", "avi", "jpeg", "mp3", "mp4", "vp9", "geo", "solar", "formatting",
     "sinks", "bucketed", "streaming", "stateful",
     # sources / sinks
     "scan_candump", "extract_frames", "scan_forecast_csv", "scan_gps_csv",
@@ -252,5 +254,5 @@ __all__ = [
     "resize_image_stats", "decode_audio_stats", "resample_audio_stats",
     "decode_video_stats", "sample_frame_stats", "mjpeg_decode_check",
     "frame_sample_plan", "probe_video_stats", "keyframe_index",
-    "probe_ivf_stats", "mp4_sample_ranges", "fmp4_sample_ranges",
+    "probe_ivf_stats", "mp4_sample_ranges", "fmp4_sample_ranges", "probe_mp3_stats",
 ]

@@ -594,3 +594,53 @@ def mm_fmp4_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = mm.synthesize_fmp4_media(docs)
     return mm.fmp4_sample_ranges(media)
+
+
+@register(
+    "mm_mp3_probe",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             doc_id % 60 + 1 AS n,
+             doc_id % 14 + 1 AS bi,
+             doc_id % 3 AS ri,
+             doc_id % 4 AS pe,
+             CASE doc_id % 2 WHEN 1 THEN 'mono' ELSE 'stereo' END
+               AS channel_mode
+      FROM documents),
+    b AS (
+      SELECT g.*,
+             CASE bi WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+                     WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+                     WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+                     WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+                     WHEN 13 THEN 256 ELSE 320 END AS kbps,
+             CASE ri WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+               AS rate
+      FROM g)
+    SELECT doc_id AS media_id, n::BIGINT AS n_frames,
+           (1152 * n)::BIGINT AS total_samples,
+           rate::BIGINT AS rate_hz,
+           3::BIGINT AS layer, channel_mode,
+           (1152 * n * 1000000 // rate)::BIGINT AS duration_ms_x1000,
+           kbps::BIGINT AS bitrate_kbps,
+           TRUE AS is_cbr,
+           (n * (144000 * kbps // rate)
+            + CASE WHEN pe > 0 THEN (n + pe - 1) // pe ELSE 0 END)::BIGINT
+             AS audio_bytes
+    FROM b
+    """,
+)
+def mm_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio probe (operators/mp3.py): each document id
+    becomes a spec-exact MPEG-1 Layer III frame stream (true 4-byte
+    headers cycling the full bitrate table and all three sample rates,
+    padding bits on a per-id period, ID3v2 prefixes on 4 of 5 ids),
+    walked back frame-by-frame under Arrow mapInPandas. The oracle
+    recomputes every probed column ARITHMETICALLY — the frame-length
+    recurrence 144000·kbps//rate + padding, 1152 samples/frame, exact
+    duration — so a wrong bitrate table entry, padding step, or ID3v2
+    synchsafe skip cannot hash-match."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_mp3_media(docs)
+    return mm.probe_mp3_stats(media)

@@ -73,15 +73,16 @@ del _m, _k, _v
 # pytest oracle gate every run; the flagship q1_pricing_summary is
 # additionally smoke-run by the driver's entry() every round.
 _PRIORITY = [
-    # 0. never-green: new this round (6 — the streaming wide decode and
-    #    the compressed-video probe lane: MP4/H.264 + IVF/VP9 + the
-    #    plain and fragmented sample seek tables)
+    # 0. never-green: new this round (7 — the streaming wide decode and
+    #    the compressed-media probe lane: MP4/H.264 + IVF/VP9 + plain
+    #    and fragmented sample seek tables + MP3)
     "st_stream_decode_wide",
     "mm_mp4_probe",
     "mm_h264_keyframes",
     "mm_ivf_vp9_probe",
     "mm_mp4_sample_ranges",
     "mm_fmp4_ranges",
+    "mm_mp3_probe",
     # 1. operator code changed this round (5): the fused resample
     #    kernel's generator fold (timeseries.resample_interpolate), the
     #    decode_wide auto dup-overflow fallback, and the SQ8 batch-mode
@@ -91,8 +92,9 @@ _PRIORITY = [
     "s1_candump_parse",
     "sim_sq8_topk",
     "sim_ivf_sq8_index_topk",
-    # 2. the full r7-stale block (39): every query whose latest green
-    #    driver row is r7 — after this round no green row predates r8
+    # 2. the r7-stale block (39 names; the window cut of 50 leaves the
+    #    last of them, txt_ngram_topk, to lead round 11's window — its
+    #    r7 green row stays valid and it remains pytest-oracle-gated)
     "s2_scan_pushdown",
     "w6_sort_rank",
     "f1_haversine",
@@ -282,6 +284,7 @@ _REGISTRATION_ORDER = [
     "mm_ivf_vp9_probe",
     "mm_mp4_sample_ranges",
     "mm_fmp4_ranges",
+    "mm_mp3_probe",
 ]
 
 

@@ -1173,3 +1173,90 @@ def fmp4_sample_ranges(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=FMP4_RANGES_SCHEMA)
+
+
+def _mp3_params(mid: int) -> dict:
+    """Deterministic MP3 stream geometry per id, shared with the
+    mm_mp3_probe oracle: MPEG-1 Layer III, bitrate index cycling the
+    full table, all three MPEG-1 sample rates, a padding period, an
+    optional ID3v2 prefix, and mono/stereo alternation."""
+    return {
+        "n_frames": mid % 60 + 1,
+        "bitrate_index": mid % 14 + 1,
+        "rate_index": mid % 3,
+        "pad_every": (mid % 4) if mid % 4 else 0,  # 0 = never padded
+        "id3v2_bytes": (mid % 5) * 23,
+        "channel_mode": 3 if mid % 2 else 0,
+    }
+
+
+def synthesize_mp3_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table of spec-exact MP3 frame streams (real 4-byte
+    headers, true frame-length arithmetic, ID3v2 prefixes on 4 of 5
+    ids) per :func:`_mp3_params`."""
+    from solarboat_data_pipeline_spark.operators import mp3 as mp3_codec
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                p = _mp3_params(mid)
+                payloads.append(
+                    mp3_codec.encode_mp3_frames(
+                        p["n_frames"],
+                        bitrate_index=p["bitrate_index"],
+                        rate_index=p["rate_index"],
+                        pad_every=p["pad_every"],
+                        id3v2_bytes=p["id3v2_bytes"],
+                        channel_mode=p["channel_mode"],
+                        seed=mid,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": payloads,
+                    "media_type": "audio/mpeg",
+                }
+            )
+
+    return src.mapInPandas(
+        run, schema="media_id long, payload binary, media_type string"
+    )
+
+
+MP3_PROBE_SCHEMA = (
+    "media_id long, n_frames long, total_samples long, rate_hz long,"
+    " layer long, channel_mode string, duration_ms_x1000 long,"
+    " bitrate_kbps long, is_cbr boolean, audio_bytes long"
+)
+
+
+def probe_mp3_stats(df: DataFrame) -> DataFrame:
+    """REAL compressed-audio probe via Arrow ``mapInPandas``: frame-
+    sync walk over every payload (ID3v2 skip, frame-length arithmetic)
+    emitting exact frame/sample counts, duration, rate, bitrate, CBR
+    flag — the audio twin of :func:`probe_video_stats`."""
+    from solarboat_data_pipeline_spark.operators import mp3 as mp3_codec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.split()[0]: [] for k in MP3_PROBE_SCHEMA.split(",")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = mp3_codec.probe_mp3(bytes(payload))
+                rows["media_id"].append(int(mid))
+                rows["n_frames"].append(info["n_frames"])
+                rows["total_samples"].append(info["total_samples"])
+                rows["rate_hz"].append(info["rate_hz"])
+                rows["layer"].append(info["layer"])
+                rows["channel_mode"].append(info["channel_mode"])
+                rows["duration_ms_x1000"].append(info["duration_ms_x1000"])
+                rows["bitrate_kbps"].append(info["bitrate_min_kbps"])
+                rows["is_cbr"].append(info["is_cbr"])
+                rows["audio_bytes"].append(info["audio_bytes"])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=MP3_PROBE_SCHEMA)
