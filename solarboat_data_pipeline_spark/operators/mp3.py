@@ -109,6 +109,10 @@ def encode_mp3_frames(
     if n_frames < 1:
         raise ValueError("at least one frame")
     group = "1" if version_id == 3 else "2"
+    if not 0 <= bitrate_index <= 14:
+        raise ValueError("bitrate_index must be 0-14 (15 is forbidden)")
+    if not 0 <= rate_index <= 2:
+        raise ValueError("rate_index must be 0-2 (3 is reserved)")
     bitrate = _BITRATES[(group, layer)][bitrate_index]
     if bitrate is None:
         raise ValueError("free-format bitrate is outside the envelope")

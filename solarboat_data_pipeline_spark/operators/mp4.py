@@ -700,6 +700,11 @@ def _sample_index_fields(data: bytes, boxes: dict) -> list[dict]:
 
     stsz = _req(b"stsz")
     fixed, count = struct.unpack_from(">II", stsz, 4)
+    if count == 0 and b"trun" in boxes:
+        raise ValueError(
+            "empty sample tables with moof fragments: a fragmented MP4 "
+            "(use fragment_index)"
+        )
     sizes = (
         [fixed] * count
         if fixed
