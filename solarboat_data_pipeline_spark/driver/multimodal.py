@@ -623,7 +623,8 @@ def mm_fmp4_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
            rate::BIGINT AS rate_hz,
            3::BIGINT AS layer, channel_mode,
            (1152 * n * 1000000 // rate)::BIGINT AS duration_ms_x1000,
-           kbps::BIGINT AS bitrate_kbps,
+           kbps::BIGINT AS bitrate_min_kbps,
+           kbps::BIGINT AS bitrate_max_kbps,
            TRUE AS is_cbr,
            (n * (144000 * kbps // rate)
             + CASE WHEN pe > 0 THEN (n + pe - 1) // pe ELSE 0 END)::BIGINT

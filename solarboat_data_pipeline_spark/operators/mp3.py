@@ -186,8 +186,6 @@ def probe_mp3(data: bytes) -> dict:
         if pos > len(data):
             raise ValueError("ID3v2 tag overruns the file")
     end = len(data)
-    if data[end - 128 : end - 125] == b"TAG":  # ID3v1 trailer
-        end -= 128
     if pos >= end:
         raise ValueError("no audio frames after the ID3 tag")
     n_frames = 0
@@ -197,6 +195,12 @@ def probe_mp3(data: bytes) -> dict:
     rate_hz = layer = channel_mode = None
     bitrate_sum = 0
     while pos < end:
+        # ID3v1 trailer: exactly 128 bytes of remaining data starting
+        # with "TAG" at a FRAME BOUNDARY (checking only len-128 would
+        # reject valid short files via a negative slice, and cut the
+        # last frame of any stream with "TAG" mid-payload there)
+        if end - pos == 128 and data[pos : pos + 3] == b"TAG":
+            break
         if pos + 4 > end:
             raise ValueError(f"truncated frame header at byte {pos}")
         h = _parse_header(data, pos)

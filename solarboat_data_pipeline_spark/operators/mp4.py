@@ -227,7 +227,11 @@ def parse_sps(nal: bytes) -> dict:
     frame cropping with chroma-dependent crop units."""
     if not nal:
         raise ValueError("empty SPS")
-    if nal[0] & 0x1F == 7:  # NAL header present
+    # Strip a NAL header iff byte 0 is one a real SPS NAL can carry:
+    # forbidden_zero_bit clear + nal_unit_type 7 (0x07/0x27/0x47/0x67).
+    # No standard profile_idc (44..244 set) collides with those values,
+    # while e.g. profile 135 = 0x87 has the low bits 7 but bit 7 set.
+    if (nal[0] & 0x9F) == 0x07:
         nal = nal[1:]
     r = _BitReader(_nal_to_rbsp(nal))
     profile_idc = r.u(8)
@@ -491,7 +495,12 @@ _CONTAINERS = {
 }
 
 
+_MAX_BOX_DEPTH = 32  # real files nest ~6 deep; a crafted bomb recurses
+
+
 def _walk(data: bytes, start: int, end: int, out: dict, depth: int = 0) -> None:
+    if depth > _MAX_BOX_DEPTH:
+        raise ValueError(f"box nesting exceeds {_MAX_BOX_DEPTH} levels")
     pos = start
     while pos < end:
         if pos + 8 > end:
@@ -510,6 +519,10 @@ def _walk(data: bytes, start: int, end: int, out: dict, depth: int = 0) -> None:
             raise ValueError(f"box {btype!r} at {pos} overruns its parent")
         if btype in _CONTAINERS:
             _walk(data, body, pos + size, out, depth + 1)
+        elif btype == b"mdat":
+            # zero-copy: only the media payload LENGTH is ever read, and
+            # copying it would double peak RSS on large files
+            out.setdefault(btype, []).append(memoryview(data)[body : pos + size])
         else:
             out.setdefault(btype, []).append(data[body : pos + size])
         pos += size
@@ -613,7 +626,7 @@ def _probe_fields(data: bytes, boxes: dict, _req, _fourcc) -> dict:
         else:
             out["fps_x1000"] = None
     if b"mdat" in boxes:
-        out["mdat_bytes"] = len(boxes[b"mdat"][0])
+        out["mdat_bytes"] = sum(len(m) for m in boxes[b"mdat"])
     # Integrity: the first chunk's sample data must fit in the file —
     # catches files truncated exactly at a box boundary (every box
     # parses, but the mdat the sample table points into is gone).
@@ -1025,6 +1038,12 @@ def _fragment_index_fields(data: bytes) -> list[dict]:
         _walk(data, body, end, frag_boxes)
         if b"trun" not in frag_boxes:
             raise ValueError(f"moof at {box_start} carries no trun")
+        if len(frag_boxes.get(b"tfhd", [])) > 1:
+            raise ValueError(
+                "multi-traf moof without explicit base offsets is outside "
+                "the envelope (spec default anchors at the previous traf's "
+                "data end, ISO 14496-12 \u00a78.8.7)"
+            )
         tfhd = _parse_tfhd(frag_boxes[b"tfhd"][0]) if b"tfhd" in frag_boxes else {}
         if b"tfdt" in frag_boxes:
             t = frag_boxes[b"tfdt"][0]
@@ -1037,12 +1056,10 @@ def _fragment_index_fields(data: bytes) -> list[dict]:
             trun = _parse_trun(trun_raw)
             if trun["data_offset"] is None:
                 raise ValueError("trun without a data offset is outside the envelope")
-            if "base_data_offset" in tfhd:
-                base = tfhd["base_data_offset"]
-            elif tfhd.get("base_is_moof", False):
-                base = box_start
-            else:
-                base = box_start  # first trun in the moof: same anchor
+            # \u00a78.8.7: explicit base wins; default-base-is-moof anchors
+            # at the moof; otherwise the spec default for the FIRST traf
+            # is also the moof start (later trafs are rejected above)
+            base = tfhd.get("base_data_offset", box_start)
             pos = base + trun["data_offset"]
             for i in range(trun["count"]):
                 if trun["sizes"] is not None:

@@ -1184,7 +1184,7 @@ def _mp3_params(mid: int) -> dict:
         "n_frames": mid % 60 + 1,
         "bitrate_index": mid % 14 + 1,
         "rate_index": mid % 3,
-        "pad_every": (mid % 4) if mid % 4 else 0,  # 0 = never padded
+        "pad_every": mid % 4,  # 0 = never padded
         "id3v2_bytes": (mid % 5) * 23,
         "channel_mode": 3 if mid % 2 else 0,
     }
@@ -1231,7 +1231,8 @@ def synthesize_mp3_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 MP3_PROBE_SCHEMA = (
     "media_id long, n_frames long, total_samples long, rate_hz long,"
     " layer long, channel_mode string, duration_ms_x1000 long,"
-    " bitrate_kbps long, is_cbr boolean, audio_bytes long"
+    " bitrate_min_kbps long, bitrate_max_kbps long, is_cbr boolean,"
+    " audio_bytes long"
 )
 
 
@@ -1254,7 +1255,8 @@ def probe_mp3_stats(df: DataFrame) -> DataFrame:
                 rows["layer"].append(info["layer"])
                 rows["channel_mode"].append(info["channel_mode"])
                 rows["duration_ms_x1000"].append(info["duration_ms_x1000"])
-                rows["bitrate_kbps"].append(info["bitrate_min_kbps"])
+                rows["bitrate_min_kbps"].append(info["bitrate_min_kbps"])
+                rows["bitrate_max_kbps"].append(info["bitrate_max_kbps"])
                 rows["is_cbr"].append(info["is_cbr"])
                 rows["audio_bytes"].append(info["audio_bytes"])
             yield pd.DataFrame(rows)

@@ -162,9 +162,34 @@ def test_probe_mp3_stats_spark(spark):
         rate = mp3._RATES[3][p["rate_index"]]
         assert r["n_frames"] == n
         assert r["total_samples"] == 1152 * n
-        assert r["rate_hz"] == rate and r["bitrate_kbps"] == kbps
+        assert r["rate_hz"] == rate
+        assert r["bitrate_min_kbps"] == kbps == r["bitrate_max_kbps"]
         assert r["duration_ms_x1000"] == 1152 * n * 1_000_000 // rate
         pe = p["pad_every"]
         n_padded = (n + pe - 1) // pe if pe else 0
         assert r["audio_bytes"] == n * (144000 * kbps // rate) + n_padded
         assert r["is_cbr"]
+
+
+def test_id3v1_boundary_and_short_files():
+    # valid short file (< 128 bytes) must parse — the old negative-slice
+    # check rejected it when payload bytes happened to spell TAG
+    short = mp3.encode_mp3_frames(2, version_id=0, bitrate_index=1, rate_index=0)
+    assert len(short) < 128
+    assert mp3.probe_mp3(short)["n_frames"] == 2
+    # "TAG" mid-payload at len-128 of a tagless stream must NOT cut
+    # audio: the trailer is only honored at a frame boundary
+    data = mp3.encode_mp3_frames(10, bitrate_index=9, rate_index=1)  # 384 B frames
+    k = len(data) - 128
+    assert k % 384 != 0  # lands mid-frame
+    forged = bytearray(data)
+    forged[k : k + 3] = b"TAG"
+    assert mp3.probe_mp3(bytes(forged))["n_frames"] == 10
+
+
+def test_probe_reports_both_bitrate_bounds():
+    info = mp3.probe_mp3(
+        mp3.encode_mp3_frames(2, bitrate_index=9) + mp3.encode_mp3_frames(2, bitrate_index=14)
+    )
+    assert (info["bitrate_min_kbps"], info["bitrate_max_kbps"]) == (128, 320)
+    assert not info["is_cbr"]

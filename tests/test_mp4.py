@@ -536,3 +536,50 @@ def test_fmp4_sample_ranges_spark(spark):
                 sum(sizes[i : i + j]) for j in range(cnt)
             ]
             i += cnt
+
+
+def test_box_nesting_bomb_raises_value_error():
+    # ~100 nested container boxes must raise ValueError, not
+    # RecursionError (the clean-failure contract inside Arrow tasks)
+    inner = mp4._box(b"free", b"")
+    for _ in range(100):
+        inner = mp4._box(b"trak", inner)
+    bomb = mp4._box(b"ftyp", b"isom" + struct.pack(">I", 0)) + inner
+    with pytest.raises(ValueError, match="nesting"):
+        mp4.probe_mp4(bomb)
+
+
+def test_fragmented_mdat_bytes_sums_all_fragments():
+    frags = [[50, 61], [72, 83], [94]]
+    info = mp4.probe_mp4(mp4.encode_fmp4(64, 48, frags))
+    assert info["mdat_bytes"] == sum(sum(f) for f in frags) == info["sample_bytes"]
+
+
+def test_parse_sps_headerless_high_profile_135():
+    # profile 135 has low header bits == 7; the old strip heuristic ate
+    # its first byte when passed headerless
+    sps = mp4.encode_sps(64, 48, profile_idc=135)
+    headerless = sps[1:]
+    info = mp4.parse_sps(headerless)
+    assert info["profile_idc"] == 135 and (info["width"], info["height"]) == (64, 48)
+    # and the with-header form still strips correctly
+    assert mp4.parse_sps(sps)["profile_idc"] == 135
+
+
+def test_multi_traf_without_explicit_base_raises():
+    data = mp4.encode_fmp4(64, 48, [[50, 50]])
+    # duplicate the traf inside the moof (second tfhd has no explicit base)
+    ti = data.index(b"traf") - 4
+    (tsz,) = struct.unpack_from(">I", data, ti)
+    traf = data[ti : ti + tsz]
+    mi = data.index(b"moof") - 4
+    (msz,) = struct.unpack_from(">I", data, mi)
+    doubled = (
+        data[:mi]
+        + struct.pack(">I", msz + tsz)
+        + data[mi + 4 : ti + tsz]
+        + traf
+        + data[ti + tsz :]
+    )
+    with pytest.raises(ValueError, match="multi-traf"):
+        mp4.fragment_index(doubled)
