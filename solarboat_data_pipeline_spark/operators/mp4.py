@@ -610,6 +610,10 @@ def _probe_fields(data: bytes, boxes: dict, _req, _fourcc) -> dict:
         out["fps_x1000"] = round(med_ts * 1000 / delta) if delta else None
     else:
         out["n_samples"] = count
+        if count > len(data):
+            raise ValueError(
+                f"stsz declares {count} samples in a {len(data)}-byte file"
+            )
         if fixed:
             out["sample_bytes"] = fixed * count
         else:
@@ -718,6 +722,10 @@ def _sample_index_fields(data: bytes, boxes: dict) -> list[dict]:
             "empty sample tables with moof fragments: a fragmented MP4 "
             "(use fragment_index)"
         )
+    if count > len(data):
+        raise ValueError(
+            f"stsz declares {count} samples in a {len(data)}-byte file"
+        )
     sizes = (
         [fixed] * count
         if fixed
@@ -749,6 +757,12 @@ def _sample_index_fields(data: bytes, boxes: dict) -> list[dict]:
     deltas: list[int] = []
     for i in range(n_tt):
         n, d = struct.unpack_from(">II", stts, 8 + 8 * i)
+        if len(deltas) + n > count:
+            # guard BEFORE extending: a mutated run count could other-
+            # wise allocate a multi-GB list from a 4-byte field
+            raise ValueError(
+                f"stts covers more than the {count} samples stsz declares"
+            )
         deltas.extend([d] * n)
     if len(deltas) != count:
         raise ValueError(
@@ -1054,6 +1068,11 @@ def _fragment_index_fields(data: bytes) -> list[dict]:
             )
         for trun_raw in frag_boxes[b"trun"]:
             trun = _parse_trun(trun_raw)
+            if trun["count"] > len(data):
+                raise ValueError(
+                    f"trun declares {trun['count']} samples in a "
+                    f"{len(data)}-byte file"
+                )
             if trun["data_offset"] is None:
                 raise ValueError("trun without a data offset is outside the envelope")
             # \u00a78.8.7: explicit base wins; default-base-is-moof anchors

@@ -583,3 +583,30 @@ def test_multi_traf_without_explicit_base_raises():
     )
     with pytest.raises(ValueError, match="multi-traf"):
         mp4.fragment_index(doubled)
+
+
+def test_implausible_count_fields_raise_fast():
+    # a 4-byte mutation of a count field must raise, not allocate
+    # gigabytes or loop billions of iterations inside an Arrow task
+    base = mp4.encode_mp4(64, 48, [50, 60, 70])
+    b = bytearray(base)
+    i = base.index(b"stsz") - 4
+    struct.pack_into(">II", b, i + 8 + 4, 10, 0xFFFFFFF0)  # fixed, huge count
+    with pytest.raises(ValueError, match="declares"):
+        mp4.probe_mp4(bytes(b))
+    with pytest.raises(ValueError, match="declares"):
+        mp4.sample_index(bytes(b))
+    b = bytearray(base)
+    j = base.index(b"stts") - 4
+    struct.pack_into(">II", b, j + 8 + 4, 0xFFFFFFF0, 25)  # huge stts run
+    with pytest.raises(ValueError, match="stts"):
+        mp4.sample_index(bytes(b))
+    f = mp4.encode_fmp4(64, 48, [[50, 50]])
+    b = bytearray(f)
+    k = f.index(b"trun") - 4
+    struct.pack_into(">I", b, k + 8 + 4, 0xFFFFFFF0)  # huge trun count
+    # with per-sample sizes present the parse overruns the payload
+    # immediately; the "trun declares" guard covers the default-size
+    # path where nothing else would bound the loop
+    with pytest.raises(ValueError):
+        mp4.fragment_index(bytes(b))
