@@ -34,6 +34,7 @@ __all__ = [
     "parse_vp9_frame_header",
     "encode_ivf",
     "probe_ivf",
+    "split_superframe",
 ]
 
 _SYNC = (0x49, 0x83, 0x42)
@@ -234,16 +235,17 @@ def probe_ivf(data: bytes) -> dict:
         if pos + size > len(data):
             raise ValueError(f"IVF frame at {pos} overruns the file")
         if out["fourcc"] == "VP90":
-            info = parse_vp9_frame_header(data[pos : pos + size])
-            if info["is_key"]:
-                n_key += 1
-                if first_key_offset < 0:
-                    first_key_offset = pos
-                if coded_w is None:
-                    coded_w, coded_h = info["width"], info["height"]
-                    profile, bit_depth = info["profile"], info["bit_depth"]
-                elif (coded_w, coded_h) != (info["width"], info["height"]):
-                    raise ValueError("keyframe dimensions change mid-stream")
+            for sub in split_superframe(data[pos : pos + size]):
+                info = parse_vp9_frame_header(sub)
+                if info["is_key"]:
+                    n_key += 1
+                    if first_key_offset < 0:
+                        first_key_offset = pos
+                    if coded_w is None:
+                        coded_w, coded_h = info["width"], info["height"]
+                        profile, bit_depth = info["profile"], info["bit_depth"]
+                    elif (coded_w, coded_h) != (info["width"], info["height"]):
+                        raise ValueError("keyframe dimensions change mid-stream")
         n_seen += 1
         frame_bytes += size
         pos += size
@@ -263,4 +265,39 @@ def probe_ivf(data: bytes) -> dict:
             "bit_depth": bit_depth,
         }
     )
+    return out
+
+
+def split_superframe(payload: bytes) -> list[bytes]:
+    """Split a VP9 SUPERFRAME (libvpx packs an invisible alt-ref frame
+    plus the visible frame into one container frame, with a trailing
+    index) into its subframes per the bitstream spec's superframe
+    syntax (Annex B): the last byte is a marker ``110xxxxx`` carrying
+    ``frames_in_superframe - 1`` (3 bits) and ``bytes_per_framesize -
+    1`` (2 bits); the index is that marker, little-endian subframe
+    sizes, and the SAME marker byte again at the front of the index.
+    Returns ``[payload]`` unchanged when no valid index is present
+    (ordinary single-frame payload)."""
+    if not payload:
+        return [payload]
+    marker = payload[-1]
+    if (marker & 0xE0) != 0xC0:
+        return [payload]
+    n_frames = (marker & 0x07) + 1
+    bytes_per = ((marker >> 3) & 0x03) + 1
+    index_size = 2 + bytes_per * n_frames
+    if len(payload) < index_size or payload[-index_size] != marker:
+        return [payload]  # trailing byte coincidentally marker-shaped
+    sizes = []
+    pos = len(payload) - index_size + 1
+    for _ in range(n_frames):
+        sizes.append(int.from_bytes(payload[pos : pos + bytes_per], "little"))
+        pos += bytes_per
+    if sum(sizes) != len(payload) - index_size:
+        return [payload]  # sizes do not tile the payload: not an index
+    out = []
+    pos = 0
+    for s in sizes:
+        out.append(payload[pos : pos + s])
+        pos += s
     return out

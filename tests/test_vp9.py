@@ -205,3 +205,50 @@ def test_probe_ivf_stats_spark(spark):
             (9 if i % k == 0 else 2) + 30 + (3 * mid + 17 * i) % 80
             for i in range(n)
         )
+
+
+# --- superframes -------------------------------------------------------------
+
+
+def _superframe(frames: list[bytes], bytes_per: int = 1) -> bytes:
+    marker = 0xC0 | (len(frames) - 1) | ((bytes_per - 1) << 3)
+    idx = bytes([marker])
+    for f in frames:
+        idx += len(f).to_bytes(bytes_per, "little")
+    return b"".join(frames) + idx + bytes([marker])
+
+
+def test_split_superframe_roundtrip():
+    key = vp9.encode_vp9_keyframe_header(64, 48) + bytes(20)
+    inter = vp9.encode_vp9_inter_header(0) + bytes(10)
+    for bp in (1, 2, 3):
+        sf = _superframe([inter, key], bytes_per=bp)
+        assert vp9.split_superframe(sf) == [inter, key]
+    # three subframes
+    sf = _superframe([inter, inter, key])
+    assert len(vp9.split_superframe(sf)) == 3
+
+
+def test_split_superframe_rejects_non_index():
+    key = vp9.encode_vp9_keyframe_header(64, 48) + bytes(20)
+    # ordinary payload untouched
+    assert vp9.split_superframe(key) == [key]
+    # marker-shaped last byte but sizes that do not tile the payload
+    fake = key + bytes([0xC1, 5, 5, 0xC1])
+    # leading marker mismatch or bad tiling → returned unsplit
+    assert vp9.split_superframe(fake[:-1] + b"\xc0") == [fake[:-1] + b"\xc0"]
+    assert vp9.split_superframe(b"") == [b""]
+
+
+def test_probe_ivf_counts_keyframes_inside_superframes():
+    key = vp9.encode_vp9_keyframe_header(126, 98) + bytes(20)
+    inter = vp9.encode_vp9_inter_header(0) + bytes(10)
+    frames = [
+        _superframe([inter, key]),       # altref + visible key
+        inter + bytes(5),
+        _superframe([inter, inter]),
+    ]
+    info = vp9.probe_ivf(vp9.encode_ivf(126, 98, frames))
+    assert info["n_frames"] == 3          # container frames
+    assert info["n_keyframes"] == 1       # found INSIDE the superframe
+    assert (info["coded_width"], info["coded_height"]) == (126, 98)
