@@ -223,7 +223,7 @@ def probe_ivf(data: bytes) -> dict:
         "n_frames_header": n_frames,
     }
     pos = hdr_size
-    n_seen = n_key = frame_bytes = 0
+    n_seen = n_key = n_visible = frame_bytes = 0
     first_key_offset = -1
     coded_w = coded_h = None
     profile = bit_depth = None
@@ -237,6 +237,8 @@ def probe_ivf(data: bytes) -> dict:
         if out["fourcc"] == "VP90":
             for sub in split_superframe(data[pos : pos + size]):
                 info = parse_vp9_frame_header(sub)
+                if info["frame_type"] == "show_existing" or info.get("show_frame"):
+                    n_visible += 1
                 if info["is_key"]:
                     n_key += 1
                     if first_key_offset < 0:
@@ -256,6 +258,7 @@ def probe_ivf(data: bytes) -> dict:
     out.update(
         {
             "n_frames": n_seen,
+            "n_visible": n_visible,
             "n_keyframes": n_key,
             "first_keyframe_offset": first_key_offset,
             "frame_bytes": frame_bytes,

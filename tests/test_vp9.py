@@ -252,3 +252,14 @@ def test_probe_ivf_counts_keyframes_inside_superframes():
     assert info["n_frames"] == 3          # container frames
     assert info["n_keyframes"] == 1       # found INSIDE the superframe
     assert (info["coded_width"], info["coded_height"]) == (126, 98)
+
+
+def test_probe_ivf_visible_frame_count():
+    key = vp9.encode_vp9_keyframe_header(126, 98) + bytes(20)
+    inter = vp9.encode_vp9_inter_header(0) + bytes(10)
+    frames = [
+        _superframe([inter, key]),  # altref (shown) + visible key = 2 visible
+        inter + bytes(5),
+    ]
+    info = vp9.probe_ivf(vp9.encode_ivf(126, 98, frames))
+    assert info["n_frames"] == 2 and info["n_visible"] == 3
