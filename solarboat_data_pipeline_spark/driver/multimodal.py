@@ -625,6 +625,7 @@ def mm_fmp4_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
            (1152 * n * 1000000 // rate)::BIGINT AS duration_ms_x1000,
            kbps::BIGINT AS bitrate_min_kbps,
            kbps::BIGINT AS bitrate_max_kbps,
+           (kbps * 1000)::BIGINT AS bitrate_mean_kbps_x1000,
            TRUE AS is_cbr,
            (n * (144000 * kbps // rate)
             + CASE WHEN pe > 0 THEN (n + pe - 1) // pe ELSE 0 END)::BIGINT

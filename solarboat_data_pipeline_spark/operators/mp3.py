@@ -219,6 +219,11 @@ def probe_mp3(data: bytes) -> dict:
         bitrates.add(h["bitrate_kbps"])
         bitrate_sum += h["bitrate_kbps"]
         pos += h["length"]
+    if n_frames == 0:
+        # reachable only via the ID3v1 break: the audio section was
+        # nothing but a 128-byte "TAG" trailer (possibly after an ID3v2
+        # prefix) — without this guard duration would divide by None
+        raise ValueError("no audio frames before the ID3v1 trailer")
     return {
         "n_frames": n_frames,
         "total_samples": total_samples,
@@ -228,6 +233,8 @@ def probe_mp3(data: bytes) -> dict:
         "duration_ms_x1000": total_samples * 1_000_000 // rate_hz,
         "bitrate_min_kbps": min(bitrates),
         "bitrate_max_kbps": max(bitrates),
+        # exact mean (×1000 to stay integer — probes never emit floats)
+        "bitrate_mean_kbps_x1000": bitrate_sum * 1000 // n_frames,
         "is_cbr": len(bitrates) == 1,
         "audio_bytes": audio_bytes,
     }

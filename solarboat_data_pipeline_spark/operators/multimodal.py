@@ -1231,7 +1231,8 @@ def synthesize_mp3_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 MP3_PROBE_SCHEMA = (
     "media_id long, n_frames long, total_samples long, rate_hz long,"
     " layer long, channel_mode string, duration_ms_x1000 long,"
-    " bitrate_min_kbps long, bitrate_max_kbps long, is_cbr boolean,"
+    " bitrate_min_kbps long, bitrate_max_kbps long,"
+    " bitrate_mean_kbps_x1000 long, is_cbr boolean,"
     " audio_bytes long"
 )
 
@@ -1257,6 +1258,9 @@ def probe_mp3_stats(df: DataFrame) -> DataFrame:
                 rows["duration_ms_x1000"].append(info["duration_ms_x1000"])
                 rows["bitrate_min_kbps"].append(info["bitrate_min_kbps"])
                 rows["bitrate_max_kbps"].append(info["bitrate_max_kbps"])
+                rows["bitrate_mean_kbps_x1000"].append(
+                    info["bitrate_mean_kbps_x1000"]
+                )
                 rows["is_cbr"].append(info["is_cbr"])
                 rows["audio_bytes"].append(info["audio_bytes"])
             yield pd.DataFrame(rows)

@@ -298,6 +298,14 @@ def split_superframe(payload: bytes) -> list[bytes]:
         pos += bytes_per
     if sum(sizes) != len(payload) - index_size:
         return [payload]  # sizes do not tile the payload: not an index
+    if 0 in sizes:
+        # a tiling index claiming an empty subframe is spec-illegal —
+        # fail HERE with the superframe named, not downstream where the
+        # empty header parse would blame a "truncated frame header"
+        raise ValueError(
+            f"superframe index claims a zero-length subframe "
+            f"(sizes {sizes})"
+        )
     out = []
     pos = 0
     for s in sizes:

@@ -148,7 +148,7 @@ def test_truncation_always_raises_never_garbage(codec, cut):
 
 
 def _probe_fixtures():
-    from solarboat_data_pipeline_spark.operators import mp4, vp9
+    from solarboat_data_pipeline_spark.operators import mp3, mp4, vp9
 
     rnd = np.random.default_rng(20260816)
     base_mp4 = mp4.encode_mp4(
@@ -163,17 +163,23 @@ def _probe_fixtures():
             else vp9.encode_vp9_inter_header(0)
         )
         frames.append(hdr + bytes(rnd.integers(0, 256, size=40, dtype=np.uint8)))
-    return mp4, vp9, rnd, base_mp4, base_fmp4, vp9.encode_ivf(126, 98, frames)
+    base_mp3 = mp3.encode_mp3_frames(
+        14, bitrate_index=9, rate_index=1, pad_every=3, id3v2_bytes=37
+    )
+    return (
+        mp4, vp9, mp3, rnd, base_mp4, base_fmp4,
+        vp9.encode_ivf(126, 98, frames), base_mp3,
+    )
 
 
 @pytest.mark.parametrize("trial", range(30))
 def test_probe_mutation_fuzz_only_value_errors(trial):
-    mp4, vp9, rnd, base_mp4, base_fmp4, base_ivf = _probe_fixtures()
+    mp4, vp9, mp3, rnd, base_mp4, base_fmp4, base_ivf, base_mp3 = _probe_fixtures()
     for _ in range(100):
-        kind = int(rnd.integers(0, 6))
+        kind = int(rnd.integers(0, 8))
         if kind == 0:
             data = bytes(rnd.integers(0, 256, size=int(rnd.integers(1, 300)), dtype=np.uint8))
-            fns = (mp4.probe_mp4, vp9.probe_ivf)
+            fns = (mp4.probe_mp4, vp9.probe_ivf, mp3.probe_mp3)
         elif kind == 1:
             data = base_mp4[: int(rnd.integers(0, len(base_mp4)))]
             fns = (mp4.probe_mp4, mp4.sample_index)
@@ -190,11 +196,19 @@ def test_probe_mutation_fuzz_only_value_errors(trial):
         elif kind == 4:
             data = base_ivf[: int(rnd.integers(0, len(base_ivf)))]
             fns = (vp9.probe_ivf,)
-        else:
+        elif kind == 5:
             b = bytearray(base_fmp4)
             for _ in range(int(rnd.integers(1, 12))):
                 b[int(rnd.integers(0, len(b)))] = int(rnd.integers(0, 256))
             data, fns = bytes(b), (mp4.probe_mp4, mp4.fragment_index)
+        elif kind == 6:
+            b = bytearray(base_mp3)
+            for _ in range(int(rnd.integers(1, 12))):
+                b[int(rnd.integers(0, len(b)))] = int(rnd.integers(0, 256))
+            data, fns = bytes(b), (mp3.probe_mp3,)
+        else:
+            data = base_mp3[: int(rnd.integers(0, len(base_mp3)))]
+            fns = (mp3.probe_mp3,)
         for fn in fns:
             try:
                 fn(data)  # surviving a benign mutation is fine
@@ -202,9 +216,19 @@ def test_probe_mutation_fuzz_only_value_errors(trial):
                 pass  # the ONLY permitted failure mode
 
 
+def test_probe_mp3_id3v1_trailer_only_is_value_error():
+    # directed case for the one historical non-ValueError escape: an
+    # audio section that is ONLY the 128-byte ID3v1 trailer
+    from solarboat_data_pipeline_spark.operators import mp3
+
+    for prefix in (b"", b"ID3\x04\x00\x00\x00\x00\x00\x05" + bytes(5)):
+        with pytest.raises(ValueError):
+            mp3.probe_mp3(prefix + b"TAG" + bytes(125))
+
+
 @pytest.mark.parametrize("trial", range(10))
 def test_header_parser_random_bytes_only_value_errors(trial):
-    mp4, vp9, rnd, _, _, _ = _probe_fixtures()
+    mp4, vp9, _mp3, rnd, *_ = _probe_fixtures()
     for _ in range(200):
         data = bytes(rnd.integers(0, 256, size=int(rnd.integers(0, 60)), dtype=np.uint8))
         for fn in (mp4.parse_sps, vp9.parse_vp9_frame_header, mp4.parse_avcc, mp4.nal_scan):

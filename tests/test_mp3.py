@@ -71,6 +71,7 @@ def test_vbr_detection():
     info = mp3.probe_mp3(a + b)
     assert not info["is_cbr"]
     assert (info["bitrate_min_kbps"], info["bitrate_max_kbps"]) == (128, 192)
+    assert info["bitrate_mean_kbps_x1000"] == (3 * 128 + 3 * 192) * 1000 // 6
 
 
 def test_prefix_of_complete_frames_is_valid():
@@ -121,6 +122,19 @@ def test_adversarial_headers():
         mp3.probe_mp3(mixed)
 
 
+def test_id3v1_trailer_only_audio_section_raises():
+    # an "MP3" whose audio section is nothing but the 128-byte ID3v1
+    # trailer must raise ValueError, not divide duration by None
+    trailer = b"TAG" + bytes(125)
+    with pytest.raises(ValueError, match="no audio frames"):
+        mp3.probe_mp3(trailer)
+    # same via an ID3v2 prefix followed directly by the trailer
+    prefixed = mp3.encode_mp3_frames(1, id3v2_bytes=40)
+    id3v2_len = 10 + 40
+    with pytest.raises(ValueError, match="no audio frames"):
+        mp3.probe_mp3(prefixed[:id3v2_len] + trailer)
+
+
 def test_probe_mp3_random_bytes_only_value_errors():
     import numpy as np
 
@@ -164,6 +178,7 @@ def test_probe_mp3_stats_spark(spark):
         assert r["total_samples"] == 1152 * n
         assert r["rate_hz"] == rate
         assert r["bitrate_min_kbps"] == kbps == r["bitrate_max_kbps"]
+        assert r["bitrate_mean_kbps_x1000"] == kbps * 1000
         assert r["duration_ms_x1000"] == 1152 * n * 1_000_000 // rate
         pe = p["pad_every"]
         n_padded = (n + pe - 1) // pe if pe else 0

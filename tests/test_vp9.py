@@ -240,6 +240,19 @@ def test_split_superframe_rejects_non_index():
     assert vp9.split_superframe(b"") == [b""]
 
 
+def test_split_superframe_rejects_zero_length_subframe():
+    # a tiling index that claims an empty subframe is spec-illegal and
+    # must fail HERE (naming the superframe index), not downstream as a
+    # misleading "truncated frame header" on the empty subframe
+    key = vp9.encode_vp9_keyframe_header(64, 48) + bytes(20)
+    sf = _superframe([key, b""])
+    with pytest.raises(ValueError, match="zero-length subframe"):
+        vp9.split_superframe(sf)
+    # and probe_ivf surfaces the same precise message
+    with pytest.raises(ValueError, match="zero-length subframe"):
+        vp9.probe_ivf(vp9.encode_ivf(64, 48, [sf]))
+
+
 def test_probe_ivf_counts_keyframes_inside_superframes():
     key = vp9.encode_vp9_keyframe_header(126, 98) + bytes(20)
     inter = vp9.encode_vp9_inter_header(0) + bytes(10)
