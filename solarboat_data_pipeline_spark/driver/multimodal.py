@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from solarboat_data_pipeline_spark.operators import multimodal as mm
+from solarboat_data_pipeline_spark.operators import sampling as sp
 
 from solarboat_data_pipeline_spark.driver._registry import (  # noqa: F401
     _t,
@@ -597,6 +598,61 @@ def mm_fmp4_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_mp4_extract",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             16*(doc_id % 8 + 1) - 2*(doc_id % 8) AS width,
+             16*(doc_id % 6 + 1) - 2*(doc_id % 5) AS height,
+             doc_id % 24 + 1 AS n_samples
+      FROM documents),
+    s AS (
+      SELECT g.doc_id, i.i, g.width, g.height,
+             50 + (7*g.doc_id + 13*i.i) % 100 AS sz
+      FROM g, generate_series(0, 23) i(i)
+      WHERE i.i < g.n_samples AND i.i % 3 = 0),
+    body AS (
+      SELECT s.doc_id, s.i,
+             SUM((7*s.width + 11*s.height + 13*s.i + 5*j.j) % 256)
+               AS body_sum
+      FROM s, generate_series(0, 148) j(j)
+      WHERE j.j < s.sz - 5
+      GROUP BY s.doc_id, s.i)
+    SELECT s.doc_id AS media_id, s.i::BIGINT AS sample_index,
+           s.sz::BIGINT AS size,
+           (s.sz - 4 + 101 + b.body_sum)::BIGINT AS byte_sum,
+           (s.sz - 4)::BIGINT AS head_u32,
+           ((7*s.width + 11*s.height + 13*s.i + 5*(s.sz - 6)) % 256)::BIGINT
+             AS tail_byte
+    FROM s JOIN body b ON s.doc_id = b.doc_id AND s.i = b.i
+    """,
+)
+def mm_mp4_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ranged-GET extraction — the probe lane's loop
+    closed: build the absolute-offset seek table (operators/mp4.py
+    sample_index), select every 3rd sample (a frame sampler's typical
+    sparse pull), and slice exactly those byte ranges back out of the
+    media with multimodal.extract_sample_payloads. Requests shuffle as
+    24-byte structs and broadcast to the media scan — each payload
+    crosses the plan once, no media shuffle (the Arrow slice is the
+    documented swap-in for object-store ranged GETs at 100 TB). The
+    oracle recomputes the FULL content of every extracted sample
+    arithmetically — length-prefix head word, per-byte sum over the
+    generator formula (7w+11h+13i+5j mod 256), tail byte — so an
+    off-by-one offset, a wrong stsc chunk walk, or a short slice
+    cannot hash-match. Extraction shape = SURVEY §2.8's 1→N explode
+    (lib/canparser.py:174-187) applied to media bytes."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_mp4_media(docs)
+    seek = mm.mp4_sample_seek_table(media)
+    wanted = seek.where(F.col("sample_index") % 3 == 0)
+    out = mm.extract_sample_payloads(media, wanted)
+    return out.select(
+        "media_id", "sample_index", "size", "byte_sum", "head_u32", "tail_byte"
+    )
+
+
+@register(
     "mm_mp3_probe",
     """
     WITH g AS (
@@ -646,3 +702,110 @@ def mm_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = mm.synthesize_mp3_media(docs)
     return mm.probe_mp3_stats(media)
+
+
+@register(
+    "pipeline_media_curation",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             doc_id % 3 AS kind,
+             ((doc_id // 15) % 64) * 3 + doc_id % 3 AS seed
+      FROM documents
+      WHERE doc_id % 7 <> 3),
+    d AS (
+      SELECT kind, seed, MIN(doc_id) AS media_id
+      FROM g GROUP BY kind, seed),
+    u0 AS (
+      SELECT d.media_id, d.kind, d.seed, d.seed % 24 + 1 AS n_units
+      FROM d WHERE d.kind = 0),
+    u0b AS (
+      SELECT u0.media_id, u0.kind, u0.n_units,
+             SUM(50 + (7*u0.seed + 13*i.i) % 100) AS unit_bytes
+      FROM u0, generate_series(0, 23) i(i)
+      WHERE i.i < u0.n_units
+      GROUP BY u0.media_id, u0.kind, u0.n_units),
+    u1 AS (
+      SELECT d.media_id, d.kind, d.seed,
+             d.seed % 20 + 1 AS n_units,
+             d.seed % 6 + 2 AS key_every
+      FROM d WHERE d.kind = 1),
+    u1b AS (
+      SELECT u1.media_id, u1.kind, u1.n_units,
+             SUM(CASE WHEN i.i % u1.key_every = 0 THEN 9 ELSE 2 END
+                 + 30 + (3*u1.seed + 17*i.i) % 80) AS unit_bytes
+      FROM u1, generate_series(0, 19) i(i)
+      WHERE i.i < u1.n_units
+      GROUP BY u1.media_id, u1.kind, u1.n_units),
+    u2 AS (
+      SELECT d.media_id, d.kind,
+             d.seed % 60 + 1 AS n,
+             d.seed % 14 + 1 AS bi,
+             d.seed % 3 AS ri,
+             d.seed % 4 AS pe
+      FROM d WHERE d.kind = 2),
+    u2b AS (
+      SELECT media_id, kind, n AS n_units,
+             n * (144000 * kbps // rate)
+               + CASE WHEN pe > 0 THEN (n + pe - 1) // pe ELSE 0 END
+               AS unit_bytes
+      FROM (SELECT u2.*,
+              CASE bi WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+                      WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+                      WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+                      WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+                      WHEN 13 THEN 256 ELSE 320 END AS kbps,
+              CASE ri WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+                AS rate
+            FROM u2) q),
+    allu AS (
+      SELECT media_id, kind, n_units, unit_bytes FROM u0b
+      UNION ALL SELECT media_id, kind, n_units, unit_bytes FROM u1b
+      UNION ALL SELECT media_id, kind, n_units, unit_bytes FROM u2b)
+    SELECT media_id, kind::BIGINT AS kind,
+           n_units::BIGINT AS n_units, unit_bytes::BIGINT AS unit_bytes
+    FROM allu
+    WHERE (('0x' || substr(md5('mc' || media_id::VARCHAR), 1, 8))::BIGINT
+            % 10000)
+          < CASE kind WHEN 0 THEN 8000 WHEN 1 THEN 6000 ELSE 4000 END
+    """,
+)
+def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-curation composition — the multimodal twin of
+    pipeline_curation, proving the probe lane composes with the dedup
+    and sampling operators: a mixed MP4/IVF/MP3 corpus (with planted
+    byte-identical duplicate groups AND corrupted files) flows through
+    (1) format-dispatching tolerant probe — the probers' clean-
+    ValueError contract becomes the corrupt-file-rejection filter,
+    (2) exact content dedup on sha256(payload) keeping the lowest id,
+    (3) per-format stratified hash sampling (80/60/40% for video/VP9/
+    audio) — every stage the already-verified operator. The corpus
+    bytes cross the plan ONCE (digest computed inside the probe pass);
+    dedup shuffles 70-byte digest rows, never payloads; the sample is
+    a pure scan-stage expression. The oracle reconstructs the whole
+    pipeline arithmetically from the generator formulas: rejection set
+    = ids % 7 == 3 (zeroed magic bytes), duplicate groups = the seed
+    classes (seeds bounded below the generator-formula lcm, so
+    seed-equality IS payload-equality), per-format unit counts/bytes,
+    and the identical md5 sampling buckets."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = mm.synthesize_mixed_media(docs)
+    probed = mm.probe_media_tolerant(raw)
+    ok = probed.where(F.col("ok"))
+    # exact content dedup: every non-key column is constant within a
+    # digest group (identical payloads), so min() selects the
+    # representative's values without a second join back
+    reps = ok.groupBy("digest").agg(
+        F.min("media_id").alias("media_id"),
+        F.min("kind").alias("kind"),
+        F.min("n_units").alias("n_units"),
+        F.min("unit_bytes").alias("unit_bytes"),
+    )
+    sampled = sp.weighted_mix(
+        reps.withColumn("kind_s", F.col("kind").cast("string")),
+        "kind_s",
+        "media_id",
+        {"0": 0.8, "1": 0.6, "2": 0.4},
+        salt="mc",
+    )
+    return sampled.select("media_id", "kind", "n_units", "unit_bytes")

@@ -62,82 +62,75 @@ del _m, _k, _v
 # ---------------------------------------------------------------------------
 
 # The driver evaluates the FIRST 50 registered queries (observed rounds
-# 1-9: exactly the first 50 names get a CORRECTNESS row). Round-10
-# rotation (STALE-FIRST, same policy as r6-r9): the never-green
-# st_stream_decode_wide, then this round's changed-code queries (fused
-# resample generator fold, decode_wide auto fallback, SQ8 batch
-# re-rank), then the FULL r7-stale block (39 names — after this round
-# no green row predates r8), then the oldest r8-stale queries in
-# registry order to fill the 50. Everything below the cut follows
-# _REGISTRATION_ORDER via _ordered() and stays under the identical
-# pytest oracle gate every run; the flagship q1_pricing_summary is
-# additionally smoke-run by the driver's entry() every round.
+# 1-10: exactly the first 50 names get a CORRECTNESS row). Round-11
+# rotation (STALE-FIRST, same policy as r6-r10): the r7-stale
+# txt_ngram_topk leads (the registry's one pre-r8 green), then the two
+# never-green rows new this round (ranged-GET sample extraction and the
+# media-curation composition), then the two probes whose operator code
+# changed this round (mm_mp3_probe gained bitrate_mean_kbps_x1000 — its
+# r10 green row has the OLD schema; mm_ivf_vp9_probe sits on the
+# hardened split_superframe), then the FULL r8-stale block (42 names —
+# after this round no green row predates r9), then the three oldest
+# r9-stale rows in registration order to fill the 50. Everything below
+# the cut follows _REGISTRATION_ORDER via _ordered() and stays under
+# the identical pytest oracle gate every run; the flagship
+# q1_pricing_summary is additionally smoke-run by entry() every round.
 _PRIORITY = [
-    # 0. never-green: new this round (7 — the streaming wide decode and
-    #    the compressed-media probe lane: MP4/H.264 + IVF/VP9 + plain
-    #    and fragmented sample seek tables + MP3)
-    "st_stream_decode_wide",
-    "mm_mp4_probe",
-    "mm_h264_keyframes",
-    "mm_ivf_vp9_probe",
-    "mm_mp4_sample_ranges",
-    "mm_fmp4_ranges",
-    "mm_mp3_probe",
-    # 1. operator code changed this round (5): the fused resample
-    #    kernel's generator fold (timeseries.resample_interpolate), the
-    #    decode_wide auto dup-overflow fallback, and the SQ8 batch-mode
-    #    re-rank
-    "a3_resample_dense",
-    "a3_w3_fused_grid",
-    "s1_candump_parse",
-    "sim_sq8_topk",
-    "sim_ivf_sq8_index_topk",
-    # 2. the r7-stale block (39 names; the window cut of 50 leaves the
-    #    last of them, txt_ngram_topk, to lead round 11's window — its
-    #    r7 green row stays valid and it remains pytest-oracle-gated)
-    "s2_scan_pushdown",
-    "w6_sort_rank",
-    "f1_haversine",
-    "f2_heading",
-    "dd_minhash_signature",
-    "dd_lsh_pairs",
-    "dd_simhash",
-    "dd_ngram_jaccard",
-    "s3_forecast_csv_roundtrip",
-    "s4_gpx_roundtrip",
-    "s5_json_dump_roundtrip",
-    "k_sinks_roundtrip",
-    "k_partitioned_prune",
-    "st_stream_ffill",
-    "w6_rank_scaled",
-    "w_sessionize_scaled",
-    "f3_speed_guard",
-    "dd_minhash_estimate",
-    "dd_embedding_cosine",
-    "txt_langid",
-    "txt_tokens",
-    "txt_fingerprint",
-    "txt_repetition",
-    "txt_redact",
-    "samp_hash_sample",
-    "samp_weighted_mix",
-    "samp_token_budget_scaled",
-    "skew_count_distinct",
-    "k_bucketed_join",
-    "mm_png_decode",
-    "mm_png_resize",
-    "mm_avi_decode",
-    "mm_avi_frames",
-    "dd_near_dup_incremental",
-    "txt_decontaminate_scaled",
-    "samp_shard_shuffle",
-    "samp_pack_sequences",
-    "txt_decontaminate_fuzzy",
+    # 0. r7-stale leader
     "txt_ngram_topk",
-    # 3. no r8-stale fill fits: q1/p1/p3/p5/p6 dropped from the window
-    #    to make room for the five never-green probe rows (q1 is still
-    #    smoke-run by entry() every round; all stay under the pytest
-    #    oracle gate every run)
+    # 1. never-green: new this round
+    "mm_mp4_extract",
+    "pipeline_media_curation",
+    # 2. operator code changed this round
+    "mm_mp3_probe",
+    "mm_ivf_vp9_probe",
+    # 3. the full r8-stale block (42 names, registration order)
+    "q1_pricing_summary",
+    "p1_regex_extract",
+    "p2_epoch_seconds",
+    "p3_time_offset",
+    "p5_hex_roundtrip",
+    "p6_unhex_payload",
+    "p17_float_downcast",
+    "p8_dict_lookup",
+    "f4_tz_convert",
+    "j4_asof_backward",
+    "a5_quantile_iqr",
+    "w2_lagk_outlier_filter",
+    "w3_interpolate_bounded",
+    "f5_candump_format",
+    "f6_json_extract",
+    "dd_near_dup_pipeline",
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "txt_quality",
+    "mm_binary_meta",
+    "mm_frame_sample",
+    "mm_wav_decode",
+    "mm_wav_resample",
+    "dd_paragraph_dedup",
+    "f7_solar_position",
+    "f7_poa_irradiance",
+    "st_stream_resample",
+    "st_stream_sessionize",
+    "st_stream_dedup",
+    "mm_resize",
+    "st_stream_parse",
+    "st_stream_enrich",
+    "mm_features",
+    "j4_asof_backward_scaled",
+    "j3_asof_linear_scaled",
+    "w3_interpolate_scaled",
+    "w3_interpolate_wide_scaled",
+    "j6_interval_join",
+    "txt_model_score",
+    "txt_model_score_real",
+    "p5_p6_hex_payload",
+    "dd_incremental_index",
+    # 4. r9-stale fill (oldest three in registration order)
+    "p9_conditional_rewrite",
+    "p13_p16_project_slice",
+    "p4_crop_bounds",
 ]
 
 
@@ -285,6 +278,8 @@ _REGISTRATION_ORDER = [
     "mm_mp4_sample_ranges",
     "mm_fmp4_ranges",
     "mm_mp3_probe",
+    "mm_mp4_extract",
+    "pipeline_media_curation",
 ]
 
 

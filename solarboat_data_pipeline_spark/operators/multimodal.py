@@ -1088,6 +1088,132 @@ def mp4_sample_ranges(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=SAMPLE_RANGES_SCHEMA)
 
 
+SAMPLE_SEEK_SCHEMA = (
+    "media_id long, sample_index long, abs_offset long, size long,"
+    " dts_ticks long"
+)
+
+
+def mp4_sample_seek_table(df: DataFrame) -> DataFrame:
+    """Absolute-offset variant of :func:`mp4_sample_ranges`: one row per
+    sample with the ABSOLUTE byte range inside the file — exactly the
+    (offset, length) pair a distributed extractor turns into a storage
+    ranged GET. Persist this table once per corpus; every later frame
+    sample / keyframe pull joins against it instead of re-walking the
+    box tree (the incremental-index shape of dd_near_dup_incremental,
+    applied to media)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.split()[0]: [] for k in SAMPLE_SEEK_SCHEMA.split(",")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for r in mp4_codec.sample_index(bytes(payload)):
+                    rows["media_id"].append(int(mid))
+                    rows["sample_index"].append(r["sample"])
+                    rows["abs_offset"].append(r["offset"])
+                    rows["size"].append(r["size"])
+                    rows["dts_ticks"].append(r["dts_ticks"])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=SAMPLE_SEEK_SCHEMA)
+
+
+EXTRACT_SCHEMA = "media_id long, sample_index long, size long, payload binary"
+EXTRACT_DIGEST_SCHEMA = (
+    EXTRACT_SCHEMA + ", byte_sum long, head_u32 long, tail_byte long"
+)
+
+
+def extract_sample_payloads(
+    media: DataFrame,
+    ranges: DataFrame,
+    *,
+    id_col: str = "media_id",
+    index_col: str = "sample_index",
+    offset_col: str = "abs_offset",
+    size_col: str = "size",
+    broadcast_requests: bool = True,
+    with_digest: bool = True,
+) -> DataFrame:
+    """Distributed RANGED-GET sample extraction — the payoff of the
+    seek tables (:func:`mp4_sample_seek_table` / ``fragment_index``):
+    given a media table and a (usually filtered) set of per-sample byte
+    ranges, slice exactly those samples out, never decoding or copying
+    the rest of the file.
+
+    100 TB shape: the range rows are grouped per media id FIRST
+    (``collect_list`` of 24-byte structs — the only shuffle, and it
+    moves seek-table rows, not media bytes), then joined to the media
+    table so each payload crosses the join ONCE regardless of how many
+    samples it contributes; with ``broadcast_requests`` (default) the
+    grouped request list is broadcast and the media table never
+    shuffles at all. The Arrow map below is the storage swap-in point:
+    on a real cluster ``payload[off : off + size]`` becomes a ranged
+    GET against the object store and the media table shrinks to
+    ``(media_id, uri)`` — no other line changes.
+
+    Reference anchor: this is SURVEY §2.8's 1→N explode
+    (lib/canparser.py:174-187) applied to media bytes — one file row
+    fans out to N sample rows selected by the seek table.
+
+    A range overrunning its payload raises a clean ValueError (the
+    probe-lane error contract). ``with_digest`` adds arithmetic digest
+    columns (full byte sum, big-endian head u32, last byte) so a
+    driver oracle can verify every extracted byte without seeing it.
+    """
+    req = (
+        ranges.select(
+            F.col(id_col).alias("media_id"),
+            F.struct(
+                F.col(index_col).cast("long").alias("sample_index"),
+                F.col(offset_col).cast("long").alias("abs_offset"),
+                F.col(size_col).cast("long").alias("size"),
+            ).alias("req"),
+        )
+        .groupBy("media_id")
+        .agg(F.collect_list("req").alias("reqs"))
+    )
+    if broadcast_requests:
+        req = F.broadcast(req)
+    joined = media.join(req, "media_id").select("media_id", "payload", "reqs")
+    schema = EXTRACT_DIGEST_SCHEMA if with_digest else EXTRACT_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k.split()[0]: [] for k in schema.split(",")}
+            for mid, payload, reqs in zip(
+                pdf["media_id"], pdf["payload"], pdf["reqs"]
+            ):
+                data = bytes(payload)
+                for r in reqs:
+                    off, sz = int(r["abs_offset"]), int(r["size"])
+                    if off < 0 or sz < 0 or off + sz > len(data):
+                        raise ValueError(
+                            f"sample range {off}+{sz} overruns the "
+                            f"{len(data)}-byte payload of media {int(mid)}"
+                        )
+                    chunk = data[off : off + sz]
+                    rows["media_id"].append(int(mid))
+                    rows["sample_index"].append(int(r["sample_index"]))
+                    rows["size"].append(sz)
+                    rows["payload"].append(chunk)
+                    if with_digest:
+                        rows["byte_sum"].append(
+                            int(np.frombuffer(chunk, np.uint8).sum())
+                            if sz
+                            else 0
+                        )
+                        rows["head_u32"].append(
+                            int.from_bytes(chunk[:4], "big")
+                        )
+                        rows["tail_byte"].append(chunk[-1] if sz else -1)
+            yield pd.DataFrame(rows)
+
+    return joined.mapInPandas(run, schema=schema)
+
+
 def _fmp4_params(mid: int) -> dict:
     """Deterministic fragmented-MP4 geometry per id: fragment count,
     per-fragment sample counts ``(id + f) % 6 + 1``, global sample
@@ -1235,6 +1361,164 @@ MP3_PROBE_SCHEMA = (
     " bitrate_mean_kbps_x1000 long, is_cbr boolean,"
     " audio_bytes long"
 )
+
+
+def _mixed_media_kind(mid: int) -> int:
+    """Format rotation for the mixed curation corpus: 0=MP4, 1=IVF/VP9,
+    2=MP3."""
+    return mid % 3
+
+
+def _mixed_media_seed(mid: int) -> int:
+    """Content seed shared by duplicate groups: the 5 ids of the same
+    kind inside each block of 15 consecutive ids get identical payloads,
+    and the block index wraps at 64 so large corpora also carry
+    cross-block duplicates. The wrap keeps every seed < 192, BELOW the
+    smallest lcm of the generator formulas' periods (600 for the MP4
+    lane) — two distinct seeds can therefore never produce
+    byte-identical payloads, so grouping by seed is EXACTLY grouping by
+    content digest and the oracle can mirror the dedup arithmetically."""
+    return ((mid // 15) % 64) * 3 + mid % 3
+
+
+def synthesize_mixed_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Mixed-format media corpus for the curation composition: each id
+    becomes a genuine MP4, IVF/VP9, or MP3 stream (kind = id mod 3)
+    whose content derives from the GROUP seed — so duplicate groups
+    carry byte-identical payloads — and ids with ``id % 7 == 3`` are
+    CORRUPTED (first 8 bytes zeroed, which breaks the ftyp magic, the
+    DKIF signature, and the MP3 frame sync respectively — every prober
+    raises its clean ValueError)."""
+    from solarboat_data_pipeline_spark.operators import mp3 as mp3_codec
+    from solarboat_data_pipeline_spark.operators import vp9 as vp9_codec
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def _encode(seed: int, kind: int) -> bytes:
+        if kind == 0:
+            p = _mp4_params(seed)
+            sizes = [
+                50 + (7 * seed + 13 * i) % 100 for i in range(p["n_samples"])
+            ]
+            return mp4_codec.encode_mp4(
+                p["width"], p["height"], sizes,
+                timescale=p["timescale"], sample_delta=p["sample_delta"],
+                profile_idc=p["profile_idc"], level_idc=p["level_idc"],
+            )
+        if kind == 1:
+            p = _ivf_params(seed)
+            frames = []
+            for i in range(p["n_frames"]):
+                if i % p["key_every"] == 0:
+                    hdr = vp9_codec.encode_vp9_keyframe_header(
+                        p["width"], p["height"],
+                        profile=p["profile"], bit_depth=p["bit_depth"],
+                    )
+                else:
+                    hdr = vp9_codec.encode_vp9_inter_header(p["profile"])
+                tail_len = 30 + (3 * seed + 17 * i) % 80
+                tail = bytes(
+                    (seed * 5 + i * 11 + j) % 256 for j in range(tail_len)
+                )
+                frames.append(hdr + tail)
+            return vp9_codec.encode_ivf(
+                p["width"], p["height"], frames,
+                timebase_den=p["timebase_den"],
+            )
+        p = _mp3_params(seed)
+        return mp3_codec.encode_mp3_frames(
+            p["n_frames"], bitrate_index=p["bitrate_index"],
+            rate_index=p["rate_index"], pad_every=p["pad_every"],
+            id3v2_bytes=p["id3v2_bytes"], channel_mode=p["channel_mode"],
+            seed=seed,
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[tuple[int, int], bytes] = {}
+        for pdf in batches:
+            kinds, payloads = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                kind = _mixed_media_kind(mid)
+                seed = _mixed_media_seed(mid)
+                data = cache.get((seed, kind))
+                if data is None:
+                    data = _encode(seed, kind)
+                    cache[(seed, kind)] = data
+                if mid % 7 == 3:
+                    data = bytes(8) + data[8:]
+                kinds.append(kind)
+                payloads.append(data)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "kind": pd.Series(kinds, dtype="int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return src.mapInPandas(
+        run, schema="media_id long, kind long, payload binary"
+    )
+
+
+MEDIA_PROBE_TOLERANT_SCHEMA = (
+    "media_id long, kind long, digest string, ok boolean, n_units long,"
+    " unit_bytes long"
+)
+
+
+def probe_media_tolerant(df: DataFrame) -> DataFrame:
+    """Format-dispatching TOLERANT probe: run the right structure
+    prober (MP4 box walk / IVF+VP9 header parse / MP3 frame sync) per
+    row and turn its clean-ValueError contract into a FILTERABLE
+    ``ok`` flag instead of a task failure — the corrupt-file-rejection
+    stage of a media curation pipeline. Emits the per-file unit count
+    (samples / frames) and unit byte total for the curation report,
+    plus the payload's sha256 digest for exact content dedup (computed
+    here so the corpus bytes cross the plan once). Map-only: no
+    shuffle, single-core rate = cluster rate."""
+    import hashlib
+
+    from solarboat_data_pipeline_spark.operators import mp3 as mp3_codec
+    from solarboat_data_pipeline_spark.operators import vp9 as vp9_codec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k.split()[0]: []
+                for k in MEDIA_PROBE_TOLERANT_SCHEMA.split(",")
+            }
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                data = bytes(payload)
+                kind = int(kind)
+                ok, n_units, unit_bytes = True, 0, 0
+                try:
+                    if kind == 0:
+                        info = mp4_codec.probe_mp4(data)
+                        n_units = info["n_samples"]
+                        unit_bytes = info["sample_bytes"]
+                    elif kind == 1:
+                        info = vp9_codec.probe_ivf(data)
+                        n_units = info["n_frames"]
+                        unit_bytes = info["frame_bytes"]
+                    else:
+                        info = mp3_codec.probe_mp3(data)
+                        n_units = info["n_frames"]
+                        unit_bytes = info["audio_bytes"]
+                except ValueError:
+                    ok = False
+                rows["media_id"].append(int(mid))
+                rows["kind"].append(kind)
+                rows["digest"].append(hashlib.sha256(data).hexdigest())
+                rows["ok"].append(ok)
+                rows["n_units"].append(n_units)
+                rows["unit_bytes"].append(unit_bytes)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=MEDIA_PROBE_TOLERANT_SCHEMA)
 
 
 def probe_mp3_stats(df: DataFrame) -> DataFrame:
