@@ -809,3 +809,96 @@ def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt="mc",
     )
     return sampled.select("media_id", "kind", "n_units", "unit_bytes")
+
+
+@register(
+    "mm_h264_decode",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             16*(doc_id % 2 + 1) - 2*(doc_id % 6) AS w,
+             16*(doc_id % 2 + 1) - 2*(doc_id % 4) AS h,
+             doc_id % 2 + 1 AS n_frames,
+             doc_id % 3 AS lane
+      FROM documents),
+    f AS (SELECT g.*, fi.fi FROM g, generate_series(0, 1) fi(fi)
+          WHERE fi.fi < g.n_frames),
+    -- lane 0: dense per-pixel pattern, summed cell by cell
+    l0y AS (
+      SELECT f.doc_id, SUM((7*f.doc_id + 13*r.r + 5*c.c + 3*f.fi) % 256)
+               AS s
+      FROM f, generate_series(0, 31) r(r), generate_series(0, 31) c(c)
+      WHERE f.lane = 0 AND r.r < f.h AND c.c < f.w
+      GROUP BY f.doc_id),
+    l0cb AS (
+      SELECT f.doc_id, SUM((11*f.doc_id + 7*r.r + 3*c.c + 5*f.fi) % 256)
+               AS s
+      FROM f, generate_series(0, 15) r(r), generate_series(0, 15) c(c)
+      WHERE f.lane = 0 AND r.r < f.h // 2 AND c.c < f.w // 2
+      GROUP BY f.doc_id),
+    l0cr AS (
+      SELECT f.doc_id, SUM((5*f.doc_id + 3*r.r + 11*c.c + 7*f.fi) % 256)
+               AS s
+      FROM f, generate_series(0, 15) r(r), generate_series(0, 15) c(c)
+      WHERE f.lane = 0 AND r.r < f.h // 2 AND c.c < f.w // 2
+      GROUP BY f.doc_id),
+    -- lane 1: constant frames
+    l1 AS (
+      SELECT f.doc_id,
+             SUM(((3*f.doc_id + 11*f.fi) % 256) * f.h * f.w) AS ys,
+             SUM(((5*f.doc_id + 7*f.fi) % 256) * (f.h//2) * (f.w//2)) AS cbs,
+             SUM(((7*f.doc_id + 13*f.fi) % 256) * (f.h//2) * (f.w//2)) AS crs
+      FROM f WHERE f.lane = 1 GROUP BY f.doc_id),
+    -- lane 2: column stripes (constant along rows)
+    l2y AS (
+      SELECT f.doc_id, SUM(f.h * ((11*f.doc_id + 29*c.c + 7*f.fi) % 256))
+               AS s
+      FROM f, generate_series(0, 31) c(c)
+      WHERE f.lane = 2 AND c.c < f.w
+      GROUP BY f.doc_id),
+    l2cb AS (
+      SELECT f.doc_id,
+             SUM((f.h//2) * ((13*f.doc_id + 17*c.c + 3*f.fi) % 256)) AS s
+      FROM f, generate_series(0, 15) c(c)
+      WHERE f.lane = 2 AND c.c < f.w // 2
+      GROUP BY f.doc_id),
+    l2cr AS (
+      SELECT f.doc_id,
+             SUM((f.h//2) * ((17*f.doc_id + 23*c.c + 11*f.fi) % 256)) AS s
+      FROM f, generate_series(0, 15) c(c)
+      WHERE f.lane = 2 AND c.c < f.w // 2
+      GROUP BY f.doc_id)
+    SELECT g.doc_id AS media_id,
+           g.w::BIGINT AS width, g.h::BIGINT AS height,
+           g.n_frames::BIGINT AS n_frames,
+           (((g.w+15)//16) * ((g.h+15)//16) * g.n_frames)::BIGINT AS n_mb,
+           (CASE g.lane WHEN 0 THEN l0y.s WHEN 1 THEN l1.ys ELSE l2y.s
+            END)::BIGINT AS y_sum,
+           (CASE g.lane WHEN 0 THEN l0cb.s WHEN 1 THEN l1.cbs ELSE l2cb.s
+            END)::BIGINT AS cb_sum,
+           (CASE g.lane WHEN 0 THEN l0cr.s WHEN 1 THEN l1.crs ELSE l2cr.s
+            END)::BIGINT AS cr_sum
+    FROM g
+    LEFT JOIN l0y USING (doc_id) LEFT JOIN l0cb USING (doc_id)
+    LEFT JOIN l0cr USING (doc_id) LEFT JOIN l1 USING (doc_id)
+    LEFT JOIN l2y USING (doc_id) LEFT JOIN l2cb USING (doc_id)
+    LEFT JOIN l2cr USING (doc_id)
+    """,
+)
+def mm_h264_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 PIXEL decode (operators/h264.py — round 11): each
+    document id becomes a genuine Annex-B Baseline intra stream (real
+    SPS/PPS, IDR slice headers, I_PCM + the full Intra_4x4/16x16/chroma
+    prediction machinery of §8.3, zero-residual CAVLC, deblocking off),
+    decoded back pixel-by-pixel inside Arrow mapInPandas. The encoder
+    keeps a predicted macroblock only when its prediction is BIT-EXACT
+    (pcm_mae=0) and ships lossless I_PCM otherwise, so the decoded
+    planes equal the generator formulas exactly and the oracle
+    recomputes every pixel sum ARITHMETICALLY — a wrong prediction
+    formula, neighbor-availability rule, z-scan order, or PCM
+    alignment cannot hash-match. Three content lanes steer the mode
+    mix: dense (all-PCM), constant (DC/V/H propagation), column
+    stripes (Vertical propagation)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_h264_idr_media(docs)
+    return mm.decode_h264_stats(media)

@@ -249,7 +249,7 @@ def parse_sps(nal: bytes) -> dict:
         r.u(1)  # qpprime_y_zero_transform_bypass_flag
         if r.u(1):  # seq_scaling_matrix_present_flag
             raise ValueError("scaling matrices outside the probe envelope")
-    r.ue()  # log2_max_frame_num_minus4
+    log2_max_frame_num = r.ue() + 4
     poc_type = r.ue()
     if poc_type == 0:
         r.ue()  # log2_max_pic_order_cnt_lsb_minus4
@@ -289,11 +289,16 @@ def parse_sps(nal: bytes) -> dict:
         "width": width,
         "height": height,
         "frame_mbs_only": frame_mbs_only,
+        "log2_max_frame_num": log2_max_frame_num,
+        "poc_type": poc_type,
     }
 
 
-def encode_pps() -> bytes:
-    """Minimal PPS NAL (§7.3.2.2): CAVLC, one slice group, defaults."""
+def encode_pps(deblocking_control: bool = False) -> bytes:
+    """Minimal PPS NAL (§7.3.2.2): CAVLC, one slice group, defaults.
+    ``deblocking_control`` sets deblocking_filter_control_present_flag
+    so slice headers can carry disable_deblocking_filter_idc (the
+    intra pixel codec in :mod:`.h264` turns the in-loop filter off)."""
     w = _BitWriter()
     w.ue(0)  # pic_parameter_set_id
     w.ue(0)  # seq_parameter_set_id
@@ -307,7 +312,7 @@ def encode_pps() -> bytes:
     w.se(0)  # pic_init_qp_minus26
     w.se(0)  # pic_init_qs_minus26
     w.se(0)  # chroma_qp_index_offset
-    w.u(0, 1)  # deblocking_filter_control_present_flag
+    w.u(1 if deblocking_control else 0, 1)  # deblocking_filter_control_present_flag
     w.u(0, 1)  # constrained_intra_pred_flag
     w.u(0, 1)  # redundant_pic_cnt_present_flag
     return b"\x68" + _rbsp_to_nal(w.rbsp_trailing())

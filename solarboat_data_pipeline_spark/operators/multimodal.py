@@ -9,8 +9,11 @@ payloads decoded and resampled by the pure-stdlib codec in :mod:`.wav`
 ``wave`` module). The VIDEO path is real for the uncompressed envelope:
 genuine BI_RGB AVI payloads decoded and frame-sampled by the pure-stdlib
 RIFF reader in :mod:`.avi`, with COMPRESSED video covered by the MJPG
-lane (per-frame baseline JPEG via :mod:`.jpeg`, 4:4:4 and 4:2:0).
-Codecs beyond that envelope (H.264/VP9/...) raise at the same Arrow
+lane (per-frame baseline JPEG via :mod:`.jpeg`, 4:4:4 and 4:2:0) and —
+round 11 — by the H.264 Baseline INTRA lane (:mod:`.h264`: real IDR
+pixel decode, I_PCM lossless + full §8.3 prediction, zero-residual
+CAVLC envelope). Beyond those envelopes (inter frames, nonzero CAVLC
+residuals, VP9 pixels) the operators raise at the same Arrow
 ``mapInPandas`` contract — swap in ffmpeg on a cluster that has it and
 nothing else changes (``frame_sample_plan``/``extract_features`` keep
 byte-stream stand-ins for the SQL-mirrorable legacy oracles).
@@ -1361,6 +1364,130 @@ MP3_PROBE_SCHEMA = (
     " bitrate_mean_kbps_x1000 long, is_cbr boolean,"
     " audio_bytes long"
 )
+
+
+def _h264_params(mid: int) -> dict:
+    """Deterministic H.264 IDR stream geometry per id, shared with the
+    mm_h264_decode oracle. Three content lanes, every one of which the
+    zero-residual intra codec reproduces EXACTLY (pcm_mae=0 keeps a
+    predicted macroblock only when its prediction is bit-exact; every
+    other MB ships lossless I_PCM): 0 = dense per-pixel pattern (all
+    PCM), 1 = constant frames (one PCM seed, DC/V/H propagation),
+    2 = column stripes (first MB row PCM, Vertical propagation)."""
+    return {
+        "width": 16 * (mid % 2 + 1) - 2 * (mid % 6),
+        "height": 16 * (mid % 2 + 1) - 2 * (mid % 4),
+        "n_frames": mid % 2 + 1,
+        "lane": mid % 3,
+    }
+
+
+def _h264_frame(mid: int, fi: int, w: int, h: int, lane: int):
+    """The per-frame planar content of the three lanes — pure integer
+    formulas a SQL oracle recomputes."""
+    import numpy as np
+
+    r = np.arange(h)[:, None]
+    c = np.arange(w)[None, :]
+    rc = np.arange(h // 2)[:, None]
+    cc = np.arange(w // 2)[None, :]
+    if lane == 0:
+        y = (7 * mid + 13 * r + 5 * c + 3 * fi) % 256
+        cb = (11 * mid + 7 * rc + 3 * cc + 5 * fi) % 256
+        cr = (5 * mid + 3 * rc + 11 * cc + 7 * fi) % 256
+    elif lane == 1:
+        y = np.full((h, w), (3 * mid + 11 * fi) % 256)
+        cb = np.full((h // 2, w // 2), (5 * mid + 7 * fi) % 256)
+        cr = np.full((h // 2, w // 2), (7 * mid + 13 * fi) % 256)
+    else:
+        y = np.broadcast_to((11 * mid + 29 * c + 7 * fi) % 256, (h, w))
+        cb = np.broadcast_to((13 * mid + 17 * cc + 3 * fi) % 256, (h // 2, w // 2))
+        cr = np.broadcast_to((17 * mid + 23 * cc + 11 * fi) % 256, (h // 2, w // 2))
+    return (
+        y.astype(np.uint8),
+        np.ascontiguousarray(cb).astype(np.uint8),
+        np.ascontiguousarray(cr).astype(np.uint8),
+    )
+
+
+def synthesize_h264_idr_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table of genuine Annex-B H.264 Baseline intra streams
+    (SPS + PPS + IDR pictures, operators/h264.py) whose decoded pixels
+    equal the :func:`_h264_frame` formulas exactly (pcm_mae=0: only
+    bit-exact predictions survive; everything else is lossless
+    I_PCM)."""
+    from solarboat_data_pipeline_spark.operators import h264 as h264_codec
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                p = _h264_params(mid)
+                frames = [
+                    _h264_frame(mid, fi, p["width"], p["height"], p["lane"])
+                    for fi in range(p["n_frames"])
+                ]
+                payloads.append(
+                    h264_codec.encode_idr_frames(
+                        frames, p["width"], p["height"], pcm_mae=0.0
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": payloads,
+                    "media_type": "video/h264; profile=baseline-intra",
+                }
+            )
+
+    return src.mapInPandas(
+        run, schema="media_id long, payload binary, media_type string"
+    )
+
+
+H264_DECODE_SCHEMA = (
+    "media_id long, width long, height long, n_frames long, n_mb long,"
+    " y_sum long, cb_sum long, cr_sum long"
+)
+
+
+def decode_h264_stats(df: DataFrame) -> DataFrame:
+    """REAL compressed-video PIXEL decode via Arrow ``mapInPandas``:
+    full H.264 Baseline intra decode (operators/h264.py — slice/MB
+    syntax, I_PCM, all §8.3 prediction modes, zero-residual CAVLC) of
+    every payload, emitting decoded dimensions, frame/macroblock
+    counts, and exact per-plane pixel sums. The pixel sums come from
+    the DECODED frames, so any wrong prediction formula, neighbor
+    rule, or PCM alignment shows up as a sum mismatch."""
+    from solarboat_data_pipeline_spark.operators import h264 as h264_codec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k.split()[0]: [] for k in H264_DECODE_SCHEMA.split(",")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out = h264_codec.decode_annexb(bytes(payload))
+                rows["media_id"].append(int(mid))
+                rows["width"].append(out["width"])
+                rows["height"].append(out["height"])
+                rows["n_frames"].append(len(out["frames"]))
+                rows["n_mb"].append(sum(len(t) for t in out["mb_types"]))
+                rows["y_sum"].append(
+                    int(sum(int(f[0].astype(np.int64).sum()) for f in out["frames"]))
+                )
+                rows["cb_sum"].append(
+                    int(sum(int(f[1].astype(np.int64).sum()) for f in out["frames"]))
+                )
+                rows["cr_sum"].append(
+                    int(sum(int(f[2].astype(np.int64).sum()) for f in out["frames"]))
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=H264_DECODE_SCHEMA)
 
 
 def _mixed_media_kind(mid: int) -> int:
