@@ -811,9 +811,7 @@ def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.select("media_id", "kind", "n_units", "unit_bytes")
 
 
-@register(
-    "mm_h264_decode",
-    """
+_H264_SUM_ORACLE = """
     WITH g AS (
       SELECT doc_id,
              16*(doc_id % 2 + 1) - 2*(doc_id % 6) AS w,
@@ -883,7 +881,12 @@ def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN l0cr USING (doc_id) LEFT JOIN l1 USING (doc_id)
     LEFT JOIN l2y USING (doc_id) LEFT JOIN l2cb USING (doc_id)
     LEFT JOIN l2cr USING (doc_id)
-    """,
+    """
+
+
+@register(
+    "mm_h264_decode",
+    _H264_SUM_ORACLE,
 )
 def mm_h264_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL H.264 PIXEL decode (operators/h264.py — round 11): each
@@ -902,3 +905,24 @@ def mm_h264_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = mm.synthesize_h264_idr_media(docs)
     return mm.decode_h264_stats(media)
+
+
+@register(
+    "mm_mp4_pixels",
+    _H264_SUM_ORACLE,
+)
+def mm_mp4_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-to-pixels — the probe lane fully closed (round 11):
+    each document id becomes an MP4 whose samples are REAL coded H.264
+    IDR pictures (the intra encoder's NALs packaged length-prefixed,
+    its SPS/PPS in the avcC record), then decoded back container-first
+    inside Arrow mapInPandas: box walk -> avcC parameter sets -> stsc/
+    stsz/stco/stts seek table -> per-sample NAL unpack (the identical
+    byte ranges mm_mp4_extract slices) -> full intra pixel decode.
+    Content lanes and generator formulas are shared with
+    mm_h264_decode, so the SAME arithmetic pixel-sum oracle verifies
+    the in-container path — a wrong chunk offset, avcC length size, or
+    NAL framing cannot hash-match. Map-only plan: zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_h264_mp4_media(docs)
+    return mm.decode_mp4_h264_stats(media)

@@ -64,9 +64,10 @@ del _m, _k, _v
 # The driver evaluates the FIRST 50 registered queries (observed rounds
 # 1-10: exactly the first 50 names get a CORRECTNESS row). Round-11
 # rotation (STALE-FIRST, same policy as r6-r10): the r7-stale
-# txt_ngram_topk leads (the registry's one pre-r8 green), then the three
+# txt_ngram_topk leads (the registry's one pre-r8 green), then the four
 # never-green rows new this round (ranged-GET sample extraction, the
-# media-curation composition, and the H.264 intra pixel decode), then
+# media-curation composition, the H.264 intra pixel decode, and the
+# container-to-pixels MP4 row), then
 # the two probes whose operator code
 # changed this round (mm_mp3_probe gained bitrate_mean_kbps_x1000 — its
 # r10 green row has the OLD schema; mm_ivf_vp9_probe sits on the
@@ -83,6 +84,7 @@ _PRIORITY = [
     "mm_mp4_extract",
     "pipeline_media_curation",
     "mm_h264_decode",
+    "mm_mp4_pixels",
     # 2. operator code changed this round
     "mm_mp3_probe",
     "mm_ivf_vp9_probe",
@@ -129,10 +131,9 @@ _PRIORITY = [
     "txt_model_score_real",
     "p5_p6_hex_payload",
     "dd_incremental_index",
-    # 4. r9-stale fill (oldest two in registration order; the third
-    #    slot went to the never-green mm_h264_decode)
+    # 4. r9-stale fill (oldest one in registration order; the other
+    #    slots went to the never-green mm_h264_decode / mm_mp4_pixels)
     "p9_conditional_rewrite",
-    "p13_p16_project_slice",
 ]
 
 
@@ -283,6 +284,7 @@ _REGISTRATION_ORDER = [
     "mm_mp4_extract",
     "pipeline_media_curation",
     "mm_h264_decode",
+    "mm_mp4_pixels",
 ]
 
 

@@ -795,6 +795,45 @@ def decode_annexb(data: bytes) -> dict:
     }
 
 
+def decode_mp4(data: bytes) -> dict:
+    """Decode the H.264 Baseline intra samples INSIDE an MP4: pull the
+    parameter sets from the avcC record, walk the sample seek table
+    (:func:`mp4.sample_index` — the same byte ranges a distributed
+    ranged-GET extractor uses), unpack each sample's length-prefixed
+    NALs, and feed the rebuilt Annex-B stream to
+    :func:`decode_annexb`. NAL payloads carry emulation prevention in
+    BOTH storage forms, so the transmux is pure framing — no bit
+    rewriting. Same envelope and return shape as decode_annexb."""
+    from solarboat_data_pipeline_spark.operators.mp4 import (
+        extract_avcc,
+        parse_avcc,
+        sample_index,
+    )
+
+    avcc = parse_avcc(extract_avcc(data))
+    length_size = avcc["length_size"]
+    es = bytearray()
+    for nal in avcc["sps_nals"] + avcc["pps_nals"]:
+        es += b"\x00\x00\x00\x01" + nal
+    for r in sample_index(data):
+        sample = data[r["offset"] : r["offset"] + r["size"]]
+        pos = 0
+        while pos < len(sample):
+            if pos + length_size > len(sample):
+                raise ValueError(
+                    f"sample {r['sample']} truncated inside a NAL length prefix"
+                )
+            n = int.from_bytes(sample[pos : pos + length_size], "big")
+            pos += length_size
+            if n == 0 or pos + n > len(sample):
+                raise ValueError(
+                    f"sample {r['sample']} NAL length {n} overruns the sample"
+                )
+            es += b"\x00\x00\x00\x01" + sample[pos : pos + n]
+            pos += n
+    return decode_annexb(bytes(es))
+
+
 # ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------

@@ -359,7 +359,35 @@ def parse_avcc(data: bytes) -> dict:
     out["n_sps"] = n_sps
     out["n_pps"] = n_pps
     out["length_size"] = (data[4] & 3) + 1
+    # raw parameter-set NALs: what a transmuxer prepends (with start
+    # codes) to length-prefixed samples to rebuild an Annex-B stream
+    out["sps_nals"] = sps_list
+    out["pps_nals"] = pps_list
     return out
+
+
+def extract_avcc(data: bytes) -> bytes:
+    """Pull the raw AVCDecoderConfigurationRecord out of an MP4's avc1
+    sample entry (stsd → avc1 → avcC) — the parameter-set source for
+    MP4→Annex-B transmuxing."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF file (no leading ftyp)")
+    boxes: dict = {}
+    _walk(data, 0, len(data), boxes)
+    if b"stsd" not in boxes:
+        raise ValueError("required box b'stsd' missing")
+    stsd = boxes[b"stsd"][0]
+    try:
+        fourcc = stsd[4 + 4 + 4 : 4 + 4 + 8]
+        if fourcc != b"avc1":
+            raise ValueError(f"sample entry {fourcc!r} is not avc1")
+        child = stsd[4 + 4 :][8 + 78 :]
+        (csize,) = struct.unpack_from(">I", child, 0)
+        if child[4:8] != b"avcC":
+            raise ValueError("avc1 entry without leading avcC")
+        return child[8:csize]
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"stsd truncated or malformed: {exc}") from exc
 
 
 # ---------------------------------------------------------------------------
@@ -392,13 +420,46 @@ def encode_mp4(
     """Minimal valid single-video-track MP4.  Sample payloads are
     deterministic opaque bytes (this is a PROBE fixture — the sample
     table geometry, avcC parameter sets, and every box header are real;
-    only the slice payload bytes are synthetic)."""
-    n = len(sample_sizes)
+    only the slice payload bytes are synthetic).  For REAL coded
+    samples use :func:`encode_mp4_samples`."""
+    samples = []
+    for i, size in enumerate(sample_sizes):
+        if size < 6:
+            raise ValueError("sample too small for a length-prefixed NAL")
+        body = bytes(
+            (width * 7 + height * 11 + i * 13 + j * 5) % 256 for j in range(size - 5)
+        )
+        samples.append(struct.pack(">I", size - 4) + b"\x65" + body)
+    return encode_mp4_samples(
+        width,
+        height,
+        samples,
+        timescale=timescale,
+        sample_delta=sample_delta,
+        sps=encode_sps(width, height, profile_idc=profile_idc, level_idc=level_idc),
+        pps=encode_pps(),
+    )
+
+
+def encode_mp4_samples(
+    width: int,
+    height: int,
+    samples: list[bytes],
+    *,
+    sps: bytes,
+    pps: bytes,
+    timescale: int = 600,
+    sample_delta: int = 25,
+) -> bytes:
+    """Single-video-track MP4 around EXPLICIT sample payloads (each a
+    length-prefixed-NAL byte string, e.g. a real coded IDR picture) and
+    explicit SPS/PPS NALs for the avcC record — the shape a packager
+    produces around :mod:`.h264` encoder output."""
+    n = len(samples)
     if n == 0:
         raise ValueError("at least one sample")
+    sample_sizes = [len(s) for s in samples]
     duration = n * sample_delta
-    sps = encode_sps(width, height, profile_idc=profile_idc, level_idc=level_idc)
-    pps = encode_pps()
     avcc = _box(b"avcC", encode_avcc(sps, pps))
     avc1 = _box(
         b"avc1",
@@ -479,15 +540,7 @@ def encode_mp4(
     stco_payload = _full(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
     idx = moov.rindex(b"stco")
     moov = moov[: idx - 4] + stco_payload + moov[idx - 4 + len(stco_payload) :]
-    samples = bytearray()
-    for i, size in enumerate(sample_sizes):
-        if size < 6:
-            raise ValueError("sample too small for a length-prefixed NAL")
-        body = bytes(
-            (width * 7 + height * 11 + i * 13 + j * 5) % 256 for j in range(size - 5)
-        )
-        samples += struct.pack(">I", size - 4) + b"\x65" + body
-    return ftyp + moov + _box(b"mdat", bytes(samples))
+    return ftyp + moov + _box(b"mdat", b"".join(samples))
 
 
 # ---------------------------------------------------------------------------

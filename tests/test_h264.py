@@ -291,3 +291,93 @@ def test_lanes_actually_exercise_prediction():
             seen_pred[p["lane"]] = True
         seen_kinds.update(types)
     assert seen_pred[1] and seen_pred[2]
+
+
+# --- container-to-pixels (MP4 with REAL coded samples) ------------------------
+
+
+def _mp4_with_real_samples(frames, w, h, **enc_kw):
+    import struct
+
+    es = h264.encode_idr_frames(frames, w, h, **enc_kw)
+    sps = pps = None
+    samples = []
+    for u in mp4.nal_scan(es):
+        nal = es[u["offset"] : u["offset"] + u["size"]]
+        if u["nal_type"] == 7:
+            sps = nal
+        elif u["nal_type"] == 8:
+            pps = nal
+        elif u["nal_type"] == 5:
+            samples.append(struct.pack(">I", len(nal)) + nal)
+    return mp4.encode_mp4_samples(w, h, samples, sps=sps, pps=pps)
+
+
+def test_decode_mp4_equals_annexb_decode():
+    h, w = 32, 48
+    frames = [_planes(h, w, k, s) for s, k in enumerate(("ramp", "blocks", "const"))]
+    data = _mp4_with_real_samples(frames, w, h)
+    got = h264.decode_mp4(data)
+    want = h264.decode_annexb(h264.encode_idr_frames(frames, w, h))
+    assert (got["width"], got["height"]) == (w, h)
+    assert got["mb_types"] == want["mb_types"]
+    for (gy, gcb, gcr), (wy, wcb, wcr) in zip(got["frames"], want["frames"]):
+        assert np.array_equal(gy, wy)
+        assert np.array_equal(gcb, wcb) and np.array_equal(gcr, wcr)
+    # the container is ALSO a fully probeable MP4: real avcC dims,
+    # per-sample seek table slicing exactly the coded pictures
+    info = mp4.probe_mp4(data)
+    assert (info["coded_width"], info["coded_height"]) == (w, h)
+    assert info["n_samples"] == 3
+    idx = mp4.sample_index(data)
+    for r in idx:
+        sample = data[r["offset"] : r["offset"] + r["size"]]
+        n = int.from_bytes(sample[:4], "big")
+        assert n == len(sample) - 4 and sample[4] == 0x65  # one IDR NAL each
+
+
+def test_extract_avcc_and_param_sets_roundtrip():
+    h, w = 16, 32
+    frames = [_planes(h, w, "const", 1)]
+    data = _mp4_with_real_samples(frames, w, h)
+    cfg = mp4.parse_avcc(mp4.extract_avcc(data))
+    assert cfg["length_size"] == 4
+    assert len(cfg["sps_nals"]) == 1 and len(cfg["pps_nals"]) == 1
+    sps_info = mp4.parse_sps(cfg["sps_nals"][0])
+    assert (sps_info["width"], sps_info["height"]) == (w, h)
+    with pytest.raises(ValueError):
+        mp4.extract_avcc(b"\x00\x00\x00\x08ftyp")
+
+
+def test_decode_mp4_malformed_samples_raise():
+    h, w = 16, 16
+    frames = [_planes(h, w, "const", 1)]
+    data = bytearray(_mp4_with_real_samples(frames, w, h))
+    # corrupt the first sample's NAL length prefix to overrun
+    idx = mp4.sample_index(bytes(data))
+    off = idx[0]["offset"]
+    data[off : off + 4] = (10**6).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="overruns the sample|overruns the file"):
+        h264.decode_mp4(bytes(data))
+
+
+def test_decode_mp4_spark_lane(spark):
+    from solarboat_data_pipeline_spark.operators import multimodal as mm
+
+    docs = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    mp4_rows = {
+        r["media_id"]: r
+        for r in mm.decode_mp4_h264_stats(
+            mm.synthesize_h264_mp4_media(docs)
+        ).collect()
+    }
+    raw_rows = {
+        r["media_id"]: r
+        for r in mm.decode_h264_stats(
+            mm.synthesize_h264_idr_media(docs)
+        ).collect()
+    }
+    assert len(mp4_rows) == 24
+    for mid in mp4_rows:
+        a, b = mp4_rows[mid], raw_rows[mid]
+        assert a.asDict() == b.asDict()  # container path == Annex-B path
