@@ -888,8 +888,17 @@ def _encode_mb(
     # --- candidate 2: I_4x4, per-block best mode (greedy, on a scratch
     # copy so later blocks predict from this candidate's reconstruction).
     # A zero-SAD I_16x16 hit cannot be beaten (ties go to I_16x16), so
-    # skip the 16x9-mode search — the common case on predictable content
-    skip_i4 = (best16[0] == 0 and force is None) or force == "i16"
+    # skip the 16x9-mode search — the common case on predictable content.
+    # Also skip it when I_16x16 already misses the PCM floor by a wide
+    # margin (unpredictable content headed for the lossless fallback):
+    # an encoder SPEED heuristic only — any mode choice is legal H.264
+    # and the decoder-parity invariant is mode-independent
+    hopeless = (
+        force is None
+        and pcm_mae is not None
+        and best16[0] > (2 * pcm_mae + 8) * 256
+    )
+    skip_i4 = (best16[0] == 0 and force is None) or force == "i16" or hopeless
     scratch = st.y if skip_i4 else st.y.copy()
     i4_modes: list[int] = []
     i4_sad = 0
@@ -933,7 +942,7 @@ def _encode_mb(
         ),
     )
 
-    use_i4 = i4_sad < best16[0]
+    use_i4 = (not skip_i4) and i4_sad < best16[0]
     luma_sad = i4_sad if use_i4 else best16[0]
     mae = (luma_sad + bestc[0]) / (256 + 128)
     choice = force or ("pcm" if (pcm_mae is not None and mae > pcm_mae) else
