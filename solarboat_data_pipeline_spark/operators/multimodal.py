@@ -1121,6 +1121,35 @@ def mp4_sample_seek_table(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=SAMPLE_SEEK_SCHEMA)
 
 
+FMP4_SEEK_SCHEMA = (
+    "media_id long, sample_index long, fragment long, abs_offset long,"
+    " size long, dts_ticks long"
+)
+
+
+def fmp4_sample_seek_table(df: DataFrame) -> DataFrame:
+    """Absolute-offset seek table over FRAGMENTED MP4s
+    (:func:`mp4_codec.fragment_index` — moof/traf/trun walk): the
+    ranged-GET form of :func:`fmp4_sample_ranges`, feeding
+    :func:`extract_sample_payloads` directly. One row per sample with
+    its owning fragment and absolute byte range."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.split()[0]: [] for k in FMP4_SEEK_SCHEMA.split(",")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for r in mp4_codec.fragment_index(bytes(payload)):
+                    rows["media_id"].append(int(mid))
+                    rows["sample_index"].append(r["sample"])
+                    rows["fragment"].append(r["fragment"])
+                    rows["abs_offset"].append(r["offset"])
+                    rows["size"].append(r["size"])
+                    rows["dts_ticks"].append(r["dts_ticks"])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=FMP4_SEEK_SCHEMA)
+
+
 EXTRACT_SCHEMA = "media_id long, sample_index long, size long, payload binary"
 EXTRACT_DIGEST_SCHEMA = (
     EXTRACT_SCHEMA + ", byte_sum long, head_u32 long, tail_byte long"

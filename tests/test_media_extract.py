@@ -73,6 +73,24 @@ def test_extract_filtered_subset_and_no_digest(spark):
     assert got == want and all(s % 3 == 0 for _, s in got)
 
 
+def test_fmp4_extraction_byte_exact(spark):
+    """The ranged-GET extractor works unchanged over FRAGMENTED MP4s:
+    the absolute-offset fragment seek table drives the identical
+    slicing path, byte-exact against local fragment_index slices."""
+    media = mm.synthesize_fmp4_media(_docs(spark, 20))
+    seek = mm.fmp4_sample_seek_table(media)
+    out = mm.extract_sample_payloads(media, seek)
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    rows = out.collect()
+    n_expected = sum(len(mp4.fragment_index(d)) for d in payloads.values())
+    assert len(rows) == n_expected and n_expected > 0
+    for r in rows:
+        data = payloads[r["media_id"]]
+        idx = mp4.fragment_index(data)[r["sample_index"]]
+        assert bytes(r["payload"]) == data[idx["offset"] : idx["offset"] + idx["size"]]
+        assert r["byte_sum"] == sum(bytes(r["payload"]))
+
+
 def test_extract_overrun_raises_clean_value_error(spark):
     media = mm.synthesize_mp4_media(_docs(spark, 3))
     bad = spark.createDataFrame(
