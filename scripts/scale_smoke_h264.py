@@ -63,21 +63,9 @@ def run_case(name, frames, w, h, force=None, pcm_mae=0.0, container=False):
                                 recon_out=recon)
     enc_s = time.perf_counter() - t0
     if container:
-        import struct
-
         from solarboat_data_pipeline_spark.operators import mp4
 
-        sps = pps = None
-        samples = []
-        for u in mp4.nal_scan(es):
-            nal = es[u["offset"] : u["offset"] + u["size"]]
-            if u["nal_type"] == 7:
-                sps = nal
-            elif u["nal_type"] == 8:
-                pps = nal
-            elif u["nal_type"] == 5:
-                samples.append(struct.pack(">I", len(nal)) + nal)
-        data = mp4.encode_mp4_samples(w, h, samples, sps=sps, pps=pps)
+        data = mp4.annexb_to_mp4(es)
         t0 = time.perf_counter()
         out = h264.decode_mp4(data)
         dec_s = time.perf_counter() - t0
@@ -86,7 +74,7 @@ def run_case(name, frames, w, h, force=None, pcm_mae=0.0, container=False):
         t0 = time.perf_counter()
         out = h264.decode_annexb(es)
         dec_s = time.perf_counter() - t0
-    ok = all(
+    ok = len(out["frames"]) == len(recon) and all(
         np.array_equal(d[i], r[i])
         for d, r in zip(out["frames"], recon)
         for i in range(3)

@@ -81,16 +81,9 @@ class _SliceReader(_BitReader):
         self._pos += n * 8
         return self._data[start : start + n]
 
-    def more_rbsp_data(self) -> bool:
-        """§7.2: data remains iff some bit at or beyond the current
-        position other than the FINAL 1 bit (the rbsp_stop_one_bit) is
-        set — i.e. the last 1 bit of the stream lies strictly beyond
-        the cursor."""
-        total = len(self._data) * 8
-        for bit in range(total - 1, self._pos - 1, -1):
-            if (self._data[bit >> 3] >> (7 - (bit & 7))) & 1:
-                return bit > self._pos
-        return False
+_BYTE_BITS = [
+    tuple((b >> i) & 1 for i in range(7, -1, -1)) for b in range(256)
+]
 
 
 class _SliceWriter(_BitWriter):
@@ -101,8 +94,19 @@ class _SliceWriter(_BitWriter):
     def bytes_raw(self, data: bytes) -> None:
         if len(self._bits) % 8:
             raise ValueError("raw byte write while not byte-aligned")
+        # bulk path: I_PCM macroblocks write 384 raw bytes each — a
+        # per-byte bit LUT is ~8x cheaper than 8 u() calls per byte
+        bits = self._bits
         for b in data:
-            self.u(b, 8)
+            bits.extend(_BYTE_BITS[b])
+
+    def rbsp_trailing(self) -> bytes:
+        # PCM-heavy slices reach tens of kilobits: pack with numpy
+        # instead of the base class's per-bit assembly loop
+        self._bits.append(1)
+        while len(self._bits) % 8:
+            self._bits.append(0)
+        return np.packbits(np.asarray(self._bits, dtype=np.uint8)).tobytes()
 
 
 # ---------------------------------------------------------------------------
@@ -724,7 +728,12 @@ def _parse_pps(nal: bytes) -> dict:
         )
     if r.u(1):
         raise ValueError("constrained_intra_pred outside the decode envelope")
-    r.u(1)  # redundant_pic_cnt_present_flag
+    if r.u(1):
+        # would add redundant_pic_cnt to every slice header — silently
+        # misaligning the parse rather than failing, so reject it here
+        raise ValueError(
+            "redundant_pic_cnt_present_flag outside the decode envelope"
+        )
     return out
 
 
@@ -861,7 +870,7 @@ def _encode_mb(
     scb = src_cb[cy0 : cy0 + 8, cx0 : cx0 + 8]
     scr = src_cr[cy0 : cy0 + 8, cx0 : cx0 + 8]
 
-    if force == "pcm":  # no mode search needed for a pinned PCM MB
+    def emit_pcm() -> int:
         w.ue(MB_IPCM)
         w.byte_align_zero()
         w.bytes_raw(sy.astype(np.uint8).tobytes())
@@ -873,6 +882,9 @@ def _encode_mb(
         st.tc[mb_y * 4 : mb_y * 4 + 4, mb_x * 4 : mb_x * 4 + 4] = 16
         st.mb_types.append(MB_IPCM)
         return MB_IPCM
+
+    if force == "pcm":  # no mode search needed for a pinned PCM MB
+        return emit_pcm()
 
     # --- candidate 1: I_16x16, best of the legal §8.3.3 modes ----------
     legal16 = [2] + ([0] if avail_t else []) + ([1] if avail_l else []) + (
@@ -949,17 +961,7 @@ def _encode_mb(
                        ("i4" if use_i4 else "i16"))
 
     if choice == "pcm":
-        w.ue(MB_IPCM)
-        w.byte_align_zero()
-        w.bytes_raw(sy.astype(np.uint8).tobytes())
-        w.bytes_raw(scb.astype(np.uint8).tobytes())
-        w.bytes_raw(scr.astype(np.uint8).tobytes())
-        st.y[y0 : y0 + 16, x0 : x0 + 16] = sy
-        st.cb[cy0 : cy0 + 8, cx0 : cx0 + 8] = scb
-        st.cr[cy0 : cy0 + 8, cx0 : cx0 + 8] = scr
-        st.tc[mb_y * 4 : mb_y * 4 + 4, mb_x * 4 : mb_x * 4 + 4] = 16
-        st.mb_types.append(MB_IPCM)
-        return MB_IPCM
+        return emit_pcm()
 
     if choice == "i4":
         w.ue(MB_I4X4)

@@ -366,6 +366,21 @@ def parse_avcc(data: bytes) -> dict:
     return out
 
 
+def _avcc_from_stsd(stsd: bytes) -> bytes:
+    """Slice the raw avcC record out of an stsd payload whose first
+    sample entry is avc1 (8-byte box header + 78-byte fixed
+    VisualSampleEntry body before child boxes) — shared by the probe
+    and the transmux path."""
+    fourcc = stsd[4 + 4 + 4 : 4 + 4 + 8]
+    if fourcc != b"avc1":
+        raise ValueError(f"sample entry {fourcc!r} is not avc1")
+    child = stsd[4 + 4 :][8 + 78 :]
+    (csize,) = struct.unpack_from(">I", child, 0)
+    if child[4:8] != b"avcC":
+        raise ValueError("avc1 entry without leading avcC")
+    return child[8:csize]
+
+
 def extract_avcc(data: bytes) -> bytes:
     """Pull the raw AVCDecoderConfigurationRecord out of an MP4's avc1
     sample entry (stsd → avc1 → avcC) — the parameter-set source for
@@ -376,18 +391,37 @@ def extract_avcc(data: bytes) -> bytes:
     _walk(data, 0, len(data), boxes)
     if b"stsd" not in boxes:
         raise ValueError("required box b'stsd' missing")
-    stsd = boxes[b"stsd"][0]
     try:
-        fourcc = stsd[4 + 4 + 4 : 4 + 4 + 8]
-        if fourcc != b"avc1":
-            raise ValueError(f"sample entry {fourcc!r} is not avc1")
-        child = stsd[4 + 4 :][8 + 78 :]
-        (csize,) = struct.unpack_from(">I", child, 0)
-        if child[4:8] != b"avcC":
-            raise ValueError("avc1 entry without leading avcC")
-        return child[8:csize]
+        return _avcc_from_stsd(boxes[b"stsd"][0])
     except (struct.error, IndexError) as exc:
         raise ValueError(f"stsd truncated or malformed: {exc}") from exc
+
+
+def annexb_to_mp4(
+    es: bytes, *, sample_delta: int = 25, timescale: int = 600
+) -> bytes:
+    """Package an Annex-B H.264 stream (SPS + PPS + coded pictures,
+    e.g. :mod:`.h264` encoder output) as an MP4: parameter sets move
+    into the avcC record, every VCL NAL becomes one length-prefixed
+    sample, display dimensions come from the SPS. The inverse of
+    :func:`h264.decode_mp4`'s framing walk."""
+    sps = pps = None
+    samples = []
+    for u in nal_scan(es):
+        nal = es[u["offset"] : u["offset"] + u["size"]]
+        if u["nal_type"] == 7:
+            sps = nal
+        elif u["nal_type"] == 8:
+            pps = nal
+        elif u["nal_type"] in (1, 5):
+            samples.append(struct.pack(">I", len(nal)) + nal)
+    if sps is None or pps is None:
+        raise ValueError("stream carries no SPS/PPS to move into avcC")
+    info = parse_sps(sps)
+    return encode_mp4_samples(
+        info["width"], info["height"], samples,
+        sps=sps, pps=pps, timescale=timescale, sample_delta=sample_delta,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -636,15 +670,8 @@ def _probe_fields(data: bytes, boxes: dict, _req, _fourcc) -> dict:
     out["track_height"] = th >> 16
     stsd = _req(b"stsd")
     out["codec"] = _fourcc(stsd[4 + 4 + 4 : 4 + 4 + 8], "sample-entry fourcc")
-    entry = stsd[4 + 4 :]
-    # avc1 visual sample entry: 8-byte box header + 78-byte fixed
-    # VisualSampleEntry body before child boxes.
-    child = entry[8 + 78 :]
     if out["codec"] == "avc1":
-        (csize,) = struct.unpack_from(">I", child, 0)
-        if child[4:8] != b"avcC":
-            raise ValueError("avc1 entry without leading avcC")
-        cfg = parse_avcc(child[8:csize])
+        cfg = parse_avcc(_avcc_from_stsd(stsd))
         out["profile_idc"] = cfg["profile_idc"]
         out["level_idc"] = cfg["level_idc"]
         out["coded_width"] = cfg["width"]

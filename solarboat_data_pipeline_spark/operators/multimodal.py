@@ -46,6 +46,19 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_SCHEMA = "media_id long, media_type string, n_bytes long, feature array<double>"
 
 
+def _id_source(df: DataFrame, id_col: str) -> DataFrame:
+    """Media-id source shared by the synthetic generators, repartitioned
+    to the cluster's default parallelism: real media arrives as many
+    files/objects and parallelizes naturally, but the single-parquet-file
+    test fixture would otherwise pin the whole synthesize->probe/decode
+    Arrow chain to ONE task. The exchange moves 8-byte id rows —
+    negligible against the media bytes whose processing it spreads."""
+    return df.select(F.col(id_col).cast("long").alias("media_id")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+
+
+
 def documents_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Build a media-shaped table from the documents fixture: payload is the
     utf-8 text bytes, typed metadata derived deterministically."""
@@ -95,7 +108,7 @@ def synthesize_png_media(
     """
     import numpy as np
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = _id_source(df, id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -240,7 +253,7 @@ def synthesize_wav_media(
     """
     import numpy as np
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = _id_source(df, id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -394,7 +407,7 @@ def synthesize_avi_media(
     """
     import numpy as np
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = _id_source(df, id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -472,7 +485,7 @@ def synthesize_mjpeg_media(
     DRI/RSTn restart interval — so the driver row exercises the
     subsampled-MCU and restart-marker decode paths under the same
     fidelity gate."""
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = _id_source(df, id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -808,7 +821,7 @@ def synthesize_mp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     length-prefixed NAL samples) — :func:`mp4_codec.encode_mp4` per id
     with :func:`_mp4_params` geometry and sample sizes
     ``50 + (7 id + 13 i) % 100``."""
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = _id_source(df, id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -895,7 +908,7 @@ def _annexb_params(mid: int) -> dict:
 def synthesize_annexb_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Media table of raw H.264 Annex-B elementary streams (4-byte
     start codes) with :func:`_annexb_params` geometry."""
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = _id_source(df, id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -982,7 +995,7 @@ def synthesize_ivf_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     by deterministic opaque tails (:func:`_ivf_params`)."""
     from solarboat_data_pipeline_spark.operators import vp9 as vp9_codec
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = _id_source(df, id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1265,7 +1278,7 @@ def synthesize_fmp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Media table of genuine FRAGMENTED MP4s (CMAF shape: init section
     + moof/mdat pairs, trex defaults, default-base-is-moof anchoring)
     per :func:`_fmp4_params`."""
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = _id_source(df, id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1354,7 +1367,7 @@ def synthesize_mp3_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ids) per :func:`_mp3_params`."""
     from solarboat_data_pipeline_spark.operators import mp3 as mp3_codec
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = _id_source(df, id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1447,7 +1460,7 @@ def synthesize_h264_idr_media(df: DataFrame, id_col: str = "doc_id") -> DataFram
     I_PCM)."""
     from solarboat_data_pipeline_spark.operators import h264 as h264_codec
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = _id_source(df, id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1483,15 +1496,12 @@ H264_DECODE_SCHEMA = (
 )
 
 
-def decode_h264_stats(df: DataFrame) -> DataFrame:
-    """REAL compressed-video PIXEL decode via Arrow ``mapInPandas``:
-    full H.264 Baseline intra decode (operators/h264.py — slice/MB
-    syntax, I_PCM, all §8.3 prediction modes, zero-residual CAVLC) of
-    every payload, emitting decoded dimensions, frame/macroblock
-    counts, and exact per-plane pixel sums. The pixel sums come from
-    the DECODED frames, so any wrong prediction formula, neighbor
-    rule, or PCM alignment shows up as a sum mismatch."""
-    from solarboat_data_pipeline_spark.operators import h264 as h264_codec
+def _h264_stats_runner(decode_fn):
+    """Shared mapInPandas body for the Annex-B and in-container pixel
+    decode rows: decode every payload with ``decode_fn`` and emit
+    dimensions, frame/macroblock counts, and exact per-plane pixel
+    sums (computed from the DECODED frames, so any wrong prediction
+    formula, neighbor rule, or PCM alignment breaks the sums)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1499,24 +1509,36 @@ def decode_h264_stats(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = {k.split()[0]: [] for k in H264_DECODE_SCHEMA.split(",")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                out = h264_codec.decode_annexb(bytes(payload))
+                out = decode_fn(bytes(payload))
                 rows["media_id"].append(int(mid))
                 rows["width"].append(out["width"])
                 rows["height"].append(out["height"])
                 rows["n_frames"].append(len(out["frames"]))
                 rows["n_mb"].append(sum(len(t) for t in out["mb_types"]))
-                rows["y_sum"].append(
-                    int(sum(int(f[0].astype(np.int64).sum()) for f in out["frames"]))
-                )
-                rows["cb_sum"].append(
-                    int(sum(int(f[1].astype(np.int64).sum()) for f in out["frames"]))
-                )
-                rows["cr_sum"].append(
-                    int(sum(int(f[2].astype(np.int64).sum()) for f in out["frames"]))
-                )
+                for key, plane in (("y_sum", 0), ("cb_sum", 1), ("cr_sum", 2)):
+                    rows[key].append(
+                        int(
+                            sum(
+                                int(f[plane].astype(np.int64).sum())
+                                for f in out["frames"]
+                            )
+                        )
+                    )
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(run, schema=H264_DECODE_SCHEMA)
+    return run
+
+
+def decode_h264_stats(df: DataFrame) -> DataFrame:
+    """REAL compressed-video PIXEL decode via Arrow ``mapInPandas``:
+    full H.264 Baseline intra decode (operators/h264.py — slice/MB
+    syntax, I_PCM, all §8.3 prediction modes, zero-residual CAVLC) of
+    every Annex-B payload; see :func:`_h264_stats_runner`."""
+    from solarboat_data_pipeline_spark.operators import h264 as h264_codec
+
+    return df.mapInPandas(
+        _h264_stats_runner(h264_codec.decode_annexb), schema=H264_DECODE_SCHEMA
+    )
 
 
 def synthesize_h264_mp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1528,11 +1550,9 @@ def synthesize_h264_mp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFram
     → pixel decode, every stage real."""
     from solarboat_data_pipeline_spark.operators import h264 as h264_codec
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = _id_source(df, id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
         for pdf in batches:
             payloads = []
             for mid in pdf["media_id"]:
@@ -1545,22 +1565,8 @@ def synthesize_h264_mp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFram
                 es = h264_codec.encode_idr_frames(
                     frames, p["width"], p["height"], pcm_mae=0.0
                 )
-                units = mp4_codec.nal_scan(es)
-                sps = pps = None
-                samples = []
-                for u in units:
-                    nal = es[u["offset"] : u["offset"] + u["size"]]
-                    if u["nal_type"] == 7:
-                        sps = nal
-                    elif u["nal_type"] == 8:
-                        pps = nal
-                    elif u["nal_type"] == 5:
-                        samples.append(struct.pack(">I", len(nal)) + nal)
                 payloads.append(
-                    mp4_codec.encode_mp4_samples(
-                        p["width"], p["height"], samples,
-                        sps=sps, pps=pps, sample_delta=mid % 40 + 10,
-                    )
+                    mp4_codec.annexb_to_mp4(es, sample_delta=mid % 40 + 10)
                 )
             yield pd.DataFrame(
                 {
@@ -1581,35 +1587,13 @@ def decode_mp4_h264_stats(df: DataFrame) -> DataFrame:
     table, unpack the length-prefixed NALs (h264.decode_mp4 — the same
     byte ranges a ranged-GET extractor issues), and pixel-decode the
     intra stream. Map-only: no shuffle, single-core rate = cluster
-    rate. Emits the same exact-sum schema as :func:`decode_h264_stats`
-    so one oracle covers both the raw-Annex-B and the in-container
-    paths."""
+    rate. Same exact-sum schema as :func:`decode_h264_stats` so one
+    oracle covers both the raw-Annex-B and the in-container paths."""
     from solarboat_data_pipeline_spark.operators import h264 as h264_codec
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in batches:
-            rows = {k.split()[0]: [] for k in H264_DECODE_SCHEMA.split(",")}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                out = h264_codec.decode_mp4(bytes(payload))
-                rows["media_id"].append(int(mid))
-                rows["width"].append(out["width"])
-                rows["height"].append(out["height"])
-                rows["n_frames"].append(len(out["frames"]))
-                rows["n_mb"].append(sum(len(t) for t in out["mb_types"]))
-                rows["y_sum"].append(
-                    int(sum(int(f[0].astype(np.int64).sum()) for f in out["frames"]))
-                )
-                rows["cb_sum"].append(
-                    int(sum(int(f[1].astype(np.int64).sum()) for f in out["frames"]))
-                )
-                rows["cr_sum"].append(
-                    int(sum(int(f[2].astype(np.int64).sum()) for f in out["frames"]))
-                )
-            yield pd.DataFrame(rows)
-
-    return df.mapInPandas(run, schema=H264_DECODE_SCHEMA)
+    return df.mapInPandas(
+        _h264_stats_runner(h264_codec.decode_mp4), schema=H264_DECODE_SCHEMA
+    )
 
 
 def _mixed_media_kind(mid: int) -> int:
@@ -1641,7 +1625,7 @@ def synthesize_mixed_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     from solarboat_data_pipeline_spark.operators import mp3 as mp3_codec
     from solarboat_data_pipeline_spark.operators import vp9 as vp9_codec
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = _id_source(df, id_col)
 
     def _encode(seed: int, kind: int) -> bytes:
         if kind == 0:

@@ -297,20 +297,7 @@ def test_lanes_actually_exercise_prediction():
 
 
 def _mp4_with_real_samples(frames, w, h, **enc_kw):
-    import struct
-
-    es = h264.encode_idr_frames(frames, w, h, **enc_kw)
-    sps = pps = None
-    samples = []
-    for u in mp4.nal_scan(es):
-        nal = es[u["offset"] : u["offset"] + u["size"]]
-        if u["nal_type"] == 7:
-            sps = nal
-        elif u["nal_type"] == 8:
-            pps = nal
-        elif u["nal_type"] == 5:
-            samples.append(struct.pack(">I", len(nal)) + nal)
-    return mp4.encode_mp4_samples(w, h, samples, sps=sps, pps=pps)
+    return mp4.annexb_to_mp4(h264.encode_idr_frames(frames, w, h, **enc_kw))
 
 
 def test_decode_mp4_equals_annexb_decode():
@@ -381,3 +368,26 @@ def test_decode_mp4_spark_lane(spark):
     for mid in mp4_rows:
         a, b = mp4_rows[mid], raw_rows[mid]
         assert a.asDict() == b.asDict()  # container path == Annex-B path
+
+
+def test_redundant_pic_cnt_pps_raises():
+    # a PPS with redundant_pic_cnt_present_flag would silently misalign
+    # every slice-header parse — it must be rejected at PPS parse time
+    from solarboat_data_pipeline_spark.operators.mp4 import _BitWriter, _rbsp_to_nal
+
+    w = _BitWriter()
+    w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 1); w.ue(0)
+    w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 2)
+    w.se(0); w.se(0); w.se(0)
+    w.u(1, 1)  # deblocking control present
+    w.u(0, 1)  # constrained_intra_pred
+    w.u(1, 1)  # redundant_pic_cnt_present_flag = 1
+    pps = b"\x68" + _rbsp_to_nal(w.rbsp_trailing())
+    es = b"\x00\x00\x00\x01" + mp4.encode_sps(16, 16) + b"\x00\x00\x00\x01" + pps
+    with pytest.raises(ValueError, match="redundant_pic_cnt"):
+        h264.decode_annexb(es + _slice_with(lambda s: s.ue(25)))
+
+
+def test_annexb_to_mp4_requires_param_sets():
+    with pytest.raises(ValueError, match="no SPS/PPS"):
+        mp4.annexb_to_mp4(b"\x00\x00\x00\x01\x65\x88\x84")
