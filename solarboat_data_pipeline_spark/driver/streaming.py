@@ -556,3 +556,40 @@ def st_stream_asof_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", F.round("interp_value", 6).alias("interp_value")
     )
+
+
+def _register_stream_media_probe():
+    """st_stream_media_probe shares mm_mp4_probe's oracle VERBATIM (the
+    registry holds it already — driver/multimodal imports before this
+    module in the facade): the streaming run must produce exactly the
+    batch probe's rows."""
+    oracle = _REGISTRY["mm_mp4_probe"][1]
+
+    @register("st_stream_media_probe", oracle)
+    def st_stream_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The probe lane under Structured Streaming — media files
+        arriving as a stream (the live-ingest shape of a curation
+        pipeline): stage the synthesized MP4 corpus as parquet once
+        (overwrite-idempotent, same convention as the sink round-trip
+        rows), then file-stream it back in multi-file micro-batches
+        (maxFilesPerTrigger) through the IDENTICAL Arrow mapInPandas
+        box-walk + SPS parse the batch row uses. Stateless map-only
+        streaming: no watermark, no state store; every emitted row
+        hash-matches the batch oracle."""
+        from solarboat_data_pipeline_spark.operators import multimodal as mm
+
+        docs = _t(spark, sf_dir, "documents")
+        path = _io_dir(sf_dir, "stream_media_mp4")
+        mm.synthesize_mp4_media(docs).write.mode("overwrite").parquet(path)
+        schema = spark.read.parquet(path).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(path)
+        )
+        return _drain_to_memory(
+            mm.probe_video_stats(stream), "st_stream_media_probe", "append"
+        )
+
+
+_register_stream_media_probe()
