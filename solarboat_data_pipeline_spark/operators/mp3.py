@@ -9,7 +9,10 @@ the public MPEG audio spec (ISO/IEC 11172-3 §2.4.1.3, extended by
 ISO/IEC 13818-3 for MPEG-2 and the de-facto MPEG-2.5 extension):
 
 * the 4-byte frame header: 11 sync bits, version/layer ids, bitrate
-  and sample-rate table indices, padding bit, channel mode;
+  and sample-rate table indices, padding bit, channel mode — including
+  FREE-FORMAT streams (bitrate index 0, round 11: the constant frame
+  length is derived by scanning for the next matching sync, the
+  §2.4.2.3 procedure real decoders use);
 * the frame-length recurrences (Layer I: ``(12·bitrate/rate + pad)·4``
   bytes; Layers II/III: ``(N·bitrate/8)/rate + pad`` with N = samples
   per frame) that let a scanner WALK frame to frame without decoding;
@@ -30,7 +33,8 @@ from __future__ import annotations
 
 __all__ = ["encode_mp3_frames", "probe_mp3", "frame_length"]
 
-# bitrate tables, kbit/s; index 0 = "free format" (unsupported here),
+# bitrate tables, kbit/s; index 0 = "free format" (constant
+# out-of-table frame length, derived by next-sync scan — §2.4.2.3),
 # index 15 = forbidden. Keyed by (version_group, layer): version_group
 # "1" = MPEG-1, "2" = MPEG-2 / 2.5 (shared tables).
 _BITRATES = {
@@ -98,6 +102,7 @@ def encode_mp3_frames(
     pad_every: int = 0,
     id3v2_bytes: int = 0,
     seed: int = 0,
+    free_format_bytes: int | None = None,
 ) -> bytes:
     """Synthesize a spec-exact MP3 frame stream: real headers, the
     frame-length arithmetic the scanner relies on, deterministic opaque
@@ -105,7 +110,10 @@ def encode_mp3_frames(
     payload byte can never fake a sync word with its successor).
     ``pad_every > 0`` sets the padding bit on every k-th frame.
     Optionally prefixed with a synthetic ID3v2 tag of the given body
-    size."""
+    size. ``free_format_bytes`` (with ``bitrate_index=0``) emits a
+    FREE-FORMAT stream: constant unpadded frame length outside the
+    bitrate table, the shape §2.4.2.3 lets encoders use for arbitrary
+    constant bitrates."""
     if n_frames < 1:
         raise ValueError("at least one frame")
     group = "1" if version_id == 3 else "2"
@@ -113,9 +121,14 @@ def encode_mp3_frames(
         raise ValueError("bitrate_index must be 0-14 (15 is forbidden)")
     if not 0 <= rate_index <= 2:
         raise ValueError("rate_index must be 0-2 (3 is reserved)")
+    if free_format_bytes is not None:
+        if bitrate_index != 0:
+            raise ValueError("free_format_bytes requires bitrate_index 0")
+        if free_format_bytes < 8:
+            raise ValueError("free-format frames need at least 8 bytes")
+    elif bitrate_index == 0:
+        raise ValueError("bitrate_index 0 (free format) needs free_format_bytes")
     bitrate = _BITRATES[(group, layer)][bitrate_index]
-    if bitrate is None:
-        raise ValueError("free-format bitrate is outside the envelope")
     rate = _RATES[version_id][rate_index]
     out = bytearray()
     if id3v2_bytes:
@@ -127,7 +140,10 @@ def encode_mp3_frames(
         out += bytes((seed + j) % 128 for j in range(id3v2_bytes))
     for f in range(n_frames):
         padding = 1 if pad_every and f % pad_every == 0 else 0
-        length = frame_length(version_id, layer, bitrate, rate, padding)
+        if free_format_bytes is not None:
+            length = free_format_bytes + padding * (4 if layer == 1 else 1)
+        else:
+            length = frame_length(version_id, layer, bitrate, rate, padding)
         out += _header(version_id, layer, bitrate_index, rate_index, padding, channel_mode)
         out += bytes((seed + f * 7 + j * 3) % 255 + 1 for j in range(length - 4))
     return bytes(out)
@@ -146,13 +162,11 @@ def _parse_header(b: bytes, pos: int) -> dict:
     bitrate_index = (b[pos + 2] >> 4) & 0xF
     if bitrate_index == 15:
         raise ValueError(f"forbidden bitrate index at byte {pos}")
-    if bitrate_index == 0:
-        raise ValueError(f"free-format bitrate at byte {pos} is outside the envelope")
     rate_index = (b[pos + 2] >> 2) & 3
     if rate_index == 3:
         raise ValueError(f"reserved sample-rate index at byte {pos}")
     group = "1" if version_id == 3 else "2"
-    bitrate = _BITRATES[(group, layer)][bitrate_index]
+    bitrate = _BITRATES[(group, layer)][bitrate_index]  # None = free format
     rate = _RATES[version_id][rate_index]
     padding = (b[pos + 2] >> 1) & 1
     return {
@@ -162,9 +176,52 @@ def _parse_header(b: bytes, pos: int) -> dict:
         "rate_hz": rate,
         "padding": padding,
         "channel_mode": _CHANNEL_MODES[(b[pos + 3] >> 6) & 3],
-        "length": frame_length(version_id, layer, bitrate, rate, padding),
+        # free-format length is derived by the caller's next-sync scan
+        "length": (
+            frame_length(version_id, layer, bitrate, rate, padding)
+            if bitrate is not None
+            else None
+        ),
         "samples": _samples_per_frame(version_id, layer),
     }
+
+
+def _free_format_base(b: bytes, pos: int, end: int, h: dict) -> int:
+    """§2.4.2.3 free format: the (constant) frame length is outside the
+    bitrate table, so derive it by scanning for the NEXT frame header
+    whose version/layer/rate/channel fields match this one (bitrate
+    index 0, padding bit free to differ) — what real decoders do. With
+    no matching sync before the end, the single frame runs to the end
+    of the audio section. Returns the UNPADDED base length."""
+    want_b1 = b[pos + 1]
+    want_b2 = b[pos + 2] & 0xFC  # ignore padding + private bits
+    want_ch = (b[pos + 3] >> 6) & 3
+    i = pos + 4
+    while i + 4 <= end:
+        if (
+            b[i] == 0xFF
+            and b[i + 1] == want_b1
+            and (b[i + 2] & 0xFC) == want_b2
+            and ((b[i + 3] >> 6) & 3) == want_ch
+        ):
+            length = i - pos
+            break
+        i += 1
+    else:
+        # no further frame: the single frame runs to the end of the
+        # audio section — excluding a trailing 128-byte ID3v1 block
+        # (the frame-boundary trailer rule has no boundary to anchor
+        # on here, so the trailer is recognized positionally)
+        if end - pos > 128 and b[end - 128 : end - 125] == b"TAG":
+            end -= 128
+        length = end - pos
+    base = length - h["padding"] * (4 if h["layer"] == 1 else 1)
+    if base < 8:
+        raise ValueError(
+            f"free-format frame at byte {pos} derives an implausible "
+            f"{base}-byte length"
+        )
+    return base
 
 
 def probe_mp3(data: bytes) -> dict:
@@ -194,6 +251,7 @@ def probe_mp3(data: bytes) -> dict:
     bitrates: set[int] = set()
     rate_hz = layer = channel_mode = None
     bitrate_sum = 0
+    free_base = free_kbps = None
     while pos < end:
         # ID3v1 trailer: exactly 128 bytes of remaining data starting
         # with "TAG" at a FRAME BOUNDARY (checking only len-128 would
@@ -204,6 +262,27 @@ def probe_mp3(data: bytes) -> dict:
         if pos + 4 > end:
             raise ValueError(f"truncated frame header at byte {pos}")
         h = _parse_header(data, pos)
+        if h["bitrate_kbps"] is None:  # free format (bitrate_index 0)
+            if free_base is None:
+                if n_frames:
+                    raise ValueError(
+                        f"free-format frame at byte {pos} inside a "
+                        "table-bitrate stream"
+                    )
+                free_base = _free_format_base(data, pos, end, h)
+                # derived constant bitrate: invert the length recurrence
+                if h["layer"] == 1:
+                    free_kbps = free_base // 4 * h["rate_hz"] // 12000
+                else:
+                    free_kbps = (
+                        free_base * h["rate_hz"] // (h["samples"] // 8) // 1000
+                    )
+            h["length"] = free_base + h["padding"] * (4 if h["layer"] == 1 else 1)
+            h["bitrate_kbps"] = free_kbps
+        elif free_base is not None:
+            raise ValueError(
+                f"table-bitrate frame at byte {pos} inside a free-format stream"
+            )
         if pos + h["length"] > end:
             raise ValueError(
                 f"frame at byte {pos} overruns the stream "

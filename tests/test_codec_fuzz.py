@@ -166,17 +166,24 @@ def _probe_fixtures():
     base_mp3 = mp3.encode_mp3_frames(
         14, bitrate_index=9, rate_index=1, pad_every=3, id3v2_bytes=37
     )
+    # free-format sibling: the next-sync derivation walk fuzzed too
+    base_mp3_free = mp3.encode_mp3_frames(
+        11, bitrate_index=0, free_format_bytes=301, pad_every=4, id3v2_bytes=23
+    )
     return (
         mp4, vp9, mp3, rnd, base_mp4, base_fmp4,
-        vp9.encode_ivf(126, 98, frames), base_mp3,
+        vp9.encode_ivf(126, 98, frames), base_mp3, base_mp3_free,
     )
 
 
 @pytest.mark.parametrize("trial", range(30))
 def test_probe_mutation_fuzz_only_value_errors(trial):
-    mp4, vp9, mp3, rnd, base_mp4, base_fmp4, base_ivf, base_mp3 = _probe_fixtures()
+    (
+        mp4, vp9, mp3, rnd, base_mp4, base_fmp4, base_ivf, base_mp3,
+        base_mp3_free,
+    ) = _probe_fixtures()
     for _ in range(100):
-        kind = int(rnd.integers(0, 8))
+        kind = int(rnd.integers(0, 9))
         if kind == 0:
             data = bytes(rnd.integers(0, 256, size=int(rnd.integers(1, 300)), dtype=np.uint8))
             fns = (mp4.probe_mp4, vp9.probe_ivf, mp3.probe_mp3)
@@ -206,8 +213,17 @@ def test_probe_mutation_fuzz_only_value_errors(trial):
             for _ in range(int(rnd.integers(1, 12))):
                 b[int(rnd.integers(0, len(b)))] = int(rnd.integers(0, 256))
             data, fns = bytes(b), (mp3.probe_mp3,)
-        else:
+        elif kind == 7:
             data = base_mp3[: int(rnd.integers(0, len(base_mp3)))]
+            fns = (mp3.probe_mp3,)
+        else:
+            if rnd.integers(0, 2):
+                data = base_mp3_free[: int(rnd.integers(0, len(base_mp3_free)))]
+            else:
+                b = bytearray(base_mp3_free)
+                for _ in range(int(rnd.integers(1, 12))):
+                    b[int(rnd.integers(0, len(b)))] = int(rnd.integers(0, 256))
+                data = bytes(b)
             fns = (mp3.probe_mp3,)
         for fn in fns:
             try:

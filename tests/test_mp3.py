@@ -103,10 +103,11 @@ def test_adversarial_headers():
     bad[2] = bad[2] | 0xF0
     with pytest.raises(ValueError, match="bitrate"):
         mp3.probe_mp3(bytes(bad))
-    # free-format bitrate index 0
-    bad = bytearray(good)
+    # free-format first frame whose derived length is implausibly short
+    # (payload bytes immediately fake no matching sync, stream too small)
+    bad = bytearray(good[:6])
     bad[2] = bad[2] & 0x0F
-    with pytest.raises(ValueError, match="free-format"):
+    with pytest.raises(ValueError, match="implausible"):
         mp3.probe_mp3(bytes(bad))
     # reserved sample-rate index 3
     bad = bytearray(good)
@@ -200,6 +201,61 @@ def test_id3v1_boundary_and_short_files():
     forged = bytearray(data)
     forged[k : k + 3] = b"TAG"
     assert mp3.probe_mp3(bytes(forged))["n_frames"] == 10
+
+
+# --- free format (bitrate_index 0, round 11) ---------------------------------
+
+
+@pytest.mark.parametrize("version_id,layer,rate_index", [(3, 3, 0), (3, 1, 1), (2, 3, 2), (3, 2, 0)])
+def test_free_format_roundtrip(version_id, layer, rate_index):
+    base = 417 if layer != 1 else 384  # arbitrary out-of-table sizes
+    data = mp3.encode_mp3_frames(
+        9, version_id=version_id, layer=layer, bitrate_index=0,
+        rate_index=rate_index, free_format_bytes=base, pad_every=3, seed=5,
+    )
+    info = mp3.probe_mp3(data)
+    assert info["n_frames"] == 9
+    assert info["audio_bytes"] == len(data)
+    spf = mp3._samples_per_frame(version_id, layer)
+    assert info["total_samples"] == 9 * spf
+    rate = mp3._RATES[version_id][rate_index]
+    if layer == 1:
+        want_kbps = base // 4 * rate // 12000
+    else:
+        want_kbps = base * rate // (spf // 8) // 1000
+    assert info["bitrate_min_kbps"] == want_kbps == info["bitrate_max_kbps"]
+    assert info["is_cbr"]
+
+
+def test_free_format_single_frame_runs_to_end():
+    data = mp3.encode_mp3_frames(1, bitrate_index=0, free_format_bytes=500)
+    info = mp3.probe_mp3(data)
+    assert info["n_frames"] == 1 and info["audio_bytes"] == 500
+    # and the ID3v1 trailer is still honored at the frame boundary
+    info2 = mp3.probe_mp3(data + b"TAG" + bytes(125))
+    assert info2["n_frames"] == 1 and info2["audio_bytes"] == 500
+
+
+def test_free_format_id3v2_prefix_and_trailer():
+    data = mp3.encode_mp3_frames(
+        7, bitrate_index=0, free_format_bytes=301, id3v2_bytes=44, seed=3
+    )
+    assert mp3.probe_mp3(data + b"TAG" + bytes(125))["n_frames"] == 7
+
+
+def test_mixing_free_and_table_bitrates_raises():
+    free = mp3.encode_mp3_frames(2, bitrate_index=0, free_format_bytes=417)
+    table = mp3.encode_mp3_frames(2, bitrate_index=9)
+    with pytest.raises(ValueError, match="table-bitrate frame .* free-format"):
+        mp3.probe_mp3(free + table)
+    with pytest.raises(ValueError, match="free-format frame .* table-bitrate"):
+        mp3.probe_mp3(table + free)
+
+
+def test_free_format_truncation_raises():
+    data = mp3.encode_mp3_frames(5, bitrate_index=0, free_format_bytes=417)
+    with pytest.raises(ValueError):
+        mp3.probe_mp3(data[: 417 * 2 + 100])
 
 
 def test_probe_reports_both_bitrate_bounds():
