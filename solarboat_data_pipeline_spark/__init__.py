@@ -35,6 +35,7 @@ from solarboat_data_pipeline_spark import catalog, pipeline
 from solarboat_data_pipeline_spark.operators import (
     avi,
     dedup,
+    h264,
     jpeg,
     mp3,
     mp4,
@@ -192,14 +193,20 @@ from solarboat_data_pipeline_spark.operators.text import (
 from solarboat_data_pipeline_spark.operators.multimodal import (
     binary_metadata,
     decode_audio_stats,
+    decode_h264_stats,
     decode_image_stats,
+    decode_mp4_h264_stats,
     decode_video_stats,
     extract_features,
+    extract_sample_payloads,
+    fmp4_sample_ranges,
+    fmp4_sample_seek_table,
     frame_sample_plan,
     keyframe_index,
     mjpeg_decode_check,
-    fmp4_sample_ranges,
     mp4_sample_ranges,
+    mp4_sample_seek_table,
+    probe_media_tolerant,
     probe_mp3_stats,
     probe_ivf_stats,
     probe_video_stats,
@@ -214,7 +221,7 @@ __all__ = [
     # module namespaces
     "catalog", "pipeline", "parse", "timeseries", "scale",
     "dedup", "similarity", "text", "sampling", "skew",
-    "multimodal", "png", "wav", "avi", "jpeg", "mp3", "mp4", "vp9", "geo", "solar", "formatting",
+    "multimodal", "png", "wav", "avi", "jpeg", "mp3", "mp4", "vp9", "h264", "geo", "solar", "formatting",
     "sinks", "bucketed", "streaming", "stateful",
     # sources / sinks
     "scan_candump", "extract_frames", "scan_forecast_csv", "scan_gps_csv",
@@ -255,4 +262,7 @@ __all__ = [
     "decode_video_stats", "sample_frame_stats", "mjpeg_decode_check",
     "frame_sample_plan", "probe_video_stats", "keyframe_index",
     "probe_ivf_stats", "mp4_sample_ranges", "fmp4_sample_ranges", "probe_mp3_stats",
+    # ranged-GET extraction + pixel decode + tolerant probe (round 11)
+    "mp4_sample_seek_table", "fmp4_sample_seek_table", "extract_sample_payloads",
+    "probe_media_tolerant", "decode_h264_stats", "decode_mp4_h264_stats",
 ]
