@@ -40,6 +40,7 @@ from solarboat_data_pipeline_spark.operators import (
     mp3,
     mp4,
     multimodal,
+    perceptual,
     vp9,
     parse,
     png,
@@ -221,7 +222,7 @@ __all__ = [
     # module namespaces
     "catalog", "pipeline", "parse", "timeseries", "scale",
     "dedup", "similarity", "text", "sampling", "skew",
-    "multimodal", "png", "wav", "avi", "jpeg", "mp3", "mp4", "vp9", "h264", "geo", "solar", "formatting",
+    "multimodal", "perceptual", "png", "wav", "avi", "jpeg", "mp3", "mp4", "vp9", "h264", "geo", "solar", "formatting",
     "sinks", "bucketed", "streaming", "stateful",
     # sources / sinks
     "scan_candump", "extract_frames", "scan_forecast_csv", "scan_gps_csv",

@@ -643,7 +643,12 @@ def mm_mp4_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot hash-match. Extraction shape = SURVEY §2.8's 1→N explode
     (lib/canparser.py:174-187) applied to media bytes."""
     docs = _t(spark, sf_dir, "documents")
-    media = mm.synthesize_mp4_media(docs)
+    # cache: the synthesized media feeds BOTH the seek-table side and
+    # the join (payload) side of extract_sample_payloads — without it
+    # the expensive synthesize mapInPandas plan executes twice
+    # (ADVICE r11); on a real corpus the parquet scan's cache plays
+    # this role.
+    media = mm.synthesize_mp4_media(docs).cache()
     seek = mm.mp4_sample_seek_table(media)
     wanted = seek.where(F.col("sample_index") % 3 == 0)
     out = mm.extract_sample_payloads(media, wanted)
@@ -987,10 +992,65 @@ def mm_fmp4_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset or trun walk shifts k and cannot hash-match), and the tail
     byte."""
     docs = _t(spark, sf_dir, "documents")
-    media = mm.synthesize_fmp4_media(docs)
+    # cached for the same two-consumer reason as mm_mp4_extract
+    media = mm.synthesize_fmp4_media(docs).cache()
     seek = mm.fmp4_sample_seek_table(media)
     wanted = seek.where(F.col("sample_index") % 2 == 0)
     out = mm.extract_sample_payloads(media, wanted)
     return out.select(
         "media_id", "sample_index", "size", "byte_sum", "head_u32", "tail_byte"
     )
+
+
+@register(
+    "mm_phash_near_dup",
+    """
+    WITH g AS (
+      SELECT doc_id AS media_id, doc_id // 4 AS grp, doc_id % 4 AS v
+      FROM documents),
+    cells AS (
+      SELECT media_id, cx.i AS cx, cy.j AS cy,
+             CASE WHEN v = 3 AND cy.j = grp % 7 AND cx.i = grp % 10
+                  THEN ((grp*37 + cx.i*53 + cy.j*71
+                         + ((cx.i + grp) % 13) * ((cy.j + grp) % 11) * 5)
+                        % 256 + 97) % 256
+                  ELSE (grp*37 + cx.i*53 + cy.j*71
+                        + ((cx.i + grp) % 13) * ((cy.j + grp) % 11) * 5) % 256
+             END AS val
+      FROM g, generate_series(0, 9) cx(i), generate_series(0, 6) cy(j)),
+    bits AS (
+      SELECT a.media_id, (a.cy * 9 + a.cx)::BIGINT AS k,
+             CASE WHEN b.val > a.val THEN 1 ELSE 0 END AS bit
+      FROM cells a JOIN cells b
+        ON a.media_id = b.media_id AND a.cy = b.cy AND b.cx = a.cx + 1
+      WHERE a.cx < 9),
+    sig AS (
+      SELECT media_id, SUM(bit::BIGINT << k)::BIGINT AS phash
+      FROM bits GROUP BY media_id)
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+    FROM sig a JOIN sig b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 2
+    """,
+)
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup over DECODED pixels (operators/perceptual.py
+    — VERDICT r11 item 2, the one missing LLM-curation operator): a PNG
+    corpus with planted duplicate groups (byte-identical re-encode with
+    different filters + Adam7 interlace, half-resolution resize, one
+    light cell edit) flows decode → 63-bit dHash (average-pool grid,
+    adjacent-cell comparisons) → the banded-Hamming join lifted from
+    dedup.simhash_near_dup_pairs. Exact sha256 dedup catches NONE of
+    these pairs — every planted variant re-encodes to different bytes —
+    while the perceptual hash recovers all of them. The oracle
+    recomputes the hash arithmetically from the cell-value generator
+    (images are piecewise constant on the pooling grid, so decode →
+    block-sum → compare equals the cell comparison exactly) and takes
+    all pairs at Hamming <= 2; the Spark side's banded join returns the
+    identical set by the pigeonhole guarantee (max_hamming < bands), so
+    a recall gap anywhere hash-mismatches."""
+    from solarboat_data_pipeline_spark.operators import perceptual as pc
+
+    docs = _t(spark, sf_dir, "documents")
+    media = pc.synthesize_phash_media(docs)
+    return pc.phash_near_dup_pairs(media, max_hamming=2, bands=3)

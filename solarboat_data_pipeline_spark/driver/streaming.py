@@ -559,10 +559,14 @@ def st_stream_asof_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _register_stream_media_probe():
-    """st_stream_media_probe shares mm_mp4_probe's oracle VERBATIM (the
-    registry holds it already — driver/multimodal imports before this
-    module in the facade): the streaming run must produce exactly the
-    batch probe's rows."""
+    """st_stream_media_probe shares mm_mp4_probe's oracle VERBATIM: the
+    streaming run must produce exactly the batch probe's rows. The
+    explicit import makes the dependency order-proof — registration of
+    mm_mp4_probe happens on first import of driver.multimodal, wherever
+    the facade lists it (ADVICE r11: reading _REGISTRY here used to
+    couple correctness to driver/__init__.py's import order)."""
+    from solarboat_data_pipeline_spark.driver import multimodal as _mm  # noqa: F401
+
     oracle = _REGISTRY["mm_mp4_probe"][1]
 
     @register("st_stream_media_probe", oracle)

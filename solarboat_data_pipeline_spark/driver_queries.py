@@ -290,6 +290,7 @@ _REGISTRATION_ORDER = [
     "mm_mp4_pixels",
     "mm_fmp4_extract",
     "st_stream_media_probe",
+    "mm_phash_near_dup",
 ]
 
 

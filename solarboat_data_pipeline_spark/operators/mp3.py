@@ -196,26 +196,46 @@ def _free_format_base(b: bytes, pos: int, end: int, h: dict) -> int:
     want_b1 = b[pos + 1]
     want_b2 = b[pos + 2] & 0xFC  # ignore padding + private bits
     want_ch = (b[pos + 3] >> 6) & 3
-    i = pos + 4
-    while i + 4 <= end:
-        if (
-            b[i] == 0xFF
+    slot = 4 if h["layer"] == 1 else 1
+
+    def _matches(i: int) -> bool:
+        return (
+            i + 4 <= end
+            and b[i] == 0xFF
             and b[i + 1] == want_b1
             and (b[i + 2] & 0xFC) == want_b2
             and ((b[i + 3] >> 6) & 3) == want_ch
-        ):
-            length = i - pos
-            break
+        )
+
+    i = pos + 4
+    while i + 4 <= end:
+        if _matches(i):
+            base = (i - pos) - h["padding"] * slot
+            if base >= 8:
+                # A payload byte run can mimic the header's version/
+                # layer/rate/channel bytes and derive a too-short stride
+                # (ADVICE r11). Do what mainstream decoders do: only
+                # accept the stride if the matched header is itself
+                # followed by a frame sync one (padded) frame later — or
+                # is the stream's final frame. Any sync word (not just a
+                # field-exact match) passes, so a mid-stream format
+                # change still reaches the walk's precise diagnostics;
+                # a mimic inside an opaque payload is rejected because
+                # payload bytes one stride later carry no sync.
+                pad_i = (b[i + 2] >> 1) & 1
+                j = i + base + pad_i * slot
+                if j + 4 > end or (
+                    b[j] == 0xFF and (b[j + 1] & 0xE0) == 0xE0
+                ):
+                    return base
         i += 1
-    else:
-        # no further frame: the single frame runs to the end of the
-        # audio section — excluding a trailing 128-byte ID3v1 block
-        # (the frame-boundary trailer rule has no boundary to anchor
-        # on here, so the trailer is recognized positionally)
-        if end - pos > 128 and b[end - 128 : end - 125] == b"TAG":
-            end -= 128
-        length = end - pos
-    base = length - h["padding"] * (4 if h["layer"] == 1 else 1)
+    # no (validated) further frame: the single frame runs to the end of
+    # the audio section — excluding a trailing 128-byte ID3v1 block
+    # (the frame-boundary trailer rule has no boundary to anchor
+    # on here, so the trailer is recognized positionally)
+    if end - pos > 128 and b[end - 128 : end - 125] == b"TAG":
+        end -= 128
+    base = (end - pos) - h["padding"] * slot
     if base < 8:
         raise ValueError(
             f"free-format frame at byte {pos} derives an implausible "

@@ -832,6 +832,12 @@ def synthesize_mp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 sizes = [
                     50 + (7 * mid + 13 * i) % 100 for i in range(p["n_samples"])
                 ]
+                # the mm_mp4_extract oracle encodes byte_sum/head_u32 of
+                # the 4-byte BE length prefix as the scalar (sz - 4),
+                # valid only while sz - 4 < 256 (one nonzero prefix
+                # byte); pin it so a geometry change cannot silently
+                # invalidate the oracle arithmetic (ADVICE r11)
+                assert max(sizes) < 260, "extract oracle assumes sizes < 260"
                 payloads.append(
                     mp4_codec.encode_mp4(
                         p["width"],
@@ -1177,7 +1183,8 @@ def extract_sample_payloads(
     index_col: str = "sample_index",
     offset_col: str = "abs_offset",
     size_col: str = "size",
-    broadcast_requests: bool = True,
+    broadcast_requests: bool | str = "auto",
+    auto_broadcast_max_requests: int = 1_000_000,
     with_digest: bool = True,
 ) -> DataFrame:
     """Distributed RANGED-GET sample extraction — the payoff of the
@@ -1190,9 +1197,24 @@ def extract_sample_payloads(
     (``collect_list`` of 24-byte structs — the only shuffle, and it
     moves seek-table rows, not media bytes), then joined to the media
     table so each payload crosses the join ONCE regardless of how many
-    samples it contributes; with ``broadcast_requests`` (default) the
-    grouped request list is broadcast and the media table never
-    shuffles at all. The Arrow map below is the storage swap-in point:
+    samples it contributes. ``broadcast_requests`` picks the join
+    strategy for the request side (VERDICT r11 item 5 — a forced
+    broadcast is unsafe when billions of samples are selected):
+
+    * ``"auto"`` (default) — count the request rows (a cheap aggregate
+      over the thin seek table; ~24 bytes/row) and broadcast only while
+      the grouped request table stays under
+      ``auto_broadcast_max_requests`` rows (default 1M ≈ 24 MB built);
+      past that, fall back to the shuffle-hash join below. Safe at any
+      request count.
+    * ``True`` — force the broadcast: the media table never shuffles at
+      all. Correct whenever the caller knows the selection is small.
+    * ``False`` — shuffle-hash join on media_id with the build side
+      pinned to the grouped requests (the hint stops Catalyst from
+      sort-merge-sorting media payload rows); media bytes cross one
+      exchange, request structs another.
+
+    The Arrow map below is the storage swap-in point:
     on a real cluster ``payload[off : off + size]`` becomes a ranged
     GET against the object store and the media table shrinks to
     ``(media_id, uri)`` — no other line changes.
@@ -1218,9 +1240,13 @@ def extract_sample_payloads(
         .groupBy("media_id")
         .agg(F.collect_list("req").alias("reqs"))
     )
+    if broadcast_requests == "auto":
+        broadcast_requests = ranges.count() <= auto_broadcast_max_requests
     if broadcast_requests:
-        req = F.broadcast(req)
-    joined = media.join(req, "media_id").select("media_id", "payload", "reqs")
+        joined = media.join(F.broadcast(req), "media_id")
+    else:
+        joined = media.join(req.hint("shuffle_hash"), "media_id")
+    joined = joined.select("media_id", "payload", "reqs")
     schema = EXTRACT_DIGEST_SCHEMA if with_digest else EXTRACT_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1292,6 +1318,11 @@ def synthesize_fmp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         [50 + (7 * mid + 13 * (i + j)) % 100 for j in range(cnt)]
                     )
                     i += cnt
+                # same (sz - 4) < 256 prefix-arithmetic coupling as
+                # synthesize_mp4_media — see the comment there
+                assert all(max(f) < 260 for f in frags if f), (
+                    "extract oracle assumes sizes < 260"
+                )
                 payloads.append(
                     mp4_codec.encode_fmp4(
                         p["width"], p["height"], frags,
@@ -1602,6 +1633,18 @@ def _mixed_media_kind(mid: int) -> int:
     return mid % 3
 
 
+# Distinct seeds below this bound can never produce byte-identical
+# payloads: 600 is the lcm of every _mp4_params modulus plus the
+# sample-size formula's mod-100 term (lcm(8,6,5,24,4,40,3,100) = 600 —
+# the largest of the three lanes' formula periods), so two different
+# seeds under the bound must differ in at least one generated byte.
+# The pipeline_media_curation oracle's dedup arithmetic (seed-equality
+# ⇔ payload-equality) rests on this; synthesize_mixed_media enforces it
+# (VERDICT r11 item 6) so a future widening of _mixed_media_seed's
+# range cannot silently invalidate the oracle.
+_DUP_SEED_LCM_BOUND = 600
+
+
 def _mixed_media_seed(mid: int) -> int:
     """Content seed shared by duplicate groups: the 5 ids of the same
     kind inside each block of 15 consecutive ids get identical payloads,
@@ -1674,6 +1717,10 @@ def synthesize_mixed_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 mid = int(mid)
                 kind = _mixed_media_kind(mid)
                 seed = _mixed_media_seed(mid)
+                assert seed < _DUP_SEED_LCM_BOUND, (
+                    "seed range outgrew the generator-formula lcm bound;"
+                    " the curation oracle's seed⇔payload argument breaks"
+                )
                 data = cache.get((seed, kind))
                 if data is None:
                     data = _encode(seed, kind)

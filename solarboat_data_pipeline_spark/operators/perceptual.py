@@ -1,0 +1,238 @@
+"""Perceptual (near-duplicate) image hashing — the media twin of the
+text near-dup lane (VERDICT r11 item 2): re-encoded or resized duplicate
+images survive exact sha256 dedup, so curation needs a pixel-derived
+hash that is INVARIANT under those transforms plus a sub-quadratic
+Hamming join.
+
+Operators here compose two already-verified lanes:
+
+* the real pixel decoders (:mod:`png` today; the JPEG/H.264 lanes share
+  the same ``(width, height, channels, bytes)`` contract, so
+  :func:`dhash_table`'s decode dispatch extends per media_type), and
+* the banded-Hamming pair machinery of
+  :func:`dedup.simhash_near_dup_pairs`, generalized in
+  :func:`banded_hamming_pairs` to ANY precomputed signed-long signature
+  column (same pigeonhole recall guarantee, same (band, key) equi-join
+  plan — sub-quadratic, 100 TB-shaped; no all-pairs join anywhere).
+
+The hash is a 63-bit difference hash (dHash): decode → grayscale →
+average-pool onto a ``(grid_w+1) × grid_h`` cell grid → one bit per
+horizontally adjacent cell pair (``right > left``). 63 bits keeps the
+signature in one signed long — the repo-wide simhash convention
+(dedup.py) — and factors as 9 comparisons × 7 rows. Pooling compares
+block SUMS (the image dimensions are required to be exact grid
+multiples, so all blocks have equal area and the mean comparison is the
+sum comparison, exactly, in integers): any resize that preserves the
+cell structure — including the synthesizer's half-resolution variant —
+yields the IDENTICAL hash, and any re-encode trivially does.
+
+Reference anchor: the 1→N decode shape of lib/canparser.py:174-187
+applied to image bytes; the pair-join shape is dedup.py's banded LSH.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from solarboat_data_pipeline_spark.operators import multimodal as _mm
+from solarboat_data_pipeline_spark.operators import png as png_codec
+
+DHASH_BITS = 63
+DHASH_GRID_W = 9  # comparisons per row (grid has DHASH_GRID_W+1 columns)
+DHASH_GRID_H = 7  # rows; 9 × 7 = 63 bits
+
+DHASH_SCHEMA = "media_id long, phash long, width int, height int"
+
+
+def dhash_table(df: DataFrame) -> DataFrame:
+    """Per-image 63-bit difference hash from DECODED pixels.
+
+    ``df`` is a media table (``media_id``, ``payload``) of PNG bytes
+    whose dimensions are exact multiples of the 10×7 pooling grid.
+    Arrow ``mapInPandas``, map-only — the scale shape of the probe lane:
+    payload bytes cross the plan once and never shuffle; only the
+    16-byte (id, hash) rows continue to the pair join."""
+    import numpy as np
+
+    gw, gh = DHASH_GRID_W, DHASH_GRID_H
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.split()[0]: [] for k in DHASH_SCHEMA.split(",")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, raw = png_codec.decode_png(bytes(payload))
+                px = np.frombuffer(raw, np.uint8).reshape(h, w, ch)
+                # integer grayscale: mean over channels is exact for the
+                # grayscale corpus (ch == 1); for RGB the ITU-R 601
+                # luma would go here — kept integral via a fixed-point
+                # (77R + 150G + 29B) >> 8 so the oracle stays exact
+                if ch == 1:
+                    gray = px[:, :, 0].astype(np.int64)
+                else:
+                    lum = (
+                        77 * px[:, :, 0].astype(np.int64)
+                        + 150 * px[:, :, 1].astype(np.int64)
+                        + 29 * px[:, :, 2].astype(np.int64)
+                    ) >> 8
+                    gray = lum
+                if w % (gw + 1) or h % gh:
+                    raise ValueError(
+                        f"image {int(mid)} is {w}x{h}, not a multiple of "
+                        f"the {gw + 1}x{gh} dHash grid"
+                    )
+                bw, bh = w // (gw + 1), h // gh
+                sums = gray.reshape(gh, bh, gw + 1, bw).sum(axis=(1, 3))
+                bits = (sums[:, 1:] > sums[:, :-1]).astype(np.uint64)
+                k = np.arange(gw, dtype=np.uint64)
+                phash = 0
+                for cy in range(gh):
+                    phash |= int((bits[cy] << (k + cy * gw)).sum())
+                rows["media_id"].append(int(mid))
+                rows["phash"].append(phash)  # < 2**63: stays positive
+                rows["width"].append(w)
+                rows["height"].append(h)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def banded_hamming_pairs(
+    sig: DataFrame,
+    max_hamming: int = 2,
+    sig_col: str = "phash",
+    id_col: str = "media_id",
+    bits: int = DHASH_BITS,
+    bands: int = 3,
+) -> DataFrame:
+    """Near-dup pairs over ANY precomputed signed-long signature column
+    — :func:`dedup.simhash_near_dup_pairs`'s banded-bucket join lifted
+    out of its text-specific signature builder so the media lane reuses
+    the identical, already-scale-audited plan.
+
+    The signature splits into ``bands`` contiguous bit-bands; a pair is
+    a candidate when ANY band matches exactly ((band, key) equi-join —
+    the only shuffle, over 24-byte rows), then exact Hamming
+    (``bit_count(xor)``) filters to ``max_hamming``. Pigeonhole: with
+    ``max_hamming < bands`` a qualifying pair differs in at most
+    ``max_hamming`` bands, so at least one matches — recall is EXACT.
+
+    Returns ``(id_a, id_b, hamming)``, ``id_a < id_b``, band duplicates
+    collapsed."""
+    if bits % bands:
+        raise ValueError(f"bands ({bands}) must evenly divide bits ({bits})")
+    if not max_hamming < bands:
+        raise ValueError(
+            f"exact recall needs max_hamming ({max_hamming}) < bands ({bands})"
+        )
+    w = bits // bands
+    keys = [
+        F.shiftright(sig_col, t * w).bitwiseAND(F.lit((1 << w) - 1)).cast("long")
+        for t in range(bands)
+    ]
+    base = sig.select(
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("sig"),
+        F.posexplode(F.array(*keys)).alias("band", "key"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def phash_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 2, bands: int = 3
+) -> DataFrame:
+    """Perceptual near-dup pairs over a PNG media table: decode →
+    :func:`dhash_table` → :func:`banded_hamming_pairs`. The composition
+    the curation pipeline was missing — re-encoded and resized
+    duplicates land at Hamming 0, light edits within ``max_hamming``."""
+    return banded_hamming_pairs(
+        dhash_table(media), max_hamming=max_hamming, bands=bands
+    )
+
+
+# --- synthetic corpus with planted perceptual duplicates ---------------------
+
+# Cell-value formula for the planted corpus: images are piecewise
+# constant on the pooling grid, so the dHash is an exact arithmetic
+# function of these cell values — the driver oracle recomputes it
+# without seeing a byte. Groups of four consecutive ids share a group
+# seed g = id // 4; the variant v = id % 4 plants the transforms
+# perceptual dedup must survive:
+#   v=0  original        40×28, filter 2
+#   v=1  re-encoded      same pixels, cycling filters + Adam7 interlace
+#   v=2  half-resolution 20×14 (cell structure preserved → same hash)
+#   v=3  light edit      one grid cell's value shifted (+97 mod 256)
+#        → flips at most the 2 comparisons touching that cell
+PHASH_CELL_W = DHASH_GRID_W + 1  # 10
+PHASH_CELL_H = DHASH_GRID_H  # 7
+
+
+def _phash_cell(g: int, cx, cy):
+    """Grid cell value — mirrored verbatim in the driver oracle SQL."""
+    return (g * 37 + cx * 53 + cy * 71 + ((cx + g) % 13) * ((cy + g) % 11) * 5) % 256
+
+
+def synthesize_phash_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table of genuine PNGs with PLANTED perceptual-duplicate
+    groups per the module-level scheme; every payload is a real encode
+    (:func:`png.encode_png`) so :func:`dhash_table` exercises the full
+    decode path including all five scanline filters and Adam7."""
+    import numpy as np
+
+    src = _mm._id_source(df, id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                g, v = mid // 4, mid % 4
+                cx = np.arange(PHASH_CELL_W, dtype=np.int64)[None, :]
+                cy = np.arange(PHASH_CELL_H, dtype=np.int64)[:, None]
+                cells = _phash_cell(g, cx, cy)
+                if v == 3:
+                    cells = cells.copy()
+                    cells[g % PHASH_CELL_H, g % PHASH_CELL_W] = (
+                        cells[g % PHASH_CELL_H, g % PHASH_CELL_W] + 97
+                    ) % 256
+                blk = 2 if v == 2 else 4
+                px = np.repeat(np.repeat(cells, blk, axis=0), blk, axis=1)
+                h, w = px.shape
+                payloads.append(
+                    png_codec.encode_png(
+                        px.astype(np.uint8).tobytes(), w, h, 1,
+                        filter_type="cycle" if v == 1 else v % 5,
+                        interlace=(v == 1),
+                    )
+                )
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": payloads,
+                    "media_type": "image/png",
+                    "width": widths,
+                    "height": heights,
+                }
+            )
+
+    return src.mapInPandas(run, schema=_mm.MEDIA_SCHEMA)

@@ -110,6 +110,34 @@ def test_extract_plan_no_media_shuffle(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_extract_auto_broadcast_threshold_flips_join(spark):
+    """VERDICT r11 item 5: broadcast_requests='auto' (the default)
+    broadcasts only while the request count stays under the threshold;
+    past it the plan flips to a shuffle-hash join with the build side
+    on the grouped requests — safe at any request count — and the two
+    modes return identical rows."""
+    media = mm.synthesize_mp4_media(_docs(spark, 12)).cache()
+    seek = mm.mp4_sample_seek_table(media)
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    small = mm.extract_sample_payloads(
+        media, seek, auto_broadcast_max_requests=10**6
+    )
+    assert "BroadcastHashJoin" in plan_of(small)
+    big = mm.extract_sample_payloads(
+        media, seek, auto_broadcast_max_requests=0
+    )
+    p = plan_of(big)
+    assert "BroadcastHashJoin" not in p and "ShuffledHashJoin" in p
+    key = ["media_id", "sample_index"]
+    assert sorted(map(tuple, small.select(*key, "byte_sum").collect())) == sorted(
+        map(tuple, big.select(*key, "byte_sum").collect())
+    )
+    media.unpersist()
+
+
 # --- mixed corpus + tolerant probe -------------------------------------------
 
 

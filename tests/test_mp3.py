@@ -252,6 +252,32 @@ def test_mixing_free_and_table_bitrates_raises():
         mp3.probe_mp3(table + free)
 
 
+def test_free_format_payload_mimic_rejected():
+    """A payload byte run that mimics the header's version/layer/rate/
+    channel bytes must NOT derive the stride (ADVICE r11): the scanner
+    validates each candidate by requiring a second matching header one
+    frame later, so the mimic is skipped and the true 200-byte stride
+    found."""
+    data = mp3.encode_mp3_frames(3, bitrate_index=0, free_format_bytes=200, seed=1)
+    want = mp3.probe_mp3(data)
+    forged = bytearray(data)
+    forged[50:54] = data[0:4]  # fake sync 50 bytes into frame 0's payload
+    got = mp3.probe_mp3(bytes(forged))
+    assert got == want
+    assert got["n_frames"] == 3 and got["audio_bytes"] == 600
+
+
+def test_free_format_mimic_in_single_frame_stream():
+    """Same mimic inside a ONE-frame stream: the candidate stride at 50
+    fails its look-ahead validation and the walk falls back to the
+    frame-runs-to-end rule instead of splitting the frame in two."""
+    data = mp3.encode_mp3_frames(1, bitrate_index=0, free_format_bytes=500, seed=2)
+    forged = bytearray(data)
+    forged[50:54] = data[0:4]
+    info = mp3.probe_mp3(bytes(forged))
+    assert info["n_frames"] == 1 and info["audio_bytes"] == 500
+
+
 def test_free_format_truncation_raises():
     data = mp3.encode_mp3_frames(5, bitrate_index=0, free_format_bytes=417)
     with pytest.raises(ValueError):
