@@ -1054,3 +1054,75 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = pc.synthesize_phash_media(docs)
     return pc.phash_near_dup_pairs(media, max_hamming=2, bands=3)
+
+
+def _media_feature_cte() -> str:
+    """DuckDB CTE producing the decoded-pixel feature vectors of the
+    perceptual corpus arithmetically: images are piecewise constant on
+    the 10×7 pooling grid, so the exact average-pool in
+    perceptual.pooled_cell_features equals the cell-value generator —
+    the same formula the mm_phash_near_dup oracle mirrors — flattened
+    row-major into a 70-dim DOUBLE list named ``emb``."""
+    return """
+    WITH g AS (
+      SELECT doc_id AS vec_id, doc_id // 4 AS grp, doc_id % 4 AS v
+      FROM documents),
+    cells AS (
+      SELECT vec_id, cx.i AS cx, cy.j AS cy,
+             CASE WHEN v = 3 AND cy.j = grp % 7 AND cx.i = grp % 10
+                  THEN ((grp*37 + cx.i*53 + cy.j*71
+                         + ((cx.i + grp) % 13) * ((cy.j + grp) % 11) * 5)
+                        % 256 + 97) % 256
+                  ELSE (grp*37 + cx.i*53 + cy.j*71
+                        + ((cx.i + grp) % 13) * ((cy.j + grp) % 11) * 5) % 256
+             END AS val
+      FROM g, generate_series(0, 9) cx(i), generate_series(0, 6) cy(j)),
+    e AS (
+      SELECT vec_id, list(val::DOUBLE ORDER BY cy, cx) AS emb
+      FROM cells GROUP BY vec_id),
+    """
+
+
+def _register_media_retrieval():
+    from solarboat_data_pipeline_spark.driver.similarity import _sql_ivf_trained
+
+    oracle = _sql_ivf_trained(
+        dim=70, iters=2, n_cent=16, nprobe=2, k=5,
+        source_cte=_media_feature_cte(),
+    )
+
+    @register("pipeline_media_retrieval", oracle)
+    def pipeline_media_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Media→ANN retrieval composition (VERDICT r11 item 3 — the
+        proof the decode lane and the similarity lane compose): PNG
+        corpus → real decode → exact average-pool feature vectors
+        (perceptual.pooled_cell_features, the embedding-column
+        contract) → TRAINED IVF index persisted partitioned-by-cell
+        (similarity.build_ivf_index, 2 Lloyd iterations with the
+        bit-deterministic fixed-point mean) → ivf_topk_indexed probes
+        with dynamic partition pruning at the cell scan (asserted in
+        tests/test_perceptual.py). The oracle replays EVERYTHING
+        arithmetically: feature extraction from the cell-value
+        generator, seed→assign→mean→assign→mean training, the nprobe=2
+        cell probe, and the exact cosine re-rank — so a wrong decode,
+        pooling, training round, or pruned-cell set cannot hash-match.
+        Reference anchor: E3's enrich-then-query shape
+        (main_2022.py:89-156)."""
+        from solarboat_data_pipeline_spark.operators import perceptual as pc
+        from solarboat_data_pipeline_spark.operators import similarity as sim_ops
+        from solarboat_data_pipeline_spark.driver._registry import _io_dir
+
+        docs = _t(spark, sf_dir, "documents")
+        media = pc.synthesize_phash_media(docs)
+        feats = pc.pooled_cell_features(media)
+        idx = _io_dir(sf_dir, "media_ivf_index")
+        sim_ops.build_ivf_index(feats, idx, n_centroids=16, train_iters=2)
+        qv = feats.where(F.col("vec_id") < 10)
+        out = sim_ops.ivf_topk_indexed(spark, idx, qv, k=5, nprobe=2)
+        return out.select(
+            "query_id", "neighbor_id", "cosine_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+
+_register_media_retrieval()

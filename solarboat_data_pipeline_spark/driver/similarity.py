@@ -104,22 +104,32 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_ivf_trained(dim: int = 64, iters: int = 2, n_cent: int = 16,
-                     nprobe: int = 2, k: int = 5) -> str:
+                     nprobe: int = 2, k: int = 5,
+                     source_cte: str | None = None) -> str:
     """Oracle for the TRAINED IVF path: replays the k-means refinement
     (operators/similarity.py:train_ivf_centroids) verbatim — seed =
     n-smallest-id vectors with rank-dense cids, then per iteration a
     nearest-centroid assignment and a FIXED-POINT component mean
     (floor(x·2²⁰) longs summed exactly, divided back as doubles), which
     is bit-identical across engines because integer addition is
-    associative and floor has no tie/rounding-mode divergence."""
+    associative and floor has no tie/rounding-mode divergence.
+
+    ``source_cte`` swaps the vector source: any SQL defining a CTE
+    named ``e`` with columns ``(vec_id, emb)`` (``emb`` a DOUBLE list
+    of length ``dim``). Default is the embeddings fixture; the media
+    retrieval composition passes its decoded-pixel feature formula."""
     cos = (
         "list_sum(list_transform(e.emb, (x, i) -> x * c.c_vec[i])) /"
         " (sqrt(list_sum(list_transform(e.emb, x -> x * x))) *"
         "  sqrt(list_sum(list_transform(c.c_vec, x -> x * x))))"
     )
+    if source_cte is None:
+        source_cte = (
+            "WITH e AS (SELECT vec_id, list_transform(embedding,"
+            " x -> x::DOUBLE) AS emb FROM embeddings),"
+        )
     parts = [
-        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)"
-        " AS emb FROM embeddings),",
+        source_cte,
         f"cent0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT"
         f" AS cid, emb AS c_vec FROM"
         f" (SELECT * FROM e ORDER BY vec_id LIMIT {n_cent})),",

@@ -291,6 +291,7 @@ _REGISTRATION_ORDER = [
     "mm_fmp4_extract",
     "st_stream_media_probe",
     "mm_phash_near_dup",
+    "pipeline_media_retrieval",
 ]
 
 

@@ -99,6 +99,51 @@ def dhash_table(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=DHASH_SCHEMA)
 
 
+FEATURE_VEC_SCHEMA = "vec_id long, embedding array<double>"
+
+
+def pooled_cell_features(df: DataFrame) -> DataFrame:
+    """Decoded-pixel FEATURE VECTOR per image: average-pool the
+    grayscale onto the module's 10×7 grid and flatten row-major into a
+    70-dim ``array<double>`` — the embedding-column contract of the ANN
+    lane (:mod:`similarity`), produced from media bytes instead of the
+    embeddings fixture, so the two lanes compose into retrieval.
+
+    The pooling means are EXACT (equal-area blocks, integer block sums
+    divided by the block area — one float division per cell), so for a
+    piecewise-grid-constant corpus the driver oracle replays the whole
+    vector arithmetically. Same map-only Arrow shape as
+    :func:`dhash_table`: media bytes never shuffle; 70 doubles per image
+    continue into the index build."""
+    import numpy as np
+
+    gw, gh = PHASH_CELL_W, PHASH_CELL_H
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, raw = png_codec.decode_png(bytes(payload))
+                if ch != 1:
+                    raise ValueError(
+                        f"image {int(mid)}: pooled_cell_features expects "
+                        f"grayscale, got {ch} channels"
+                    )
+                if w % gw or h % gh:
+                    raise ValueError(
+                        f"image {int(mid)} is {w}x{h}, not a multiple of "
+                        f"the {gw}x{gh} feature grid"
+                    )
+                gray = np.frombuffer(raw, np.uint8).reshape(h, w).astype(np.int64)
+                bw, bh = w // gw, h // gh
+                sums = gray.reshape(gh, bh, gw, bw).sum(axis=(1, 3))
+                ids.append(int(mid))
+                vecs.append((sums / float(bw * bh)).ravel().tolist())
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    return df.mapInPandas(run, schema=FEATURE_VEC_SCHEMA)
+
+
 def banded_hamming_pairs(
     sig: DataFrame,
     max_hamming: int = 2,

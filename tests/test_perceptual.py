@@ -142,6 +142,51 @@ def test_banded_hamming_pairs_parameter_validation(spark):
         pc.banded_hamming_pairs(df, max_hamming=3, bands=3)
 
 
+def test_pooled_features_equal_cell_values(spark):
+    """The exact average-pool of the DECODED pixels equals the cell
+    formula (piecewise-constant corpus): the arithmetic the retrieval
+    oracle replays, at both native and half resolution."""
+    media = pc.synthesize_phash_media(_docs(spark, 24))
+    got = {
+        r["vec_id"]: r["embedding"]
+        for r in pc.pooled_cell_features(media).collect()
+    }
+    cx = np.arange(pc.PHASH_CELL_W, dtype=np.int64)[None, :]
+    cy = np.arange(pc.PHASH_CELL_H, dtype=np.int64)[:, None]
+    for mid in range(24):
+        g, v = mid // 4, mid % 4
+        cells = pc._phash_cell(g, cx, cy)
+        if v == 3:
+            cells = cells.copy()
+            r, c = g % pc.PHASH_CELL_H, g % pc.PHASH_CELL_W
+            cells[r, c] = (cells[r, c] + 97) % 256
+        assert got[mid] == [float(x) for x in cells.ravel()]
+
+
+def test_media_retrieval_composition_dpp_and_selfmatch(spark, tmp_path):
+    """Media→ANN end-to-end: decoded-pixel features → trained persisted
+    IVF → indexed probe. The probe plan must show dynamic partition
+    pruning on the cell scan, and every query's top hit must be one of
+    its byte-distinct perceptual duplicates at cosine 1.0 (v0/v1/v2
+    share exact feature vectors)."""
+    from solarboat_data_pipeline_spark.operators import similarity as sim
+
+    media = pc.synthesize_phash_media(_docs(spark, 48))
+    feats = pc.pooled_cell_features(media)
+    idx = str(tmp_path / "media_ivf")
+    sim.build_ivf_index(feats, idx, n_centroids=8, train_iters=2)
+    qv = feats.where(F.col("vec_id") < 8)
+    out = sim.ivf_topk_indexed(spark, idx, qv, k=3, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan
+    top = {r["query_id"]: r for r in out.where(F.col("rank") == 1).collect()}
+    for qid in range(8):
+        r = top[qid]
+        if qid % 4 != 3:  # v0/v1/v2 have byte-distinct EXACT twins
+            assert r["cosine_sim"] == 1.0
+        assert r["neighbor_id"] // 4 == qid // 4  # a planted duplicate
+
+
 def test_dhash_rejects_off_grid_dimensions(spark):
     px = np.zeros((8, 8), dtype=np.uint8)
     bad = png_codec.encode_png(px.tobytes(), 8, 8, 1)
