@@ -476,10 +476,17 @@ def mm_h264_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     f AS (
       SELECT g.doc_id,
-             SUM(CASE WHEN i.i % g.key_every = 0 THEN 9 ELSE 2 END
+             SUM(CASE WHEN i.i % g.key_every = 0 THEN 9 ELSE 5 END
                  + 30 + (3*g.doc_id + 17*i.i) % 80) AS frame_bytes,
              SUM(CASE WHEN i.i % g.key_every = 0 THEN 1 ELSE 0 END)
-               AS n_keyframes
+               AS n_keyframes,
+             SUM(CASE WHEN i.i % g.key_every = 0 THEN 0
+                 ELSE (g.doc_id + 3*i.i) % 256 END) AS refresh_flags_sum,
+             SUM(CASE WHEN i.i % g.key_every = 0 THEN 0
+                 ELSE i.i % 8 + (g.doc_id + i.i) % 8 + (2*i.i + 1) % 8
+                 END) AS ref_idx_sum,
+             SUM(CASE WHEN i.i % g.key_every = 0 THEN 0
+                 ELSE i.i % 2 END) AS n_hp_mv
       FROM g, generate_series(0, 19) i(i)
       WHERE i.i < g.n_frames
       GROUP BY g.doc_id)
@@ -490,7 +497,10 @@ def mm_h264_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
            g.n_frames::BIGINT AS n_frames,
            f.n_keyframes::BIGINT AS n_keyframes,
            f.frame_bytes::BIGINT AS frame_bytes,
-           g.timebase_den::BIGINT AS timebase_den
+           g.timebase_den::BIGINT AS timebase_den,
+           f.refresh_flags_sum::BIGINT AS refresh_flags_sum,
+           f.ref_idx_sum::BIGINT AS ref_idx_sum,
+           f.n_hp_mv::BIGINT AS n_hp_mv
     FROM g JOIN f USING (doc_id)
     """,
 )
@@ -500,12 +510,15 @@ def mm_ivf_vp9_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     headers (spec §6.2 — keyframe sync code, profile-2 10-bit branch,
     4:2:0 color config, 16-bit frame-size fields), walked back by the
     container prober + per-frame header parser inside Arrow
-    mapInPandas. The oracle recomputes every column ARITHMETICALLY from
-    the generator geometry; the only derived constants are the header
-    byte lengths (keyframe header = 69/70 bits -> 9 bytes for profiles
-    0/2, inter prefix = 9 bits -> 2 bytes), asserted exactly in
-    tests/test_vp9.py so a syntax change cannot silently keep the
-    oracle green."""
+    mapInPandas. Round 12: inter frames carry FULL §6.2 headers
+    (refresh_frame_flags, reference indices, mv precision — all with
+    deterministic per-frame formulas via multimodal._inter_header) and
+    the probe reports their aggregates. The oracle recomputes every
+    column ARITHMETICALLY from the generator geometry; the only derived
+    constants are the header byte lengths (keyframe = 69/70 bits -> 9
+    bytes for profiles 0/2, full inter header = 36 bits -> 5 bytes),
+    asserted exactly in tests/test_vp9.py so a syntax change cannot
+    silently keep the oracle green."""
     docs = _t(spark, sf_dir, "documents")
     media = mm.synthesize_ivf_media(docs)
     return mm.probe_ivf_stats(media)
@@ -737,7 +750,7 @@ def mm_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d WHERE d.kind = 1),
     u1b AS (
       SELECT u1.media_id, u1.kind, u1.n_units,
-             SUM(CASE WHEN i.i % u1.key_every = 0 THEN 9 ELSE 2 END
+             SUM(CASE WHEN i.i % u1.key_every = 0 THEN 9 ELSE 5 END
                  + 30 + (3*u1.seed + 17*i.i) % 80) AS unit_bytes
       FROM u1, generate_series(0, 19) i(i)
       WHERE i.i < u1.n_units

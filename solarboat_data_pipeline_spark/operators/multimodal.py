@@ -994,6 +994,22 @@ def _ivf_params(mid: int) -> dict:
     }
 
 
+def _inter_header(vp9_codec, seed: int, i: int, profile: int) -> bytes:
+    """FULL VP9 inter-frame header (round 12) with deterministic
+    per-frame fields — the oracle recomputes the probed aggregates from
+    these formulas. ``found_ref`` stays True so the header is a
+    constant 5 bytes (the `ELSE 5` in the mm_ivf_vp9_probe and
+    pipeline_media_curation oracles, asserted in tests/test_vp9.py)."""
+    return vp9_codec.encode_vp9_inter_header(
+        profile,
+        refresh_frame_flags=(seed + 3 * i) % 256,
+        ref_frame_idx=(i % 8, (seed + i) % 8, (2 * i + 1) % 8),
+        ref_sign_bias=(i % 2, 0, (seed + i) % 2),
+        allow_high_precision_mv=bool(i % 2),
+        interp_filter=(seed + i) % 4,
+    )
+
+
 def synthesize_ivf_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Media table of genuine IVF files whose frames carry REAL VP9
     uncompressed headers (keyframe every ``key_every``-th frame,
@@ -1017,7 +1033,7 @@ def synthesize_ivf_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                             profile=p["profile"], bit_depth=p["bit_depth"],
                         )
                     else:
-                        hdr = vp9_codec.encode_vp9_inter_header(p["profile"])
+                        hdr = _inter_header(vp9_codec, mid, i, p["profile"])
                     tail_len = 30 + (3 * mid + 17 * i) % 80
                     tail = bytes(
                         (mid * 5 + i * 11 + j) % 256 for j in range(tail_len)
@@ -1045,14 +1061,17 @@ def synthesize_ivf_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 IVF_PROBE_SCHEMA = (
     "media_id long, fourcc string, width long, height long,"
     " coded_width long, coded_height long, profile long, bit_depth long,"
-    " n_frames long, n_keyframes long, frame_bytes long, timebase_den long"
+    " n_frames long, n_keyframes long, frame_bytes long, timebase_den long,"
+    " refresh_flags_sum long, ref_idx_sum long, n_hp_mv long"
 )
 
 
 def probe_ivf_stats(df: DataFrame) -> DataFrame:
     """REAL IVF/VP9 probe via Arrow ``mapInPandas``: container walk +
     bit-exact VP9 frame-header parse per frame (keyframe
-    classification, coded dims, profile/bit depth) — the VP9 twin of
+    classification, coded dims, profile/bit depth, and — round 12 —
+    the inter-frame reference structure: refresh-mask and
+    reference-index sums, high-precision-mv count) — the VP9 twin of
     :func:`probe_video_stats`. No pixel decode."""
     from solarboat_data_pipeline_spark.operators import vp9 as vp9_codec
 
@@ -1073,6 +1092,9 @@ def probe_ivf_stats(df: DataFrame) -> DataFrame:
                 rows["n_keyframes"].append(info["n_keyframes"])
                 rows["frame_bytes"].append(info["frame_bytes"])
                 rows["timebase_den"].append(info["timebase_den"])
+                rows["refresh_flags_sum"].append(info["refresh_flags_sum"])
+                rows["ref_idx_sum"].append(info["ref_idx_sum"])
+                rows["n_hp_mv"].append(info["n_hp_mv"])
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=IVF_PROBE_SCHEMA)
@@ -1691,7 +1713,7 @@ def synthesize_mixed_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         profile=p["profile"], bit_depth=p["bit_depth"],
                     )
                 else:
-                    hdr = vp9_codec.encode_vp9_inter_header(p["profile"])
+                    hdr = _inter_header(vp9_codec, seed, i, p["profile"])
                 tail_len = 30 + (3 * seed + 17 * i) % 80
                 tail = bytes(
                     (seed * 5 + i * 11 + j) % 256 for j in range(tail_len)

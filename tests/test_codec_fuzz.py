@@ -157,11 +157,28 @@ def _probe_fixtures():
     base_fmp4 = mp4.encode_fmp4(126, 98, [[50, 61, 72], [83, 94]])
     frames = []
     for i in range(8):
-        hdr = (
-            vp9.encode_vp9_keyframe_header(126, 98)
-            if i % 3 == 0
-            else vp9.encode_vp9_inter_header(0)
-        )
+        if i % 3 == 0:
+            hdr = vp9.encode_vp9_keyframe_header(126, 98)
+        elif i % 3 == 1:
+            # randomized FULL inter header (round 12): every field the
+            # parser walks is exercised by the mutation loop below
+            hdr = vp9.encode_vp9_inter_header(
+                0,
+                refresh_frame_flags=int(rnd.integers(0, 256)),
+                ref_frame_idx=tuple(int(x) for x in rnd.integers(0, 8, 3)),
+                ref_sign_bias=tuple(int(x) for x in rnd.integers(0, 2, 3)),
+                found_ref=bool(rnd.integers(0, 2)),
+                width=126, height=98,
+                allow_high_precision_mv=bool(rnd.integers(0, 2)),
+                interp_filter=(
+                    None if rnd.integers(0, 2) else int(rnd.integers(0, 4))
+                ),
+                reset_frame_context=int(rnd.integers(0, 4)),
+            )
+        else:
+            hdr = vp9.encode_vp9_intra_only_header(
+                126, 98, refresh_frame_flags=int(rnd.integers(0, 256))
+            )
         frames.append(hdr + bytes(rnd.integers(0, 256, size=40, dtype=np.uint8)))
     base_mp3 = mp3.encode_mp3_frames(
         14, bitrate_index=9, rate_index=1, pad_every=3, id3v2_bytes=37

@@ -29,24 +29,71 @@ def test_keyframe_header_roundtrip(w, h, profile, bit_depth):
 
 def test_header_byte_lengths_are_the_oracle_constants():
     # mm_ivf_vp9_probe's DuckDB oracle recomputes frame_bytes with the
-    # constants keyframe=9 / inter=2; if the header syntax ever changes
-    # these assertions fail before the oracle can silently drift.
+    # constants keyframe=9 / full-inter=5; if the header syntax ever
+    # changes these assertions fail before the oracle can silently drift.
     assert len(vp9.encode_vp9_keyframe_header(1, 1, profile=0)) == 9
     assert len(vp9.encode_vp9_keyframe_header(65536, 65536, profile=0)) == 9
     assert len(vp9.encode_vp9_keyframe_header(64, 64, profile=2, bit_depth=10)) == 9
     assert len(vp9.encode_vp9_keyframe_header(64, 64, profile=2, bit_depth=12)) == 9
-    assert len(vp9.encode_vp9_inter_header(0)) == 2
-    assert len(vp9.encode_vp9_inter_header(2)) == 2
+    assert len(vp9.encode_vp9_inter_header(0)) == 5
+    assert len(vp9.encode_vp9_inter_header(2)) == 5
+    # the explicit-size branch (no reference supplies the size): 9 bytes
+    assert len(vp9.encode_vp9_inter_header(
+        0, found_ref=False, width=64, height=48)) == 9
 
 
-def test_inter_header_classifies():
-    info = vp9.parse_vp9_frame_header(vp9.encode_vp9_inter_header(2) + b"\x00" * 4)
-    assert info == {
-        "profile": 2,
-        "frame_type": "inter",
-        "is_key": False,
-        "show_frame": True,
-    }
+def test_inter_header_full_roundtrip():
+    """Round 12: the FULL inter header round-trips field-exact through
+    the parser — refresh mask, reference indices + sign biases,
+    frame_size_with_refs both branches, mv precision, filter literal
+    and switchable."""
+    h = vp9.encode_vp9_inter_header(
+        2, refresh_frame_flags=0xA5, ref_frame_idx=(3, 5, 7),
+        ref_sign_bias=(1, 0, 1), allow_high_precision_mv=True,
+        interp_filter=3, reset_frame_context=2,
+    )
+    info = vp9.parse_vp9_frame_header(h + bytes(6))
+    assert info["frame_type"] == "inter" and not info["is_key"]
+    assert info["refresh_frame_flags"] == 0xA5
+    assert info["ref_frame_idx"] == (3, 5, 7)
+    assert info["ref_sign_bias"] == (1, 0, 1)
+    assert info["size_from_ref"] == 0  # first reference supplied the size
+    assert info["allow_high_precision_mv"] is True
+    assert info["interp_filter"] == 3
+    assert info["reset_frame_context"] == 2
+    # explicit-size branch + switchable filter
+    h2 = vp9.encode_vp9_inter_header(
+        0, found_ref=False, width=320, height=240, interp_filter=None,
+    )
+    i2 = vp9.parse_vp9_frame_header(h2 + bytes(4))
+    assert i2["size_from_ref"] == -1
+    assert (i2["width"], i2["height"]) == (320, 240)
+    assert i2["interp_filter"] is None
+
+
+def test_intra_only_header_roundtrip():
+    for profile, depth in ((0, 8), (2, 10), (2, 12)):
+        h = vp9.encode_vp9_intra_only_header(
+            640, 480, profile=profile, bit_depth=depth,
+            refresh_frame_flags=9,
+        )
+        info = vp9.parse_vp9_frame_header(h + bytes(4))
+        assert info["frame_type"] == "intra_only"
+        assert not info["is_key"] and not info["show_frame"]
+        assert info["bit_depth"] == depth
+        assert info["refresh_frame_flags"] == 9
+        assert (info["width"], info["height"]) == (640, 480)
+
+
+def test_inter_header_field_validation():
+    with pytest.raises(ValueError, match="8 bits"):
+        vp9.encode_vp9_inter_header(0, refresh_frame_flags=256)
+    with pytest.raises(ValueError, match="3 bits"):
+        vp9.encode_vp9_inter_header(0, ref_frame_idx=(8, 0, 0))
+    with pytest.raises(ValueError, match="2 bits"):
+        vp9.encode_vp9_inter_header(0, interp_filter=4)
+    with pytest.raises(ValueError, match="explicit frame size"):
+        vp9.encode_vp9_inter_header(0, found_ref=False)
 
 
 def test_show_existing_branch():
@@ -202,9 +249,16 @@ def test_probe_ivf_stats_spark(spark):
         n, k = p["n_frames"], p["key_every"]
         assert r["n_frames"] == n and r["n_keyframes"] == (n + k - 1) // k
         assert r["frame_bytes"] == sum(
-            (9 if i % k == 0 else 2) + 30 + (3 * mid + 17 * i) % 80
+            (9 if i % k == 0 else 5) + 30 + (3 * mid + 17 * i) % 80
             for i in range(n)
         )
+        # round 12: inter-frame reference-structure aggregates
+        inter = [i for i in range(n) if i % k != 0]
+        assert r["refresh_flags_sum"] == sum((mid + 3 * i) % 256 for i in inter)
+        assert r["ref_idx_sum"] == sum(
+            i % 8 + (mid + i) % 8 + (2 * i + 1) % 8 for i in inter
+        )
+        assert r["n_hp_mv"] == sum(i % 2 for i in inter)
 
 
 # --- superframes -------------------------------------------------------------
