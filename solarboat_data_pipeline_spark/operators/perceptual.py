@@ -6,9 +6,10 @@ Hamming join.
 
 Operators here compose two already-verified lanes:
 
-* the real pixel decoders (:mod:`png` today; the JPEG/H.264 lanes share
-  the same ``(width, height, channels, bytes)`` contract, so
-  :func:`dhash_table`'s decode dispatch extends per media_type), and
+* the real pixel decoders (:mod:`png` and :mod:`jpeg`, dispatched by
+  magic bytes in :func:`_decode_image`; the H.264 lane shares the same
+  ``(width, height, channels, bytes)`` contract and slots in the same
+  way), and
 * the banded-Hamming pair machinery of
   :func:`dedup.simhash_near_dup_pairs`, generalized in
   :func:`banded_hamming_pairs` to ANY precomputed signed-long signature
@@ -47,14 +48,31 @@ DHASH_GRID_H = 7  # rows; 9 × 7 = 63 bits
 DHASH_SCHEMA = "media_id long, phash long, width int, height int"
 
 
+def _decode_image(data: bytes, mid: int) -> tuple[int, int, int, bytes]:
+    """Magic-byte decode dispatch for the perceptual lane: PNG and
+    baseline/progressive JPEG share the ``(w, h, channels, bytes)``
+    pixel contract, so the hash is format-blind — exactly what lets it
+    catch a JPEG re-encode of a PNG (tested within Hamming ≤ 2 of the
+    lossless hash; sha256 dedup sees unrelated bytes)."""
+    if data[:4] == b"\x89PNG"[:4]:
+        return png_codec.decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from solarboat_data_pipeline_spark.operators import jpeg as jpeg_codec
+
+        return jpeg_codec.decode_jpeg(data)
+    raise ValueError(
+        f"media {mid}: not a PNG or JPEG (leading bytes {data[:4]!r})"
+    )
+
+
 def dhash_table(df: DataFrame) -> DataFrame:
     """Per-image 63-bit difference hash from DECODED pixels.
 
-    ``df`` is a media table (``media_id``, ``payload``) of PNG bytes
-    whose dimensions are exact multiples of the 10×7 pooling grid.
-    Arrow ``mapInPandas``, map-only — the scale shape of the probe lane:
-    payload bytes cross the plan once and never shuffle; only the
-    16-byte (id, hash) rows continue to the pair join."""
+    ``df`` is a media table (``media_id``, ``payload``) of PNG or JPEG
+    bytes whose dimensions are exact multiples of the 10×7 pooling
+    grid. Arrow ``mapInPandas``, map-only — the scale shape of the
+    probe lane: payload bytes cross the plan once and never shuffle;
+    only the 16-byte (id, hash) rows continue to the pair join."""
     import numpy as np
 
     gw, gh = DHASH_GRID_W, DHASH_GRID_H
@@ -63,7 +81,7 @@ def dhash_table(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = {k.split()[0]: [] for k in DHASH_SCHEMA.split(",")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, ch, raw = png_codec.decode_png(bytes(payload))
+                w, h, ch, raw = _decode_image(bytes(payload), int(mid))
                 px = np.frombuffer(raw, np.uint8).reshape(h, w, ch)
                 # integer grayscale: mean over channels is exact for the
                 # grayscale corpus (ch == 1); for RGB the ITU-R 601
