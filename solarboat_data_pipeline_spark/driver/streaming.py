@@ -597,3 +597,40 @@ def _register_stream_media_probe():
 
 
 _register_stream_media_probe()
+
+
+def _register_stream_phash():
+    """st_stream_phash: the perceptual-hash lane under Structured
+    Streaming — images arriving as a stream are decoded and dHashed by
+    the IDENTICAL Arrow map the batch rows use (stateless map-only; no
+    watermark, no state store). The oracle recomputes hash + dims
+    arithmetically from the cell generator (the explicit import keeps
+    the shared-fragment dependency order-proof, same as the media
+    probe)."""
+    from solarboat_data_pipeline_spark.driver.multimodal import _PHASH_SIG_CTE
+
+    oracle = f"""
+    WITH {_PHASH_SIG_CTE}
+    SELECT media_id, phash,
+           CASE WHEN media_id % 4 = 2 THEN 20 ELSE 40 END::INT AS width,
+           CASE WHEN media_id % 4 = 2 THEN 14 ELSE 28 END::INT AS height
+    FROM sig
+    """
+
+    @register("st_stream_phash", oracle)
+    def st_stream_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from solarboat_data_pipeline_spark.operators import perceptual as pc
+
+        docs = _t(spark, sf_dir, "documents")
+        path = _io_dir(sf_dir, "stream_phash_media")
+        pc.synthesize_phash_media(docs).write.mode("overwrite").parquet(path)
+        schema = spark.read.parquet(path).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(path)
+        )
+        return _drain_to_memory(pc.dhash_table(stream), "st_stream_phash", "append")
+
+
+_register_stream_phash()

@@ -219,6 +219,83 @@ def banded_hamming_pairs(
     )
 
 
+def phash_band_index(
+    sig: DataFrame,
+    sig_col: str = "phash",
+    id_col: str = "media_id",
+    bits: int = DHASH_BITS,
+    bands: int = 3,
+) -> DataFrame:
+    """The persistable index form of a signature table: one
+    ``(media_id, phash, band, key)`` row per (image, band) — what a
+    curation service writes once per corpus so later increments join
+    against stored 32-byte rows instead of re-hashing media
+    (:func:`phash_near_dup_against`; the perceptual twin of
+    :func:`dedup.band_index`)."""
+    if bits % bands:
+        raise ValueError(f"bands ({bands}) must evenly divide bits ({bits})")
+    w = bits // bands
+    keys = [
+        F.shiftright(sig_col, t * w).bitwiseAND(F.lit((1 << w) - 1)).cast("long")
+        for t in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col).alias("media_id"),
+        F.col(sig_col).alias("phash"),
+        F.posexplode(F.array(*keys)).alias("band", "key"),
+    )
+
+
+def phash_near_dup_against(
+    incoming: DataFrame,
+    seen_index: DataFrame,
+    max_hamming: int = 2,
+    bits: int = DHASH_BITS,
+    bands: int = 3,
+) -> DataFrame:
+    """Incremental perceptual dedup — the media twin of
+    :func:`dedup.near_dup_against`: new images that perceptually
+    duplicate images ALREADY IN the corpus are found WITHOUT re-reading
+    or re-hashing the corpus. ``incoming`` is a media table (hashed
+    once here); ``seen_index`` is the corpus's persisted
+    :func:`phash_band_index` (read back from parquet between
+    increments). Candidates share ≥ 1 band (incoming×index equi-join —
+    same pigeonhole-exact recall as the self-join for
+    ``max_hamming < bands``), verified by exact ``bit_count``.
+
+    Returns ``(inc_id, seen_id, hamming)`` with ``hamming <=
+    max_hamming``."""
+    if not max_hamming < bands:
+        raise ValueError(
+            f"exact recall needs max_hamming ({max_hamming}) < bands ({bands})"
+        )
+    inc = phash_band_index(
+        dhash_table(incoming), bits=bits, bands=bands
+    ).select(
+        F.col("media_id").alias("__inc_id"),
+        F.col("phash").alias("__inc_sig"),
+        "band",
+        "key",
+    )
+    seen = seen_index.select(
+        F.col("media_id").alias("__seen_id"),
+        F.col("phash").alias("__seen_sig"),
+        "band",
+        "key",
+    )
+    ham = F.bit_count(F.col("__inc_sig").bitwiseXOR(F.col("__seen_sig")))
+    return (
+        inc.join(seen, ["band", "key"])
+        .select(
+            F.col("__inc_id").alias("inc_id"),
+            F.col("__seen_id").alias("seen_id"),
+            ham.cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def phash_near_dup_pairs(
     media: DataFrame, max_hamming: int = 2, bands: int = 3
 ) -> DataFrame:

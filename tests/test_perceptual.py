@@ -187,6 +187,47 @@ def test_media_retrieval_composition_dpp_and_selfmatch(spark, tmp_path):
         assert r["neighbor_id"] // 4 == qid // 4  # a planted duplicate
 
 
+def test_incremental_index_matches_bruteforce_and_never_rehashes(spark, tmp_path):
+    """phash_band_index persisted to parquet + phash_near_dup_against
+    over an increment == brute-force (incoming × corpus) Hamming<=2
+    from the formula hashes; the corpus media table is NOT an input to
+    the query side (only the 32-byte index rows are)."""
+    corpus_ids = [i for i in range(60) if i % 5 != 0]
+    inc_ids = [i for i in range(60) if i % 5 == 0]
+    corpus = pc.synthesize_phash_media(
+        spark.createDataFrame([(i,) for i in corpus_ids], "doc_id long")
+    )
+    incoming = pc.synthesize_phash_media(
+        spark.createDataFrame([(i,) for i in inc_ids], "doc_id long")
+    )
+    path = str(tmp_path / "phash_idx")
+    pc.phash_band_index(pc.dhash_table(corpus)).write.parquet(path)
+    got = {
+        (r["inc_id"], r["seen_id"]): r["hamming"]
+        for r in pc.phash_near_dup_against(
+            incoming, spark.read.parquet(path)
+        ).collect()
+    }
+    hashes = {i: _formula_hash(i // 4, i % 4) for i in range(60)}
+    want = {
+        (a, b): bin(hashes[a] ^ hashes[b]).count("1")
+        for a in inc_ids
+        for b in corpus_ids
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 2
+    }
+    assert got == want and want  # non-trivial: planted groups span the split
+
+
+def test_incremental_against_validates_params(spark):
+    df = spark.createDataFrame([(0, 5, 0, 5)], "media_id long, phash long, band int, key long")
+    media = pc.synthesize_phash_media(_docs(spark, 4))
+    with pytest.raises(ValueError, match="exact recall"):
+        pc.phash_near_dup_against(media, df, max_hamming=3, bands=3)
+    sig = spark.createDataFrame([(0, 5)], "media_id long, phash long")
+    with pytest.raises(ValueError, match="evenly divide"):
+        pc.phash_band_index(sig, bits=63, bands=4)
+
+
 def test_jpeg_reencode_lands_within_hamming_threshold(spark):
     """Cross-FORMAT near-dup: a lossy baseline-JPEG re-encode of each
     PNG original must hash within the join's Hamming<=2 threshold, so
