@@ -1246,3 +1246,58 @@ def mm_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(idx_path)
     seen = spark.read.parquet(idx_path)
     return pc.phash_near_dup_against(incoming, seen)
+
+
+@register(
+    "aud_fingerprint_near_dup",
+    """
+    WITH g AS (
+      SELECT doc_id AS media_id, doc_id // 4 AS grp, doc_id % 4 AS v
+      FROM documents),
+    p AS (SELECT media_id, grp, v, grp % 480 + 64 AS n FROM g),
+    fr AS (
+      SELECT p.media_id, p.n, i.i,
+             ((37*i.i + 13*p.grp) % 4096 - 2048)
+               * (CASE WHEN p.v IN (2, 3) THEN 2 ELSE 1 END)
+               + (CASE WHEN p.v = 3 AND i.i = p.grp % p.n
+                       THEN 1009 ELSE 0 END) AS fs
+      FROM p, generate_series(0, 543) i(i)
+      WHERE i.i < p.n),
+    seg AS (
+      SELECT fr.media_id, k.k, SUM(fr.fs) AS s
+      FROM fr JOIN generate_series(0, 63) k(k)
+        ON fr.i >= (k.k * fr.n) // 64 AND fr.i < ((k.k + 1) * fr.n) // 64
+      GROUP BY fr.media_id, k.k),
+    bits AS (
+      SELECT a.media_id, a.k::BIGINT AS k,
+             CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+      FROM seg a JOIN seg b ON a.media_id = b.media_id AND b.k = a.k + 1
+      WHERE a.k < 63),
+    sig AS (
+      SELECT media_id, SUM(bit::BIGINT << k)::BIGINT AS afp
+      FROM bits GROUP BY media_id)
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           bit_count(xor(a.afp, b.afp))::BIGINT AS hamming
+    FROM sig a JOIN sig b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 2
+    """,
+)
+def aud_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO perceptual near-dup — the third modality on the SAME
+    banded-Hamming join (text simhash, image dHash, now audio): real
+    WAV decode → per-frame channel sum → 64 exact time segments → 63
+    adjacent-segment comparisons (perceptual.audio_fingerprint_table).
+    The planted groups re-encode each signal four byte-distinct ways —
+    original, REMUXED behind an extra LIST chunk, STEREO-DUPLICATED,
+    GAIN ×2 with one nudged sample — all invisible to sha256, all
+    within Hamming 2 of the original (gain and channel duplication
+    scale both sides of every comparison; the nudge flips at most the
+    two comparisons touching its segment). The oracle recomputes the
+    fingerprint arithmetically from the PCM generator formula — a
+    wrong chunk walk, block-align, channel de-interleave, or segment
+    boundary cannot hash-match."""
+    from solarboat_data_pipeline_spark.operators import perceptual as pc
+
+    docs = _t(spark, sf_dir, "documents")
+    media = pc.synthesize_audio_dup_media(docs)
+    return pc.audio_near_dup_pairs(media)

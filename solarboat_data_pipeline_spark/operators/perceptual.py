@@ -376,3 +376,147 @@ def synthesize_phash_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return src.mapInPandas(run, schema=_mm.MEDIA_SCHEMA)
+
+
+# --- audio fingerprinting (round 12) -----------------------------------------
+#
+# The audio twin of the image dHash: real WAV decode → per-frame channel
+# SUM → 64 equal time segments (exact integer floor boundaries
+# ``floor(k·n/64)``) → one bit per adjacent-segment comparison
+# (``seg[k+1] > seg[k]``, 63 bits, one signed long). Comparisons are
+# invariant under POSITIVE GAIN (both sums scale), CHANNEL DUPLICATION
+# (channel sum doubles), and REMUXING (same samples, different RIFF
+# chunk layout) — the three byte-changing transforms audio dedup must
+# survive while sha256 sees unrelated files. Pairs reuse
+# :func:`banded_hamming_pairs` unchanged — the same banded join now
+# serves text (simhash), image (dHash), and audio signatures.
+
+AUDIO_FP_SEGMENTS = DHASH_BITS + 1  # 64 segments → 63 comparisons
+
+AUDIO_FP_SCHEMA = "media_id long, afp long, n_frames int, channels int"
+
+
+def audio_fingerprint_table(df: DataFrame) -> DataFrame:
+    """Per-file 63-bit audio fingerprint from DECODED PCM. Map-only
+    Arrow pass; audio bytes never shuffle — 16-byte (id, fingerprint)
+    rows continue to the pair join."""
+    import numpy as np
+
+    from solarboat_data_pipeline_spark.operators import wav as wav_codec
+
+    S = AUDIO_FP_SEGMENTS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.split()[0]: [] for k in AUDIO_FP_SCHEMA.split(",")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, ch, bits, n, samples = wav_codec.decode_wav(
+                    bytes(payload)
+                )
+                frame_sum = (
+                    samples.astype(np.int64).reshape(n, ch).sum(axis=1)
+                )
+                edges = (np.arange(S + 1, dtype=np.int64) * n) // S
+                segs = np.add.reduceat(frame_sum, edges[:-1])
+                # reduceat yields frame_sum[e] for an empty [e, e) span;
+                # force true zeros so short files hash deterministically
+                segs[edges[:-1] == edges[1:]] = 0
+                bits_arr = (segs[1:] > segs[:-1]).astype(np.uint64)
+                afp = 0
+                for k in range(S - 1):
+                    afp |= int(bits_arr[k]) << k
+                rows["media_id"].append(int(mid))
+                rows["afp"].append(afp)
+                rows["n_frames"].append(int(n))
+                rows["channels"].append(int(ch))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+
+
+def audio_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 2, bands: int = 3
+) -> DataFrame:
+    """Audio near-dup pairs: decode → :func:`audio_fingerprint_table` →
+    the SAME :func:`banded_hamming_pairs` join the image lane uses."""
+    return banded_hamming_pairs(
+        audio_fingerprint_table(media),
+        max_hamming=max_hamming,
+        sig_col="afp",
+        bands=bands,
+    )
+
+
+def _audio_dup_samples(g: int, n: int):
+    """Base mono PCM for duplicate group ``g`` — mirrored verbatim in
+    the aud_fingerprint_near_dup oracle SQL."""
+    import numpy as np
+
+    i = np.arange(n, dtype=np.int64)
+    return (37 * i + 13 * g) % 4096 - 2048
+
+
+def synthesize_audio_dup_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """WAV corpus with PLANTED perceptual-duplicate groups: four
+    byte-distinct variants per group seed ``g = id // 4``:
+
+    * v=0 — original mono 16-bit PCM,
+    * v=1 — REMUXED: identical samples behind an extra LIST chunk
+      (the chunk walk skips it; sha256 does not),
+    * v=2 — STEREO-DUPLICATED: both channels carry the mono signal,
+    * v=3 — GAIN ×2 plus ONE sample nudged +1009 (flips at most the
+      two comparisons touching that sample's segment).
+
+    ``n = g % 480 + 64`` frames, so every one of the 64 segments is
+    nonempty."""
+    import numpy as np
+
+    from solarboat_data_pipeline_spark.operators import wav as wav_codec
+
+    src = _mm._id_source(df, id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        payloads, kinds = [], []
+        for pdf in batches:
+            payloads, ids = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                g, v = mid // 4, mid % 4
+                n = g % 480 + 64
+                s = _audio_dup_samples(g, n)
+                if v == 0:
+                    data = wav_codec.encode_wav(s.astype("<i2"), 8000, 1)
+                elif v == 1:
+                    base = wav_codec.encode_wav(s.astype("<i2"), 8000, 1)
+                    tag = b"INFO" + b"remuxed.".ljust(8, b"\x00")
+                    chunk = b"LIST" + struct.pack("<I", len(tag)) + tag
+                    data = (
+                        base[:8] + base[8:12] + chunk + base[12:]
+                    )
+                    data = (
+                        data[:4]
+                        + struct.pack("<I", len(data) - 8)
+                        + data[8:]
+                    )
+                elif v == 2:
+                    stereo = np.repeat(s, 2)
+                    data = wav_codec.encode_wav(stereo.astype("<i2"), 8000, 2)
+                else:
+                    s2 = s * 2
+                    s2[g % n] += 1009
+                    data = wav_codec.encode_wav(s2.astype("<i2"), 8000, 1)
+                ids.append(mid)
+                payloads.append(data)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                    "media_type": "audio/wav",
+                }
+            )
+
+    return src.mapInPandas(
+        run, schema="media_id long, payload binary, media_type string"
+    )

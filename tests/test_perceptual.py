@@ -255,6 +255,71 @@ def test_jpeg_reencode_lands_within_hamming_threshold(spark):
         assert (2 * g, 2 * g + 1) in pairs  # PNG↔JPEG twin recovered
 
 
+# --- audio fingerprint --------------------------------------------------------
+
+
+def _audio_fp_formula(g: int, v: int) -> int:
+    n = g % 480 + 64
+    s = pc._audio_dup_samples(g, n) * (2 if v in (2, 3) else 1)
+    if v == 3:
+        s = s.copy()
+        s[g % n] += 1009
+    S = pc.AUDIO_FP_SEGMENTS
+    edges = (np.arange(S + 1, dtype=np.int64) * n) // S
+    segs = np.add.reduceat(s, edges[:-1])
+    bits = (segs[1:] > segs[:-1]).astype(np.uint64)
+    return sum(int(bits[k]) << k for k in range(S - 1))
+
+
+def test_audio_fingerprint_decode_matches_formula(spark):
+    """The fingerprint of the DECODED WAV bytes (full RIFF round trip
+    incl. the remuxed LIST-chunk and stereo variants) equals the pure
+    formula fingerprint — the arithmetic the driver oracle replays."""
+    media = pc.synthesize_audio_dup_media(_docs(spark, 32))
+    got = {
+        r["media_id"]: r["afp"]
+        for r in pc.audio_fingerprint_table(media).collect()
+    }
+    assert got == {m: _audio_fp_formula(m // 4, m % 4) for m in range(32)}
+
+
+def test_audio_dup_variants_invariant_and_byte_distinct(spark):
+    """Remux / stereo-duplicate / gain are fingerprint-invariant (gain
+    + channel-sum scale both sides of every comparison) while all four
+    payloads are byte-distinct — the transforms sha256 dedup misses."""
+    media = {
+        r["media_id"]: bytes(r["payload"])
+        for r in pc.synthesize_audio_dup_media(_docs(spark, 40)).collect()
+    }
+    for g in range(10):
+        fps = [_audio_fp_formula(g, v) for v in range(4)]
+        assert fps[0] == fps[1] == fps[2]
+        assert bin(fps[0] ^ fps[3]).count("1") <= 2
+        assert len({hashlib.sha256(media[g * 4 + v]).hexdigest()
+                    for v in range(4)}) == 4
+
+
+def test_audio_near_dup_recovers_planted_groups(spark):
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in pc.audio_near_dup_pairs(
+            pc.synthesize_audio_dup_media(_docs(spark, 48))
+        ).collect()
+    }
+    fps = {m: _audio_fp_formula(m // 4, m % 4) for m in range(48)}
+    brute = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for a in range(48)
+        for b in range(a + 1, 48)
+        if bin(fps[a] ^ fps[b]).count("1") <= 2
+    }
+    assert got == brute
+    for g in range(12):  # all six within-group pairs present
+        for i in range(4):
+            for j in range(i + 1, 4):
+                assert (g * 4 + i, g * 4 + j) in got
+
+
 def test_dhash_rejects_off_grid_dimensions(spark):
     px = np.zeros((8, 8), dtype=np.uint8)
     bad = png_codec.encode_png(px.tobytes(), 8, 8, 1)
