@@ -1301,3 +1301,57 @@ def aud_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = pc.synthesize_audio_dup_media(docs)
     return pc.audio_near_dup_pairs(media)
+
+
+@register(
+    "vid_fingerprint_near_dup",
+    """
+    WITH g AS (
+      SELECT doc_id AS media_id, doc_id // 4 AS grp, doc_id % 4 AS v
+      FROM documents),
+    cells AS (
+      SELECT media_id, cx.i AS cx, cy.j AS cy,
+             CASE WHEN v = 3 AND cy.j = grp % 7 AND cx.i = grp % 10
+                  THEN ((grp*37 + cx.i*53 + cy.j*71
+                         + ((cx.i + grp) % 13) * ((cy.j + grp) % 11))
+                        % 200 + 97) % 200
+                  ELSE (grp*37 + cx.i*53 + cy.j*71
+                        + ((cx.i + grp) % 13) * ((cy.j + grp) % 11)) % 200
+             END AS val
+      FROM g, generate_series(0, 9) cx(i), generate_series(0, 6) cy(j)),
+    bits AS (
+      SELECT a.media_id, (a.cy * 9 + a.cx)::BIGINT AS k,
+             CASE WHEN b.val > a.val THEN 1 ELSE 0 END AS bit
+      FROM cells a JOIN cells b
+        ON a.media_id = b.media_id AND a.cy = b.cy AND b.cx = a.cx + 1
+      WHERE a.cx < 9),
+    sig AS (
+      SELECT media_id, SUM(bit::BIGINT << k)::BIGINT AS vfp
+      FROM bits GROUP BY media_id)
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           bit_count(xor(a.vfp, b.vfp))::BIGINT AS hamming
+    FROM sig a JOIN sig b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.vfp, b.vfp)) <= 2
+    """,
+)
+def vid_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO perceptual near-dup — the fourth signature type on the
+    shared banded-Hamming join: real BI_RGB AVI decode → per-frame
+    dHash (fixed-point luma) → MAJORITY fold across frames
+    (perceptual.video_fingerprint_table). The planted groups re-encode
+    each clip four byte-distinct ways — original (with a slow
+    brightness fade across frames), FRAME-DROPPED (every 4th frame
+    removed), RE-EXPOSED (+7 brightness everywhere), one-cell edit —
+    and the fingerprint survives all of them by construction
+    (brightness shifts preserve every pooled comparison; dropped
+    frames share the survivors' hash so the majority is unchanged),
+    while sha256 sees four unrelated files. The oracle recomputes the
+    fingerprint arithmetically from the cell generator — frames are
+    grid-constant gray RGB, so decode → luma → pool → compare equals
+    the cell comparison exactly, per-frame offsets cancel, and the
+    majority of identical per-frame hashes is that hash."""
+    from solarboat_data_pipeline_spark.operators import perceptual as pc
+
+    docs = _t(spark, sf_dir, "documents")
+    media = pc.synthesize_video_dup_media(docs)
+    return pc.video_near_dup_pairs(media)

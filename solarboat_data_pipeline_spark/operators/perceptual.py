@@ -520,3 +520,140 @@ def synthesize_audio_dup_media(df: DataFrame, id_col: str = "doc_id") -> DataFra
     return src.mapInPandas(
         run, schema="media_id long, payload binary, media_type string"
     )
+
+
+# --- video fingerprinting (round 12) ------------------------------------------
+#
+# The video twin: decode every frame (BI_RGB AVI — the lossless lane,
+# so the oracle stays exact), dHash each frame with the image-lane
+# pooling (fixed-point luma for RGB), then MAJORITY-FOLD the per-frame
+# bit columns into one 63-bit signature (bit = 1 iff more than half the
+# frames set it; ties break to 0). The fold makes the signature
+# invariant under FRAME DROPS and TEMPORAL RESAMPLING whenever the
+# per-frame hashes agree (static-scene videos, speed changes), and the
+# underlying dHash makes every frame's hash invariant under uniform
+# BRIGHTNESS SHIFTS (a constant added to all cells preserves every
+# comparison) — re-exposure, the video transform exact dedup misses.
+# Pairs reuse :func:`banded_hamming_pairs` — the fourth signature type
+# on the same join.
+
+VIDEO_FP_SCHEMA = "media_id long, vfp long, n_frames int, width int, height int"
+
+
+def video_fingerprint_table(df: DataFrame) -> DataFrame:
+    """Per-video 63-bit fingerprint from DECODED frames (map-only Arrow
+    pass; video bytes never shuffle)."""
+    import numpy as np
+
+    from solarboat_data_pipeline_spark.operators import avi as avi_codec
+
+    gw, gh = DHASH_GRID_W, DHASH_GRID_H
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.split()[0]: [] for k in VIDEO_FP_SCHEMA.split(",")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, n, _fps, frames = avi_codec.decode_avi(bytes(payload))
+                if w % (gw + 1) or h % gh:
+                    raise ValueError(
+                        f"video {int(mid)} is {w}x{h}, not a multiple of "
+                        f"the {gw + 1}x{gh} dHash grid"
+                    )
+                lum = (
+                    77 * frames[:, :, :, 0].astype(np.int64)
+                    + 150 * frames[:, :, :, 1].astype(np.int64)
+                    + 29 * frames[:, :, :, 2].astype(np.int64)
+                ) >> 8
+                bw, bh = w // (gw + 1), h // gh
+                sums = lum.reshape(n, gh, bh, gw + 1, bw).sum(axis=(2, 4))
+                bits = (sums[:, :, 1:] > sums[:, :, :-1])  # (n, gh, gw)
+                majority = bits.sum(axis=0) * 2 > n  # ties -> 0
+                vfp = 0
+                for cy in range(gh):
+                    for cx in range(gw):
+                        vfp |= int(majority[cy, cx]) << (cy * gw + cx)
+                rows["media_id"].append(int(mid))
+                rows["vfp"].append(vfp)
+                rows["n_frames"].append(int(n))
+                rows["width"].append(int(w))
+                rows["height"].append(int(h))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=VIDEO_FP_SCHEMA)
+
+
+def video_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 2, bands: int = 3
+) -> DataFrame:
+    """Video near-dup pairs on the shared banded join."""
+    return banded_hamming_pairs(
+        video_fingerprint_table(media),
+        max_hamming=max_hamming,
+        sig_col="vfp",
+        bands=bands,
+    )
+
+
+def _video_dup_cells(g: int, cx, cy):
+    """Base grid cell luma for video duplicate group ``g`` (bounded 199
+    so per-frame brightness offsets never wrap) — mirrored verbatim in
+    the vid_fingerprint_near_dup oracle SQL."""
+    return (g * 37 + cx * 53 + cy * 71 + ((cx + g) % 13) * ((cy + g) % 11)) % 200
+
+
+def synthesize_video_dup_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """BI_RGB AVI corpus with PLANTED perceptual-duplicate groups,
+    ``g = id // 4``, ``v = id % 4``:
+
+    * v=0 — original: ``k = g % 12 + 4`` frames, frame ``i`` = gray RGB
+      of the base cells + brightness offset ``3·i`` (a slow fade; gray
+      RGB makes the fixed-point luma EXACTLY the cell value),
+    * v=1 — FRAME-DROPPED: every 4th frame removed (temporal resample),
+    * v=2 — RE-EXPOSED: +7 brightness on every pixel of every frame,
+    * v=3 — light edit: one grid cell's base value shifted (+97 mod
+      200) in every frame → flips at most 2 comparisons.
+
+    All four payloads are byte-distinct; v0/v1/v2 fingerprint
+    IDENTICALLY (brightness shifts preserve comparisons; dropped frames
+    share the surviving frames' hash so the majority is unchanged)."""
+    import numpy as np
+
+    from solarboat_data_pipeline_spark.operators import avi as avi_codec
+
+    src = _mm._id_source(df, id_col)
+    blk = 4
+    W, H = PHASH_CELL_W * blk, PHASH_CELL_H * blk
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                g, v = mid // 4, mid % 4
+                k = g % 12 + 4
+                cx = np.arange(PHASH_CELL_W, dtype=np.int64)[None, :]
+                cy = np.arange(PHASH_CELL_H, dtype=np.int64)[:, None]
+                cells = _video_dup_cells(g, cx, cy)
+                if v == 3:
+                    cells = cells.copy()
+                    r, c = g % PHASH_CELL_H, g % PHASH_CELL_W
+                    cells[r, c] = (cells[r, c] + 97) % 200
+                plane = np.repeat(np.repeat(cells, blk, 0), blk, 1)
+                frame_ids = [i for i in range(k) if v != 1 or i % 4 != 3]
+                frames = np.stack(
+                    [plane + 3 * i + (7 if v == 2 else 0) for i in frame_ids]
+                ).astype(np.uint8)
+                rgb = np.repeat(frames[:, :, :, None], 3, axis=3)
+                ids.append(mid)
+                payloads.append(avi_codec.encode_avi(rgb, fps=12, codec="rgb"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                    "media_type": "video/x-msvideo",
+                }
+            )
+
+    return src.mapInPandas(
+        run, schema="media_id long, payload binary, media_type string"
+    )

@@ -320,6 +320,106 @@ def test_audio_near_dup_recovers_planted_groups(spark):
                 assert (g * 4 + i, g * 4 + j) in got
 
 
+# --- video fingerprint ---------------------------------------------------------
+
+
+def _video_fp_formula(g: int, v: int) -> int:
+    cx = np.arange(pc.PHASH_CELL_W, dtype=np.int64)[None, :]
+    cy = np.arange(pc.PHASH_CELL_H, dtype=np.int64)[:, None]
+    cells = pc._video_dup_cells(g, cx, cy)
+    if v == 3:
+        cells = cells.copy()
+        r, c = g % pc.PHASH_CELL_H, g % pc.PHASH_CELL_W
+        cells[r, c] = (cells[r, c] + 97) % 200
+    bits = (cells[:, 1:] > cells[:, :-1]).astype(np.uint64)
+    return sum(
+        int(bits[r, c]) << (r * pc.DHASH_GRID_W + c)
+        for r in range(pc.DHASH_GRID_H)
+        for c in range(pc.DHASH_GRID_W)
+    )
+
+
+def test_video_fingerprint_decode_matches_formula(spark):
+    """The fingerprint of DECODED AVI frames (full RIFF/DIB round trip:
+    brightness fade, frame drops, re-exposure, edits) equals the pure
+    cell-formula fingerprint — the arithmetic the driver oracle
+    replays — and the four variants are byte-distinct."""
+    media = pc.synthesize_video_dup_media(_docs(spark, 32)).collect()
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media}
+    got = {
+        r["media_id"]: r["vfp"]
+        for r in pc.video_fingerprint_table(
+            spark.createDataFrame(
+                [(m, bytearray(p)) for m, p in payloads.items()],
+                "media_id long, payload binary",
+            )
+        ).collect()
+    }
+    assert got == {m: _video_fp_formula(m // 4, m % 4) for m in payloads}
+    for g in range(8):
+        assert len({hashlib.sha256(payloads[g * 4 + v]).hexdigest()
+                    for v in range(4)}) == 4
+
+
+def test_video_majority_fold_on_heterogeneous_frames(spark):
+    """The majority fold itself (not exercised by the planted corpus,
+    whose frames share one hash): 5 frames where 3 carry pattern A and
+    2 carry pattern B must fingerprint as A bit-for-bit; ties (2 of 4)
+    must resolve to 0."""
+    from solarboat_data_pipeline_spark.operators import avi
+
+    cx = np.arange(pc.PHASH_CELL_W, dtype=np.int64)[None, :]
+    cy = np.arange(pc.PHASH_CELL_H, dtype=np.int64)[:, None]
+    a = pc._video_dup_cells(3, cx, cy)
+    b = pc._video_dup_cells(7, cx, cy)
+
+    def clip(patterns):
+        frames = np.stack(
+            [np.repeat(np.repeat(p, 4, 0), 4, 1) for p in patterns]
+        ).astype(np.uint8)
+        return avi.encode_avi(
+            np.repeat(frames[:, :, :, None], 3, axis=3), codec="rgb"
+        )
+
+    def fp_of(data):
+        df = spark.createDataFrame(
+            [(0, bytearray(data))], "media_id long, payload binary"
+        )
+        return pc.video_fingerprint_table(df).collect()[0]["vfp"]
+
+    def hash_of(cells):
+        bits = (cells[:, 1:] > cells[:, :-1]).astype(np.uint64)
+        return sum(
+            int(bits[r, c]) << (r * 9 + c)
+            for r in range(7) for c in range(9)
+        )
+
+    assert fp_of(clip([a, b, a, b, a])) == hash_of(a)  # 3-of-5 majority
+    # exact tie (2 A + 2 B): only bits set in BOTH survive (>n/2 fails)
+    assert fp_of(clip([a, a, b, b])) == hash_of(a) & hash_of(b)
+
+
+def test_video_near_dup_recovers_planted_groups(spark):
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in pc.video_near_dup_pairs(
+            pc.synthesize_video_dup_media(_docs(spark, 48))
+        ).collect()
+    }
+    fps = {m: _video_fp_formula(m // 4, m % 4) for m in range(48)}
+    brute = {
+        (x, y): bin(fps[x] ^ fps[y]).count("1")
+        for x in range(48)
+        for y in range(x + 1, 48)
+        if bin(fps[x] ^ fps[y]).count("1") <= 2
+    }
+    assert got == brute
+    for g in range(12):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                assert (g * 4 + i, g * 4 + j) in got
+
+
 def test_dhash_rejects_off_grid_dimensions(spark):
     px = np.zeros((8, 8), dtype=np.uint8)
     bad = png_codec.encode_png(px.tobytes(), 8, 8, 1)
