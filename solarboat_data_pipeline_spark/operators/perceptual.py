@@ -540,12 +540,43 @@ def synthesize_audio_dup_media(df: DataFrame, id_col: str = "doc_id") -> DataFra
 VIDEO_FP_SCHEMA = "media_id long, vfp long, n_frames int, width int, height int"
 
 
-def video_fingerprint_table(df: DataFrame) -> DataFrame:
-    """Per-video 63-bit fingerprint from DECODED frames (map-only Arrow
-    pass; video bytes never shuffle)."""
+def _decode_video_luma(data: bytes, mid: int):
+    """Container dispatch for the video lane → ``(w, h, (n, h, w)
+    int64 luma planes)``: BI_RGB AVI via the fixed-point ITU-R 601
+    luma, or H.264-in-MP4 via the real intra pixel decoder
+    (:func:`h264.decode_mp4` — the luma plane IS the decoded Y). A
+    lossless (I_PCM) H.264 re-encode of a raw AVI therefore
+    fingerprints IDENTICALLY — the cross-container duplicate exact
+    dedup can never see."""
     import numpy as np
 
     from solarboat_data_pipeline_spark.operators import avi as avi_codec
+
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        w, h, n, _fps, frames = avi_codec.decode_avi(data)
+        lum = (
+            77 * frames[:, :, :, 0].astype(np.int64)
+            + 150 * frames[:, :, :, 1].astype(np.int64)
+            + 29 * frames[:, :, :, 2].astype(np.int64)
+        ) >> 8
+        return w, h, lum
+    if len(data) >= 8 and data[4:8] == b"ftyp":
+        from solarboat_data_pipeline_spark.operators import h264 as h264_codec
+
+        d = h264_codec.decode_mp4(data)
+        lum = np.stack([f[0] for f in d["frames"]]).astype(np.int64)
+        return d["width"], d["height"], lum
+    raise ValueError(
+        f"media {mid}: not a BI_RGB AVI or an MP4 (leading bytes "
+        f"{data[:4]!r})"
+    )
+
+
+def video_fingerprint_table(df: DataFrame) -> DataFrame:
+    """Per-video 63-bit fingerprint from DECODED frames (map-only Arrow
+    pass; video bytes never shuffle). Containers dispatch by magic
+    bytes (:func:`_decode_video_luma`: BI_RGB AVI, H.264-intra MP4)."""
+    import numpy as np
 
     gw, gh = DHASH_GRID_W, DHASH_GRID_H
 
@@ -553,17 +584,13 @@ def video_fingerprint_table(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = {k.split()[0]: [] for k in VIDEO_FP_SCHEMA.split(",")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, n, _fps, frames = avi_codec.decode_avi(bytes(payload))
+                w, h, lum = _decode_video_luma(bytes(payload), int(mid))
+                n = lum.shape[0]
                 if w % (gw + 1) or h % gh:
                     raise ValueError(
                         f"video {int(mid)} is {w}x{h}, not a multiple of "
                         f"the {gw + 1}x{gh} dHash grid"
                     )
-                lum = (
-                    77 * frames[:, :, :, 0].astype(np.int64)
-                    + 150 * frames[:, :, :, 1].astype(np.int64)
-                    + 29 * frames[:, :, :, 2].astype(np.int64)
-                ) >> 8
                 bw, bh = w // (gw + 1), h // gh
                 sums = lum.reshape(n, gh, bh, gw + 1, bw).sum(axis=(2, 4))
                 bits = (sums[:, :, 1:] > sums[:, :, :-1])  # (n, gh, gw)

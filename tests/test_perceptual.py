@@ -399,6 +399,54 @@ def test_video_majority_fold_on_heterogeneous_frames(spark):
     assert fp_of(clip([a, a, b, b])) == hash_of(a) & hash_of(b)
 
 
+def test_h264_mp4_reencode_pairs_with_raw_avi(spark):
+    """Cross-CONTAINER, cross-CODEC duplicate: a lossless (I_PCM)
+    H.264-in-MP4 re-encode of a raw BI_RGB AVI clip fingerprints
+    IDENTICALLY (the decoded Y plane equals the AVI's fixed-point luma
+    of gray RGB exactly) and the banded join pairs the two at Hamming
+    0 — the duplicate shape sha256 dedup can never see. Composes the
+    perceptual lane with the full H.264 pixel-decode lane
+    (avcC → seek table → NAL unpack → intra decode)."""
+    from solarboat_data_pipeline_spark.operators import avi, h264, mp4
+
+    cx = np.arange(pc.PHASH_CELL_W, dtype=np.int64)[None, :]
+    cy = np.arange(pc.PHASH_CELL_H, dtype=np.int64)[:, None]
+    rows = []
+    for g in range(4):
+        cells = pc._video_dup_cells(g, cx, cy)
+        planes = [
+            np.repeat(np.repeat(cells, 4, 0), 4, 1) + 3 * i
+            for i in range(5)
+        ]
+        rgb = np.stack(
+            [np.repeat(p[:, :, None], 3, axis=2) for p in planes]
+        ).astype(np.uint8)
+        rows.append((2 * g, bytearray(avi.encode_avi(rgb, codec="rgb"))))
+        h, w = planes[0].shape
+        frames = [
+            (
+                p.astype(np.uint8),
+                np.full((h // 2, w // 2), 128, np.uint8),
+                np.full((h // 2, w // 2), 128, np.uint8),
+            )
+            for p in planes
+        ]
+        es = h264.encode_idr_frames(frames, w, h, force="pcm")
+        rows.append((2 * g + 1, bytearray(mp4.annexb_to_mp4(es))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    fps = {
+        r["media_id"]: r["vfp"]
+        for r in pc.video_fingerprint_table(media).collect()
+    }
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in pc.video_near_dup_pairs(media).collect()
+    }
+    for g in range(4):
+        assert fps[2 * g] == fps[2 * g + 1] == _video_fp_formula(g, 0)
+        assert pairs[(2 * g, 2 * g + 1)] == 0
+
+
 def test_video_near_dup_recovers_planted_groups(spark):
     got = {
         (r["id_a"], r["id_b"]): r["hamming"]
