@@ -14,6 +14,7 @@ from solarboat_data_pipeline_spark.operators import multimodal as mm
 from solarboat_data_pipeline_spark.operators import sampling as sp
 
 from solarboat_data_pipeline_spark.driver._registry import (  # noqa: F401
+    _REGISTRY,
     _io_dir,
     _t,
     register,
@@ -1355,3 +1356,32 @@ def vid_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = pc.synthesize_video_dup_media(docs)
     return pc.video_near_dup_pairs(media)
+
+
+def _register_phash_clusters_scaled():
+    """mm_phash_clusters_scaled shares mm_phash_clusters' oracle
+    VERBATIM (the house *_scaled convention: identical output, bounded
+    work): the class-collapse form must produce row-identical
+    clusters."""
+    oracle = _REGISTRY["mm_phash_clusters"][1]
+
+    @register("mm_phash_clusters_scaled", oracle)
+    def mm_phash_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Duplicate-heavy-safe perceptual clusters
+        (perceptual.phash_clusters_scaled): exact hash classes collapse
+        FIRST (one linear aggregate), the banded join runs over
+        DISTINCT hashes only, components cluster the representatives,
+        and the rep→cluster map joins back over class membership — so a
+        viral image with 10⁸ copies costs one aggregate row instead of
+        5·10¹⁵ materialized pairs. Row-identical to mm_phash_clusters
+        by construction (class rep = min id; min over reachable reps =
+        min over reachable members); shares its recursive-reachability
+        oracle verbatim."""
+        from solarboat_data_pipeline_spark.operators import perceptual as pc
+
+        docs = _t(spark, sf_dir, "documents")
+        media = pc.synthesize_phash_media(docs)
+        return pc.phash_clusters_scaled(media)
+
+
+_register_phash_clusters_scaled()

@@ -684,3 +684,53 @@ def synthesize_video_dup_media(df: DataFrame, id_col: str = "doc_id") -> DataFra
     return src.mapInPandas(
         run, schema="media_id long, payload binary, media_type string"
     )
+
+
+def phash_clusters_scaled(
+    media: DataFrame, max_hamming: int = 2, bands: int = 3
+) -> DataFrame:
+    """Duplicate-heavy-safe perceptual clusters — the scale twin of the
+    pairs→components path (house convention: identical output, bounded
+    per-class work).
+
+    The naive path materializes every within-class pair: a corpus where
+    one image occurs k times emits k(k-1)/2 Hamming-0 pairs — at 100 TB
+    a viral meme with 10⁸ copies would emit 5·10¹⁵ pairs before
+    clustering. This form COLLAPSES exact hash classes first (one
+    linear hash aggregate; min id = class representative), runs the
+    banded join over DISTINCT hashes only (sub-quadratic in classes,
+    independent of duplicate multiplicity), clusters the
+    representatives, and broadcasts the rep→cluster map back over the
+    membership join. Work is linear in corpus size + quadratic only in
+    near-identical DISTINCT contents — never in copy counts.
+
+    Returns ``(media_id, cluster_id)`` for every media whose class has
+    ≥ 2 members or whose class neighbors another within ``max_hamming``
+    — row-identical to clustering :func:`phash_near_dup_pairs` output
+    (the mm_phash_clusters semantics; shared oracle)."""
+    from solarboat_data_pipeline_spark.operators import dedup as dd
+
+    sig = dhash_table(media).select("media_id", "phash")
+    classes = sig.groupBy("phash").agg(
+        F.min("media_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    rep_pairs = banded_hamming_pairs(
+        classes.select(F.col("rep_id").alias("media_id"), "phash"),
+        max_hamming=max_hamming,
+        bands=bands,
+    )
+    comp = dd.connected_components(rep_pairs).withColumnsRenamed(
+        {"doc_id": "rep_id", "cluster_id": "rep_cluster"}
+    )
+    membership = sig.join(classes, "phash").join(comp, "rep_id", "left")
+    return (
+        membership
+        # a class is IN the output iff it has an internal pair (≥ 2
+        # members) or its rep clustered with another class
+        .where((F.col("n_members") >= 2) | F.col("rep_cluster").isNotNull())
+        .select(
+            "media_id",
+            F.coalesce("rep_cluster", F.col("rep_id")).alias("cluster_id"),
+        )
+    )

@@ -255,6 +255,53 @@ def test_jpeg_reencode_lands_within_hamming_threshold(spark):
         assert (2 * g, 2 * g + 1) in pairs  # PNG↔JPEG twin recovered
 
 
+def test_clusters_scaled_equals_pairs_path(spark):
+    """phash_clusters_scaled (exact-class collapse first) must be
+    row-identical to clustering the materialized pair set — on the
+    planted corpus AND on a duplicate-heavy corpus with a 300-copy
+    class, cross-class near-dups, and a far singleton (excluded by
+    both)."""
+    from solarboat_data_pipeline_spark.operators import dedup as dd
+
+    media = pc.synthesize_phash_media(_docs(spark, 60))
+    naive = {
+        (r["media_id"], r["cluster_id"])
+        for r in dd.connected_components(pc.phash_near_dup_pairs(media))
+        .withColumnRenamed("doc_id", "media_id")
+        .collect()
+    }
+    scaled = {
+        (r["media_id"], r["cluster_id"])
+        for r in pc.phash_clusters_scaled(media).collect()
+    }
+    assert scaled == naive and naive
+
+    # duplicate-heavy: ids 0..299 all carry group 5's v0 image (one
+    # exact class), 300/301 carry near-dup variants of it, 302 carries
+    # a different group (its own singleton class — excluded)
+    def img(g, v):
+        cx = np.arange(pc.PHASH_CELL_W, dtype=np.int64)[None, :]
+        cy = np.arange(pc.PHASH_CELL_H, dtype=np.int64)[:, None]
+        cells = pc._phash_cell(g, cx, cy)
+        if v == 3:
+            cells = cells.copy()
+            r, c = g % pc.PHASH_CELL_H, g % pc.PHASH_CELL_W
+            cells[r, c] = (cells[r, c] + 97) % 256
+        px = np.repeat(np.repeat(cells, 4, 0), 4, 1).astype(np.uint8)
+        h, w = px.shape
+        return bytearray(png_codec.encode_png(px.tobytes(), w, h, 1))
+
+    rows = [(i, img(5, 0)) for i in range(300)]
+    rows += [(300, img(5, 3)), (301, img(5, 3)), (302, img(40, 0))]
+    skewed = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r["media_id"], r["cluster_id"])
+        for r in pc.phash_clusters_scaled(skewed).collect()
+    }
+    # ham(group5 v0, v3) <= 2: all 302 cluster to min id 0; 302 excluded
+    assert got == {(i, 0) for i in range(302)}
+
+
 # --- audio fingerprint --------------------------------------------------------
 
 
