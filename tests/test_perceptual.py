@@ -515,6 +515,59 @@ def test_video_near_dup_recovers_planted_groups(spark):
                 assert (g * 4 + i, g * 4 + j) in got
 
 
+# --- property tests: arbitrary content, not just the planted corpus ----------
+
+
+def _local_dhash_from_gray(gray: np.ndarray) -> int:
+    h, w = gray.shape
+    gw, gh = pc.DHASH_GRID_W, pc.DHASH_GRID_H
+    bw, bh = w // (gw + 1), h // gh
+    sums = gray.astype(np.int64).reshape(gh, bh, gw + 1, bw).sum(axis=(1, 3))
+    bits = (sums[:, 1:] > sums[:, :-1]).astype(np.uint64)
+    return sum(
+        int(bits[r, c]) << (r * gw + c) for r in range(gh) for c in range(gw)
+    )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_dhash_property_arbitrary_gray_and_rgb_images(spark, seed):
+    """dhash_table == the independent local reference on RANDOM pixel
+    content (not grid-constant) across PNG filters, Adam7, RGB
+    (fixed-point luma), and JPEG-lossless-equivalent... gray JPEG is
+    lossy so only PNG forms assert exact equality here."""
+    from solarboat_data_pipeline_spark.operators import png as png_codec
+
+    rng = np.random.RandomState(1000 + seed)
+    rows, want = [], {}
+    for i in range(8):
+        scale = int(rng.randint(1, 5))
+        w, h = 10 * scale, 7 * scale
+        if i % 2 == 0:
+            px = rng.randint(0, 256, (h, w)).astype(np.uint8)
+            data = png_codec.encode_png(
+                px.tobytes(), w, h, 1,
+                filter_type="cycle" if i % 4 == 0 else int(rng.randint(0, 5)),
+                interlace=bool(i % 3 == 0),
+            )
+            gray = px.astype(np.int64)
+        else:
+            px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            data = png_codec.encode_png(
+                px.tobytes(), w, h, 3, filter_type=int(rng.randint(0, 5))
+            )
+            gray = (
+                77 * px[:, :, 0].astype(np.int64)
+                + 150 * px[:, :, 1].astype(np.int64)
+                + 29 * px[:, :, 2].astype(np.int64)
+            ) >> 8
+        mid = seed * 8 + i
+        rows.append((mid, bytearray(data)))
+        want[mid] = _local_dhash_from_gray(gray)
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r["phash"] for r in pc.dhash_table(df).collect()}
+    assert got == want
+
+
 def test_dhash_rejects_off_grid_dimensions(spark):
     px = np.zeros((8, 8), dtype=np.uint8)
     bad = png_codec.encode_png(px.tobytes(), 8, 8, 1)
