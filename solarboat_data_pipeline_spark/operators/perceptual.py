@@ -1,8 +1,13 @@
-"""Perceptual (near-duplicate) image hashing — the media twin of the
-text near-dup lane (VERDICT r11 item 2): re-encoded or resized duplicate
-images survive exact sha256 dedup, so curation needs a pixel-derived
-hash that is INVARIANT under those transforms plus a sub-quadratic
-Hamming join.
+"""Perceptual (near-duplicate) MEDIA hashing — the media twin of the
+text near-dup lane (VERDICT r11 item 2): re-encoded, resized, remuxed,
+re-gained, or frame-dropped duplicates survive exact sha256 dedup, so
+curation needs content-derived hashes that are INVARIANT under those
+transforms plus a sub-quadratic Hamming join. Three modalities live
+here — image dHash (:func:`dhash_table`, PNG/JPEG), audio energy hash
+(:func:`audio_fingerprint_table`, WAV), video majority-fold
+(:func:`video_fingerprint_table`, BI_RGB AVI + H.264-intra MP4) — all
+emitting one signed-long signature consumed by the SAME
+:func:`banded_hamming_pairs` join that also serves text simhash.
 
 Operators here compose two already-verified lanes:
 
@@ -478,7 +483,6 @@ def synthesize_audio_dup_media(df: DataFrame, id_col: str = "doc_id") -> DataFra
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
-        payloads, kinds = [], []
         for pdf in batches:
             payloads, ids = [], []
             for mid in pdf["media_id"]:
