@@ -296,11 +296,16 @@ _REGISTRATION_ORDER = [
     "st_stream_phash",
     "aud_fingerprint_near_dup",
     "vid_fingerprint_near_dup",
-    "mm_phash_clusters_scaled",
 ]
 
 
 def _ordered() -> dict[str, QuerySpec]:
+    for lst, label in ((_PRIORITY, "_PRIORITY"), (_REGISTRATION_ORDER, "_REGISTRATION_ORDER")):
+        if len(lst) != len(set(lst)):
+            dupes = sorted({n for n in lst if lst.count(n) > 1})
+            # a duplicate would silently mask a missing registration in the
+            # unordered-queries check below, so fail loudly at import
+            raise KeyError(f"duplicate entries in {label}: {dupes}")
     missing = [n for n in _PRIORITY if n not in _REGISTRY]
     missing += [n for n in _REGISTRATION_ORDER if n not in _REGISTRY]
     if missing:  # fail loudly at import: a typo here silently drops coverage

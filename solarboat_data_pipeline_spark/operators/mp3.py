@@ -197,6 +197,14 @@ def _free_format_base(b: bytes, pos: int, end: int, h: dict) -> int:
     want_b2 = b[pos + 2] & 0xFC  # ignore padding + private bits
     want_ch = (b[pos + 3] >> 6) & 3
     slot = 4 if h["layer"] == 1 else 1
+    # ID3v1 trailer: recognized positionally (no frame boundary exists
+    # yet to anchor the walk's boundary rule) and stripped BEFORE the
+    # scan, so a candidate whose look-ahead lands exactly on the
+    # trailer validates as stream-final (ADVICE r12: a 2-frame stream
+    # + trailer otherwise fell through to the single-frame rule and
+    # reported n_frames=1 with doubled bitrate)
+    if end - pos > 128 and b[end - 128 : end - 125] == b"TAG":
+        end -= 128
 
     def _matches(i: int) -> bool:
         return (
@@ -230,11 +238,7 @@ def _free_format_base(b: bytes, pos: int, end: int, h: dict) -> int:
                     return base
         i += 1
     # no (validated) further frame: the single frame runs to the end of
-    # the audio section — excluding a trailing 128-byte ID3v1 block
-    # (the frame-boundary trailer rule has no boundary to anchor
-    # on here, so the trailer is recognized positionally)
-    if end - pos > 128 and b[end - 128 : end - 125] == b"TAG":
-        end -= 128
+    # the audio section (any ID3v1 trailer was already stripped above)
     base = (end - pos) - h["padding"] * slot
     if base < 8:
         raise ValueError(

@@ -236,6 +236,28 @@ def test_free_format_single_frame_runs_to_end():
     assert info2["n_frames"] == 1 and info2["audio_bytes"] == 500
 
 
+def test_free_format_two_frames_then_id3v1_trailer():
+    """ADVICE r12 regression: with exactly TWO free-format frames and an
+    ID3v1 trailer, the stride scanner's look-ahead for the second frame
+    lands on the trailer (no sync there) — the trailer must be stripped
+    before the scan so the candidate validates as stream-final, instead
+    of falling through to the single-frame rule (n_frames=1, doubled
+    bitrate, halved duration)."""
+    data = mp3.encode_mp3_frames(2, bitrate_index=0, free_format_bytes=417, seed=4)
+    bare = mp3.probe_mp3(data)
+    assert bare["n_frames"] == 2
+    tagged = mp3.probe_mp3(data + b"TAG" + bytes(125))
+    assert tagged["n_frames"] == 2
+    assert tagged["audio_bytes"] == bare["audio_bytes"] == len(data)
+    assert tagged["bitrate_min_kbps"] == bare["bitrate_min_kbps"]
+    assert tagged["duration_ms_x1000"] == bare["duration_ms_x1000"]
+    # padded variant: the look-ahead stride includes the padding slot
+    padded = mp3.encode_mp3_frames(
+        2, bitrate_index=0, free_format_bytes=417, pad_every=1, seed=4
+    )
+    assert mp3.probe_mp3(padded + b"TAG" + bytes(125))["n_frames"] == 2
+
+
 def test_free_format_id3v2_prefix_and_trailer():
     data = mp3.encode_mp3_frames(
         7, bitrate_index=0, free_format_bytes=301, id3v2_bytes=44, seed=3
