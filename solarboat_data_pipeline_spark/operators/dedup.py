@@ -411,47 +411,101 @@ def simhash_table(
     return per_doc.select(id_col, acc.alias("simhash"))
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame,
-    max_hamming: int = 3,
-    text_col: str = "text",
+def _banded_base(
+    sig: DataFrame, sig_col: str, id_col: str, bits: int, bands: int
+) -> DataFrame:
+    """One ``(id, sig, band, key)`` row per (signature, band): the
+    signed-long signature split into ``bands`` contiguous bit-bands,
+    each band's bits as an equi-joinable ``key``. Shared by the
+    self-join pair finders and the hot-bucket accounting so both see
+    the identical bucketing."""
+    if bits % bands:
+        raise ValueError(f"bands ({bands}) must evenly divide bits ({bits})")
+    w = bits // bands
+    keys = [
+        F.shiftright(sig_col, t * w).bitwiseAND(F.lit((1 << w) - 1)).cast("long")
+        for t in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("sig"),
+        F.posexplode(F.array(*keys)).alias("band", "key"),
+    )
+
+
+def banded_hot_buckets(
+    sig: DataFrame,
+    bucket_cap: int,
+    sig_col: str = "simhash",
     id_col: str = "doc_id",
     bits: int = SIMHASH_BITS,
     bands: int = BANDS,
 ) -> DataFrame:
-    """SimHash near-dup pairs via the banded-bucket join: the signature is
-    split into ``bands`` contiguous bit-bands; a pair is a candidate when
-    ANY band matches exactly, then the exact Hamming distance
-    (``bit_count(xor)``) filters to ``max_hamming``.
-
-    Pigeonhole guarantee: with ``max_hamming < bands``, a qualifying pair
-    differs in at most ``max_hamming`` bands, so at least one band matches
-    — recall is exact, unlike hyperplane LSH. The trade is candidate
-    volume: expected N²/2^(bits/bands) per band. At corpus scale use wider
-    signatures (``bits=48`` or ``60``, i.e. 12/15-bit band keys) so each
-    band still has enough entropy; everything here is parameterized on
-    ``bits``/``bands``. ``bits`` is capped at 63 — the signature lives in
-    one signed long.
-
-    Returns ``(id_a, id_b, hamming)``, ``id_a < id_b``, duplicates across
-    bands collapsed."""
-    if bits % bands:
-        raise ValueError(f"bands ({bands}) must evenly divide bits ({bits})")
-    w = bits // bands
-    sh = simhash_table(df, text_col, id_col, bits).where(
-        F.col("simhash").isNotNull()
+    """The (band, key) buckets holding MORE than ``bucket_cap``
+    signatures — the accounting side of the hot-bucket guard. A bucket
+    shared by b distinct-but-near signatures (near-black images, boiler-
+    plate text) makes the banded self-join emit ~b²/2 candidates; at
+    10⁸-row scale one such bucket dominates the stage. Callers that pass
+    ``bucket_cap`` to a pair finder should persist or count THIS table —
+    the dropped work is a first-class queryable artifact, never a silent
+    truncation. Returns ``(band, key, n)``; at most N/bucket_cap rows by
+    construction, so it always broadcasts."""
+    if bucket_cap < 1:
+        raise ValueError(f"bucket_cap ({bucket_cap}) must be >= 1")
+    return (
+        _banded_base(sig, sig_col, id_col, bits, bands)
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > bucket_cap)
     )
-    keys = [
-        F.shiftright("simhash", t * w).bitwiseAND(F.lit((1 << w) - 1)).cast("long")
-        for t in range(bands)
-    ]
-    base = sh.select(
-        F.col(id_col).alias("id"),
-        "simhash",
-        F.posexplode(F.array(*keys)).alias("band", "key"),
-    )
+
+
+def banded_signature_pairs(
+    sig: DataFrame,
+    max_hamming: int,
+    sig_col: str,
+    id_col: str,
+    bits: int,
+    bands: int,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """The banded-bucket self-join over ANY precomputed signed-long
+    signature column — the single plan behind
+    :func:`simhash_near_dup_pairs` and
+    :func:`perceptual.banded_hamming_pairs` (text simhash, image dHash,
+    audio energy hash, video fold all ride it).
+
+    A pair is a candidate when ANY band's bits match exactly ((band,
+    key) equi-join — the only shuffle, over 24-byte rows), then exact
+    Hamming (``bit_count(xor)``) filters to ``max_hamming``. Pigeonhole:
+    with ``max_hamming < bands`` a qualifying pair differs in at most
+    ``max_hamming`` bands, so at least one matches — recall is EXACT.
+
+    ``bucket_cap`` is the hot-bucket guard: buckets holding more than
+    ``bucket_cap`` signatures are excluded from the join via a BROADCAST
+    anti-join (the hot set is ≤ N/bucket_cap rows, so the broadcast is
+    bounded by construction), keeping per-bucket work ≤ cap²/2 instead
+    of quadratic in the hottest bucket. With the cap, recall is exact
+    for every pair sharing at least one NON-HOT band; pairs confined to
+    hot buckets are dropped — enumerate them with
+    :func:`banded_hot_buckets` (same arguments) and persist that table
+    alongside the pairs. On a corpus with no bucket above the cap the
+    output is row-identical to the unguarded join.
+
+    Returns ``(id_a, id_b, hamming)``, ``id_a < id_b``, band duplicates
+    collapsed."""
+    if not max_hamming < bands:
+        raise ValueError(
+            f"exact recall needs max_hamming ({max_hamming}) < bands ({bands})"
+        )
+    base = _banded_base(sig, sig_col, id_col, bits, bands)
+    if bucket_cap is not None:
+        hot = banded_hot_buckets(
+            sig, bucket_cap, sig_col, id_col, bits, bands
+        ).select("band", "key")
+        base = base.join(F.broadcast(hot), ["band", "key"], "left_anti")
     a, b = base.alias("a"), base.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
         a.join(
             b,
@@ -466,6 +520,41 @@ def simhash_near_dup_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    bands: int = BANDS,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs via the banded-bucket join: the signature is
+    split into ``bands`` contiguous bit-bands; a pair is a candidate when
+    ANY band matches exactly, then the exact Hamming distance
+    (``bit_count(xor)``) filters to ``max_hamming``.
+
+    Pigeonhole guarantee: with ``max_hamming < bands``, a qualifying pair
+    differs in at most ``max_hamming`` bands, so at least one band matches
+    — recall is exact, unlike hyperplane LSH. The trade is candidate
+    volume: expected N²/2^(bits/bands) per band. At corpus scale use wider
+    signatures (``bits=48`` or ``60``, i.e. 12/15-bit band keys) so each
+    band still has enough entropy; everything here is parameterized on
+    ``bits``/``bands``. ``bits`` is capped at 63 — the signature lives in
+    one signed long. ``bucket_cap`` bounds per-bucket join work (see
+    :func:`banded_signature_pairs`; account for drops with
+    :func:`banded_hot_buckets` over :func:`simhash_table`'s output).
+
+    Returns ``(id_a, id_b, hamming)``, ``id_a < id_b``, duplicates across
+    bands collapsed."""
+    sh = simhash_table(df, text_col, id_col, bits).where(
+        F.col("simhash").isNotNull()
+    )
+    return banded_signature_pairs(
+        sh, max_hamming, "simhash", id_col, bits, bands, bucket_cap
     )
 
 

@@ -174,11 +174,14 @@ def banded_hamming_pairs(
     id_col: str = "media_id",
     bits: int = DHASH_BITS,
     bands: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs over ANY precomputed signed-long signature column
-    — :func:`dedup.simhash_near_dup_pairs`'s banded-bucket join lifted
-    out of its text-specific signature builder so the media lane reuses
-    the identical, already-scale-audited plan.
+    — a thin facade over :func:`dedup.banded_signature_pairs` (the
+    banded-bucket join lifted out of its text-specific signature
+    builder) with the media lane's defaults, so text simhash, image
+    dHash, audio energy hash and video fold all ride the identical,
+    already-scale-audited plan.
 
     The signature splits into ``bands`` contiguous bit-bands; a pair is
     a candidate when ANY band matches exactly ((band, key) equi-join —
@@ -187,41 +190,38 @@ def banded_hamming_pairs(
     ``max_hamming < bands`` a qualifying pair differs in at most
     ``max_hamming`` bands, so at least one matches — recall is EXACT.
 
+    ``bucket_cap`` guards against hot buckets — many DISTINCT-but-near
+    signatures sharing one band key (near-black images at 10⁸ scale)
+    otherwise make that bucket's self-join quadratic; capped buckets are
+    excluded via a bounded broadcast anti-join and enumerated by
+    :func:`banded_hot_buckets` (persist that table alongside the pairs —
+    no silent truncation). Exact-COPY skew is a different failure mode,
+    handled by :func:`phash_clusters_scaled`'s hash-class collapse.
+
     Returns ``(id_a, id_b, hamming)``, ``id_a < id_b``, band duplicates
     collapsed."""
-    if bits % bands:
-        raise ValueError(f"bands ({bands}) must evenly divide bits ({bits})")
-    if not max_hamming < bands:
-        raise ValueError(
-            f"exact recall needs max_hamming ({max_hamming}) < bands ({bands})"
-        )
-    w = bits // bands
-    keys = [
-        F.shiftright(sig_col, t * w).bitwiseAND(F.lit((1 << w) - 1)).cast("long")
-        for t in range(bands)
-    ]
-    base = sig.select(
-        F.col(id_col).alias("id"),
-        F.col(sig_col).alias("sig"),
-        F.posexplode(F.array(*keys)).alias("band", "key"),
+    from solarboat_data_pipeline_spark.operators import dedup as _dd
+
+    return _dd.banded_signature_pairs(
+        sig, max_hamming, sig_col, id_col, bits, bands, bucket_cap
     )
-    a, b = base.alias("a"), base.alias("b")
-    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            ham.cast("long").alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+
+
+def banded_hot_buckets(
+    sig: DataFrame,
+    bucket_cap: int,
+    sig_col: str = "phash",
+    id_col: str = "media_id",
+    bits: int = DHASH_BITS,
+    bands: int = 3,
+) -> DataFrame:
+    """Media-lane facade over :func:`dedup.banded_hot_buckets`: the
+    (band, key, n) buckets holding more than ``bucket_cap`` signatures —
+    exactly what a ``bucket_cap``-guarded :func:`banded_hamming_pairs`
+    call dropped. ≤ N/bucket_cap rows by construction."""
+    from solarboat_data_pipeline_spark.operators import dedup as _dd
+
+    return _dd.banded_hot_buckets(sig, bucket_cap, sig_col, id_col, bits, bands)
 
 
 def phash_band_index(
