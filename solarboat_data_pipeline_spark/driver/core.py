@@ -1051,3 +1051,234 @@ def k_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# the four-stage pipeline composition under the hard gate (VERDICT r12 #2)
+# ---------------------------------------------------------------------------
+
+# Inline catalog for the E2E row: one module (signature 0xfa=250), a
+# 3-byte topic T (SIGNATURE + LE-u16 V) and a 2-byte topic S (SIGNATURE +
+# u8 S) — the mini test catalog's shapes, unitless so decode scale is 1.
+_E2E_CATALOG = {
+    "version": "e2e-0.1",
+    "modules": [
+        {
+            "name": "MTR",
+            "description": "e2e driver module",
+            "signature": 250,
+            "topics": [
+                {
+                    "name": "S",
+                    "description": "u8 state",
+                    "id": 8,
+                    "bytes": [
+                        {"name": "SIGNATURE", "description": "sender", "type": "uint8_t", "units": ""},
+                        {"name": "S", "description": "state", "type": "uint8_t", "units": ""},
+                        None, None, None, None, None, None,
+                    ],
+                },
+                {
+                    "name": "T",
+                    "description": "LE-u16 value",
+                    "id": 33,
+                    "bytes": [
+                        {"name": "SIGNATURE", "description": "sender", "type": "uint8_t", "units": ""},
+                        {"name": "V_L", "description": "value low", "type": "uint16_t", "units": ""},
+                        {"name": "V_H", "description": "value high", "type": "uint16_t", "units": ""},
+                        None, None, None, None, None,
+                    ],
+                },
+            ],
+        }
+    ],
+}
+
+_E2E_T0 = 1_700_000_000  # corpus epoch start
+
+
+@register(
+    "pipeline_can_e2e",
+    """
+    WITH src AS (
+      -- the candump corpus, decoded arithmetically: epoch spreads events
+      -- over a <=1798 s window (3 s stride, so resample's 1 s grid must
+      -- gap-fill), every 13th event is an S frame, the rest are V frames
+      SELECT ((1700000000 + (event_id % 600) * 3) * 1000000
+              + (event_id // 600) % 1000000)::BIGINT AS eus,
+             CASE WHEN event_id % 13 <> 0
+                  THEN ((event_id * 997) % 65536)::DOUBLE END AS v,
+             CASE WHEN event_id % 13 = 0
+                  THEN (user_id % 200)::DOUBLE END AS s
+      FROM events),
+    b AS (
+      SELECT make_timestamp((eus // 1000000) * 1000000) AS ts,
+             avg(v) AS v, avg(s) AS s
+      FROM src GROUP BY 1),
+    spine AS (
+      SELECT unnest(generate_series((SELECT min(ts) FROM b),
+                                    (SELECT max(ts) FROM b),
+                                    INTERVAL 1 SECOND)) AS ts),
+    g AS (
+      SELECT spine.ts, b.v, b.s, row_number() OVER (ORDER BY spine.ts) AS rn
+      FROM spine LEFT JOIN b USING (ts)),
+    w AS (
+      SELECT *,
+        last_value(v IGNORE NULLS) OVER wp AS pv,
+        first_value(v IGNORE NULLS) OVER wn AS nv,
+        last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER wp AS pt,
+        first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER wn AS nt,
+        last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wp AS lr,
+        last_value(s IGNORE NULLS) OVER wp AS ps,
+        first_value(s IGNORE NULLS) OVER wn AS ns,
+        last_value(CASE WHEN s IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER wp AS pst,
+        first_value(CASE WHEN s IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER wn AS nst,
+        last_value(CASE WHEN s IS NOT NULL THEN rn END IGNORE NULLS) OVER wp AS lsr
+      FROM g
+      WINDOW wp AS (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+    tele AS (
+      -- resample_stage: 1 s mean + bounded time interpolation
+      -- (limit 60 samples, inside only), blend association mirroring
+      -- interpolate_time: pv + (nv-pv) * ((t-pt)/(nt-pt))
+      SELECT ts, rn,
+        CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL AND (rn - lr) <= 60
+               THEN pv + (nv - pv) * ((epoch_us(ts) - pt) / (nt - pt)) END AS v,
+        CASE WHEN s IS NOT NULL THEN s
+             WHEN ps IS NOT NULL AND ns IS NOT NULL AND (rn - lsr) <= 60
+               THEN ps + (ns - ps) * ((epoch_us(ts) - pst) / (nst - pst)) END AS s
+      FROM w),
+    fc AS (
+      SELECT make_timestamp(((1700000000 + 15)::BIGINT * 1000000 + k * 30000000)) AS ts,
+             ((k % 17) * 25 + 100)::DOUBLE AS dni,
+             ((k % 23) * 10 + 50)::DOUBLE AS ghi
+      FROM (SELECT unnest(generate_series(0::BIGINT, 69::BIGINT)) AS k)
+      UNION ALL
+      -- off-grid forecast point: reference reindex semantics DISCARD it
+      SELECT make_timestamp(1700000000::BIGINT * 1000000 + 45500000), 9999.0, 9999.0),
+    fj AS (
+      SELECT t.ts, t.rn, t.v, t.s, f.dni, f.ghi
+      FROM tele t LEFT JOIN fc f USING (ts)),
+    fw AS (
+      SELECT *,
+        last_value(dni IGNORE NULLS) OVER wp AS pd,
+        first_value(dni IGNORE NULLS) OVER wn AS nd,
+        last_value(CASE WHEN dni IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER wp AS pdt,
+        first_value(CASE WHEN dni IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER wn AS ndt,
+        last_value(ghi IGNORE NULLS) OVER wp AS pg,
+        first_value(ghi IGNORE NULLS) OVER wn AS ng,
+        last_value(CASE WHEN ghi IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER wp AS pgt,
+        first_value(CASE WHEN ghi IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER wn AS ngt
+      FROM fj
+      WINDOW wp AS (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+    fi AS (
+      -- unify_forecast_stage: unlimited inside linear, trailing clamp,
+      -- leading nulls (interpolate_time limit_area=None)
+      SELECT ts, v, s,
+        CASE WHEN dni IS NOT NULL THEN dni
+             WHEN pd IS NOT NULL AND nd IS NOT NULL
+               THEN pd + (nd - pd) * ((epoch_us(ts) - pdt) / (ndt - pdt))
+             WHEN pd IS NOT NULL THEN pd END AS dni,
+        CASE WHEN ghi IS NOT NULL THEN ghi
+             WHEN pg IS NOT NULL AND ng IS NOT NULL
+               THEN pg + (ng - pg) * ((epoch_us(ts) - pgt) / (ngt - pgt))
+             WHEN pg IS NOT NULL THEN pg END AS ghi
+      FROM fw),
+    gps AS (
+      SELECT make_timestamp(1700000000::BIGINT * 1000000 + 500000 + m * 7000000) AS gts,
+             -27.0::DOUBLE + m * 0.0001::DOUBLE AS lat,
+             48.0::DOUBLE + m * 0.0002::DOUBLE AS lon
+      FROM (SELECT unnest(generate_series(0::BIGINT, 259::BIGINT)) AS m))
+    SELECT f.ts AS timestamp,
+           round(f.v, 6) AS v, round(f.s, 6) AS s,
+           round(f.dni, 6) AS dni, round(f.ghi, 6) AS ghi,
+           round(g.lat, 6) AS lat, round(g.lon, 6) AS lon
+    FROM fi f ASOF LEFT JOIN gps g ON f.ts >= g.gts
+    """,
+)
+def pipeline_can_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual product — parse → resample(1 s) →
+    unify-forecast → unify-GPS (``main_2022.py:159-163``) — as ONE gated
+    artifact. Candump text is synthesized from ``events`` (deterministic
+    payloads), staged to disk time-ordered (so the P4 crop's file-order
+    bounds equal the time bounds), and run through the real
+    :func:`pipeline.parse_stage` / :func:`pipeline.resample_stage` /
+    :func:`pipeline.unify_forecast_stage` / :func:`pipeline.unify_gps_stage`
+    kernels; the oracle replays every stage arithmetically (frame values
+    are exact functions of event_id/user_id, so no SQL regex pass is
+    needed — a garbled parse surfaces as a value mismatch)."""
+    from solarboat_data_pipeline_spark.catalog import CanCatalog
+    from solarboat_data_pipeline_spark.pipeline import (
+        parse_stage,
+        resample_stage,
+        unify_forecast_stage,
+        unify_gps_stage,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sec = F.lit(_E2E_T0) + (F.col("event_id") % 600) * 3
+    us = (F.col("event_id") / F.lit(600)).cast("long") % 1_000_000
+    v = (F.col("event_id") * 997) % 65536
+    s = F.col("user_id") % 200
+    is_s = F.col("event_id") % 13 == 0
+    line = F.when(
+        is_s,
+        F.format_string("(%d.%06d) can0 008#fa%02x", sec, us, s),
+    ).otherwise(
+        F.format_string(
+            "(%d.%06d) can0 021#fa%02x%02x",
+            sec, us, v.bitwiseAND(F.lit(255)), F.shiftright(v, 8),
+        )
+    )
+    eus = sec * 1_000_000 + us
+    stage = _io_dir(sf_dir, "pipeline_can_e2e_text")
+    (
+        ev.select(eus.alias("__eus"), line.alias("value"))
+        .repartition(1)
+        .sortWithinPartitions("__eus")
+        .select("value")
+        .write.mode("overwrite")
+        .text(stage)
+    )
+
+    catalog = CanCatalog.from_dict(_E2E_CATALOG)
+    wide = parse_stage(spark, stage, catalog)
+    res = resample_stage(wide, 1.0)
+
+    fc = spark.range(0, 70).select(
+        F.timestamp_micros(
+            F.lit((_E2E_T0 + 15) * 1_000_000) + F.col("id") * 30_000_000
+        ).alias("timestamp"),
+        ((F.col("id") % 17) * 25 + 100).cast("double").alias("dni"),
+        ((F.col("id") % 23) * 10 + 50).cast("double").alias("ghi"),
+    ).unionByName(
+        spark.range(1).select(
+            F.timestamp_micros(
+                F.lit(_E2E_T0 * 1_000_000 + 45_500_000)
+            ).alias("timestamp"),
+            F.lit(9999.0).alias("dni"),
+            F.lit(9999.0).alias("ghi"),
+        )
+    )
+    out = unify_forecast_stage(res, fc, 1.0)
+
+    gps = spark.range(0, 260).select(
+        F.timestamp_micros(
+            F.lit(_E2E_T0 * 1_000_000 + 500_000) + F.col("id") * 7_000_000
+        ).alias("timestamp"),
+        (F.lit(-27.0) + F.col("id") * 0.0001).alias("latitude"),
+        (F.lit(48.0) + F.col("id") * 0.0002).alias("longitude"),
+    )
+    out = unify_gps_stage(out, gps, value_cols=["latitude", "longitude"])
+
+    return out.select(
+        "timestamp",
+        F.round(F.col("MTR__T__V").cast("double"), 6).alias("v"),
+        F.round(F.col("MTR__S__S").cast("double"), 6).alias("s"),
+        F.round("solcast_dni", 6).alias("dni"),
+        F.round("solcast_ghi", 6).alias("ghi"),
+        F.round("gps_latitude", 6).alias("lat"),
+        F.round("gps_longitude", 6).alias("lon"),
+    )

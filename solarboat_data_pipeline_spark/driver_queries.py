@@ -296,6 +296,7 @@ _REGISTRATION_ORDER = [
     "st_stream_phash",
     "aud_fingerprint_near_dup",
     "vid_fingerprint_near_dup",
+    "pipeline_can_e2e",
 ]
 
 
