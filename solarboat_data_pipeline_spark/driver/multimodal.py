@@ -1385,3 +1385,98 @@ def _register_phash_clusters_scaled():
 
 
 _register_phash_clusters_scaled()
+
+
+# ---------------------------------------------------------------------------
+# the real curation order: sha256 exact-collapse, THEN perceptual
+# near-dup on the residue (VERDICT r12 #8)
+# ---------------------------------------------------------------------------
+
+_COPY_OFFSET = 1_000_000  # planted exact-byte-copy ids: doc_id + offset
+
+
+@register(
+    "pipeline_media_dedup",
+    f"""
+    WITH RECURSIVE {_PHASH_SIG_CTE},
+    sig2 AS (
+      -- planted exact byte copies: every v=0 original appears again
+      -- under id+1e6 with IDENTICAL bytes, hence identical phash
+      SELECT media_id, phash FROM sig
+      UNION ALL
+      SELECT media_id + {_COPY_OFFSET}, phash FROM sig WHERE media_id % 4 = 0),
+    pairs AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b
+      FROM sig2 a JOIN sig2 b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 2),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS media_id, min(dst)::BIGINT AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def pipeline_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation order a 100 TB media sweep actually runs, as ONE
+    gated artifact: (1) sha256 EXACT collapse — identical bytes are
+    grouped by one linear hash pass and only one representative per
+    byte-class survives, so the expensive decode+dHash pass downstream
+    is paid per DISTINCT byte content, never per copy; (2) perceptual
+    near-dup clustering over the residue representatives (decode →
+    dHash → banded Hamming pairs → connected components); (3) the
+    rep→cluster map joins back over the sha classes so every copy
+    lands in its content's cluster. Corpus = the planted perceptual
+    groups PLUS exact byte copies of every v=0 original (ids +1e6) —
+    the sha stage provably collapses those (the perceptual stage never
+    sees them) while the byte-distinct re-encode/resize/edit variants
+    flow through to the perceptual stage. Output (media_id, cluster_id
+    = min id of the duplicate class) is identical to clustering the
+    full corpus perceptually — proven by the shared-shape oracle —
+    but the decode work is bounded by distinct contents.
+    Reference anchor: none (LLM-curation lane; SURVEY §6)."""
+    from solarboat_data_pipeline_spark.operators import dedup as dd
+    from solarboat_data_pipeline_spark.operators import perceptual as pc
+
+    docs = _t(spark, sf_dir, "documents")
+    base = pc.synthesize_phash_media(docs)
+    copies = base.where(F.col("media_id") % 4 == 0).withColumn(
+        "media_id", F.col("media_id") + _COPY_OFFSET
+    )
+    media = base.unionByName(copies)
+
+    # stage 1: sha256 exact collapse — one linear pass over the bytes
+    hashed = media.select(
+        "media_id", F.sha2(F.col("payload"), 256).alias("sha"), "payload"
+    )
+    classes = hashed.groupBy("sha").agg(
+        F.min("media_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    reps = classes.join(
+        hashed.select(F.col("media_id").alias("rep_id"), "payload"), "rep_id"
+    ).select(F.col("rep_id").alias("media_id"), "payload")
+
+    # stage 2: perceptual clusters over the residue only
+    rep_pairs = pc.phash_near_dup_pairs(reps)
+    comp = dd.connected_components(rep_pairs).withColumnsRenamed(
+        {"doc_id": "rep_id", "cluster_id": "rep_cluster"}
+    )
+
+    # stage 3: membership join back — every copy inherits its class rep's
+    # perceptual cluster; classes with >= 2 members are duplicates even
+    # without a perceptual neighbor
+    membership = hashed.select("media_id", "sha").join(classes, "sha").join(
+        comp, "rep_id", "left"
+    )
+    return (
+        membership.where(
+            (F.col("n_members") >= 2) | F.col("rep_cluster").isNotNull()
+        )
+        .select(
+            "media_id",
+            F.coalesce("rep_cluster", F.col("rep_id")).alias("cluster_id"),
+        )
+    )

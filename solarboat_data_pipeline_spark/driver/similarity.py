@@ -512,3 +512,78 @@ def sim_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n bigint, build_mean_cos double, increment_mean_cos double,"
         " drift double, retrain_recommended boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# recall evaluation of the pruned ANN paths vs the exact baseline
+# (VERDICT r12 #7)
+# ---------------------------------------------------------------------------
+
+def _sql_recall_eval() -> str:
+    """Recall@5 of the IVF (nprobe=2) and SQ8 (oversample=4) paths
+    against the exact cosine top-5, per query — the three existing
+    oracles composed as CTEs, then hit-counted. CTE bodies carry their
+    own WITH clauses (standard nested query expressions)."""
+    from solarboat_data_pipeline_spark.driver._registry import _REGISTRY
+
+    exact_sql = _REGISTRY["sim_cosine_topk"][1]
+    return f"""
+    WITH exact AS ({exact_sql}),
+         ivf AS ({_SQL_IVF_TOPK}),
+         sq8 AS ({_SQL_SQ8_TOPK}),
+         ih AS (
+           SELECT e.query_id,
+                  sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS ivf_hits
+           FROM exact e LEFT JOIN ivf i
+             ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+           GROUP BY e.query_id),
+         sh AS (
+           SELECT e.query_id,
+                  sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS sq8_hits
+           FROM exact e LEFT JOIN sq8 s
+             ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+           GROUP BY e.query_id)
+    SELECT ih.query_id, ih.ivf_hits, sh.sq8_hits,
+           round(ih.ivf_hits / 5.0, 6) AS ivf_recall,
+           round(sh.sq8_hits / 5.0, 6) AS sq8_recall
+    FROM ih JOIN sh ON sh.query_id = ih.query_id
+    """
+
+
+@register("sim_recall_eval", _sql_recall_eval())
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality of the pruned ANN paths, not just their determinism:
+    recall@5 per query of ``sim_ivf_topk``'s configuration (16 fixed
+    centroids, nprobe=2) and ``sim_sq8_topk``'s (1-byte scalar
+    quantization, 4x oversample + exact re-rank) against the exact
+    ``sim_cosine_topk`` baseline on the same fixture. The oracle replays
+    all three rankings arithmetically and the same hit-count join.
+    tests/test_dedup_similarity_text.py asserts the recall floors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = sim.cosine_topk(emb, query_ids=range(10), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = sim.ivf_topk(
+        emb, query_ids=range(10), k=5, n_centroids=16, nprobe=2
+    ).select("query_id", "neighbor_id")
+    sq8 = sim.sq8_topk(emb, query_ids=range(10), k=5, oversample=4).select(
+        "query_id", "neighbor_id"
+    )
+
+    def hits(approx: DataFrame, name: str) -> DataFrame:
+        a = approx.withColumn("__hit", F.lit(1))
+        return (
+            exact.join(a, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias(name))
+        )
+
+    ih = hits(ivf, "ivf_hits")
+    sh = hits(sq8, "sq8_hits")
+    return ih.join(sh, "query_id").select(
+        "query_id",
+        "ivf_hits",
+        "sq8_hits",
+        F.round(F.col("ivf_hits") / 5.0, 6).alias("ivf_recall"),
+        F.round(F.col("sq8_hits") / 5.0, 6).alias("sq8_recall"),
+    )

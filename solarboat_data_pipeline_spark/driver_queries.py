@@ -297,6 +297,8 @@ _REGISTRATION_ORDER = [
     "aud_fingerprint_near_dup",
     "vid_fingerprint_near_dup",
     "pipeline_can_e2e",
+    "sim_recall_eval",
+    "pipeline_media_dedup",
 ]
 
 
