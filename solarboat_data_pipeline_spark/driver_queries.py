@@ -62,79 +62,76 @@ del _m, _k, _v
 # ---------------------------------------------------------------------------
 
 # The driver evaluates the FIRST 50 registered queries (observed rounds
-# 1-11: exactly the first 50 names get a CORRECTNESS row). Round-12
-# rotation (STALE-FIRST, same policy as r6-r11): the eight never-green
-# rows new this round lead (perceptual near-dup + its cluster /
-# incremental-index / streaming compositions, the audio and video
-# fingerprints, and the media→ANN retrieval composition), then the two rows whose GENERATOR AND ORACLE
-# changed this round (the VP9 inter-frame headers grew from a 2-byte
-# prefix to full 5-byte §6.2 headers: mm_ivf_vp9_probe gained three
-# reference-structure columns, pipeline_media_curation's kind=1 byte
-# arithmetic moved with the header length — their older green rows
-# describe the OLD bytes), then the r9-stale block in registration
-# order. 8 + 2 + 40 = 50: six r9-stale rows (p3_p4_time_window,
-# a1_a4_group_stats, a6_a7_energy_cumsum, w5_w6_dedup_rank,
-# f1_f3_track, sim_ivf_drift — the registration-order tail) do not fit
-# and stay r9-green under the pytest gate; they lead the r13 window.
-# New-operator driver validation outranks freshness for the overflow.
-# Everything below the cut follows _REGISTRATION_ORDER via _ordered()
-# and stays under the identical pytest oracle gate every run; the
-# flagship q1_pricing_summary is additionally smoke-run by entry()
-# every round.
+# 1-12: exactly the first 50 names get a CORRECTNESS row). Round-13
+# rotation (STALE-FIRST, same policy as r6-r12): the three never-green
+# rows new this round lead (the four-stage pipeline composition, the
+# ANN recall evaluation, and the sha256+perceptual media-dedup
+# composition), then the six r9-stale rows VERDICT r12 item 1 names
+# (the registration-order tail that missed the r12 window), then 41 of
+# the 48 rows last green at r10, in registration order. 3 + 6 + 41 =
+# 50; the seven r10-green overflow rows (dd_near_dup_incremental,
+# k_bucketed_join, st_stream_decode_wide, mm_mp4_probe,
+# mm_h264_keyframes, mm_mp4_sample_ranges, mm_fmp4_ranges — the
+# registration-order tail of the r10 block) do not fit and lead the
+# r14 window. New-operator driver validation outranks freshness for
+# the overflow, as every round. Everything below the cut follows
+# _REGISTRATION_ORDER via _ordered() and stays under the identical
+# pytest oracle gate every run; the flagship q1_pricing_summary is
+# additionally smoke-run by entry() every round.
 _PRIORITY = [
     # 1. never-green: new this round
-    "mm_phash_near_dup",
-    "pipeline_media_retrieval",
-    "mm_phash_clusters",
-    "mm_phash_clusters_scaled",
-    "mm_phash_incremental",
-    "st_stream_phash",
-    "aud_fingerprint_near_dup",
-    "vid_fingerprint_near_dup",
-    # 2. generator + oracle changed this round (VP9 full inter headers)
-    "mm_ivf_vp9_probe",
-    "pipeline_media_curation",
-    # 3. the r9-stale block (43 of 46 names, registration order)
-    "p9_conditional_rewrite",
-    "p13_p16_project_slice",
-    "p4_crop_bounds",
-    "p12_explode_tokens",
-    "j1_left_join_enrich",
-    "j2_left_join_summary",
-    "j3_asof_linear",
-    "j5_unify_chunks",
-    "a2_pivot_wide",
-    "a4_minmax_bounds",
-    "a6_cumulative_sum",
-    "a7_trapezoid_energy",
-    "a1_group_mean",
-    "agg_rollup",
-    "agg_count_distinct",
-    "w_rolling_time",
-    "w1_lag_diff",
-    "w5_dedup_keep_first",
-    "w7_asfreq_dense",
-    "w_sessionize",
-    "p10_binary_decode",
-    "dd_exact",
-    "pipeline_curation",
-    "dd_clusters",
-    "dd_simhash_pairs",
-    "sim_ivf_trained_topk",
-    "sim_ivf_index_topk",
-    "sim_ann_lsh",
-    "dd_embedding_lsh",
-    "txt_quality_filter",
-    "mm_mjpeg_decode",
-    "skew_salted_topk",
-    "st_stream_asof",
-    "st_stream_asof_linear",
-    "w2_lagk_scaled",
-    "a7_trapezoid_scaled",
-    "samp_stratified",
-    "samp_token_budget",
-    "dd_incremental",
-    "txt_decontaminate",
+    "pipeline_can_e2e",
+    "sim_recall_eval",
+    "pipeline_media_dedup",
+    # 2. the six r9-stale rows (VERDICT r12 #1)
+    "p3_p4_time_window",
+    "a1_a4_group_stats",
+    "a6_a7_energy_cumsum",
+    "w5_w6_dedup_rank",
+    "f1_f3_track",
+    "sim_ivf_drift",
+    # 3. the r10-stale block (41 of 48, registration order)
+    "s2_scan_pushdown",
+    "s1_candump_parse",
+    "a3_resample_dense",
+    "a3_w3_fused_grid",
+    "w6_sort_rank",
+    "f3_speed_guard",
+    "f1_haversine",
+    "f2_heading",
+    "dd_minhash_signature",
+    "dd_lsh_pairs",
+    "dd_minhash_estimate",
+    "dd_simhash",
+    "dd_ngram_jaccard",
+    "dd_embedding_cosine",
+    "sim_sq8_topk",
+    "sim_ivf_sq8_index_topk",
+    "txt_langid",
+    "txt_tokens",
+    "txt_fingerprint",
+    "txt_repetition",
+    "mm_png_decode",
+    "mm_png_resize",
+    "mm_avi_decode",
+    "mm_avi_frames",
+    "skew_count_distinct",
+    "k_partitioned_prune",
+    "st_stream_ffill",
+    "w_sessionize_scaled",
+    "w6_rank_scaled",
+    "samp_hash_sample",
+    "samp_shard_shuffle",
+    "samp_pack_sequences",
+    "samp_weighted_mix",
+    "samp_token_budget_scaled",
+    "txt_decontaminate_scaled",
+    "txt_decontaminate_fuzzy",
+    "txt_redact",
+    "s3_forecast_csv_roundtrip",
+    "s4_gpx_roundtrip",
+    "s5_json_dump_roundtrip",
+    "k_sinks_roundtrip",
 ]
 
 
