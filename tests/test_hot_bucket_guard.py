@@ -153,3 +153,101 @@ def test_dedup_hot_buckets_over_simhash_table(spark):
     hot = dd.banded_hot_buckets(sh, 5).collect()
     # all 12 docs share one simhash → every band's bucket holds 12
     assert sorted((r.band, r.n) for r in hot) == [(b, 12) for b in range(dd.BANDS)]
+
+
+# --- randomized property: banded join == brute force, cap sound --------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _brute_pairs(sigs: list[tuple[int, int]], max_hamming: int) -> set:
+    out = set()
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            (ia, sa), (ib, sb) = sigs[i], sigs[j]
+            if ia == ib:
+                continue
+            h = bin(sa ^ sb).count("1")
+            if h <= max_hamming:
+                a, b = min(ia, ib), max(ia, ib)
+                out.add((a, b, h))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, (1 << 63) - 1)),
+        min_size=2,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([(2, 3), (1, 3), (2, 7)]),
+)
+def test_banded_pairs_match_brute_force(spark, sigs, mh_bands):
+    """Pigeonhole exact recall on ARBITRARY signatures: the banded join's
+    pair set equals the brute-force Hamming scan for max_hamming < bands,
+    for several (max_hamming, bands) geometries (63 = 3*21 = 7*9)."""
+    max_hamming, bands = mh_bands
+    df = spark.createDataFrame(
+        [(i, s - (1 << 63) if s >= (1 << 62) * 2 else s) for i, s in sigs],
+        "media_id long, phash long",
+    )
+    # brute reference over the SIGNED values actually stored
+    stored = [(r.media_id, r.phash & ((1 << 64) - 1)) for r in df.collect()]
+    want = _brute_pairs(stored, max_hamming)
+    got = {
+        tuple(r)
+        for r in pc.banded_hamming_pairs(
+            df, max_hamming=max_hamming, bits=63, bands=bands
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, (1 << 63) - 1)),
+        min_size=2,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_capped_pairs_are_sound_and_accounted(spark, sigs):
+    """With an aggressive cap the output is a SUBSET of the exact pair
+    set (never a wrong pair), and every missing pair's matching bands
+    are all in the accounting table — the no-silent-truncation
+    invariant on arbitrary corpora."""
+    df = spark.createDataFrame(
+        [(i, s - (1 << 63) if s >= (1 << 62) * 2 else s) for i, s in sigs],
+        "media_id long, phash long",
+    )
+    stored = {r.media_id: r.phash & ((1 << 64) - 1) for r in df.collect()}
+    want = _brute_pairs(list(stored.items()), 2)
+    cap = 2
+    got = {
+        tuple(r)
+        for r in pc.banded_hamming_pairs(
+            df, max_hamming=2, bits=63, bands=3, bucket_cap=cap
+        ).collect()
+    }
+    assert got <= want
+    hot = {
+        (r.band, r.key)
+        for r in pc.banded_hot_buckets(df, cap, bits=63, bands=3).collect()
+    }
+
+    def bands_of(sig):
+        return [(t, (sig >> (21 * t)) & ((1 << 21) - 1)) for t in range(3)]
+
+    for (a, b, _h) in want - got:
+        shared = [
+            bk for bk in bands_of(stored[a]) if bk in set(bands_of(stored[b]))
+        ]
+        assert shared, "a true pair must share at least one band"
+        assert all(bk in hot for bk in shared), (
+            f"pair ({a},{b}) dropped but some shared band {shared} "
+            "is not in the accounting table"
+        )
