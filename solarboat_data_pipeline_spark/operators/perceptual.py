@@ -257,6 +257,7 @@ def phash_near_dup_against(
     max_hamming: int = 2,
     bits: int = DHASH_BITS,
     bands: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Incremental perceptual dedup — the media twin of
     :func:`dedup.near_dup_against`: new images that perceptually
@@ -267,6 +268,17 @@ def phash_near_dup_against(
     increments). Candidates share ≥ 1 band (incoming×index equi-join —
     same pigeonhole-exact recall as the self-join for
     ``max_hamming < bands``), verified by exact ``bit_count``.
+
+    ``bucket_cap`` is the incremental form of the self-join's hot-bucket
+    guard: (band, key) buckets holding more than ``cap`` INDEX rows are
+    anti-joined away before the candidate join (a hot index bucket ×
+    every incoming row sharing that key is the quadratic-ish blowup
+    here), bounding per-bucket candidate work at |incoming_bucket|·cap.
+    Enumerate the drops with :func:`dedup.banded_hot_buckets` applied to
+    the DISTINCT (media_id, phash) rows of the index — the same
+    no-silent-truncation contract as :func:`banded_hamming_pairs`.
+    Recall stays exact for every (incoming, seen) pair sharing at least
+    one non-hot band.
 
     Returns ``(inc_id, seen_id, hamming)`` with ``hamming <=
     max_hamming``."""
@@ -288,6 +300,16 @@ def phash_near_dup_against(
         "band",
         "key",
     )
+    if bucket_cap is not None:
+        if bucket_cap < 1:
+            raise ValueError(f"bucket_cap ({bucket_cap}) must be >= 1")
+        hot = (
+            seen.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > bucket_cap)
+            .select("band", "key")
+        )
+        seen = seen.join(F.broadcast(hot), ["band", "key"], "left_anti")
     ham = F.bit_count(F.col("__inc_sig").bitwiseXOR(F.col("__seen_sig")))
     return (
         inc.join(seen, ["band", "key"])

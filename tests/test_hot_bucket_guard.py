@@ -251,3 +251,60 @@ def test_capped_pairs_are_sound_and_accounted(spark, sigs):
             f"pair ({a},{b}) dropped but some shared band {shared} "
             "is not in the accounting table"
         )
+
+
+# --- incremental (index-join) form of the guard -------------------------------
+
+
+def test_incremental_cap_bounds_index_buckets(spark):
+    """phash_near_dup_against(bucket_cap=...): a hot INDEX bucket is
+    anti-joined away; matches riding other bands survive; drops are
+    enumerable via banded_hot_buckets over the index's distinct
+    signatures."""
+    # two incoming images from DIFFERENT planted groups (same-group
+    # variants hash identically, which would let both match the planted
+    # exact dup) — doc ids 0 (g=0) and 4 (g=1)
+    media = pc.synthesize_phash_media(
+        spark.createDataFrame([(0,), (4,)], "doc_id long")
+    )
+    real_sigs = {r.media_id: r.phash for r in pc.dhash_table(media).collect()}
+    # rebuild the index so one entry EQUALS image 0's real hash (hamming 0
+    # via every band) and the hot bucket shares image 4's band-0 key only
+    h0, h1 = real_sigs[0], real_sigs[4]
+    b0_of_h1 = h1 & ((1 << W) - 1)
+    # deterministic-corpus precondition: the two groups' band-0 keys
+    # differ, so the planted exact dup sits entirely outside the hot
+    # bucket and the accounting count below is exactly 30
+    assert (h0 & ((1 << W) - 1)) != b0_of_h1
+    rows = [(2000, h0)]  # exact dup of incoming image 0, no hot band
+    rows += [
+        (i, _sig(b0_of_h1, _rep3(i), _rep3(127 - i))) for i in range(30)
+    ]  # hot bucket on image 1's band-0 key; far in bands 1-2
+    idx = pc.phash_band_index(
+        spark.createDataFrame(rows, "media_id long, phash long"),
+        bits=BITS, bands=BANDS,
+    )
+    out = {
+        (r.inc_id, r.seen_id)
+        for r in pc.phash_near_dup_against(
+            media, idx, max_hamming=2, bucket_cap=10
+        ).collect()
+    }
+    # image 0 still matches its exact dup (bands 1-2 non-hot);
+    # image 4 gains no match (its only shared band is the capped one,
+    # and the hot members are far anyway)
+    assert (0, 2000) in out
+    assert all(i != 4 for (i, _) in out)
+    # accounting over the index's distinct signatures
+    sig_rows = idx.select("media_id", "phash").distinct()
+    hot = dd.banded_hot_buckets(
+        sig_rows, 10, sig_col="phash", id_col="media_id",
+        bits=BITS, bands=BANDS,
+    ).collect()
+    assert [(r.band, r.key, r.n) for r in hot] == [(0, b0_of_h1, 30)]
+    # and without the cap the output is a superset (nothing else changes)
+    out_uncapped = {
+        (r.inc_id, r.seen_id)
+        for r in pc.phash_near_dup_against(media, idx, max_hamming=2).collect()
+    }
+    assert out <= out_uncapped and (0, 2000) in out_uncapped
