@@ -299,6 +299,24 @@ def signature_index(
     )
 
 
+def lsh_hot_buckets(
+    seen_bands: DataFrame, bucket_cap: int
+) -> DataFrame:
+    """The (band, band_hash) buckets of a persisted :func:`band_index`
+    holding MORE than ``bucket_cap`` documents — boilerplate band
+    digests shared corpus-wide. The accounting side of
+    :func:`near_dup_against`'s ``bucket_cap`` guard: persist or count
+    this table whenever the cap is in force, so what the guard skipped
+    is never silent. ≤ N·BANDS/bucket_cap rows by construction."""
+    if bucket_cap < 1:
+        raise ValueError(f"bucket_cap ({bucket_cap}) must be >= 1")
+    return (
+        seen_bands.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > bucket_cap)
+    )
+
+
 def near_dup_against(
     incoming: DataFrame,
     seen_bands: DataFrame,
@@ -306,6 +324,7 @@ def near_dup_against(
     threshold: float | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Incremental-ingest NEAR-duplicate dedup — the fuzzy sibling of
     :func:`dedup_against`, the shape a daily crawl increment actually
@@ -329,6 +348,17 @@ def near_dup_against(
     indexes (digests and 16 longs per doc); the increment is hashed
     once; the candidate join shuffles band digests; verification is
     candidate-restricted; corpus text is never re-read or re-shuffled.
+
+    ``bucket_cap`` is the hot-bucket guard for this incremental join: a
+    boilerplate band digest shared by millions of indexed docs makes the
+    candidate join emit |incoming_bucket|·|seen_bucket| rows for that
+    key in ONE task. Index buckets above the cap are anti-joined away
+    (bounded broadcast), capping per-bucket candidates at
+    |incoming_bucket|·cap. Semantics: an incoming doc whose ONLY shared
+    buckets are hot is NOT dropped — at that copy count the hash-exact
+    :func:`dedup_against` or :func:`paragraph_dedup` is the right tool,
+    and :func:`lsh_hot_buckets` enumerates exactly which buckets the
+    guard skipped (no silent truncation).
     """
     if (threshold is None) != (seen_signatures is None):
         raise ValueError(
@@ -344,6 +374,11 @@ def near_dup_against(
     seen_b = seen_bands.select(
         F.col(id_col).alias("__seen_id"), "band", "band_hash"
     )
+    if bucket_cap is not None:
+        hot = lsh_hot_buckets(seen_bands, bucket_cap).select(
+            "band", "band_hash"
+        )
+        seen_b = seen_b.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
     cand = (
         inc_bands.join(seen_b, ["band", "band_hash"])
         .select("__inc_id", "__seen_id")

@@ -308,3 +308,36 @@ def test_incremental_cap_bounds_index_buckets(spark):
         for r in pc.phash_near_dup_against(media, idx, max_hamming=2).collect()
     }
     assert out <= out_uncapped and (0, 2000) in out_uncapped
+
+
+def test_near_dup_against_bucket_cap_on_boilerplate_index(spark):
+    """Text twin of the incremental guard: an index full of ONE
+    boilerplate document's bands is a hot (band, band_hash) bucket; with
+    bucket_cap the boilerplate incoming doc is no longer band-matched
+    (survives — exact dedup is the right tool at that copy count, and
+    the skipped buckets are enumerated), while a doc matching a
+    NON-boilerplate indexed doc is still dropped."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rare = "completely original content about catalyst shuffle planning"
+    seen = spark.createDataFrame(
+        [(i, boiler) for i in range(40)] + [(500, rare)],
+        "doc_id long, text string",
+    )
+    idx = dd.band_index(seen)
+    incoming = spark.createDataFrame(
+        [(1000, boiler), (1001, rare), (1002, "something entirely new here")],
+        "doc_id long, text string",
+    )
+    uncapped = {r.doc_id for r in dd.near_dup_against(incoming, idx).collect()}
+    assert uncapped == {1002}  # both matches dropped
+    capped = {
+        r.doc_id
+        for r in dd.near_dup_against(incoming, idx, bucket_cap=10).collect()
+    }
+    # boilerplate incoming SURVIVES (its only buckets are hot), rare
+    # match still dropped, novel doc still kept
+    assert capped == {1000, 1002}
+    hot = dd.lsh_hot_buckets(idx, 10).collect()
+    assert len(hot) == dd.BANDS and all(r.n == 40 for r in hot)
+    with pytest.raises(ValueError, match="bucket_cap"):
+        dd.lsh_hot_buckets(idx, 0).count()
