@@ -5,10 +5,13 @@ signatures sharing band-0 key (the near-black-images shape: not exact
 copies, so :func:`phash_clusters_scaled`'s hash-class collapse cannot
 help) — plus ``n_pairs`` true near-dup pairs recoverable via non-hot
 bands. Band 1 of hot member i is i itself and band 2 its 21-bit
-complement, so distinct members sit at pairwise Hamming >= 2 > the
-threshold (max_hamming=1) and every band-1/band-2 key is unique — the
-EXACT expected pair set is the planted pairs only, and the ONLY hot
-bucket is the planted one.
+complement, so distinct hot members sit at pairwise Hamming >= 2 > the
+threshold (max_hamming=1) and every hot member's band-1/band-2 key is
+unique — the ONLY hot bucket is the planted band-0 one. Adjacent
+PLANTED pairs do share band-2 keys (pair j's twin flips band-2 bit 0,
+landing on pair j^1's base key), but every such cross-pair candidate
+differs in band 0 AND band 1 (Hamming >= 2 > 1) and is filtered, so
+the EXACT expected pair set is still the planted pairs only.
 
 The unguarded join must grind through n_hot²/2 candidates from the hot
 bucket (~8.6 G at the default 131 072) — and because a bucket is ONE

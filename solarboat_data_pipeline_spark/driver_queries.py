@@ -93,7 +93,7 @@ _PRIORITY = [
     "w5_w6_dedup_rank",
     "f1_f3_track",
     "sim_ivf_drift",
-    # 3. the r10-stale block (41 of 48, registration order)
+    # 3. the r10-stale block (39 of 48, registration order)
     "s2_scan_pushdown",
     "s1_candump_parse",
     "a3_resample_dense",

@@ -308,13 +308,7 @@ def lsh_hot_buckets(
     :func:`near_dup_against`'s ``bucket_cap`` guard: persist or count
     this table whenever the cap is in force, so what the guard skipped
     is never silent. ≤ N·BANDS/bucket_cap rows by construction."""
-    if bucket_cap < 1:
-        raise ValueError(f"bucket_cap ({bucket_cap}) must be >= 1")
-    return (
-        seen_bands.groupBy("band", "band_hash")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > bucket_cap)
-    )
+    return _hot_buckets_over(seen_bands, bucket_cap, ("band", "band_hash"))
 
 
 def near_dup_against(
@@ -468,6 +462,23 @@ def _banded_base(
     )
 
 
+def _hot_buckets_over(
+    rows: DataFrame, bucket_cap: int, key_cols: tuple[str, ...]
+) -> DataFrame:
+    """The one "count per bucket, keep strictly-greater-than cap"
+    aggregate behind every hot-bucket guard and accounting surface
+    (self-join, perceptual index, LSH band index) — a single definition
+    so the accounting tables and the actual anti-join drops can never
+    drift apart. Returns ``(*key_cols, n)``."""
+    if bucket_cap < 1:
+        raise ValueError(f"bucket_cap ({bucket_cap}) must be >= 1")
+    return (
+        rows.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > bucket_cap)
+    )
+
+
 def banded_hot_buckets(
     sig: DataFrame,
     bucket_cap: int,
@@ -485,13 +496,10 @@ def banded_hot_buckets(
     the dropped work is a first-class queryable artifact, never a silent
     truncation. Returns ``(band, key, n)``; at most N/bucket_cap rows by
     construction, so it always broadcasts."""
-    if bucket_cap < 1:
-        raise ValueError(f"bucket_cap ({bucket_cap}) must be >= 1")
-    return (
-        _banded_base(sig, sig_col, id_col, bits, bands)
-        .groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > bucket_cap)
+    return _hot_buckets_over(
+        _banded_base(sig, sig_col, id_col, bits, bands),
+        bucket_cap,
+        ("band", "key"),
     )
 
 
@@ -535,9 +543,16 @@ def banded_signature_pairs(
         )
     base = _banded_base(sig, sig_col, id_col, bits, bands)
     if bucket_cap is not None:
-        hot = banded_hot_buckets(
-            sig, bucket_cap, sig_col, id_col, bits, bands
-        ).select("band", "key")
+        # aggregate over the SAME base subtree the join reads (not a
+        # fresh _banded_base over sig): the broadcast branch then shares
+        # the exploded plan — and its (band, key) exchange is reusable —
+        # instead of re-running the signature lineage a third time.
+        # Callers whose signature lineage is expensive (media decode)
+        # should additionally persist the signature table or use the
+        # persisted index forms.
+        hot = _hot_buckets_over(base, bucket_cap, ("band", "key")).select(
+            "band", "key"
+        )
         base = base.join(F.broadcast(hot), ["band", "key"], "left_anti")
     a, b = base.alias("a"), base.alias("b")
     ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
@@ -582,6 +597,10 @@ def simhash_near_dup_pairs(
     one signed long. ``bucket_cap`` bounds per-bucket join work (see
     :func:`banded_signature_pairs`; account for drops with
     :func:`banded_hot_buckets` over :func:`simhash_table`'s output).
+    Round-13 contract change (intentional): ``max_hamming >= bands``
+    now raises instead of silently returning reduced-recall pairs —
+    the uniform exactness contract of the shared banded core; widen
+    ``bands`` (or lower ``max_hamming``) to stay in the exact regime.
 
     Returns ``(id_a, id_b, hamming)``, ``id_a < id_b``, duplicates across
     bands collapsed."""

@@ -197,14 +197,6 @@ def _free_format_base(b: bytes, pos: int, end: int, h: dict) -> int:
     want_b2 = b[pos + 2] & 0xFC  # ignore padding + private bits
     want_ch = (b[pos + 3] >> 6) & 3
     slot = 4 if h["layer"] == 1 else 1
-    # ID3v1 trailer: recognized positionally (no frame boundary exists
-    # yet to anchor the walk's boundary rule) and stripped BEFORE the
-    # scan, so a candidate whose look-ahead lands exactly on the
-    # trailer validates as stream-final (ADVICE r12: a 2-frame stream
-    # + trailer otherwise fell through to the single-frame rule and
-    # reported n_frames=1 with doubled bitrate)
-    if end - pos > 128 and b[end - 128 : end - 125] == b"TAG":
-        end -= 128
 
     def _matches(i: int) -> bool:
         return (
@@ -232,13 +224,26 @@ def _free_format_base(b: bytes, pos: int, end: int, h: dict) -> int:
                 # payload bytes one stride later carry no sync.
                 pad_i = (b[i + 2] >> 1) & 1
                 j = i + base + pad_i * slot
-                if j + 4 > end or (
-                    b[j] == 0xFF and (b[j + 1] & 0xE0) == 0xE0
+                # ADVICE r12: a look-ahead landing exactly on an ID3v1
+                # trailer is also stream-final — a 2-frame stream +
+                # trailer otherwise fell through to the single-frame
+                # rule. Validated HERE (not by shrinking the scan
+                # window up front): pre-stripping `end` would hide a
+                # real next-frame header whenever a payload happens to
+                # contain 'TAG' at end-128 in a trailerless stream.
+                if (
+                    j + 4 > end
+                    or (b[j] == 0xFF and (b[j + 1] & 0xE0) == 0xE0)
+                    or (end - j == 128 and b[j : j + 3] == b"TAG")
                 ):
                     return base
         i += 1
     # no (validated) further frame: the single frame runs to the end of
-    # the audio section (any ID3v1 trailer was already stripped above)
+    # the audio section — excluding a trailing 128-byte ID3v1 block
+    # (the frame-boundary trailer rule has no boundary to anchor
+    # on here, so the trailer is recognized positionally)
+    if end - pos > 128 and b[end - 128 : end - 125] == b"TAG":
+        end -= 128
     base = (end - pos) - h["padding"] * slot
     if base < 8:
         raise ValueError(

@@ -301,13 +301,10 @@ def phash_near_dup_against(
         "key",
     )
     if bucket_cap is not None:
-        if bucket_cap < 1:
-            raise ValueError(f"bucket_cap ({bucket_cap}) must be >= 1")
-        hot = (
-            seen.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") > bucket_cap)
-            .select("band", "key")
+        from solarboat_data_pipeline_spark.operators.dedup import _hot_buckets_over
+
+        hot = _hot_buckets_over(seen, bucket_cap, ("band", "key")).select(
+            "band", "key"
         )
         seen = seen.join(F.broadcast(hot), ["band", "key"], "left_anti")
     ham = F.bit_count(F.col("__inc_sig").bitwiseXOR(F.col("__seen_sig")))

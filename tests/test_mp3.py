@@ -258,6 +258,22 @@ def test_free_format_two_frames_then_id3v1_trailer():
     assert mp3.probe_mp3(padded + b"TAG" + bytes(125))["n_frames"] == 2
 
 
+def test_free_format_payload_tag_at_end_minus_128_is_not_a_trailer():
+    """The trailer acceptance must live in the look-ahead VALIDATION,
+    not as a pre-scan window shrink: a trailerless 2-frame free-format
+    stream whose FRAME-1 PAYLOAD happens to contain 'TAG' at exactly
+    end-128 must still find frame 2's header (a pre-stripped scan
+    window would end before it and report n_frames=1)."""
+    data = bytearray(mp3.encode_mp3_frames(2, bitrate_index=0, free_format_bytes=70, seed=6))
+    assert len(data) == 140
+    k = len(data) - 128  # offset 12: inside frame 1's payload
+    assert k >= 4
+    data[k : k + 3] = b"TAG"
+    info = mp3.probe_mp3(bytes(data))
+    assert info["n_frames"] == 2
+    assert info["audio_bytes"] == 140
+
+
 def test_free_format_id3v2_prefix_and_trailer():
     data = mp3.encode_mp3_frames(
         7, bitrate_index=0, free_format_bytes=301, id3v2_bytes=44, seed=3
