@@ -531,6 +531,7 @@ def _sql_recall_eval() -> str:
     WITH exact AS ({exact_sql}),
          ivf AS ({_SQL_IVF_TOPK}),
          sq8 AS ({_SQL_SQ8_TOPK}),
+         lsh AS ({_sim_ann_oracle()}),
          ih AS (
            SELECT e.query_id,
                   sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS ivf_hits
@@ -542,11 +543,19 @@ def _sql_recall_eval() -> str:
                   sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS sq8_hits
            FROM exact e LEFT JOIN sq8 s
              ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+           GROUP BY e.query_id),
+         lh AS (
+           SELECT e.query_id,
+                  sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS lsh_hits
+           FROM exact e LEFT JOIN lsh l
+             ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
            GROUP BY e.query_id)
-    SELECT ih.query_id, ih.ivf_hits, sh.sq8_hits,
+    SELECT ih.query_id, ih.ivf_hits, sh.sq8_hits, lh.lsh_hits,
            round(ih.ivf_hits / 5.0, 6) AS ivf_recall,
-           round(sh.sq8_hits / 5.0, 6) AS sq8_recall
+           round(sh.sq8_hits / 5.0, 6) AS sq8_recall,
+           round(lh.lsh_hits / 5.0, 6) AS lsh_recall
     FROM ih JOIN sh ON sh.query_id = ih.query_id
+    JOIN lh ON lh.query_id = ih.query_id
     """
 
 
@@ -554,11 +563,13 @@ def _sql_recall_eval() -> str:
 def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality of the pruned ANN paths, not just their determinism:
     recall@5 per query of ``sim_ivf_topk``'s configuration (16 fixed
-    centroids, nprobe=2) and ``sim_sq8_topk``'s (1-byte scalar
-    quantization, 4x oversample + exact re-rank) against the exact
-    ``sim_cosine_topk`` baseline on the same fixture. The oracle replays
-    all three rankings arithmetically and the same hit-count join.
-    tests/test_dedup_similarity_text.py asserts the recall floors."""
+    centroids, nprobe=2), ``sim_sq8_topk``'s (1-byte scalar
+    quantization, 4x oversample + exact re-rank) and ``sim_ann_lsh``'s
+    (single-table hyperplane buckets — the cheapest, lossiest path)
+    against the exact ``sim_cosine_topk`` baseline on the same fixture.
+    The oracle replays all four rankings arithmetically and the same
+    hit-count joins. tests/test_dedup_similarity_text.py asserts the
+    recall floors."""
     emb = _t(spark, sf_dir, "embeddings")
     exact = sim.cosine_topk(emb, query_ids=range(10), k=5).select(
         "query_id", "neighbor_id"
@@ -567,6 +578,9 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, query_ids=range(10), k=5, n_centroids=16, nprobe=2
     ).select("query_id", "neighbor_id")
     sq8 = sim.sq8_topk(emb, query_ids=range(10), k=5, oversample=4).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = sim.lsh_ann_topk(emb, query_ids=range(10), k=5).select(
         "query_id", "neighbor_id"
     )
 
@@ -580,10 +594,13 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ih = hits(ivf, "ivf_hits")
     sh = hits(sq8, "sq8_hits")
-    return ih.join(sh, "query_id").select(
+    lh = hits(lsh, "lsh_hits")
+    return ih.join(sh, "query_id").join(lh, "query_id").select(
         "query_id",
         "ivf_hits",
         "sq8_hits",
+        "lsh_hits",
         F.round(F.col("ivf_hits") / 5.0, 6).alias("ivf_recall"),
         F.round(F.col("sq8_hits") / 5.0, 6).alias("sq8_recall"),
+        F.round(F.col("lsh_hits") / 5.0, 6).alias("lsh_recall"),
     )

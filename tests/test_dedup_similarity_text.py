@@ -1089,13 +1089,20 @@ def test_id_range_predicate_properties(spark):
 def test_sim_recall_eval_floors(spark, sf_dir):
     """The pruned ANN paths must retain real quality on the fixture, not
     just determinism: SQ8 (4x oversample + exact re-rank) is near-exact;
-    IVF at nprobe=2/16 cells keeps a usable floor. Floors measured at
-    sf0.001 with margin; the row itself is driver-gated for exactness."""
+    IVF at nprobe=2/16 cells keeps a usable floor. Single-table
+    hyperplane LSH measures ~0 recall@5 here (near-random embeddings
+    rarely co-bucket with their true neighbors) — recorded, not
+    floored: the row exists precisely to quantify why IVF/SQ8 are the
+    recommended retrieval paths and LSH is the candidate-generation
+    tool. Floors measured at sf0.001 with margin; the row itself is
+    driver-gated for exactness."""
     from solarboat_data_pipeline_spark.driver.similarity import sim_recall_eval
 
     rows = sim_recall_eval(spark, sf_dir).collect()
     assert len(rows) == 10
     ivf = sum(r["ivf_recall"] for r in rows) / len(rows)
     sq8 = sum(r["sq8_recall"] for r in rows) / len(rows)
+    lsh = sum(r["lsh_recall"] for r in rows) / len(rows)
     assert sq8 >= 0.9, f"SQ8 mean recall@5 regressed: {sq8}"
     assert ivf >= 0.5, f"IVF mean recall@5 regressed: {ivf}"
+    assert 0.0 <= lsh <= 1.0  # recorded for visibility, no quality floor
