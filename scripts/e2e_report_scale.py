@@ -43,6 +43,7 @@ from solarboat_data_pipeline_spark.catalog import CanCatalog  # noqa: E402
 from solarboat_data_pipeline_spark.pipeline import (  # noqa: E402
     parse_stage,
     resample_stage,
+    unify_forecast_stage,
     unify_gps_stage,
 )
 from solarboat_data_pipeline_spark.sources.sinks import write_parquet  # noqa: E402
@@ -441,11 +442,36 @@ def main() -> None:
         flush=True,
     )
 
-    # E3 unify: backward as-of join of the 1 Hz track
+    # E3a unify-forecast: reindex-interpolate a 30 s synthetic forecast
+    # grid onto the 1 s telemetry grid (the fourth reference stage —
+    # main_2022.py:159-163 runs parse → resample → forecast → GPS)
     span_s = N_LINES * DT_US // 1_000_000
     t0 = time.perf_counter()
+    fc = spark.range(0, span_s // 30 + 2).select(
+        F.timestamp_seconds(F.lit(BASE_EPOCH) + F.col("id") * 30).alias("timestamp"),
+        ((F.col("id") % 90) * 10.0).alias("dni"),
+        ((F.col("id") % 70) * 7.0).alias("ghi"),
+    )
+    fc_df = unify_forecast_stage(spark.read.parquet(res_out), fc, 1.0)
+    fc_out = os.path.join(WORK, "unified_fc.parquet")
+    write_parquet(fc_df, fc_out, mode="overwrite")
+    fc_sec = round(time.perf_counter() - t0, 2)
+    fc_read = spark.read.parquet(fc_out)
+    fc_rows = fc_read.count()
+    fc_nonnull = fc_read.where(F.col("solcast_dni").isNotNull()).count()
+    print(
+        json.dumps({
+            "stage": "unify_forecast", "rows_out": fc_rows,
+            "dni_nonnull": fc_nonnull, "sec": fc_sec,
+        }),
+        flush=True,
+    )
+
+    # E3b unify-GPS: backward as-of join of the 1 Hz track, chained on
+    # the forecast-enriched grid (the full four-stage composition)
+    t0 = time.perf_counter()
     unified = unify_gps_stage(
-        spark.read.parquet(res_out), synthetic_track(spark, span_s)
+        fc_read, synthetic_track(spark, span_s)
     )
     uni_out = os.path.join(WORK, "unified.parquet")
     write_parquet(unified, uni_out, mode="overwrite")
@@ -472,6 +498,8 @@ def main() -> None:
         abs(survival - EXPECT_SURVIVAL) < 0.005
         and grid_ok
         and pruned_ok
+        and fc_rows == res_rows
+        and fc_nonnull >= int(res_rows * 0.95)
         and uni_rows == res_rows
         and lps > 10 * 13_300
         and lps / CPUS > 13_300 / 1.5
@@ -492,10 +520,12 @@ def main() -> None:
                 "resample_rows": {str(p): res_rows_by_p[p] for p in RESAMPLE_PERIODS},
                 "resample_cold_sec": res_cold_sec,
                 "resample_sec": {str(p): res_secs[p] for p in RESAMPLE_PERIODS},
+                "unify_forecast_rows": fc_rows,
+                "unify_forecast_sec": fc_sec,
                 "unify_rows": uni_rows,
                 "unify_sec": uni_sec,
                 "total_sec": round(
-                    parse_sec + sum(res_secs.values()) + uni_sec, 2
+                    parse_sec + sum(res_secs.values()) + fc_sec + uni_sec, 2
                 ),
                 "ok": ok,
             }
