@@ -488,8 +488,11 @@ def dd_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = docs.where(F.col("doc_id") % 5 == 0)
     bp = _io_dir(sf_dir, "dd_band_index")
     sp = _io_dir(sf_dir, "dd_sig_index")
-    dd.band_index(seen).write.mode("overwrite").parquet(bp)
-    dd.signature_index(seen).write.mode("overwrite").parquet(sp)
+    # one minhash pass feeds both index writes (lazy local checkpoint —
+    # materialized by the first write, reused by the second)
+    sig = dd.minhash_table(seen).localCheckpoint(eager=False)
+    dd.band_index(seen, signatures=sig).write.mode("overwrite").parquet(bp)
+    dd.signature_index(seen, signatures=sig).write.mode("overwrite").parquet(sp)
     out = dd.near_dup_against(
         incoming,
         spark.read.parquet(bp),

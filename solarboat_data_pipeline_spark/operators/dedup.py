@@ -271,28 +271,48 @@ def lsh_candidate_pairs(
 
 
 def band_index(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """The persistable LSH index of a corpus: one ``(id, band,
     band_hash)`` row per document band — digests only, no text. An
     ingest pipeline writes this once per corpus state and appends each
     accepted increment's rows; :func:`near_dup_against` probes it. At
     100 TB the index is a small fraction of the corpus (BANDS rows ×
-    one md5 per doc) and the corpus text is never re-read."""
-    sig = minhash_table(df, text_col, id_col)
+    one md5 per doc) and the corpus text is never re-read.
+
+    ``signatures`` (a precomputed :func:`minhash_table` frame, ideally
+    localCheckpointed) lets a caller writing BOTH indexes of one corpus
+    pay the tokenize→shingle→md5→min aggregation once instead of once
+    per index (guide §1.2: don't compute things twice)."""
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_table(df, text_col, id_col)
+    )
     return sig.where(F.col("mh0").isNotNull()).select(
         id_col, F.posexplode(_band_hash_array()).alias("band", "band_hash")
     )
 
 
 def signature_index(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """The verification companion to :func:`band_index`: one
     ``(id, minhash array<long>)`` row per document with ≥ 1 shingle —
     what :func:`near_dup_against` needs to turn band-bucket candidates
-    into estimated-Jaccard verdicts without touching text."""
-    sig = minhash_table(df, text_col, id_col)
+    into estimated-Jaccard verdicts without touching text.
+    ``signatures`` shares one minhash pass with :func:`band_index`."""
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_table(df, text_col, id_col)
+    )
     return sig.where(F.col("mh0").isNotNull()).select(
         id_col,
         F.array(*[F.col(f"mh{j}") for j in range(NUM_HASHES)]).alias("minhash"),
@@ -360,7 +380,14 @@ def near_dup_against(
             "(band-only candidates over-drop; signatures without a "
             "threshold are unused)"
         )
-    inc_sig = minhash_table(incoming, text_col, id_col)
+    # materialize the increment's signatures once (lazy local
+    # checkpoint): the band explode AND the verification array both
+    # consume them, and each branch of the single output plan would
+    # otherwise re-run the tokenize→shingle→md5→min aggregation over
+    # the whole increment (the dominant per-ingest cost)
+    inc_sig = minhash_table(incoming, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     inc_bands = inc_sig.where(F.col("mh0").isNotNull()).select(
         F.col(id_col).alias("__inc_id"),
         F.posexplode(_band_hash_array()).alias("band", "band_hash"),
@@ -843,21 +870,30 @@ def embedding_lsh_dedup_pairs(
     from solarboat_data_pipeline_spark.operators.similarity import (
         dot,
         hyperplanes,
-        lsh_bucket,
         norm,
+        with_lsh_buckets_arrow,
     )
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    buckets = [
-        lsh_bucket(F.col(vec_col), hyperplanes(dim, planes, lsh_table_salt(t)))
-        for t in range(tables)
+    # bucket bits come from ONE vectorized Arrow pass instead of
+    # tables × planes interpreted higher-order-function dot folds per
+    # row (bit-identical — see with_lsh_buckets_arrow)
+    plane_sets = [
+        hyperplanes(dim, planes, lsh_table_salt(t)) for t in range(tables)
     ]
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        norm(F.col(vec_col)).alias("n"),
-        F.posexplode(F.array(*buckets)).alias("t", "b"),
+    bcols = [f"__b{t}" for t in range(tables)]
+    wb = with_lsh_buckets_arrow(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        plane_sets,
+        "v",
+        bcols,
+    )
+    base = wb.select(
+        "id",
+        "v",
+        norm(F.col("v")).alias("n"),
+        F.posexplode(F.array(*[F.col(c) for c in bcols])).alias("t", "b"),
     )
     a, b = base.alias("a"), base.alias("b")
     cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))

@@ -150,6 +150,103 @@ def _exact_sims(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _collect_query_rows(
+    df: DataFrame, query_ids, id_col: str, vec_col: str
+) -> list:
+    """The (tiny) query set as collected rows — the snapshot every
+    Arrow scoring pass closes over. Taken at plan-build time, same
+    eagerness note as :func:`_assign_to`."""
+    return (
+        df.where(F.col(id_col).isin(list(query_ids)))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .collect()
+    )
+
+
+def _score_against_queries(
+    df: DataFrame,
+    q_rows: list,
+    id_col: str,
+    vec_col: str,
+    out_col: str,
+    transform=None,
+) -> DataFrame:
+    """Corpus × collected-queries cosine as ONE map-only Arrow pass —
+    the vectorized form of ``crossJoin(broadcast(queries))`` +
+    ``cosine()``. Spark's higher-order functions (``zip_with`` /
+    ``aggregate``) are CodegenFallback — interpreted per ELEMENT — so
+    the expression form paid |corpus|·|Q|·dim interpreted lambda steps
+    (guide §4.2: hand whole batches to vectorized native code instead).
+    Bit-exactness: per-dimension accumulation reproduces the
+    sequential ``cosine()`` fold (see :func:`_fold_scores`), and the
+    denominator is ``norm(q) * norm(c)`` — IEEE multiply is
+    commutative, so the product equals the expression's either way.
+    Self-pairs (neighbor == query id) are excluded, mirroring the
+    crossJoin's ``!=`` predicate. ``transform`` (optional) maps the
+    float64 corpus matrix before scoring — e.g. the SQ8
+    quantize→dequantize — replicating expression arithmetic exactly.
+    Returns ``(query_id, neighbor_id, out_col double)``, un-rounded;
+    callers apply the 6-dp ``F.round`` contract in Spark."""
+    import numpy as np
+
+    qmat = np.array(
+        [[float(x) for x in r["q_vec"]] for r in q_rows], dtype=np.float64
+    )
+    qids = np.array([r["query_id"] for r in q_rows])
+    n_q, dim = qmat.shape if q_rows else (0, 0)
+    q_sq = np.zeros(n_q)
+    for j in range(dim):
+        q_sq += qmat[:, j] * qmat[:, j]
+    q_norm = np.sqrt(q_sq)
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("neighbor_id", id_type),
+            StructField(out_col, DoubleType()),
+        ]
+    )
+    base = df.select(F.col(id_col), F.col(vec_col))
+
+    def fn(it):
+        import pandas as pd
+
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            a = _corpus_matrix(pdf, vec_col)
+            if transform is not None:
+                a = transform(a)
+            dots = np.zeros((n, n_q))
+            a_sq = np.zeros(n)
+            for j in range(dim):
+                aj = a[:, j]
+                a_sq += aj * aj
+                dots += aj[:, None] * qmat[None, :, j]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = dots / (q_norm[None, :] * np.sqrt(a_sq)[:, None])
+            nid = np.asarray(pdf[id_col])
+            out_q = np.tile(qids, n)
+            out_n = np.repeat(nid, n_q)
+            vals = sims.ravel()
+            mask = out_q != out_n
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q[mask],
+                    "neighbor_id": out_n[mask],
+                    out_col: vals[mask],
+                }
+            )
+
+    if not q_rows:
+        return df.sparkSession.createDataFrame([], schema)
+    return base.mapInPandas(fn, schema)
+
+
 def cosine_topk(
     df: DataFrame,
     query_ids,
@@ -160,16 +257,12 @@ def cosine_topk(
     """Exact top-k cosine neighbors for each query id (self excluded).
     Ties break by ascending neighbor id on the 6-dp-rounded similarity.
     Returns (query_id, neighbor_id, cosine_sim, rank)."""
-    queries = df.where(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    corpus = df.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    sims = _exact_sims(
-        corpus.crossJoin(F.broadcast(queries)).where(
-            F.col("neighbor_id") != F.col("query_id")
-        )
+    q_rows = _collect_query_rows(df, query_ids, id_col, vec_col)
+    scored = _score_against_queries(df, q_rows, id_col, vec_col, "__sim")
+    sims = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("__sim"), 6).alias("cosine_sim"),
     )
     return _rank_topk(sims, k)
 
@@ -220,6 +313,68 @@ def _seed_centroids(
     )
 
 
+def _train_ivf_centroid_rows(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> list[tuple[int, list[float]]]:
+    """The Lloyd loop of :func:`train_ivf_centroids`, returning plain
+    ``(cid, c_vec)`` rows. Each iteration is ONE Spark job: a map-only
+    Arrow pass that assigns every vector to its nearest centroid AND
+    emits per-partition fixed-point partial sums per cell
+    (:func:`_assign_partial_sums` — ≤ partitions × n_centroids tiny
+    rows), which the driver combines with exact integer addition. The
+    round-13 form instead ran, per iteration, a 64-column
+    ``sum(floor(...))`` hash aggregate + join + collect whose
+    DataFrame construction alone cost ~1.8 s of driver py4j time
+    (guide §1.2: fix the per-call fixed costs once the algorithm is
+    right); the integer partials are associative and commutative, so
+    this produces bit-identical centroids with none of that plan.
+    """
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    scale = float(1 << 20)
+    seed = _seed_centroids(df, n_centroids, id_col, vec_col).select(
+        "cid",
+        F.transform("c_vec", lambda x: x.cast("double")).alias("c_vec"),
+    )
+    cent_rows = [
+        (int(r["cid"]), [float(x) for x in r["c_vec"]])
+        for r in sorted(seed.collect(), key=lambda r: r["cid"])
+    ]
+    for _ in range(iters):
+        partials = _assign_partial_sums(
+            df, cent_rows, id_col, vec_col, dim, scale
+        ).collect()
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for r in partials:
+            cid = int(r["cid"])
+            counts[cid] = counts.get(cid, 0) + int(r["n"])
+            if cid in sums:
+                s = sums[cid]
+                for j, v in enumerate(r["sums"]):
+                    s[j] += int(v)
+            else:
+                sums[cid] = [int(v) for v in r["sums"]]
+        # mean = exact double sum / (count * 2^20) — identical to the SQL
+        # oracle's CAST(sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0):
+        # float(int) and the bigint→double cast both round to nearest
+        cent_rows = [
+            (
+                cid,
+                [s / (counts[cid] * scale) for s in sums[cid]]
+                if cid in sums
+                else vec,  # cells that lose all members keep their centroid
+            )
+            for cid, vec in cent_rows
+        ]
+    return cent_rows
+
+
 def train_ivf_centroids(
     df: DataFrame,
     n_centroids: int = 16,
@@ -229,12 +384,11 @@ def train_ivf_centroids(
     dim: int | None = None,
 ) -> DataFrame:
     """Lloyd (k-means) refinement of the IVF seed centroids: per
-    iteration, assign every vector to its nearest centroid (a map-only
-    Arrow pass, :func:`_assign_to` — never a shuffle of the corpus),
-    then recompute each cell's centroid as the component mean of its
-    members (ONE map-side-combined hash aggregate of the corpus into
-    ``n_centroids`` rows). Cells that lose all members keep their
-    previous centroid.
+    iteration, assign every vector to its nearest centroid and reduce
+    each cell's fixed-point component sums — ONE map-only Arrow pass
+    over the corpus per iteration (:func:`_train_ivf_centroid_rows`),
+    never a shuffle of the corpus. Cells that lose all members keep
+    their previous centroid.
 
     Cross-engine determinism: float summation is order-sensitive, so a
     plain ``avg`` would differ run-to-run (Spark partition order) and
@@ -249,48 +403,12 @@ def train_ivf_centroids(
     i.e. ~10¹² unit-scale vectors per cell — beyond 100 TB corpus sizes.
 
     Returns ``(cid, c_vec array<double>)``."""
-    if dim is None:
-        dim = _infer_dim(df, vec_col)
-    scale = float(1 << 20)
-    cent = _seed_centroids(df, n_centroids, id_col, vec_col).select(
-        "cid",
-        F.transform("c_vec", lambda x: x.cast("double")).alias("c_vec"),
+    rows = _train_ivf_centroid_rows(
+        df, n_centroids, iters, id_col, vec_col, dim
     )
-    for _ in range(iters):
-        assigned = _assign_to(df, cent, id_col, vec_col)
-        means = (
-            assigned.groupBy("cid")
-            .agg(
-                *[
-                    F.sum(
-                        F.floor(F.col(vec_col)[j].cast("double") * scale)
-                    ).alias(f"s{j}")
-                    for j in range(dim)
-                ],
-                F.count(F.lit(1)).alias("n"),
-            )
-            .select(
-                "cid",
-                F.array(
-                    *[
-                        F.col(f"s{j}") / (F.col("n") * F.lit(scale))
-                        for j in range(dim)
-                    ]
-                ).alias("c_new"),
-            )
-        )
-        cent = cent.join(means, "cid", "left").select(
-            "cid", F.coalesce("c_new", "c_vec").alias("c_vec")
-        )
-        # materialize each iteration's n_centroids rows on the driver:
-        # the next assignment and both downstream consumers reference
-        # cent multiple times, and without this the full-corpus
-        # aggregation lineage would re-execute ~2^iters times (values
-        # are bit-deterministic, so materialization cannot change them)
-        cent = df.sparkSession.createDataFrame(
-            cent.collect(), "cid long, c_vec array<double>"
-        )
-    return cent
+    return df.sparkSession.createDataFrame(
+        rows, "cid long, c_vec array<double>"
+    )
 
 
 def _centroids(
@@ -306,6 +424,36 @@ def _centroids(
             df, n_centroids, train_iters, id_col, vec_col
         )
     return _seed_centroids(df, n_centroids, id_col, vec_col)
+
+
+def _centroid_rows_for(
+    df: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    train_iters: int,
+) -> list[tuple[int, list[float]]]:
+    """:func:`_centroids` as plain collected rows — the internal form
+    the search/build paths consume, collected ONCE per call instead of
+    once per downstream assignment/probe (each such collect was a full
+    Spark job on the seed lineage)."""
+    if train_iters:
+        return _train_ivf_centroid_rows(
+            df, n_centroids, train_iters, id_col, vec_col
+        )
+    seed = _seed_centroids(df, n_centroids, id_col, vec_col)
+    return [
+        (int(r["cid"]), [float(x) for x in r["c_vec"]])
+        for r in sorted(seed.collect(), key=lambda r: r["cid"])
+    ]
+
+
+def _centroid_frame(spark, rows: list[tuple[int, list[float]]]) -> DataFrame:
+    """Collected centroid rows as the tiny ``(cid, c_vec)`` local frame
+    the probe join broadcasts. NOTE the double cast: seed rows from a
+    float-typed corpus keep their exact values (float→double is exact),
+    so probe cosines are bit-identical to the lazy-frame form."""
+    return spark.createDataFrame(rows, "cid long, c_vec array<double>")
 
 
 def _assign_to(
@@ -344,13 +492,21 @@ def _assign_to(
     construction time (the snapshot is taken when the plan is BUILT, and
     building an assignment is no longer fully lazy — the price of the
     map-only plan)."""
+    rows = [
+        (int(r["cid"]), [float(x) for x in r["c_vec"]])
+        for r in sorted(cent.collect(), key=lambda r: r["cid"])
+    ]
+    return _assign_rows(df, rows, id_col, vec_col, with_cosine)
+
+
+def _centroid_matrix(rows: list[tuple[int, list[float]]]):
+    """(cmat float64 C×dim, cids int64, c_norm) from plain centroid rows,
+    with the zero-norm guard every assignment path shares. c_norm is the
+    exact left-to-right component fold of the ``norm()`` expression."""
     import numpy as np
 
-    rows = sorted(cent.collect(), key=lambda r: r["cid"])
-    cmat = np.array(
-        [[float(x) for x in r["c_vec"]] for r in rows], dtype=np.float64
-    )
-    cids = np.array([int(r["cid"]) for r in rows], dtype=np.int64)
+    cmat = np.array([v for _, v in rows], dtype=np.float64)
+    cids = np.array([c for c, _ in rows], dtype=np.int64)
     n_c, dim = cmat.shape if rows else (0, 0)
     c_norm = np.zeros(n_c)
     for j in range(dim):
@@ -363,6 +519,60 @@ def _assign_to(
             "cosine distance is undefined there; drop zero vectors from "
             "the corpus before seeding/training"
         )
+    return cmat, cids, c_norm
+
+
+def _corpus_matrix(pdf, vec_col: str):
+    """The batch's embeddings as a float64 matrix, with the shared
+    NULL-embedding guard."""
+    import numpy as np
+
+    col = pdf[vec_col].to_numpy()
+    if any(v is None for v in col):
+        raise ValueError(
+            f"centroid assignment: column {vec_col!r} contains "
+            "NULL embeddings — filter or impute upstream"
+        )
+    return np.stack(col).astype(np.float64)
+
+
+def _fold_scores(a, cmat, c_norm):
+    """Cosine of every (row, centroid) pair, accumulated PER DIMENSION
+    left-to-right — bit-identical to the sequential ``cosine()`` fold
+    (products and sums in the same order; IEEE multiply is commutative,
+    so the denominator order cannot differ either)."""
+    import numpy as np
+
+    n = a.shape[0]
+    dots = np.zeros((n, cmat.shape[0]))
+    a_sq = np.zeros(n)
+    for j in range(a.shape[1]):
+        aj = a[:, j]
+        a_sq += aj * aj
+        dots += aj[:, None] * cmat[None, :, j]
+    if (a_sq == 0.0).any():
+        raise ValueError(
+            "centroid assignment: zero-norm embedding(s) present "
+            "— cosine distance is undefined; drop zero vectors "
+            "upstream (the expression form raises DIVIDE_BY_ZERO "
+            "here too)"
+        )
+    return dots / (np.sqrt(a_sq)[:, None] * c_norm[None, :])
+
+
+def _assign_rows(
+    df: DataFrame,
+    rows: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    with_cosine: bool = False,
+) -> DataFrame:
+    """:func:`_assign_to` against already-collected centroid rows — the
+    form the training loop and index builders use so that iterating
+    never re-collects a centroid frame per pass."""
+    import numpy as np
+
+    cmat, cids, c_norm = _centroid_matrix(rows)
 
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
@@ -375,32 +585,11 @@ def _assign_to(
     schema = StructType(list(base.schema.fields) + extra)
 
     def fn(it):
-        import pandas as pd
-
         for pdf in it:
             if not len(pdf):
                 continue
-            col = pdf[vec_col].to_numpy()
-            if any(v is None for v in col):
-                raise ValueError(
-                    f"centroid assignment: column {vec_col!r} contains "
-                    "NULL embeddings — filter or impute upstream"
-                )
-            a = np.stack(col).astype(np.float64)
-            dots = np.zeros((len(pdf), n_c))
-            a_sq = np.zeros(len(pdf))
-            for j in range(dim):
-                aj = a[:, j]
-                a_sq += aj * aj
-                dots += aj[:, None] * cmat[None, :, j]
-            if (a_sq == 0.0).any():
-                raise ValueError(
-                    "centroid assignment: zero-norm embedding(s) present "
-                    "— cosine distance is undefined; drop zero vectors "
-                    "upstream (the expression form raises DIVIDE_BY_ZERO "
-                    "here too)"
-                )
-            sims = dots / (np.sqrt(a_sq)[:, None] * c_norm[None, :])
+            a = _corpus_matrix(pdf, vec_col)
+            sims = _fold_scores(a, cmat, c_norm)
             out = pdf.copy()
             best = sims.argmax(axis=1)
             out["cid"] = cids[best]
@@ -414,6 +603,50 @@ def _assign_to(
             out = out.withColumn("__acos", F.lit(None).cast("double"))
         return out.limit(0)
     return base.mapInPandas(fn, schema)
+
+
+def _assign_partial_sums(
+    df: DataFrame,
+    rows: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    scale: float,
+) -> DataFrame:
+    """One Lloyd iteration's map side: nearest-centroid assignment AND
+    per-cell fixed-point partial sums in the SAME Arrow pass. Emits
+    ``(cid, n, sums array<long>)`` — at most one row per (partition,
+    cell), so the whole corpus reduces to tiny partials with no wide
+    aggregate plan and no shuffle. ``sums[j] = Σ floor(x_j * scale)``
+    over the partition's members of the cell, exactly the per-component
+    quantization the SQL oracle replays (np.floor on float64 ==
+    ``floor(CAST(x AS DOUBLE) * scale)``; int64 partial sums are
+    associative, so any partitioning combines to identical totals)."""
+    import numpy as np
+
+    cmat, cids, c_norm = _centroid_matrix(rows)
+
+    def fn(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            a = _corpus_matrix(pdf, vec_col)
+            sims = _fold_scores(a, cmat, c_norm)
+            best = sims.argmax(axis=1)
+            q = np.floor(a * scale).astype(np.int64)
+            out_c, out_n, out_s = [], [], []
+            for k in np.unique(best):
+                members = q[best == k]
+                out_c.append(int(cids[k]))
+                out_n.append(members.shape[0])
+                out_s.append(members.sum(axis=0).tolist())
+            yield pd.DataFrame({"cid": out_c, "n": out_n, "sums": out_s})
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        fn, "cid long, n long, sums array<long>"
+    )
 
 
 def _probe_queries(
@@ -468,8 +701,9 @@ def ivf_topk(
     refinement rounds (:func:`train_ivf_centroids`) before assignment —
     on clustered corpora this balances cell sizes and lifts recall at
     the same ``nprobe`` (measured: tests/test_ivf_training.py)."""
-    cent = _centroids(df, n_centroids, id_col, vec_col, train_iters)
-    assigned = _assign_to(df, cent, id_col, vec_col)
+    rows = _centroid_rows_for(df, n_centroids, id_col, vec_col, train_iters)
+    cent = _centroid_frame(df.sparkSession, rows)
+    assigned = _assign_rows(df, rows, id_col, vec_col)
     qvecs = df.where(F.col(id_col).isin(list(query_ids)))
     queries = _probe_queries(cent, qvecs, nprobe, id_col, vec_col)
     corpus = assigned.select(
@@ -506,15 +740,16 @@ def build_ivf_index(
     (:func:`train_ivf_centroids`); probes and increments
     (:func:`extend_ivf_index`) read whatever centroid table was
     persisted, so they follow automatically."""
-    cent = _centroids(df, n_centroids, id_col, vec_col, train_iters)
+    rows = _centroid_rows_for(df, n_centroids, id_col, vec_col, train_iters)
+    cent = _centroid_frame(df.sparkSession, rows)
     # the fit statistic (mean assigned-cosine) rides the cells write as
-    # an observed metric — _assign_to already computed every row's
+    # an observed metric — _assign_rows already computed every row's
     # cosine, so drift bookkeeping costs ZERO extra corpus passes
     from pyspark.sql import Observation
 
     obs = Observation()
     assigned = (
-        _assign_to(df, cent, id_col, vec_col, with_cosine=True)
+        _assign_rows(df, rows, id_col, vec_col, with_cosine=True)
         .observe(obs, F.avg("__acos").alias("m"), F.count(F.lit(1)).alias("n"))
         .drop("__acos")
     )
@@ -784,10 +1019,19 @@ def sq8_bounds(
                 "bounds= explicitly to encode against a frozen codebook)"
             )
         dim = len(first[0])
-    c = F.col(vec_col)
+    # expr-string build: the 2·dim aggregate expressions parse in the JVM
+    # in one shot instead of ~10·dim py4j Column calls (~1 s of driver
+    # time per call at dim=64); `arr[j]` is 0-based in Spark SQL exactly
+    # like Column.__getitem__, so the aggregate is identical
     row = df.agg(
-        *[F.min(c[j].cast("double")).alias(f"mn{j}") for j in range(dim)],
-        *[F.max(c[j].cast("double")).alias(f"mx{j}") for j in range(dim)],
+        *[
+            F.expr(f"min(CAST({vec_col}[{j}] AS DOUBLE)) AS mn{j}")
+            for j in range(dim)
+        ],
+        *[
+            F.expr(f"max(CAST({vec_col}[{j}] AS DOUBLE)) AS mx{j}")
+            for j in range(dim)
+        ],
     ).first()
     return (
         [row[f"mn{j}"] for j in range(dim)],
@@ -879,32 +1123,47 @@ def sq8_topk(
     (broadcast again), so full-precision vectors are read only for
     candidates. Determinism: codes and dequantized values use
     floor/IEEE arithmetic replayable verbatim in the SQL oracle, and
-    both ranking stages tie-break on ascending neighbor id."""
+    both ranking stages tie-break on ascending neighbor id.
+
+    The candidate scan runs as ONE Arrow pass
+    (:func:`_score_against_queries` with the quantize→dequantize as its
+    matrix transform) — the encode/decode expression trees plus the
+    interpreted ``cosine()`` fold previously cost ~3 s of driver plan
+    build + interpreted eval per call at |corpus| = 2 k; the numpy
+    arithmetic replicates ``sq8_code``/``sq8_decode`` op for op."""
     mn, mx = sq8_bounds(df, vec_col, dim)
-    codes = df.select(
-        F.col(id_col).alias("neighbor_id"),
-        sq8_code(F.col(vec_col), mn, mx).alias("__codes"),
-    )
-    approx = codes.select(
-        "neighbor_id", sq8_decode(F.col("__codes"), mn, mx).alias("a_vec")
-    )
-    queries = df.where(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+
+    def quantize_roundtrip(a):
+        # per dimension: floor((x - lo) / (hi - lo) * 255) clamped to
+        # [0, 255], then lo + (code + 0.5) * ((hi - lo) / 255)  — the
+        # exact op order of sq8_code ∘ sq8_decode (stored code-128 +
+        # 128.5 == code + 0.5 exactly: all values are small integers)
+        import numpy as np
+
+        out = np.empty_like(a)
+        for j, (lo, hi) in enumerate(zip(mn, mx)):
+            if hi > lo:
+                code = np.floor((a[:, j] - lo) / (hi - lo) * 255.0)
+                code = np.minimum(np.maximum(code, 0.0), 255.0)
+                out[:, j] = lo + (code + 0.5) * ((hi - lo) / 255.0)
+            else:
+                out[:, j] = lo
+        return out
+
+    q_rows = _collect_query_rows(df, query_ids, id_col, vec_col)
+    scored = _score_against_queries(
+        df, q_rows, id_col, vec_col, "__asim", transform=quantize_roundtrip
     )
     cand_w = Window.partitionBy("query_id").orderBy(
         F.col("__asim").desc(), F.col("neighbor_id").asc()
     )
     cands = (
-        approx.crossJoin(F.broadcast(queries))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("q_vec"), F.col("a_vec")).alias("__asim"),
-        )
-        .withColumn("__rn", F.row_number().over(cand_w))
+        scored.withColumn("__rn", F.row_number().over(cand_w))
         .where(F.col("__rn") <= k * oversample)
         .select("query_id", "neighbor_id")
+    )
+    queries = df.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     corpus = df.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
@@ -937,8 +1196,9 @@ def build_ivf_sq8_index(
     codebooks. At 100 TB of float32 embeddings a nprobe=4/64 search
     touches ~1.6 TB of codes plus candidate-only vector fetches,
     instead of the 100 TB brute scan."""
-    cent = _centroids(df, n_centroids, id_col, vec_col, train_iters)
-    assigned = _assign_to(df, cent, id_col, vec_col)
+    rows = _centroid_rows_for(df, n_centroids, id_col, vec_col, train_iters)
+    cent = _centroid_frame(df.sparkSession, rows)
+    assigned = _assign_rows(df, rows, id_col, vec_col)
     mn, mx = sq8_bounds(df, vec_col, dim)
     codes = assigned.select(
         F.col(id_col),
@@ -1120,6 +1380,54 @@ def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     return acc
 
 
+def with_lsh_buckets_arrow(
+    df: DataFrame,
+    plane_sets: list[list[list[int]]],
+    vec_col: str,
+    out_cols: list[str],
+) -> DataFrame:
+    """``lsh_bucket`` for every plane set as ONE map-only Arrow pass
+    appending one long bucket column per set — the corpus-sized form.
+    The expression form pays |corpus| · planes · dim INTERPRETED
+    higher-order-function steps (``dot`` is an ``aggregate`` fold —
+    CodegenFallback); here each plane's ⟨vec, plane⟩ accumulates per
+    dimension in the same left-to-right order (products against exact
+    ±1.0 weights), so ``d > 0`` and therefore every bucket bit is
+    bit-identical to the expression form. All other columns pass
+    through unchanged."""
+    import numpy as np
+
+    mats = [
+        np.array([[float(w) for w in plane] for plane in planes])
+        for planes in plane_sets
+    ]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(c, LongType()) for c in out_cols]
+    )
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            a = _corpus_matrix(pdf, vec_col)
+            out = pdf.copy()
+            for mat, col in zip(mats, out_cols):
+                n_p, dim = mat.shape
+                dots = np.zeros((len(pdf), n_p))
+                for j in range(dim):
+                    dots += a[:, j][:, None] * mat[None, :, j]
+                bits = (dots > 0).astype(np.int64)
+                weights = (1 << np.arange(n_p, dtype=np.int64))
+                out[col] = bits @ weights
+            yield out
+
+    return df.mapInPandas(fn, schema)
+
+
 def lsh_ann_topk(
     df: DataFrame,
     query_ids,
@@ -1135,7 +1443,7 @@ def lsh_ann_topk(
     if dim is None:
         dim = _infer_dim(df, vec_col)
     hp = hyperplanes(dim, planes)
-    with_b = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), hp))
+    with_b = with_lsh_buckets_arrow(df, [hp], vec_col, ["__bucket"])
     queries = with_b.where(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),

@@ -10,6 +10,26 @@ from solarboat_data_pipeline_spark.catalog import CanCatalog
 from solarboat_data_pipeline_spark.operators.parse import decode_wide
 
 
+def _steal_ticks() -> int | None:
+    """Cumulative hypervisor-steal ticks from /proc/stat (all CPUs)."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _wall_bound_trustworthy(s0: int | None, s1: int | None) -> bool:
+    """A wall-clock bound is only meaningful when the hypervisor did not
+    steal whole CPU-seconds during the measured window (VERDICT r13 item
+    3: this box shows measured 160-CPU-second steal bursts, under which
+    ANY wall assertion flakes). >2 stolen CPU-seconds during the window
+    → skip the assertion rather than fail on the hypervisor's mood."""
+    if s0 is None or s1 is None:
+        return True  # no steal counter (non-Linux): keep the plain bound
+    return (s1 - s0) / 100.0 <= 2.0
+
+
 def synth_catalog(n_modules: int = 8, topics_per_module: int = 7) -> dict:
     mods = []
     for m in range(n_modules):
@@ -47,15 +67,19 @@ def test_full_size_catalog_codegen(spark):
         "signature int, topic_id int, payload_len int, payload_hex string",
     ).withColumn("timestamp", F.timestamp_seconds(F.lit(1700000000)))
 
+    s0 = _steal_ticks()
     t0 = time.time()
     wide = decode_wide(frames, cat, downcast=False)
     plan_s = time.time() - t0
-    assert plan_s < 30, f"decode_wide plan build took {plan_s:.1f}s"
+    if _wall_bound_trustworthy(s0, _steal_ticks()):
+        assert plan_s < 30, f"decode_wide plan build took {plan_s:.1f}s"
 
+    s0 = _steal_ticks()
     t0 = time.time()
     rows = wide.collect()
     exec_s = time.time() - t0
-    assert exec_s < 120, f"decode_wide execution took {exec_s:.1f}s"
+    if _wall_bound_trustworthy(s0, _steal_ticks()):
+        assert exec_s < 120, f"decode_wide execution took {exec_s:.1f}s"
 
     assert len(rows) == 1
     r = rows[0]
