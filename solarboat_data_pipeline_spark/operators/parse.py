@@ -286,6 +286,36 @@ def _byte_at_static(words: Column, off: int) -> Column:
     return (F.shiftright(w, shift) if shift else w).bitwiseAND(255)
 
 
+def _byte_at_static_sql(words_col: str, off: int) -> str:
+    """:func:`_byte_at_static` as SQL text (same AST after parsing)."""
+    w = f"element_at({words_col}, {off // 4 + 1})"
+    shift = (3 - off % 4) * 8
+    inner = f"shiftright({w}, {shift})" if shift else w
+    return f"({inner} & 255)"
+
+
+def _decode_field_static_sql(
+    words_col: str, off: int, bit: int, width: int, scale: float
+) -> str:
+    """:func:`_decode_field_static` as SQL text. Why text: a 187-column
+    catalog's projection built through the Column API costs ~2,000 py4j
+    round trips ≈ 8-10 s of driver time PER plan build (measured on the
+    6 M-line bench row — more than the executed scan itself); the same
+    tree parsed from one string per column is ~20× cheaper to build and
+    resolves to the identical expressions, so decoded values are
+    bit-identical. ``{scale!r}D`` is the shortest-roundtrip decimal of
+    the Python double with Spark's DOUBLE-literal suffix — both parse
+    via round-to-nearest, so the literal is the exact same double."""
+    lo = _byte_at_static_sql(words_col, off)
+    if width == 16:
+        raw = f"({lo} + {_byte_at_static_sql(words_col, off + 1)} * 256)"
+    elif width == 8:
+        raw = lo
+    else:  # LSB-run bitfield: lo >= 0, so shiftright == floor-div by 2^bit
+        raw = f"(shiftright({lo}, {bit}) & 1)"
+    return f"CAST({raw} AS DOUBLE) * {scale!r}D"
+
+
 def _decode_field_static(
     words: Column, off: int, bit: int, width: int, scale: float
 ) -> Column:
@@ -384,21 +414,17 @@ def decode_wide_project(
         )
     )
     idx_of = {c: i for i, c in enumerate(cols)}
-    exprs: list[Column | None] = [None] * len(cols)
+    # SQL-text projection: one parsed string per wide column instead of
+    # ~10 py4j Column calls per column — see _decode_field_static_sql
+    exprs: list[str | None] = [None] * len(cols)
     for mod, top in topics:
         k = mod.signature * 4096 + top.topic_id
         for s in top.signals:
             name = SEPARATOR.join([mod.name, top.name, s.name])
-            exprs[idx_of[name]] = F.when(
-                F.col("__k") == k,
-                _decode_field_static(
-                    F.col("__w"), s.byte_offset, s.bit_offset,
-                    s.bit_width, s.scale,
-                ),
+            decode = _decode_field_static_sql(
+                "__w", s.byte_offset, s.bit_offset, s.bit_width, s.scale
             )
-    wide = base.select(
-        "timestamp", *[e.alias(c) for e, c in zip(exprs, cols)]
-    )
+            exprs[idx_of[name]] = f"CASE WHEN __k = {k} THEN {decode} END"
     if dup_ts is None:
         # thin duplicate-timestamp pass: ts-only (the scan prunes to the
         # timestamp group), 8-byte shuffle rows, collected because the
@@ -418,13 +444,26 @@ def decode_wide_project(
                 " use strategy='long'"
             )
         dup_ts = [r["timestamp"] for r in dup_rows]
-    val = (lambda c: F.col(c).cast("float")) if downcast else F.col
-    if not dup_ts:
-        return wide.select(
-            "timestamp", *[val(c).alias(c) for c in cols]
+    def out_col(e: str, c: str):
+        # CAST(CASE.. AS FLOAT) == the previous two-projection
+        # CASE-then-cast form (same double narrowed once, identical)
+        return F.expr(
+            f"CAST({e} AS FLOAT) AS `{c}`" if downcast else f"{e} AS `{c}`"
         )
+
+    if not dup_ts:
+        return base.select(
+            "timestamp", *[out_col(e, c) for e, c in zip(exprs, cols)]
+        )
+    wide = base.select(
+        "timestamp", *[F.expr(f"{e} AS `{c}`") for e, c in zip(exprs, cols)]
+    )
     uniq = wide.where(~F.col("timestamp").isin(dup_ts)).select(
-        "timestamp", *[val(c).alias(c) for c in cols]
+        "timestamp",
+        *[
+            F.expr(f"CAST(`{c}` AS FLOAT) AS `{c}`") if downcast else F.col(c)
+            for c in cols
+        ],
     )
     merged = (
         wide.where(F.col("timestamp").isin(dup_ts))
