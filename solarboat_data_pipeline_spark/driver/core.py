@@ -1244,8 +1244,13 @@ def pipeline_can_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     catalog = CanCatalog.from_dict(_E2E_CATALOG)
-    wide = parse_stage(spark, stage, catalog)
-    res = resample_stage(wide, 1.0)
+    # materialize stage boundaries once (lazy local checkpoints): the
+    # resample spine bounds, asfreq bounds, reindex and final join each
+    # re-execute their upstream lineage otherwise — the parse ran 4×
+    # per call (resample_stage's own docstring: materialize an
+    # expensive unmaterialized lineage before the bounds job)
+    wide = parse_stage(spark, stage, catalog).localCheckpoint(eager=False)
+    res = resample_stage(wide, 1.0).localCheckpoint(eager=False)
 
     fc = spark.range(0, 70).select(
         F.timestamp_micros(

@@ -1447,10 +1447,13 @@ def pipeline_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = base.unionByName(copies)
 
-    # stage 1: sha256 exact collapse — one linear pass over the bytes
+    # stage 1: sha256 exact collapse — one linear pass over the bytes.
+    # Materialized once (lazy local checkpoint): three consumers follow
+    # (class aggregate, representative payload fetch, membership join),
+    # and each would otherwise re-run the PNG synthesis + sha pass.
     hashed = media.select(
         "media_id", F.sha2(F.col("payload"), 256).alias("sha"), "payload"
-    )
+    ).localCheckpoint(eager=False)
     classes = hashed.groupBy("sha").agg(
         F.min("media_id").alias("rep_id"),
         F.count(F.lit(1)).alias("n_members"),

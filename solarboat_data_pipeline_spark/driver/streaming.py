@@ -324,7 +324,12 @@ def st_stream_decode_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("SB__W__VAL"), 6).alias("val_avg"),
         F.round(F.col("SB__W__D"), 6).alias("d_avg"),
     )
-    return _drain_to_memory(out, "st_stream_decode_wide", "complete")
+    # state-partition SIZING (same rationale as the as-of drains below):
+    # ~100k timestamp keys at test scale do not need 32 state stores per
+    # micro-batch — each store pays a per-batch commit regardless of its
+    # key count; at cluster scale this knob sizes UP with key cardinality
+    with _stream_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
+        return _drain_to_memory(out, "st_stream_decode_wide", "complete")
 
 
 @register(

@@ -707,7 +707,13 @@ def near_dup_dedup(
     Every stage is sub-quadratic: candidates come only from shared LSH
     bands, verification touches only candidates, clustering iterates
     join+aggregate rounds over the verified edge set."""
-    cands = lsh_candidate_pairs(df, text_col, id_col)
+    # materialize the candidate pairs once (lazy local checkpoint): the
+    # verify stage references them THREE times (candidate-id semi-join,
+    # postings join, output), and each branch would otherwise re-run the
+    # full tokenize→shingle→minhash→band self-join subtree
+    cands = lsh_candidate_pairs(df, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     verified = jaccard_verify(df, cands, threshold, text_col, id_col)
     comp = connected_components(verified.select("id_a", "id_b"))
     return comp.where(F.col("doc_id") != F.col("cluster_id")).select(
@@ -759,7 +765,11 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edges.toLocalIterator():
+        # one collect, not toLocalIterator: the iterator form runs one
+        # sequential mini-job PER PARTITION (32 jobs of fixed scheduling
+        # latency for a few thousand edges); the row count is already
+        # bounded by driver_threshold, so a single collect is safe
+        for row in edges.collect():
             a, b = row["src"], row["dst"]
             vertices.add(a)
             vertices.add(b)

@@ -142,11 +142,57 @@ def _rank_topk(sims: DataFrame, k: int) -> DataFrame:
 
 def _exact_sims(pairs: DataFrame) -> DataFrame:
     """(query_id, q_vec, neighbor_id, c_vec) -> the exact 6-dp cosine
-    rows the ranking contract consumes."""
-    return pairs.select(
+    rows the ranking contract consumes — as an Arrow pass over the
+    candidate pairs. The ``cosine()`` expression is an interpreted
+    higher-order-function fold (~3·dim lambda steps per pair); the
+    numpy per-dimension accumulation reproduces the identical
+    left-to-right fold (see :func:`_fold_scores`), with the 6-dp round
+    still applied by Spark's ``F.round``. Only the four needed columns
+    cross the Python boundary (guide §4.1)."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    sub = pairs.select("query_id", "q_vec", "neighbor_id", "c_vec")
+    schema = StructType(
+        [
+            StructField("query_id", sub.schema["query_id"].dataType),
+            StructField("neighbor_id", sub.schema["neighbor_id"].dataType),
+            StructField("cosine_sim", DoubleType()),
+        ]
+    )
+
+    def fn(it):
+        import pandas as pd
+
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            q = _corpus_matrix(pdf, "q_vec")
+            c = _corpus_matrix(pdf, "c_vec")
+            dots = np.zeros(n)
+            q_sq = np.zeros(n)
+            c_sq = np.zeros(n)
+            for j in range(q.shape[1]):
+                qj, cj = q[:, j], c[:, j]
+                dots += qj * cj
+                q_sq += qj * qj
+                c_sq += cj * cj
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = dots / (np.sqrt(q_sq) * np.sqrt(c_sq))
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cosine_sim": sims,
+                }
+            )
+
+    return sub.mapInPandas(fn, schema).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        F.round(F.col("cosine_sim"), 6).alias("cosine_sim"),
     )
 
 
