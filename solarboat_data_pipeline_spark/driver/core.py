@@ -323,8 +323,12 @@ def p8_dict_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P8: catalog lookup as a broadcast INNER join — unknown keys silently
     # dropped (lib/canparser.py:135-145 semantics)
     ev = _t(spark, sf_dir, "events")
-    dim = spark.createDataFrame(
-        [("click", 1), ("purchase", 2), ("error", 3)], "event_type string, type_code int"
+    from solarboat_data_pipeline_spark.operators.similarity import _local_frame
+
+    dim = _local_frame(
+        spark,
+        [("click", 1), ("purchase", 2), ("error", 3)],
+        "event_type string, type_code int",
     )
     return ev.join(F.broadcast(dim), "event_type").select("event_id", "type_code")
 

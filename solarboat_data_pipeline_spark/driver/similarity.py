@@ -501,7 +501,8 @@ def sim_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = sim.extend_ivf_index(
         emb.where(F.col("vec_id") % 2 == 1), idx, "odds"
     )
-    return spark.createDataFrame(
+    return sim._local_frame(
+        spark,
         [(
             rep["n"],
             round(rep["build_mean_cos"], 6),

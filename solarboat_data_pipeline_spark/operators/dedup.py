@@ -782,7 +782,14 @@ def connected_components(
         schema = edges.select(
             F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id")
         ).schema
-        return pairs.sparkSession.createDataFrame(out, schema=schema)
+        from solarboat_data_pipeline_spark.operators.similarity import (
+            _local_frame,
+        )
+
+        # single-slice local frame: the plain createDataFrame would
+        # parallelize to defaultParallelism slices and every downstream
+        # action would pay one Python-runner evaluation per slice
+        return _local_frame(pairs.sparkSession, out, schema)
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )

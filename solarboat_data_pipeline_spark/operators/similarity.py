@@ -289,7 +289,7 @@ def _score_against_queries(
             )
 
     if not q_rows:
-        return df.sparkSession.createDataFrame([], schema)
+        return _local_frame(df.sparkSession, [], schema)
     return base.mapInPandas(fn, schema)
 
 
@@ -452,8 +452,8 @@ def train_ivf_centroids(
     rows = _train_ivf_centroid_rows(
         df, n_centroids, iters, id_col, vec_col, dim
     )
-    return df.sparkSession.createDataFrame(
-        rows, "cid long, c_vec array<double>"
+    return _local_frame(
+        df.sparkSession, rows, "cid long, c_vec array<double>"
     )
 
 
@@ -494,12 +494,25 @@ def _centroid_rows_for(
     ]
 
 
+def _local_frame(spark, rows, schema) -> DataFrame:
+    """Driver-local rows as a SINGLE-slice DataFrame. A plain
+    ``createDataFrame(list)`` parallelizes to ``defaultParallelism``
+    slices, so every later action pays one Python-runner evaluation PER
+    SLICE even for a 16-row codebook (measured on local[32]: a 1-row
+    parquet write costs 4.2 s via ``coalesce(1)`` — one task walking 32
+    Python partitions sequentially — 1.45 s / 17 files written plain,
+    0.31 s / 1 file single-slice; guide §4.3/§6.2)."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows or [], 1), schema
+    )
+
+
 def _centroid_frame(spark, rows: list[tuple[int, list[float]]]) -> DataFrame:
     """Collected centroid rows as the tiny ``(cid, c_vec)`` local frame
     the probe join broadcasts. NOTE the double cast: seed rows from a
     float-typed corpus keep their exact values (float→double is exact),
     so probe cosines are bit-identical to the lazy-frame form."""
-    return spark.createDataFrame(rows, "cid long, c_vec array<double>")
+    return _local_frame(spark, rows, "cid long, c_vec array<double>")
 
 
 def _assign_to(
@@ -799,10 +812,23 @@ def build_ivf_index(
         .observe(obs, F.avg("__acos").alias("m"), F.count(F.lit(1)).alias("n"))
         .drop("__acos")
     )
-    assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/cells")
+    # guide §6 file layout: hash-cluster rows by cell BEFORE the
+    # partitioned write — without it every input task writes one file
+    # into every cell directory (tasks × cells tiny files; measured 512
+    # files for a 5,000-row 16-cell build, and every later probe pays
+    # that open() count at the scan). REBALANCE is the AQE-adaptive
+    # form: small cells coalesce into shared write tasks, and a skewed
+    # hot cell still splits into several size-bounded files at scale.
+    assigned.hint("rebalance", "cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(f"{path}/cells")
+    # codebook/stats frames are single-slice local relations
+    # (_local_frame): one file, one task, instead of defaultParallelism
+    # mostly-empty Python-runner evaluations per write
     cent.write.mode("overwrite").parquet(f"{path}/centroids")
     got = obs.get
-    df.sparkSession.createDataFrame(
+    _local_frame(
+        df.sparkSession,
         [(
             float(got["m"]) if got["m"] is not None else None,
             int(got["n"]),
@@ -841,8 +867,8 @@ def _write_build_stats(spark, path: str, vec_col: str) -> None:
     cent = spark.read.parquet(f"{path}/centroids")
     base = spark.read.parquet(f"{path}/cells")
     m, n = _assigned_cosine_mean(base, cent, vec_col)
-    spark.createDataFrame(
-        [(m, n)], "build_mean_cos double, n bigint"
+    _local_frame(
+        spark, [(m, n)], "build_mean_cos double, n bigint"
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
@@ -935,7 +961,32 @@ def extend_ivf_index(
             )
             .drop("__acos")
         )
-        assigned.write.mode("ignore").partitionBy("cid").parquet(inc_path)
+        # same guide §6 clustering as the base build (tasks × cells
+        # tiny-file explosion otherwise). The rebalance exchange makes
+        # the plan adaptive, and AQE's empty-relation propagation would
+        # prune the CollectMetrics node on a ZERO-ROW increment —
+        # Observation.get then dies on a missing metrics row — so that
+        # one AQE rule is excluded for this write only.
+        _AQE_EMPTY = (
+            "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+        )
+        _EXCL = "spark.sql.adaptive.optimizer.excludedRules"
+        try:
+            prev_excl = spark.conf.get(_EXCL)
+        except Exception:
+            prev_excl = None
+        spark.conf.set(
+            _EXCL, f"{prev_excl},{_AQE_EMPTY}" if prev_excl else _AQE_EMPTY
+        )
+        try:
+            assigned.hint("rebalance", "cid").write.mode("ignore").partitionBy(
+                "cid"
+            ).parquet(inc_path)
+        finally:
+            if prev_excl is None:
+                spark.conf.unset(_EXCL)
+            else:
+                spark.conf.set(_EXCL, prev_excl)
         got = obs.get
         inc_mean = float(got["m"]) if got["m"] is not None else None
         inc_n = int(got["n"])
@@ -951,7 +1002,8 @@ def extend_ivf_index(
             drift is not None and drift > DRIFT_RETRAIN_THRESHOLD
         ),
     }
-    spark.createDataFrame(
+    _local_frame(
+        spark,
         [tuple(report.values())],
         "increment_id string, n bigint, build_mean_cos double,"
         " increment_mean_cos double, drift double,"
@@ -1251,11 +1303,15 @@ def build_ivf_sq8_index(
         sq8_code(F.col(vec_col), mn, mx).alias("codes"),
         "cid",
     )
-    codes.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/cells")
-    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    # same guide §6 layout discipline as build_ivf_index: cluster by
+    # cell before the partitioned write, single-file tiny codebooks
+    codes.hint("rebalance", "cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(f"{path}/cells")
+    cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     spark = df.sparkSession
-    spark.createDataFrame(
-        [(mn, mx)], "mn array<double>, mx array<double>"
+    _local_frame(
+        spark, [(mn, mx)], "mn array<double>, mx array<double>"
     ).write.mode("overwrite").parquet(f"{path}/sq8_bounds")
     df.select(F.col(id_col), F.col(vec_col)).sort(id_col).write.mode(
         "overwrite"
@@ -1395,7 +1451,7 @@ def ivf_sq8_topk_indexed(
         spark, index_path, queries, k, oversample, id_col
     )
     cand_rows = cand_df.collect()
-    cands = spark.createDataFrame(cand_rows or [], cand_df.schema)
+    cands = _local_frame(spark, cand_rows, cand_df.schema)
     vectors = spark.read.parquet(f"{index_path}/vectors").select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
