@@ -219,7 +219,11 @@ def st_stream_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value")
     )
     stage = _io_dir(sf_dir, "st_candump_text")
-    lines.write.mode("overwrite").text(stage)
+    # one staged file per core — same single-task-drain fix as
+    # st_stream_decode_wide (the file stream source never splits files)
+    lines.repartition(spark.sparkContext.defaultParallelism).write.mode(
+        "overwrite"
+    ).text(stage)
     stream = stream_candump(spark, f"{stage}/part-*")
     fr = extract_frames(stream, with_order=False)
     b = lambda pos: F.conv(F.substring("payload_hex", pos, 2), 16, 10).cast("long")  # noqa: E731
@@ -298,7 +302,14 @@ def st_stream_decode_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value")
     )
     stage = _io_dir(sf_dir, "st_candump_wide_text")
-    lines.write.mode("overwrite").text(stage)
+    # stage one text file PER CORE: the streaming file source assigns one
+    # task per file, so a single staged file serializes the whole parse
+    # into one task (measured: addBatch 3.3 s -> 1.5 s at sf0.1 once the
+    # drain reads core-count files). defaultParallelism keeps the choice
+    # scale-adaptive — a production corpus is already many files.
+    lines.repartition(spark.sparkContext.defaultParallelism).write.mode(
+        "overwrite"
+    ).text(stage)
     catalog = CanCatalog.from_dict({
         "version": "driver-swd-0.1",
         "modules": [{
