@@ -1454,10 +1454,14 @@ def pipeline_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = media.select(
         "media_id", F.sha2(F.col("payload"), 256).alias("sha"), "payload"
     ).localCheckpoint(eager=False)
+    # the class table is tiny (one 40-byte row per DISTINCT byte
+    # content) but is read by BOTH the representative fetch and the
+    # membership join — without a cut each re-aggregates over the
+    # payload-laden checkpoint. Materialize it once (lazy).
     classes = hashed.groupBy("sha").agg(
         F.min("media_id").alias("rep_id"),
         F.count(F.lit(1)).alias("n_members"),
-    )
+    ).localCheckpoint(eager=False)
     reps = classes.join(
         hashed.select(F.col("media_id").alias("rep_id"), "payload"), "rep_id"
     ).select(F.col("rep_id").alias("media_id"), "payload")

@@ -251,9 +251,14 @@ def lsh_candidate_pairs(
     sharing at least one band bucket. The self-join shuffles on
     (band, band_hash) — sub-quadratic: only same-bucket docs ever meet."""
     sig = minhash_table(df, text_col, id_col)
+    # both sides of the self-join read this subtree; without a cut the
+    # tokenize→shingle→minhash aggregation runs twice (probe + build
+    # sides of a join never share an Exchange). The exploded band table
+    # is 24 bytes × BANDS per doc — far narrower than the signature
+    # array it derives from, let alone the text.
     exploded = sig.select(
         id_col, F.posexplode(_band_hash_array()).alias("band", "band_hash")
-    )
+    ).localCheckpoint(eager=False)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -568,6 +573,16 @@ def banded_signature_pairs(
         raise ValueError(
             f"exact recall needs max_hamming ({max_hamming}) < bands ({bands})"
         )
+    # the self-join references the signature subtree TWICE — probe and
+    # build sides of a join can never share an Exchange (the build side
+    # is a BroadcastExchange; with SMJ the sort differs) — and the
+    # hot-bucket guard adds a third reference. Every caller computes
+    # signatures inline from an expensive lineage (media decode, text
+    # shingling, simhash), so materialize the narrow (id, sig)
+    # projection once; it is ~16 bytes/row at any corpus scale, far
+    # smaller than the lineage it replaces. Lazy: the first action pays
+    # it, plan-only uses (explain, tests on the lazy frame) stay free.
+    sig = sig.select(id_col, sig_col).localCheckpoint(eager=False)
     base = _banded_base(sig, sig_col, id_col, bits, bands)
     if bucket_cap is not None:
         # aggregate over the SAME base subtree the join reads (not a
@@ -900,12 +915,16 @@ def embedding_lsh_dedup_pairs(
         hyperplanes(dim, planes, lsh_table_salt(t)) for t in range(tables)
     ]
     bcols = [f"__b{t}" for t in range(tables)]
+    # the self-join reads wb twice (probe + build — no Exchange reuse
+    # across a broadcast), which would run the Arrow bucketing pass and
+    # the upstream vector scan twice; materialize it once (lazy). The
+    # stored bytes are the same id+vector+bucket rows one pass emits.
     wb = with_lsh_buckets_arrow(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
         plane_sets,
         "v",
         bcols,
-    )
+    ).localCheckpoint(eager=False)
     base = wb.select(
         "id",
         "v",
@@ -955,10 +974,16 @@ def ngram_jaccard_pairs(
     toked = df.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
     )
+    # four consumers reference the tokenize→shingle→explode subtree
+    # (both posting sides of the intersection join, and the sizes
+    # aggregate feeding na AND nb) — without a cut Spark re-tokenizes
+    # the corpus four times. Materialize once (lazy); the stored rows
+    # are the same postings one pass emits (same trade jaccard_verify
+    # already makes).
     sh = toked.select(
         "id",
         F.explode(F.array_distinct(word_shingles(F.col("__toks")))).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sh.alias("a")

@@ -733,7 +733,14 @@ def phash_clusters_scaled(
     (the mm_phash_clusters semantics; shared oracle)."""
     from solarboat_data_pipeline_spark.operators import dedup as dd
 
-    sig = dhash_table(media).select("media_id", "phash")
+    # the signature table feeds the class aggregate AND the membership
+    # join; without a cut each consumer re-decodes the whole corpus.
+    # 16 bytes/row materialized vs a second full decode pass.
+    sig = (
+        dhash_table(media)
+        .select("media_id", "phash")
+        .localCheckpoint(eager=False)
+    )
     classes = sig.groupBy("phash").agg(
         F.min("media_id").alias("rep_id"),
         F.count(F.lit(1)).alias("n_members"),
