@@ -88,25 +88,28 @@ def parse_stage(
     )
 
     dup_overflow = False  # fused stats pass already measured > cap dups
-    if (
-        crop
-        and crop_strategy == "two_pass"
-        and len(catalog.wide_columns()) > WIDE_PIVOT_MAX_AGG_COLS
-    ):
-        # ROUND-9 FAST PATH for wide catalogs: ONE fused stats job over
-        # the raw frames computes the P4 crop bounds (first/last ts in
-        # file order, exactly crop_to_bounds' contract) AND the same-µs
-        # duplicate count in a single thin shuffle — then the bounds fold
-        # into literal filters (the main pass loses its bounds subjob)
-        # and the wide table is a pure per-frame projection
-        # (decode_wide_project). Duplicate-free corpora (every replay
-        # measured) run TWO total source scans with zero wide shuffles;
-        # when duplicates exist, decode_wide_project's own guarded pass
-        # enumerates them (a third thin scan — rare by construction).
-        # Measured on the 6M-line/187-column fixture: 7.4 s vs the long
-        # path's 11.7 s. Construction runs the stats job eagerly. A
-        # corpus denser than _PROJECT_DUP_MAX same-µs collisions falls
-        # through to the shuffle-based strategies below.
+    if crop and crop_strategy == "two_pass":
+        # ROUND-9 FAST PATH (r14: for EVERY catalog width, not just wide
+        # ones): ONE fused stats job over the raw frames computes the P4
+        # crop bounds (first/last ts in file order, exactly
+        # crop_to_bounds' contract) AND the same-µs duplicate count in a
+        # single thin shuffle — then the bounds fold into literal
+        # filters (the main pass loses its bounds subjob) and the wide
+        # table is a pure per-frame projection (decode_wide_project).
+        # Duplicate-free corpora (every replay measured) run TWO total
+        # source scans with zero wide shuffles; when duplicates exist,
+        # decode_wide_project's own guarded pass enumerates them (a
+        # third thin scan — rare by construction). Measured on the
+        # 6M-line/187-column fixture: 7.4 s vs the long path's 11.7 s.
+        # r14 (guide §2.4, remove shuffles outright): the narrow-catalog
+        # branch below paid crop_to_bounds' broadcast-subquery bounds
+        # scan PLUS decode_wide's full-corpus groupBy(timestamp) hash
+        # aggregate; the projection form decodes the same frames with
+        # ZERO exchanges (pipeline_can_e2e's parse: 2 Exchange → 1 thin
+        # stats Exchange, measured in plans/r14). Construction runs the
+        # stats job eagerly. A corpus denser than _PROJECT_DUP_MAX
+        # same-µs collisions falls through to the shuffle-based
+        # strategies below.
         from solarboat_data_pipeline_spark.sources.candump import ORDER_COLS
 
         order = F.struct(*[c for c in ORDER_COLS if c in frames.columns])
