@@ -488,11 +488,25 @@ def dd_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = docs.where(F.col("doc_id") % 5 == 0)
     bp = _io_dir(sf_dir, "dd_band_index")
     sp = _io_dir(sf_dir, "dd_sig_index")
-    # one minhash pass feeds both index writes (lazy local checkpoint —
-    # materialized by the first write, reused by the second)
-    sig = dd.minhash_table(seen).localCheckpoint(eager=False)
-    dd.band_index(seen, signatures=sig).write.mode("overwrite").parquet(bp)
-    dd.signature_index(seen, signatures=sig).write.mode("overwrite").parquet(sp)
+    # one minhash pass feeds both index writes. r14: materialize the
+    # pass EAGERLY, then submit the two independent writes from a small
+    # thread pool (guide §2.6 — overlap independent jobs): each write
+    # only re-reads the checkpointed signature blocks, so they share no
+    # lineage work and the second write's latency hides under the first
+    sig = dd.minhash_table(seen).localCheckpoint(eager=True)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _wb():
+        dd.band_index(seen, signatures=sig).write.mode("overwrite").parquet(bp)
+
+    def _ws():
+        dd.signature_index(seen, signatures=sig).write.mode(
+            "overwrite"
+        ).parquet(sp)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(_wb), pool.submit(_ws)]:
+            f.result()
     out = dd.near_dup_against(
         incoming,
         spark.read.parquet(bp),

@@ -819,13 +819,26 @@ def build_ivf_index(
     # that open() count at the scan). REBALANCE is the AQE-adaptive
     # form: small cells coalesce into shared write tasks, and a skewed
     # hot cell still splits into several size-bounded files at scale.
-    assigned.hint("rebalance", "cid").write.mode("overwrite").partitionBy(
-        "cid"
-    ).parquet(f"{path}/cells")
-    # codebook/stats frames are single-slice local relations
-    # (_local_frame): one file, one task, instead of defaultParallelism
-    # mostly-empty Python-runner evaluations per write
-    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    # r14 (guide §2.6 — overlap independent jobs): the cells write and
+    # the tiny codebook write share no lineage (the codebook is a
+    # driver-local frame), so the codebook job's fixed latency hides
+    # under the corpus write instead of following it serially
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_cells():
+        assigned.hint("rebalance", "cid").write.mode(
+            "overwrite"
+        ).partitionBy("cid").parquet(f"{path}/cells")
+
+    def _write_centroids():
+        # codebook/stats frames are single-slice local relations
+        # (_local_frame): one file, one task, instead of
+        # defaultParallelism mostly-empty Python-runner evaluations
+        cent.write.mode("overwrite").parquet(f"{path}/centroids")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(_write_cells), pool.submit(_write_centroids)]:
+            f.result()
     got = obs.get
     _local_frame(
         df.sparkSession,
