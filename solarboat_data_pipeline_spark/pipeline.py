@@ -39,6 +39,7 @@ from solarboat_data_pipeline_spark.operators.timeseries import (
     resample_mean,
 )
 from solarboat_data_pipeline_spark.operators.timeseries import (
+    WIDE_INTERPOLATE_MAX_COLS,
     WIDE_RESAMPLE_MAX_AGG_COLS,
 )
 from solarboat_data_pipeline_spark.sources.candump import extract_frames, scan_candump
@@ -50,6 +51,15 @@ from solarboat_data_pipeline_spark.sources.gpx import scan_gpx
 # (SCALE.md); past this, resample_stage(scale_buckets=...) switches to
 # the structurally bounded group-width plan
 SCALE_GRID_INMEM_MAX = 100_000_000
+
+# r14 (guide §2.4): below this total output width the unify stages carry
+# the telemetry columns THROUGH the reindex/as-of window instead of
+# joining the projected columns back on the grid key — each stage drops
+# one SortMergeJoin (2 Exchange + 2 Sort over the telemetry grid).
+# Guarded by width because the passthrough window's sort carries full
+# rows: for wide telemetry (the 187-column report catalog) the
+# thin-window + join-back form keeps the single-task sort small.
+UNIFY_PASSTHROUGH_MAX_COLS = 32
 
 
 def parse_stage(
@@ -318,6 +328,25 @@ def unify_forecast_stage(
             ),
         )
     value_cols = [c for c in forecast.columns if c != ts_col]
+    if (
+        len(telemetry.columns) + len(value_cols) <= UNIFY_PASSTHROUGH_MAX_COLS
+        and len(value_cols) <= WIDE_INTERPOLATE_MAX_COLS
+    ):
+        # passthrough form (r14, guide §2.4): the same exact-match left
+        # join puts the forecast samples on the same unique grid rows,
+        # and the interpolation windows order by the same grid
+        # timestamps — telemetry columns ride along as passengers, so
+        # the projection never needs joining back. Output is
+        # column-for-column identical to the join-back form (locked by
+        # tests/test_pipeline.py); the e2e plan drops one SortMergeJoin.
+        prefixed = [f"{prefix}{c}" for c in value_cols]
+        fc = forecast.select(
+            ts_col, *[F.col(c).alias(p) for c, p in zip(value_cols, prefixed)]
+        )
+        matched = telemetry.join(fc, ts_col, "left")
+        return interpolate_time(
+            matched, ts_col=ts_col, value_cols=prefixed, limit_area=None
+        )
     proj = reindex_interpolate(telemetry, forecast, on=ts_col, value_cols=value_cols)
     proj = proj.select(
         ts_col, *[F.col(c).alias(f"{prefix}{c}") for c in value_cols]
@@ -337,6 +366,18 @@ def unify_gps_stage(
     if value_cols is None:
         value_cols = [c for c in gps.columns if c != ts_col]
     gps = dedup_keep_first(gps, [ts_col], [ts_col])
+    if len(telemetry.columns) + len(value_cols) <= UNIFY_PASSTHROUGH_MAX_COLS:
+        # passthrough form (r14, guide §2.4): the union-window as-of
+        # emits exactly one row per telemetry row with the same
+        # backward fill (right rows sort before left at ties in both
+        # forms), so the join-back on the grid key is redundant — one
+        # SortMergeJoin dropped. Width-guarded: the as-of window sorts
+        # full rows here, so wide telemetry keeps the thin form below.
+        names = [f"{prefix}{c}" for c in value_cols]
+        gp = gps.select(
+            ts_col, *[F.col(c).alias(p) for c, p in zip(value_cols, names)]
+        )
+        return asof_join_backward(telemetry, gp, on=ts_col, value_cols=names)
     joined = asof_join_backward(
         telemetry.select(ts_col), gps, on=ts_col, value_cols=list(value_cols)
     )
