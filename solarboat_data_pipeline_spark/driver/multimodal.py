@@ -1441,7 +1441,12 @@ def pipeline_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarboat_data_pipeline_spark.operators import perceptual as pc
 
     docs = _t(spark, sf_dir, "documents")
-    base = pc.synthesize_phash_media(docs)
+    # r14: materialize the synthesis once (lazy local checkpoint). The
+    # copies branch filters ABOVE the opaque mapInPandas synthesis —
+    # the predicate cannot push below it — so the un-cut union
+    # re-encoded the full corpus a second time just to keep 1/4 of it
+    # (measured: the sha stage's materialization halves).
+    base = pc.synthesize_phash_media(docs).localCheckpoint(eager=False)
     copies = base.where(F.col("media_id") % 4 == 0).withColumn(
         "media_id", F.col("media_id") + _COPY_OFFSET
     )
