@@ -1274,9 +1274,20 @@ def pipeline_can_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # resample spine bounds, asfreq bounds, reindex and final join each
     # re-execute their upstream lineage otherwise — the parse ran 4×
     # per call (resample_stage's own docstring: materialize an
-    # expensive unmaterialized lineage before the bounds job)
-    wide = parse_stage(spark, stage, catalog).localCheckpoint(eager=False)
-    res = resample_stage(wide, 1.0).localCheckpoint(eager=False)
+    # expensive unmaterialized lineage before the bounds job).
+    # r14 (guide §2.4): the fused parse stats job already measured the
+    # crop bounds — carry them into the resample spine and the asfreq
+    # grid (known_bounds) so neither stage re-aggregates the table.
+    from solarboat_data_pipeline_spark.pipeline import grid_bounds
+
+    stats: dict = {}
+    wide = parse_stage(
+        spark, stage, catalog, stats_out=stats
+    ).localCheckpoint(eager=False)
+    kb = (stats["first_ts"], stats["last_ts"]) if "first_ts" in stats else None
+    res = resample_stage(wide, 1.0, known_bounds=kb).localCheckpoint(
+        eager=False
+    )
 
     fc = spark.range(0, 70).select(
         F.timestamp_micros(
@@ -1293,7 +1304,10 @@ def pipeline_can_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(9999.0).alias("ghi"),
         )
     )
-    out = unify_forecast_stage(res, fc, 1.0)
+    out = unify_forecast_stage(
+        res, fc, 1.0,
+        known_bounds=grid_bounds(kb, 1.0) if kb is not None else None,
+    )
 
     gps = spark.range(0, 260).select(
         F.timestamp_micros(

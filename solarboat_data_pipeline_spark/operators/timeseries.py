@@ -50,7 +50,27 @@ def time_spine(
     on long ranges); at 1 µs precision a century-long 1 s spine is ~3e9
     rows — range handles that, one literal array does not.
     """
+    import datetime as _dt
+
     step_us = int(round(step_seconds * MICROS))
+    if type(start) is _dt.datetime and type(end) is _dt.datetime:
+        # r14 (guide §1.2 — fixed per-call cost): for plain datetime
+        # bounds (what every internal caller collects), the row count is
+        # pure literal arithmetic — compute it driver-side instead of
+        # paying a one-row Spark job per spine. TimestampType.toInternal
+        # is EXACTLY the conversion ``F.lit(datetime)`` applies, so the
+        # count and the generated instants are bit-identical to the job
+        # form (which also went through ``F.lit``).
+        from pyspark.sql.types import TimestampType
+
+        t = TimestampType()
+        s_us, e_us = t.toInternal(start), t.toInternal(end)
+        n = (e_us - s_us) // step_us + 1
+        return spark.range(int(max(n, 0))).select(
+            F.timestamp_micros(F.lit(s_us) + F.col("id") * step_us).alias(
+                ts_col
+            )
+        )
     start_us = F.lit(start).cast("timestamp")
     n = (
         spark.range(1)
@@ -82,6 +102,7 @@ def resample_mean(
     value_cols: Sequence[str] | None = None,
     partition_cols: Sequence[str] = (),
     dense: bool = True,
+    known_bounds: tuple | None = None,
 ) -> DataFrame:
     """A3: fixed-period mean downsample (``df.resample(period).mean()``,
     ``lib/resampler.py:97-99``).
@@ -90,6 +111,13 @@ def resample_mean(
     reference's 1 s / 100 ms periods. With ``dense=True`` empty buckets are
     materialized as all-null rows (pandas emits the dense grid), via a
     spine join; the spine side is tiny relative to data and broadcasts.
+
+    ``known_bounds`` (r14, guide §2.4): ``(lo, hi)`` datetimes covering
+    ``df``'s EXACT ``ts_col`` min/max (e.g. the parse stage's fused
+    stats bounds). When given (and the frame is unpartitioned), the
+    dense spine derives from ``floor(lo)``/``floor(hi)`` arithmetically
+    instead of re-aggregating the data — one full-input job dropped.
+    Both bounds rows must exist in ``df`` or the grid would be wrong.
     """
     step_us = int(round(period_seconds * MICROS))
     if value_cols is None:
@@ -140,6 +168,29 @@ def resample_mean(
     if not dense:
         return out
     spark = df.sparkSession
+    if known_bounds is not None and not partition_cols:
+        import datetime as _dt
+
+        lo, hi = known_bounds
+        if lo is None:
+            return out
+        if type(lo) is _dt.datetime and type(hi) is _dt.datetime:
+            from pyspark.sql.types import TimestampType
+
+            t = TimestampType()
+            # floor both bounds onto the bucket grid with the same
+            # integer-µs arithmetic the bucket expression uses; the
+            # spine instants then equal the measured min/max buckets
+            lo_us = t.toInternal(lo) // step_us * step_us
+            hi_us = t.toInternal(hi) // step_us * step_us
+            spine = spark.range(
+                int(max((hi_us - lo_us) // step_us + 1, 0))
+            ).select(
+                F.timestamp_micros(
+                    F.lit(lo_us) + F.col("id") * step_us
+                ).alias(ts_col)
+            )
+            return spine.join(out, [ts_col], "left")
     bounds = out.groupBy(*partition_cols).agg(
         F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
     )
@@ -582,17 +633,30 @@ def asfreq(
     period_seconds: float,
     ts_col: str = "timestamp",
     partition_cols: Sequence[str] = (),
+    known_bounds: tuple | None = None,
 ) -> DataFrame:
     """W7: ``asfreq`` — snap to an exact constant-frequency grid
     (``lib/unifier_with_forecast_data.py:42-46``): rows at missing ticks are
-    all-null; data at off-grid timestamps is dropped (exact-match join)."""
+    all-null; data at off-grid timestamps is dropped (exact-match join).
+
+    ``known_bounds`` (r14, guide §2.4): ``(lo, hi)`` datetimes equal to
+    ``df``'s exact ``ts_col`` min/max (e.g. carried forward from an
+    upstream resample's grid bounds) skip the bounds aggregate — one
+    full-input job dropped. ``(None, None)`` means "caller measured an
+    empty frame"."""
     spark = df.sparkSession
     if partition_cols:
         raise NotImplementedError("per-series asfreq: resample_mean(dense=True)")
-    row = df.agg(F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")).first()
-    if row is None or row["lo"] is None:
-        return df
-    spine = time_spine(spark, row["lo"], row["hi"], period_seconds, ts_col)
+    if known_bounds is not None:
+        lo, hi = known_bounds
+        if lo is None:
+            return df
+    else:
+        row = df.agg(F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")).first()
+        if row is None or row["lo"] is None:
+            return df
+        lo, hi = row["lo"], row["hi"]
+    spine = time_spine(spark, lo, hi, period_seconds, ts_col)
     return spine.join(df, ts_col, "left")
 
 

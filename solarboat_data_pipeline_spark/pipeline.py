@@ -71,6 +71,7 @@ def parse_stage(
     crop: bool = True,
     clean_outliers: bool = False,
     crop_strategy: str = "two_pass",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """E1 (``lib/canparser.py:263-364``): candump text → decoded wide table.
 
@@ -86,7 +87,15 @@ def parse_stage(
     187-column report corpus (the checkpoint's materialize+re-read
     traffic costs more than two extra codegen regex passes). Prefer
     ``cached`` only when the source itself is expensive to re-read
-    (remote object store without locality, pathological small files)."""
+    (remote object store without locality, pathological small files).
+
+    ``stats_out`` (r14, guide §2.4): pass a dict and the fast path
+    records its measured crop bounds (``first_ts``/``last_ts``
+    datetimes, ``dup_n``) — downstream stages that need the same bounds
+    (``resample_stage(known_bounds=...)``) can reuse the one fused
+    stats job instead of re-aggregating the decoded table. Left
+    untouched when the fast path does not run (``crop=False`` or a
+    non-``two_pass`` strategy)."""
     if crop_strategy not in ("two_pass", "cached"):
         raise ValueError("crop_strategy must be two_pass|cached")
     frames = extract_frames(scan_candump(spark, path))
@@ -134,6 +143,11 @@ def parse_stage(
             F.sum(F.when(F.col("__n") > 1, 1).otherwise(0)).alias("dup_n"),
         ).first()
         dup_n = stats["dup_n"] or 0
+        if stats_out is not None:
+            stats_out.update(
+                first_ts=stats["first_ts"], last_ts=stats["last_ts"],
+                dup_n=dup_n,
+            )
         if dup_n <= _PROJECT_DUP_MAX:
             if stats["first_ts"] is None:  # empty corpus
                 cropped = frames.where(F.lit(False))
@@ -200,6 +214,7 @@ def resample_stage(
     scale_buckets: int | None = None,
     strategy: str = "auto",
     fused_group_width: int | None = None,
+    known_bounds: tuple | None = None,
 ) -> DataFrame:
     """E2 (``lib/resampler.py:59-101``): mean-downsample to a fixed period
     and gap-fill ≤ ``max_gap_seconds`` with bounded time interpolation
@@ -240,15 +255,21 @@ def resample_stage(
     ``strategy="bucketed"`` (with ``scale_buckets``) forces the round-5
     bucketed kernel (``resample_mean`` + ``operators/scale.py``
     interpolation) unconditionally — the explicit form the SCALE.md
-    equivalence evidence was recorded against."""
+    equivalence evidence was recorded against.
+
+    ``known_bounds`` (r14, guide §2.4): ``(lo, hi)`` datetimes equal to
+    ``wide``'s exact ``ts_col`` min/max — e.g. the parse stage's fused
+    stats bounds (``parse_stage(stats_out=...)``), whose crop filter
+    guarantees exactly that. Skips this stage's own bounds jobs (the
+    dense-spine aggregate; the scale-path grid measurement)."""
     limit = max(1, int(max_gap_seconds / period_seconds))
-    known_bounds = None  # set when the scale_buckets bounds job runs
     if strategy == "bucketed":
         if scale_buckets is None:
             raise ValueError("strategy='bucketed' requires scale_buckets")
         from solarboat_data_pipeline_spark.operators import scale as _scale
 
-        res = resample_mean(wide, period_seconds, ts_col=ts_col, dense=True)
+        res = resample_mean(wide, period_seconds, ts_col=ts_col, dense=True,
+                            known_bounds=known_bounds)
         return _scale.interpolate_time(
             res,
             ts_col=ts_col,
@@ -263,9 +284,12 @@ def resample_stage(
                 " selection) or 'bucketed' (the explicit r5 kernel);"
                 f" got strategy={strategy!r}"
             )
-        b = wide.agg(
-            F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
-        ).first()
+        if known_bounds is None:
+            b = wide.agg(
+                F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
+            ).first()
+            known_bounds = (b["__lo"], b["__hi"])
+        b = {"__lo": known_bounds[0], "__hi": known_bounds[1]}
         if b["__lo"] is not None:
             step_us = int(round(period_seconds * 1_000_000))
             span_us = int(
@@ -275,7 +299,6 @@ def resample_stage(
             # the measured bounds ride along so the fused kernel drops
             # its internal bounds-aggregate subtree — the thin job is
             # paid ONCE, not three times (measure + kb + spine)
-            known_bounds = (b["__lo"], b["__hi"])
             if grid > SCALE_GRID_INMEM_MAX:
                 return resample_interpolate(
                     wide,
@@ -296,13 +319,18 @@ def resample_stage(
     if use_fused:
         # fused_group_width (grid buckets per window group, e.g. one
         # day's worth) bounds the per-column sort structurally for
-        # 1e9-row-per-column grids; None = global per-column window
+        # 1e9-row-per-column grids; None = global per-column window.
+        # A measured-empty bounds pair degrades to the kernel's own
+        # aggregate (which yields the same empty grid) — the fused
+        # kernel's known_bounds contract expects real instants.
+        kb = known_bounds if (known_bounds and known_bounds[0] is not None) else None
         return resample_interpolate(
             wide, period_seconds, ts_col=ts_col, limit=limit,
             limit_area="inside", group_width=fused_group_width,
-            known_bounds=known_bounds,
+            known_bounds=kb,
         )
-    res = resample_mean(wide, period_seconds, ts_col=ts_col, dense=True)
+    res = resample_mean(wide, period_seconds, ts_col=ts_col, dense=True,
+                        known_bounds=known_bounds)
     return interpolate_time(res, ts_col=ts_col, limit=limit, limit_area="inside")
 
 
@@ -313,12 +341,20 @@ def unify_forecast_stage(
     ts_col: str = "timestamp",
     prefix: str = "solcast_",
     shift_back_hours: float = 0.0,
+    known_bounds: tuple | None = None,
 ) -> DataFrame:
     """E3a (``lib/unifier_with_forecast_data.py:11-104``): dedup + dense
     reindex of telemetry, forecast reprojected onto the telemetry grid with
-    linear interpolation, then left-joined with a column prefix."""
+    linear interpolation, then left-joined with a column prefix.
+
+    ``known_bounds`` (r14, guide §2.4): ``(lo, hi)`` datetimes equal to
+    ``telemetry``'s exact ``ts_col`` min/max (dedup cannot change them),
+    e.g. the grid bounds of the upstream resample — skips ``asfreq``'s
+    bounds aggregate."""
     telemetry = dedup_keep_first(telemetry, [ts_col], [ts_col])
-    telemetry = asfreq(telemetry, period_seconds, ts_col=ts_col)
+    telemetry = asfreq(
+        telemetry, period_seconds, ts_col=ts_col, known_bounds=known_bounds
+    )
     if shift_back_hours:
         shift_us = int(shift_back_hours * 3600 * 1_000_000)
         forecast = forecast.withColumn(
@@ -352,6 +388,26 @@ def unify_forecast_stage(
         ts_col, *[F.col(c).alias(f"{prefix}{c}") for c in value_cols]
     )
     return telemetry.join(proj, ts_col, "left")
+
+
+def grid_bounds(bounds: tuple, period_seconds: float) -> tuple:
+    """Floor raw data-time bounds onto the resample grid: the exact
+    ``ts`` min/max of ``resample_stage``'s dense output for the same
+    period (the spine starts at ``floor(lo)`` and ends at ``floor(hi)``,
+    and both grid rows exist by construction). Uses the same
+    ``TimestampType`` µs conversion as the spine literals, so the result
+    is bit-identical to measuring the resampled frame."""
+    from pyspark.sql.types import TimestampType
+
+    lo, hi = bounds
+    if lo is None:
+        return (None, None)
+    t = TimestampType()
+    step_us = int(round(period_seconds * 1_000_000))
+    return (
+        t.fromInternal(t.toInternal(lo) // step_us * step_us),
+        t.fromInternal(t.toInternal(hi) // step_us * step_us),
+    )
 
 
 def unify_gps_stage(
@@ -398,16 +454,27 @@ def run_pipeline(
     mab20_workaround: bool = False,
 ) -> DataFrame:
     """The full reference flow (``main_2022.py:159-163``), one logical plan."""
+    stats: dict = {}
     wide = parse_stage(
         spark,
         candump_path,
         catalog,
         offset_seconds=offset_seconds,
         mab20_workaround=mab20_workaround,
+        stats_out=stats,
     )
-    out = resample_stage(wide, period_seconds)
+    # r14 (guide §2.4): the fused parse stats already measured the crop
+    # bounds — reuse them for the resample spine and the asfreq grid
+    # instead of re-aggregating the decoded table at each stage
+    kb = (stats["first_ts"], stats["last_ts"]) if "first_ts" in stats else None
+    out = resample_stage(wide, period_seconds, known_bounds=kb)
     if forecast is not None:
-        out = unify_forecast_stage(out, forecast, period_seconds)
+        out = unify_forecast_stage(
+            out, forecast, period_seconds,
+            known_bounds=(
+                grid_bounds(kb, period_seconds) if kb is not None else None
+            ),
+        )
     if gpx_path is not None:
         track = derive_track(scan_gpx(spark, gpx_path)).select(
             "timestamp", "latitude", "longitude", "altitude",

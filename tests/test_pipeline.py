@@ -57,6 +57,73 @@ def test_parse_resample_shape(spark, catalog):
     assert rows[3]["BAT21__STATE__STATE"] == 5.0
 
 
+def _rows_equal(a, b, key="timestamp"):
+    ra = {r[key]: r.asDict() for r in a.collect()}
+    rb = {r[key]: r.asDict() for r in b.collect()}
+    assert ra.keys() == rb.keys()
+    assert a.columns == b.columns
+    for k, row in ra.items():
+        for c, va in row.items():
+            vb = rb[k][c]
+            assert (va is None) == (vb is None), (k, c, va, vb)
+            if isinstance(va, float) and va is not None:
+                assert math.isclose(va, vb, rel_tol=1e-12), (k, c, va, vb)
+            else:
+                assert va == vb, (k, c)
+
+
+def test_known_bounds_forms_match_measured(spark, catalog, forecast):
+    """r14: every known_bounds fast path must be cell-identical to the
+    measured form — the parse stats bounds fed through resample_stage,
+    the grid bounds fed through unify_forecast_stage/asfreq, and the
+    driver-side time_spine row count."""
+    from solarboat_data_pipeline_spark.operators.timeseries import (
+        asfreq,
+        resample_mean,
+        time_spine,
+    )
+    from solarboat_data_pipeline_spark.pipeline import grid_bounds
+
+    stats: dict = {}
+    wide = parse_stage(spark, CORPUS, catalog, stats_out=stats)
+    assert "first_ts" in stats and stats["dup_n"] >= 0
+    kb = (stats["first_ts"], stats["last_ts"])
+
+    # the recorded stats bounds ARE the cropped table's exact min/max
+    m = wide.agg(F.min("timestamp"), F.max("timestamp")).first()
+    assert (m[0], m[1]) == kb
+
+    _rows_equal(
+        resample_stage(wide, 1.0),
+        resample_stage(wide, 1.0, known_bounds=kb),
+    )
+    res = resample_stage(wide, 1.0)
+    gkb = grid_bounds(kb, 1.0)
+    g = res.agg(F.min("timestamp"), F.max("timestamp")).first()
+    assert (g[0], g[1]) == gkb
+    _rows_equal(
+        unify_forecast_stage(res, forecast, 1.0),
+        unify_forecast_stage(res, forecast, 1.0, known_bounds=gkb),
+    )
+    _rows_equal(
+        asfreq(res, 1.0),
+        asfreq(res, 1.0, known_bounds=gkb),
+    )
+    _rows_equal(
+        resample_mean(wide, 1.0, dense=True),
+        resample_mean(wide, 1.0, dense=True, known_bounds=kb),
+    )
+    # time_spine: driver-side count (datetime bounds) vs the job form
+    # (string bounds force the Spark path)
+    py_spine = time_spine(spark, gkb[0], gkb[1], 1.0)
+    job_spine = time_spine(
+        spark, gkb[0].isoformat(sep=" "), gkb[1].isoformat(sep=" "), 1.0
+    )
+    assert [r[0] for r in py_spine.collect()] == [
+        r[0] for r in job_spine.collect()
+    ]
+
+
 def test_full_pipeline_enrichment(spark, catalog, forecast):
     out = run_pipeline(
         spark,
