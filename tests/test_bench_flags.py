@@ -52,3 +52,53 @@ def test_none_and_missing_medians_safe(burst_rows):
     timings = {"a": 1.0, "b": None, "c": 0.9}
     medians = {"a": None, "c": 0.95}
     assert burst_rows(timings, medians) == []
+
+
+@pytest.fixture(scope="module")
+def bench_module():
+    spec = importlib.util.spec_from_file_location("bench_module", _BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_compact_record_fits_tail_window(bench_module):
+    """VERDICT r14 item 2: the LAST stdout line must be a complete
+    parseable record inside the driver's 2000-char tail window even at
+    the full board — r13's 3.3 KB line was start-truncated and
+    PERF_r14 compared zero rows. Uses the REAL headline names, so a
+    new query whose name pushes the line past the window fails here
+    before it truncates an artifact."""
+    import json
+
+    names = list(bench_module.HEADLINE) + [
+        "parse_candump_2m_lines", "parse_real_catalog_6m_lines",
+    ]
+    queries = {n: round(0.123 + i * 0.517, 3) for i, n in enumerate(names)}
+    out = {
+        "metric": "headline_queries_total_time",
+        "value": 74.724,
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "queries_median": dict(queries),  # must NOT ride the compact line
+        "calibration_before_after": [0.416, 0.558],
+        "normalization": 0.9375,
+        "value_normalized": 70.054,
+        "contended": False,
+        "anchors_diverged": True,
+        "burst_rows": [],
+        "steal_sec_window": 360.68,
+        "retry_reason": "contended",
+        "complete": True,
+        "full_record": "bench_last_full.json",
+    }
+    compact = bench_module._compact_record(out)
+    line = json.dumps(compact)
+    assert len(line) < 1900, len(line)
+    # the driver contract keys, queries byte-identical to the full line
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert compact[k] == out[k]
+    assert "queries_median" not in compact
+    # first key on the line is the contract anchor
+    assert line.startswith('{"metric"')
